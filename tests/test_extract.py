@@ -1,0 +1,119 @@
+"""Extraction tests: engine (map_batches) output must be byte-identical to
+the row-wise oracle per url (BASELINE.json input_hint invariant), and the
+harvest/metadata semantics must mirror the reference
+(comprehensive_scraper.py:157-203, smart_cat_discovery.py:218-249)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from webscrape_neko_jirushi_ray.functions.htmlkit import (
+    extract_links,
+    extract_metadata,
+    extract_text,
+    harvest_images,
+)
+from webscrape_neko_jirushi_ray.stages.extract import extract_docs, explode_images
+from webscrape_neko_jirushi_ray.synth import synth_pages
+
+HTML = """
+<html><head><title>t</title><script>junk()</script></head><body>
+<h1 class="cat-title">Tama &amp; Mike</h1>
+<div class="description"> A  gentle   cat </div>
+<div class="detail">Age: 3</div>
+<span class="info">Sex: female</span>
+<div class="detail">Age: 4</div>
+<div class="gallery"><img src="/x/photo1.png" alt="a"><img src="/img/cat2.jpg" alt="b"></div>
+<img src="/img/cat2.jpg" alt="dup">
+<img src="/img/logo.gif">
+<div class="photo"><img data-src="/lazy/foster9.webp" alt="lazy"></div>
+<a href="/foster/101/">one</a>
+<div class="related"><a href="/foster/102/">two</a><a href="/foster/101/">repeat</a></div>
+</body></html>
+"""
+BASE = "https://www.neko-jirushi.com/foster/100/"
+
+
+def test_text_extraction_strips_and_collapses():
+    t = extract_text(HTML)
+    assert "junk()" not in t
+    assert "Tama & Mike" in t
+    assert "  " not in t
+    assert t == t.strip()
+
+
+def test_harvest_selector_order_and_keep_first():
+    imgs = harvest_images(BASE, HTML)
+    urls = [i["url"] for i in imgs]
+    # 'cat' selector first: cat2.jpg wins with alt from its FIRST occurrence
+    assert urls[0] == "https://www.neko-jirushi.com/img/cat2.jpg"
+    assert imgs[0]["alt"] == "b"  # gallery copy is earlier in doc order
+    # foster data-src lazy image captured
+    assert "https://www.neko-jirushi.com/lazy/foster9.webp" in urls
+    # png via extension predicate
+    assert "https://www.neko-jirushi.com/x/photo1.png" in urls
+    # logo.gif fails the keep predicate (no cat/foster substring, .gif)
+    assert not any("logo.gif" in u for u in urls)
+    # keep-first dedup: no repeats
+    assert len(urls) == len(set(urls))
+
+
+def test_harvest_api_image_prepended():
+    imgs = harvest_images(BASE, HTML, api_image="/api/main.jpg", api_caption="cap")
+    assert imgs[0]["url"] == "https://www.neko-jirushi.com/api/main.jpg"
+    assert imgs[0]["alt"] == "cap"
+    # and not duplicated if already harvested
+    imgs2 = harvest_images(BASE, HTML, api_image="/img/cat2.jpg")
+    assert [i["url"] for i in imgs2].count("https://www.neko-jirushi.com/img/cat2.jpg") == 1
+
+
+def test_links_keep_first_and_absolutized():
+    links = extract_links(BASE, HTML)
+    assert links == [
+        "https://www.neko-jirushi.com/foster/101/",
+        "https://www.neko-jirushi.com/foster/102/",
+    ]
+
+
+def test_metadata_split_and_overwrite():
+    name, desc, kv = extract_metadata(HTML)
+    assert name == "Tama & Mike"
+    assert desc == "A gentle cat"
+    d = dict(kv)
+    assert d["age"] == "4"  # later duplicate key overwrites (dict semantics)
+    assert d["sex"] == "female"
+
+
+def test_engine_matches_rowwise_oracle_byte_identical(ray_session):
+    pages, _ = synth_pages(num_listing_pages=4, seed=7)
+    ds = ray.data.from_arrow(pages)
+    docs = extract_docs(ds, batch_size=16).to_arrow_refs()
+    import ray as _ray
+
+    got = pa.concat_tables([_ray.get(r) for r in docs], promote_options="default")
+    got_by_url = {
+        r["url"]: r for r in got.select(["url", "text", "name", "images", "links"]).to_pylist()
+    }
+    assert len(got_by_url) == pages.num_rows
+    for row in pages.to_pylist():
+        url, html = row["url"], row["html"].decode("utf-8")
+        g = got_by_url[url]
+        # the byte-identical per-url invariant, engine vs row-wise oracle
+        assert g["text"] == extract_text(html), url
+        # and vs the stored WARC-style text column
+        assert g["text"] == row["text"], url
+        assert g["images"] == harvest_images(url, html), url
+        assert g["links"] == extract_links(url, html), url
+
+
+def test_explode_images_orders_and_seqs(ray_session):
+    pages, _ = synth_pages(num_listing_pages=2, seed=9)
+    ds = ray.data.from_arrow(pages)
+    docs = extract_docs(ds)
+    img_rows = explode_images(docs).to_pandas()
+    assert (img_rows.groupby("url")["seq"].min() == 1).all()
+    one = img_rows[img_rows.url == img_rows.url.iloc[0]].sort_values("seq")
+    assert list(one["seq"]) == list(range(1, len(one) + 1))

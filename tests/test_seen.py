@@ -1,0 +1,65 @@
+"""Seen-set shard tests: exact vs cuckoo modes, snapshot/restore
+(SURVEY.md ST3/D1)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from webscrape_neko_jirushi_ray.state.seen import CuckooFilter, ShardedSeenSet
+
+
+def keys(n, tag=""):
+    return [hashlib.sha1(f"{tag}{i}".encode()).digest() for i in range(n)]
+
+
+def test_cuckoo_filter_no_false_negatives():
+    cf = CuckooFilter(capacity=20000)
+    ks = np.frombuffer(b"".join(k[:8] for k in keys(10000)), dtype=">u8").astype(np.uint64)
+    cf.add_many(ks)
+    assert cf.contains_many(ks).all()
+
+
+def test_cuckoo_filter_low_false_positive_rate():
+    cf = CuckooFilter(capacity=20000)
+    ks = np.frombuffer(b"".join(k[:8] for k in keys(10000, "in")), dtype=">u8").astype(np.uint64)
+    cf.add_many(ks)
+    other = np.frombuffer(b"".join(k[:8] for k in keys(10000, "out")), dtype=">u8").astype(np.uint64)
+    fp = cf.contains_many(other).mean()
+    assert fp < 0.01, f"false positive rate too high: {fp}"
+
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo"])
+def test_sharded_add_if_absent(ray_session, mode):
+    seen = ShardedSeenSet(num_shards=3, mode=mode, capacity_per_shard=100_000)
+    try:
+        ks = keys(500)
+        fresh = seen.add_if_absent(ks)
+        assert fresh.all()
+        again = seen.add_if_absent(ks)
+        assert not again.any()
+        # mixed batch
+        mixed = ks[:100] + keys(100, "new")
+        mask = seen.add_if_absent(mixed)
+        assert not mask[:100].any()
+        assert mask[100:].all()
+        assert seen.size() >= 600 if mode == "exact" else True
+    finally:
+        seen.shutdown()
+
+
+def test_snapshot_restore_roundtrip(ray_session, tmp_path):
+    seen = ShardedSeenSet(num_shards=2, mode="exact")
+    ks = keys(300)
+    try:
+        seen.add_if_absent(ks)
+        seen.snapshot(str(tmp_path / "snap"))
+    finally:
+        seen.shutdown()
+    seen2 = ShardedSeenSet(num_shards=2, mode="exact")
+    try:
+        seen2.restore(str(tmp_path / "snap"))
+        assert seen2.contains(ks).all()
+        assert not seen2.add_if_absent(ks).any()
+    finally:
+        seen2.shutdown()

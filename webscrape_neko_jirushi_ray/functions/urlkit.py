@@ -1,0 +1,115 @@
+"""URL kernel: canonicalization, SHA1 keying, host/id extraction.
+
+Rebuilds the reference's URL handling (absolutize + scheme check at
+comprehensive_scraper.py:151,181-182 and smart_cat_discovery.py:265-266; id
+regex at smart_cat_discovery.py:186-191) and adds the full canonicalization
+the north-star requires: the frontier key is ``sha1(canonicalize(url))``.
+
+All functions are pure; batch variants are vectorized enough for the hot
+path (hashlib over a Python loop is unavoidable for SHA1 but cheap relative
+to fetch/extract; the loop runs once per batch inside map_batches, never per
+row on the driver).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from urllib.parse import urljoin, urlsplit, urlunsplit, parse_qsl, urlencode
+
+import numpy as np
+import pyarrow as pa
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_CAT_ID_RE = re.compile(r"/foster/(\d+)/")
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form: lowercase scheme+host, strip default port and
+    fragment, sort query parameters, ensure non-empty path.
+
+    Idempotent (property-tested): canonicalize(canonicalize(u)) ==
+    canonicalize(u).
+    """
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    host = parts.hostname.lower() if parts.hostname else ""
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def url_sha1(canonical_url: str) -> bytes:
+    """20-byte SHA1 of the canonical URL — the frontier/seen-set key."""
+    return hashlib.sha1(canonical_url.encode("utf-8")).digest()
+
+
+def host_of(canonical_url: str) -> str:
+    return urlsplit(canonical_url).hostname or ""
+
+
+def absolutize(base_url: str, href: str) -> str:
+    """urljoin + scheme check, as the reference does
+    (comprehensive_scraper.py:181-182): relative hrefs are joined against
+    the page URL; absolute non-http(s) schemes are rejected (empty)."""
+    if not href:
+        return ""
+    absu = urljoin(base_url, href)
+    return absu if absu.startswith("http") else ""
+
+
+def extract_cat_id(url: str) -> str:
+    """Regex ``/foster/(\\d+)/`` → id string, '' if absent
+    (smart_cat_discovery.py:186-191)."""
+    m = _CAT_ID_RE.search(url)
+    return m.group(1) if m else ""
+
+
+# --- batch (Arrow) variants ----------------------------------------------
+
+
+def canonicalize_batch(urls: pa.Array | list[str]) -> list[str]:
+    return [canonicalize_url(u) for u in (urls.to_pylist() if isinstance(urls, (pa.Array, pa.ChunkedArray)) else urls)]
+
+
+def sha1_batch(canon_urls: list[str]) -> pa.Array:
+    return pa.array([hashlib.sha1(u.encode("utf-8")).digest() for u in canon_urls], type=pa.binary())
+
+
+def add_url_key_columns(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append ``canon_url``, ``url_sha1``, ``host`` columns derived from
+    ``url_col``. The standard first stage of every frontier pipeline."""
+    urls = batch[url_col].to_pylist()
+    canon = [canonicalize_url(u) for u in urls]
+    sha = [hashlib.sha1(u.encode("utf-8")).digest() for u in canon]
+    hosts = [urlsplit(u).hostname or "" for u in canon]
+    out = batch
+    for name, arr in (
+        ("canon_url", pa.array(canon, type=pa.string())),
+        ("url_sha1", pa.array(sha, type=pa.binary())),
+        ("host", pa.array(hosts, type=pa.string())),
+    ):
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, arr)
+    return out
+
+
+def shard_of_keys(keys: list[bytes], num_shards: int) -> np.ndarray:
+    """Route a SHA1 key to a seen-set shard: first 8 bytes as uint64 mod K.
+    Deterministic across processes (no Python hash randomization)."""
+    if not keys:
+        return np.empty(0, dtype=np.int64)
+    arr = np.frombuffer(b"".join(k[:8] for k in keys), dtype=">u8")
+    return (arr % np.uint64(num_shards)).astype(np.int64)
+
+
+def salt_host(hosts: list[str], sha1s: list[bytes], buckets: int) -> list[str]:
+    """Skew defusal: append a per-URL sub-bucket to the host key so one
+    dominant host spreads over ``buckets`` reducers in the groupby(host)
+    shuffle. Budgets must be re-aggregated per TRUE host afterwards."""
+    return [f"{h}#{s[0] % buckets}" for h, s in zip(hosts, sha1s)]

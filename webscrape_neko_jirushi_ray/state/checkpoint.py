@@ -1,0 +1,77 @@
+"""Per-round checkpoint manifests + resume (rebuild of the reference's JSON
+progress files, comprehensive_scraper.py:62-96,317-326).
+
+Layout under ``out_dir``::
+
+    round_0000/
+        visits.parquet          # visit log of the round (visit_idx, url, ...)
+        docs/                   # extracted docs parquet (Ray write_parquet dir)
+        frontier_next.parquet   # pending frontier after the round
+        seen/seen_shard_*.parquet
+        manifest.json           # written LAST -> round is complete iff present
+
+Resume = load the highest round with a manifest, restore the seen-set
+shards from its snapshot, and continue with its ``frontier_next``. The
+snapshot is written before the manifest, and every artifact goes through
+tmp+rename, so a killed run replays at most one (idempotent) round:
+fetching is a pure join and outputs are partition-replacing (SURVEY.md
+§7.5 "resumability without double-fetch").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def round_dir(out_dir: str, rnd: int) -> str:
+    return os.path.join(out_dir, f"round_{rnd:04d}")
+
+
+def write_manifest(out_dir: str, rnd: int, payload: dict) -> str:
+    path = os.path.join(round_dir(out_dir, rnd), "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f, ensure_ascii=False, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
+def read_manifest(out_dir: str, rnd: int) -> dict | None:
+    path = os.path.join(round_dir(out_dir, rnd), "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def last_complete_round(out_dir: str) -> int:
+    """Highest round index with a manifest, or -1."""
+    best = -1
+    if not os.path.isdir(out_dir):
+        return best
+    for name in os.listdir(out_dir):
+        if name.startswith("round_"):
+            try:
+                rnd = int(name.split("_")[1])
+            except (IndexError, ValueError):
+                continue
+            if read_manifest(out_dir, rnd) is not None:
+                best = max(best, rnd)
+    return best
+
+
+def write_table_atomic(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def config_hash(obj) -> str:
+    """Stable hash of a (frozen dataclass) config for lineage records."""
+    return hashlib.sha1(repr(obj).encode("utf-8")).hexdigest()[:12]

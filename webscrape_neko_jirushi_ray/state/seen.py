@@ -1,0 +1,251 @@
+"""Sharded URL-seen set: the Ray rebuild of the reference's in-memory
+``scraped_cats`` / ``discovered_urls`` sets persisted to JSON
+(comprehensive_scraper.py:62-96,144-146,258; smart_cat_discovery.py:40-71).
+
+North-star structure: K shard actors, each holding either an exact Python
+set (fixture/golden mode) or a cuckoo filter (scale mode), keyed by
+``sha1(canonicalize(url))``. Routing is ``uint64(sha1[:8]) % K`` — stable
+across processes. The batch RPC ``add_if_absent`` is the crawl loop's
+anti-join against the seen set (J1): one round-trip per (shard, round), not
+per URL.
+
+Sizing (SURVEY.md §4): a cuckoo shard at 16 bits/key ≈ 1.3 GB per 10^9
+keys; 16 shards cover a 10^10-URL frontier with FP ≲ 1e-6 per lookup at
+~0.95 load. Snapshots are Parquet (exact mode: the key bytes; cuckoo mode:
+the fingerprint table), written atomically next to the round manifest so
+resume never double-fetches (checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..functions.urlkit import shard_of_keys
+
+
+class CuckooFilter:
+    """Minimal numpy cuckoo filter: 16-bit fingerprints, 4 slots/bucket.
+
+    Deterministic (seeded bucket hashing, fixed eviction walk). ``add``
+    returns False only on table-full (caller should size capacity with
+    ~1.25x headroom). Supports save/load as a flat uint16 array.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        n_buckets = max(1, 1 << int(np.ceil(np.log2(max(1, capacity) / self.SLOTS))))
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self._rng = np.random.default_rng(0xC0FFEE)
+
+    @staticmethod
+    def _fingerprint(keys: np.ndarray) -> np.ndarray:
+        fp = (keys & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1  # 0 marks an empty slot
+        return fp
+
+    def _index(self, keys: np.ndarray) -> np.ndarray:
+        return ((keys >> np.uint64(16)) % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def _alt_index(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # standard partial-key cuckoo: alt = idx XOR hash(fp)
+        h = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) % np.uint64(self.n_buckets)
+        return (idx.astype(np.uint64) ^ h).astype(np.int64) % self.n_buckets
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        fp = self._fingerprint(keys)
+        i1 = self._index(keys)
+        i2 = self._alt_index(i1, fp)
+        hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def _insert_one(self, idx: int, fp: int) -> bool:
+        row = self.table[idx]
+        empty = np.nonzero(row == 0)[0]
+        if empty.size:
+            row[empty[0]] = fp
+            return True
+        # evict deterministically
+        cur_idx, cur_fp = idx, fp
+        for kick in range(self.MAX_KICKS):
+            slot = kick % self.SLOTS
+            victim = int(self.table[cur_idx, slot])
+            self.table[cur_idx, slot] = cur_fp
+            cur_fp = victim
+            cur_idx = int(
+                self._alt_index(np.array([cur_idx]), np.array([cur_fp], dtype=np.uint16))[0]
+            )
+            row = self.table[cur_idx]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = cur_fp
+                return True
+        return False
+
+    def add_many(self, keys: np.ndarray) -> None:
+        fp = self._fingerprint(keys)
+        i1 = self._index(keys)
+        i2 = self._alt_index(i1, fp)
+        for k in range(len(keys)):
+            # skip if present (makes add idempotent)
+            if (self.table[i1[k]] == fp[k]).any() or (self.table[i2[k]] == fp[k]).any():
+                continue
+            if not self._insert_one(int(i1[k]), int(fp[k])):
+                raise RuntimeError("cuckoo filter full — size capacity with headroom")
+
+
+def _keys_to_u64(keys: list[bytes]) -> np.ndarray:
+    if not keys:
+        return np.empty(0, dtype=np.uint64)
+    return np.frombuffer(b"".join(k[:8] for k in keys), dtype=">u8").astype(np.uint64)
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One shard of the URL-seen set. ``mode`` = 'exact' | 'cuckoo'."""
+
+    def __init__(self, shard_id: int, mode: str = "exact", capacity: int = 1_000_000):
+        self.shard_id = shard_id
+        self.mode = mode
+        self.exact: set[bytes] = set()
+        self.cuckoo = CuckooFilter(capacity) if mode == "cuckoo" else None
+
+    def add_if_absent(self, keys: list[bytes]) -> np.ndarray:
+        """Returns a boolean mask: True where the key was NEW (now added)."""
+        if self.mode == "exact":
+            out = np.empty(len(keys), dtype=bool)
+            for i, k in enumerate(keys):
+                if k in self.exact:
+                    out[i] = False
+                else:
+                    self.exact.add(k)
+                    out[i] = True
+            return out
+        u = _keys_to_u64(keys)
+        present = self.cuckoo.contains_many(u)
+        fresh = ~present
+        if fresh.any():
+            self.cuckoo.add_many(u[fresh])
+        return fresh
+
+    def contains(self, keys: list[bytes]) -> np.ndarray:
+        if self.mode == "exact":
+            return np.array([k in self.exact for k in keys], dtype=bool)
+        return self.cuckoo.contains_many(_keys_to_u64(keys))
+
+    def size(self) -> int:
+        if self.mode == "exact":
+            return len(self.exact)
+        return int((self.cuckoo.table != 0).sum())
+
+    def snapshot(self, path: str) -> str:
+        """Atomic Parquet snapshot (tmp + rename)."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        if self.mode == "exact":
+            tbl = pa.table({"key": pa.array(sorted(self.exact), type=pa.binary())})
+        else:
+            tbl = pa.table(
+                {"fp": pa.array(self.cuckoo.table.ravel(), type=pa.uint16())},
+                metadata={b"n_buckets": str(self.cuckoo.n_buckets).encode()},
+            )
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, path: str) -> int:
+        tbl = pq.read_table(path)
+        if self.mode == "exact":
+            self.exact = set(tbl["key"].to_pylist())
+            return len(self.exact)
+        n_buckets = int(tbl.schema.metadata[b"n_buckets"])
+        flat = np.asarray(tbl["fp"].to_numpy(zero_copy_only=False), dtype=np.uint16)
+        self.cuckoo.n_buckets = n_buckets
+        self.cuckoo.table = flat.reshape(n_buckets, CuckooFilter.SLOTS).copy()
+        return self.size()
+
+
+class ShardedSeenSet:
+    """Driver-side handle over K SeenShard actors."""
+
+    def __init__(self, num_shards: int = 4, mode: str = "exact",
+                 capacity_per_shard: int = 1_000_000):
+        self.num_shards = num_shards
+        self.mode = mode
+        self.shards = [
+            SeenShard.remote(i, mode, capacity_per_shard) for i in range(num_shards)
+        ]
+
+    def _route(self, keys: list[bytes]) -> tuple[list[list[bytes]], list[list[int]]]:
+        shard_ids = shard_of_keys(keys, self.num_shards)
+        per_shard_keys: list[list[bytes]] = [[] for _ in range(self.num_shards)]
+        per_shard_pos: list[list[int]] = [[] for _ in range(self.num_shards)]
+        for pos, (k, s) in enumerate(zip(keys, shard_ids)):
+            per_shard_keys[s].append(k)
+            per_shard_pos[s].append(pos)
+        return per_shard_keys, per_shard_pos
+
+    def add_if_absent(self, keys: list[bytes]) -> np.ndarray:
+        """Batched cross-shard membership-and-add; one RPC per shard."""
+        out = np.zeros(len(keys), dtype=bool)
+        if not keys:
+            return out
+        per_keys, per_pos = self._route(keys)
+        refs = [
+            self.shards[s].add_if_absent.remote(per_keys[s])
+            for s in range(self.num_shards)
+            if per_keys[s]
+        ]
+        live = [s for s in range(self.num_shards) if per_keys[s]]
+        for s, mask in zip(live, ray.get(refs)):
+            out[np.array(per_pos[s], dtype=np.int64)] = mask
+        return out
+
+    def contains(self, keys: list[bytes]) -> np.ndarray:
+        out = np.zeros(len(keys), dtype=bool)
+        if not keys:
+            return out
+        per_keys, per_pos = self._route(keys)
+        refs = [
+            self.shards[s].contains.remote(per_keys[s])
+            for s in range(self.num_shards)
+            if per_keys[s]
+        ]
+        live = [s for s in range(self.num_shards) if per_keys[s]]
+        for s, mask in zip(live, ray.get(refs)):
+            out[np.array(per_pos[s], dtype=np.int64)] = mask
+        return out
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def snapshot(self, snap_dir: str) -> list[str]:
+        return ray.get(
+            [
+                s.snapshot.remote(os.path.join(snap_dir, f"seen_shard_{i:04d}.parquet"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+
+    def restore(self, snap_dir: str) -> int:
+        ray.get(
+            [
+                s.restore.remote(os.path.join(snap_dir, f"seen_shard_{i:04d}.parquet"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+        return self.size()
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
