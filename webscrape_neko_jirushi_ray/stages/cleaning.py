@@ -1,0 +1,244 @@
+"""Image-cleaning operators: the reference's cleaning chain as Ray Data.
+
+Re-expresses the scan→filter→delete→report shape of cleanup_dataset.py,
+advanced_cleaning.py and aggressive_cleaning.py (SURVEY.md §3.3, F1-F7,
+D2, A1/A2) over the images table. "Removed" rows are never deleted — they
+are routed to a quarantine output with a ``removal_reason`` column, which
+preserves the reference's per-reason accounting exactly
+(advanced_cleaning.py:133-147 counts file_size/pattern/dimension removals).
+
+All filter predicates run vectorized over Arrow batches; the only per-row
+Python is the feature decode (``imagekit.decode_features``, the PIL stand-in
+— see that module's docstring), which is fused into one ``map_batches`` pass
+that every downstream filter reuses. Exact dedup is the one shuffle:
+``groupby(md5)`` keep-first (aggressive_cleaning.py:170-200), with the
+keep-first tie-break pinned to (cat_id, seq) sort order instead of the
+reference's filesystem iteration order (SURVEY.md D2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import (
+    AdvancedCleaningConfig,
+    AggressiveCleaningConfig,
+    HeuristicCleanupConfig,
+    DEFAULT_ADVANCED,
+    DEFAULT_AGGRESSIVE,
+    DEFAULT_HEURISTIC,
+)
+from ..functions.imagekit import decode_features
+
+
+def decode_feature_batch(batch: pa.Table) -> pa.Table:
+    """One fused decode pass emitting every feature the filters need
+    (F1 validity, F4 dims, F5 alpha, F6 uniformity, F7 warm ratio) plus the
+    filename (derived from img_url) used by the pattern filters."""
+    feats = [decode_features(b) for b in batch["bytes"].to_pylist()]
+    urls = batch["img_url"].to_pylist()
+    fnames = [u.rsplit("/", 1)[-1].lower() for u in urls]
+    out = batch
+    for name, typ, key in (
+        ("valid", pa.bool_(), "valid"),
+        ("width", pa.int32(), "width"),
+        ("height", pa.int32(), "height"),
+        ("mode", pa.string(), "mode"),
+        ("alpha_max", pa.int32(), "alpha_max"),
+        ("top_color_frac", pa.float64(), "top_color_frac"),
+        ("warm_ratio", pa.float64(), "warm_ratio"),
+    ):
+        out = out.append_column(name, pa.array([f[key] for f in feats], type=typ))
+    return out.append_column("filename", pa.array(fnames, type=pa.string()))
+
+
+def with_features(images: "ray.data.Dataset", batch_size: int = 512) -> "ray.data.Dataset":
+    return images.map_batches(
+        decode_feature_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def _substr_any(col: pa.ChunkedArray | pa.Array, patterns: tuple[str, ...]):
+    mask = None
+    for p in patterns:
+        m = pc.match_substring(col, p)
+        mask = m if mask is None else pc.or_(mask, m)
+    return mask
+
+
+def advanced_reasons(batch: pa.Table, cfg: AdvancedCleaningConfig = DEFAULT_ADVANCED) -> pa.Table:
+    """advanced_cleaning.py:131-147 decision order, vectorized. Adds
+    ``removal_reason`` ('' = keep). First matching criterion wins, in the
+    reference's order: file size → filename pattern → dimensions
+    (corrupt / too small / too large / aspect / transparency)."""
+    n = batch.num_rows
+    size = batch["size"]
+    fname = batch["filename"]
+    reason = pa.array([""] * n, type=pa.string())
+
+    def apply(mask, tag):
+        nonlocal reason
+        fresh = pc.and_(pc.equal(reason, ""), mask)
+        reason = pc.if_else(fresh, tag, reason)
+
+    size_bad = pc.or_(
+        pc.is_in(size, value_set=pa.array(cfg.suspicious_sizes, type=pa.int64())),
+        pc.less(size, cfg.min_file_size),
+    )
+    size_bad = pc.or_(size_bad, pc.greater(size, cfg.max_file_size))
+    apply(size_bad, "file_size")
+    apply(_substr_any(fname, cfg.non_cat_patterns), "pattern")
+    apply(pc.invert(batch["valid"]), "corrupted")
+    w, h = batch["width"], batch["height"]
+    apply(pc.or_(pc.less(w, cfg.min_width), pc.less(h, cfg.min_height)), "dimension")
+    apply(pc.or_(pc.greater(w, cfg.max_width), pc.greater(h, cfg.max_height)), "dimension")
+    aspect = pc.divide(pc.cast(w, pa.float64()), pc.cast(h, pa.float64()))
+    apply(
+        pc.or_(pc.less(aspect, cfg.min_aspect_ratio), pc.greater(aspect, cfg.max_aspect_ratio)),
+        "dimension",
+    )
+    apply(
+        pc.and_(pc.equal(batch["mode"], "RGBA"), pc.less(batch["alpha_max"], 50)),
+        "dimension",  # the reference counts transparency under dimension_removals
+    )
+    return batch.append_column("removal_reason", reason)
+
+
+def aggressive_reasons(batch: pa.Table, cfg: AggressiveCleaningConfig = DEFAULT_AGGRESSIVE) -> pa.Table:
+    """aggressive_cleaning.py:146-171 decision order (after global dedup):
+    file size (min/max/blacklist) → content checks (corrupt, dims, aspect,
+    transparency, uniform color)."""
+    n = batch.num_rows
+    size = batch["size"]
+    reason = pa.array([""] * n, type=pa.string())
+
+    def apply(mask, tag):
+        nonlocal reason
+        fresh = pc.and_(pc.equal(reason, ""), mask)
+        reason = pc.if_else(fresh, tag, reason)
+
+    apply(pc.less(size, cfg.min_file_size), "file_size")
+    apply(pc.greater(size, cfg.max_file_size), "file_size")
+    apply(
+        pc.is_in(size, value_set=pa.array(cfg.problematic_sizes, type=pa.int64())),
+        "file_size",
+    )
+    apply(pc.invert(batch["valid"]), "content")
+    w, h = batch["width"], batch["height"]
+    apply(pc.or_(pc.less(w, cfg.min_width), pc.less(h, cfg.min_height)), "content")
+    apply(pc.or_(pc.greater(w, cfg.max_width), pc.greater(h, cfg.max_height)), "content")
+    aspect = pc.divide(pc.cast(w, pa.float64()), pc.cast(h, pa.float64()))
+    apply(
+        pc.or_(pc.less(aspect, cfg.min_aspect_ratio), pc.greater(aspect, cfg.max_aspect_ratio)),
+        "content",
+    )
+    apply(
+        pc.and_(pc.equal(batch["mode"], "RGBA"), pc.less(batch["alpha_max"], cfg.alpha_max_transparent)),
+        "content",
+    )
+    apply(pc.greater(batch["top_color_frac"], cfg.uniform_color_frac), "content")
+    return batch.append_column("removal_reason", reason)
+
+
+def heuristic_keep(batch: pa.Table, cfg: HeuristicCleanupConfig = DEFAULT_HEURISTIC) -> pa.Table:
+    """cleanup_dataset.py:159-190 3-way logic, vectorized:
+    corrupt → drop; filename says non-cat → drop; filename says cat → keep;
+    else warm-color score (0-4): >=3 keep, <=1 drop, 2 borderline-keep.
+    Emits ``cat_score`` for audit and ``keep`` boolean."""
+    fname = batch["filename"]
+    non_cat = _substr_any(fname, cfg.non_cat_patterns)
+    cat = _substr_any(fname, cfg.cat_patterns)
+    w, h = batch["width"], batch["height"]
+    aspect = pc.divide(pc.cast(w, pa.float64()), pc.cast(h, pa.float64()))
+    score = pc.add(
+        pc.cast(pc.and_(pc.greater_equal(aspect, 0.5), pc.less_equal(aspect, 2.0)), pa.int32()),
+        pc.cast(pc.and_(pc.greater_equal(w, 100), pc.greater_equal(h, 100)), pa.int32()),
+    )
+    score = pc.add(
+        score,
+        pc.cast(pc.and_(pc.less_equal(w, 5000), pc.less_equal(h, 5000)), pa.int32()),
+    )
+    score = pc.add(
+        score,
+        pc.cast(pc.greater(batch["warm_ratio"], cfg.warm_ratio_threshold), pa.int32()),
+    )
+    keep = pc.if_else(
+        pc.invert(batch["valid"]),
+        False,
+        pc.if_else(
+            non_cat,
+            False,
+            pc.if_else(cat, True, pc.greater(score, cfg.drop_score)),
+        ),
+    )
+    out = batch.append_column("cat_score", score)
+    return out.append_column("keep", keep)
+
+
+def dedup_exact_md5(images: "ray.data.Dataset") -> "ray.data.Dataset":
+    """D2: global exact dedup, keep-first. The reference MD5s every file
+    into one in-memory index (aggressive_cleaning.py:174-183) — here it is a
+    hash shuffle: groupby(md5) → keep the (cat_id, seq)-smallest row. The
+    md5 column is computed at ingest (synth/table build), so no bytes are
+    re-hashed here."""
+
+    def _first(group: pa.Table) -> pa.Table:
+        return group.sort_by([("cat_id", "ascending"), ("seq", "ascending")]).slice(0, 1)
+
+    return images.groupby("md5").map_groups(_first, batch_format="pyarrow")
+
+
+def split_quarantine(ds_with_reason: "ray.data.Dataset"):
+    """(kept, quarantined) datasets from a ``removal_reason`` column."""
+    kept = ds_with_reason.filter(
+        expr="removal_reason == ''"
+    )
+    quarantined = ds_with_reason.filter(expr="removal_reason != ''")
+    return kept, quarantined
+
+
+def removal_stats(ds_with_reason: "ray.data.Dataset") -> pa.Table:
+    """A1: per-reason counts (groupby removal_reason)."""
+    out = ds_with_reason.groupby("removal_reason").count()
+    return pa.Table.from_pandas(out.to_pandas())
+
+
+def per_cat_stats(before: "ray.data.Dataset", after: "ray.data.Dataset") -> pa.Table:
+    """A2: images_before/after/removed per cat + fully_removed flag
+    (advanced_cleaning.py:151-204). Two small groupby counts joined
+    driver-side (output is one row per cat — tiny relative to images)."""
+    b = before.groupby("cat_id").count().to_pandas().rename(columns={"count()": "images_before"})
+    a = after.groupby("cat_id").count().to_pandas().rename(columns={"count()": "images_after"})
+    m = b.merge(a, on="cat_id", how="left").fillna({"images_after": 0})
+    m["images_after"] = m["images_after"].astype("int64")
+    m["images_removed"] = m["images_before"] - m["images_after"]
+    m["fully_removed"] = m["images_after"] == 0
+    return pa.Table.from_pandas(m.sort_values("cat_id").reset_index(drop=True))
+
+
+def advanced_cleaning_pipeline(
+    images: "ray.data.Dataset", cfg: AdvancedCleaningConfig = DEFAULT_ADVANCED
+):
+    """Full advanced_cleaning.py rebuild: decode → reasons → split."""
+    feats = with_features(images)
+    reasoned = feats.map_batches(
+        lambda b: advanced_reasons(b, cfg), batch_format="pyarrow"
+    )
+    return split_quarantine(reasoned)
+
+
+def aggressive_cleaning_pipeline(
+    images: "ray.data.Dataset", cfg: AggressiveCleaningConfig = DEFAULT_AGGRESSIVE
+):
+    """Full aggressive_cleaning.py rebuild: global dedup FIRST
+    (aggressive_cleaning.py:271 runs dedup before per-dir filters), then
+    decode → reasons → split."""
+    deduped = dedup_exact_md5(images)
+    feats = with_features(deduped)
+    reasoned = feats.map_batches(
+        lambda b: aggressive_reasons(b, cfg), batch_format="pyarrow"
+    )
+    return split_quarantine(reasoned)

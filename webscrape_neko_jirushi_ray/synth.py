@@ -233,7 +233,7 @@ def synth_images(num_cats: int = 40, images_per_cat: int = 8, seed: int = 43) ->
 
     def emit(cat: int, seq: int, blob: bytes, fname: str, fmt: str) -> None:
         rows["img_url"].append(
-            f"{DOMINANT_HOST}/img/foster/{cat}/{fname}"
+            f"{DOMINANT_HOST}/img/foster/{cat}/{seq:03d}/{fname}"
         )
         rows["cat_id"].append(str(cat))
         rows["seq"].append(seq)
