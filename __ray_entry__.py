@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (synthesized input_hint page table →
+frontier crawl → extraction → docs) plus a pass over the sf0.001 documents
+table. ``queries()``/``oracle_sql()`` expose one entry per implemented
+operator family from SURVEY.md §2; SQL-expressible ones carry a DuckDB
+oracle with IDENTICAL column names and float-rounding policy (see
+webscrape_neko_jirushi_ray/pipelines/queries.py docstring).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,194 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from webscrape_neko_jirushi_ray.pipelines import queries as q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl the synthesized Common-Crawl-style site end-to-end
+    (frontier → politeness-budgeted fetch → zero-copy extraction) and
+    return the extracted docs joined with per-doc token counts computed
+    over /root/testdata/sf0.001 documents."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.textstats import add_token_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = q.extract_docs_pages(sf_dir)          # crawl-engine extraction
+    tok = add_token_counts(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "n_tokens"]).to_pandas()
+    # flagship result: the extracted docs table (stable schema, >=0 rows);
+    # the token pass proves the testdata path runs too.
+    docs["corpus_docs"] = len(tok)
+    return docs
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator coverage (SURVEY.md §2.2/2.4/2.5/2.6/2.7)
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "filtered_lineitems": q.filtered_lineitems,
+        "top_event_types": q.top_event_types,
+        "nation_revenue": q.nation_revenue,
+        "customers_without_orders": q.customers_without_orders,
+        "distinct_mktsegments": q.distinct_mktsegments,
+        "part_size_histogram": q.part_size_histogram,
+        "weighted_avg_discount": q.weighted_avg_discount,
+        "events_hourly_window": q.events_hourly_window,
+        # text analysis (§2.8 + training-data ops)
+        "doc_token_counts": q.doc_token_counts,
+        "doc_quality": q.doc_quality,
+        "docs_by_lang": q.docs_by_lang,
+        "doc_fingerprints": q.doc_fingerprints,
+        "langid_docs": q.langid_docs,
+        # dedup family
+        "exact_dedup_docs": q.exact_dedup_docs,
+        "minhash_dedup_docs": q.minhash_dedup_docs,
+        "simhash_dedup_docs": q.simhash_dedup_docs,
+        "ngram_dedup_docs": q.ngram_dedup_docs,
+        "embedding_dedup_vecs": q.embedding_dedup_vecs,
+        # similarity search
+        "knn_cosine_top10": q.knn_cosine_top10,
+        "knn_lsh_top10": q.knn_lsh_top10,
+        # crawl engine over the synthesized input_hint page table
+        "extract_docs_pages": q.extract_docs_pages,
+        "harvest_images_pages": q.harvest_images_pages,
+        "crawl_visits": q.crawl_visits,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))       AS sum_qty_c,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))  AS sum_base_price_c,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                                                                      AS sum_disc_price_dmc,
+                   COUNT(*)                                           AS count_order,
+                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*)
+                                                                      AS avg_qty,
+                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*)
+                                                                      AS avg_disc
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "filtered_lineitems": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05
+              AND l_quantity > 24
+        """,
+        "top_event_types": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micros
+            FROM events
+            GROUP BY event_type
+            ORDER BY n DESC, event_type
+            LIMIT 5
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_c,
+                   COUNT(*)                                       AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "distinct_mktsegments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "part_size_histogram": """
+            SELECT p_size, COUNT(*) AS n FROM part GROUP BY p_size ORDER BY p_size
+        """,
+        "weighted_avg_discount": """
+            SELECT ROUND(
+                (SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0)
+                / (SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0), 6)
+                AS weighted_avg_discount
+            FROM lineitem
+        """,
+        "events_hourly_window": """
+            SELECT event_type,
+                   CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
+                   COUNT(*)                                    AS n,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micros
+            FROM events
+            GROUP BY event_type, hour
+            ORDER BY event_type, hour
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+                   END AS n_words,
+                   LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS n_chars_nospace,
+                   CASE WHEN TRIM(text) = '' THEN 0.0
+                        ELSE CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE)
+                             / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+                   END AS mean_word_len
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "docs_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp_md5
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id
+        """,
+        "knn_cosine_top10": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+                 scored AS (
+                    SELECT e.vec_id,
+                           LIST_COSINE_SIMILARITY(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST((SELECT embedding FROM q) AS DOUBLE[])
+                           ) AS cosine
+                    FROM embeddings e
+                    WHERE e.vec_id <> 0
+                 )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+                   vec_id
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
+        """,
+        # minhash/simhash/ngram/embedding dedup, langid, knn_lsh and the
+        # crawl-engine queries are intentionally oracle-less (stateful /
+        # model-scoring / non-SQL-expressible); the driver records the
+        # weaker rows-only check and tests pin their semantics instead.
+    }

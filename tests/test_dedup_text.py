@@ -1,0 +1,130 @@
+"""Dedup-family + similarity-search + text-analysis behavior tests,
+verified against brute-force computations on small corpora."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from webscrape_neko_jirushi_ray.functions import textkit
+from webscrape_neko_jirushi_ray.stages import dedup as D
+from webscrape_neko_jirushi_ray.stages import simsearch as S
+
+
+def corpus() -> pa.Table:
+    """Small corpus with exact dups, near dups, and distinct docs."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill in the afternoon sun near the garden"
+    )
+    near = base.replace("afternoon", "morning")
+    nearer = base + " today"
+    texts = [
+        base,
+        base,                      # exact dup of 0
+        near,                      # near dup
+        nearer,                    # near dup
+        "completely different content about ray data pipelines and arrow tables "
+        "streaming through the object store with backpressure and spilling",
+        "yet another unrelated document mentioning minhash signatures bands and "
+        "buckets for locality sensitive hashing at scale",
+        "  " + base + "  ",        # whitespace-normalized exact dup of 0
+        "",
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def test_exact_dedup_keep_first(ray_session):
+    ds = ray.data.from_arrow(corpus())
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(ds).take_all())
+    # 0==1==6 (normalized); everything else unique
+    assert kept == [0, 2, 3, 4, 5, 7]
+
+
+def test_minhash_lsh_matches_bruteforce_jaccard(ray_session):
+    tbl = corpus()
+    ds = ray.data.from_arrow(tbl)
+    kept = sorted(r["doc_id"] for r in D.minhash_lsh_dedup(ds, threshold=0.7).take_all())
+    # brute force: all-pairs shingle jaccard >= 0.7 → components → keep min
+    sh = {r["doc_id"]: textkit.shingles(r["text"]) for r in tbl.to_pylist()}
+    pairs = [
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and textkit.jaccard(sh[a], sh[b]) >= 0.7
+    ]
+    comp = D._union_find_components(pairs)
+    losers = {d for d, r in comp.items() if r != d}
+    want = sorted(d for d in sh if d not in losers)
+    assert kept == want
+    assert 0 in kept and 1 not in kept  # exact dup collapsed
+
+
+def test_simhash_collapses_near_identical(ray_session):
+    ds = ray.data.from_arrow(corpus())
+    kept = sorted(r["doc_id"] for r in D.simhash_dedup(ds, max_hamming=3).take_all())
+    assert 0 in kept
+    assert 1 not in kept  # identical text → identical simhash
+    assert 4 in kept and 5 in kept  # unrelated docs survive
+
+
+def test_ngram_dedup(ray_session):
+    ds = ray.data.from_arrow(corpus())
+    kept = sorted(r["doc_id"] for r in D.ngram_jaccard_dedup(ds, threshold=0.95).take_all())
+    assert 1 not in kept and 0 in kept
+    assert 4 in kept and 5 in kept
+
+
+def test_embedding_dedup_and_knn(ray_session):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[0] + 1e-4 * rng.standard_normal(16).astype(np.float32)])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(21), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    kept = sorted(r["vec_id"] for r in D.embedding_dedup(ds, threshold=0.999).take_all())
+    assert 20 not in kept and 0 in kept and len(kept) == 20
+
+    # brute-force knn matches numpy reference
+    q = vecs[:1].astype(np.float64)
+    out = S.knn_brute_force(ds, q, k=5).to_pandas()
+    mat = vecs.astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = (qn @ matn.T)[0]
+    order = np.lexsort((np.arange(21), -sims))[:5]
+    assert list(out["vec_id"]) == [int(i) for i in order]
+
+    # LSH recall: top-1 (the planted near-dup) must be found
+    lsh = S.knn_lsh(ds, q, k=5, dim=16, n_bits=4, multiprobe=1).to_pandas()
+    assert int(lsh.iloc[0]["vec_id"]) in (0, 20)
+
+
+def test_textkit_kernels():
+    assert textkit.token_count_ws("  a  b\tc ") == 3
+    assert textkit.token_count_ws("") == 0
+    assert textkit.detect_lang("これは猫の里親募集のページです") == "ja"
+    assert textkit.detect_lang("the cat sat on the mat and the dog barked") == "en"
+    assert textkit.detect_lang("") == "unknown"
+    s = textkit.quality_stats("The cat. The dog!")
+    assert s["n_words"] == 4
+    assert 0 < s["stopword_ratio"] <= 1
+    assert textkit.fingerprint_md5("A  b") == textkit.fingerprint_md5(" a b ")
+    assert textkit.hamming64(textkit.simhash64("x y z"), textkit.simhash64("x y z")) == 0
+    # rolling fingerprint is stable + normalization-invariant
+    assert textkit.rolling_fingerprint("Hello  World") == textkit.rolling_fingerprint(
+        "hello world"
+    )

@@ -1,0 +1,84 @@
+"""Replicates the driver's correctness gate: run every queries() entry and
+compare row-count + schema + order-insensitive values against the matching
+oracle_sql() on DuckDB (sf0.001 here; the driver runs sf0.01)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _to_df(obj) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(ray_session, con, name):
+    got = _canon(_to_df(entrymod.queries()[name](SF_DIR)))
+    want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert all(
+                (math.isnan(a) and math.isnan(b)) or a == b
+                for a, b in zip(g.astype(float), w.astype(float))
+            ), f"{name}.{c} float mismatch"
+        else:
+            assert (g.astype(str).values == w.astype(str).values).all(), f"{name}.{c}"
+
+
+UNORACLED = sorted(set(entrymod.queries()) - set(ORACLED))
+
+
+@pytest.mark.parametrize("name", UNORACLED)
+def test_unoracled_queries_run(ray_session, name):
+    df = _to_df(entrymod.queries()[name](SF_DIR))
+    assert len(df) >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    out = entrymod.entry()
+    df = _to_df(out)
+    assert len(df) > 0
+    assert "url" in df.columns

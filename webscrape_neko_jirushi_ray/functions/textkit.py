@@ -1,0 +1,242 @@
+"""Text-analysis kernels: tokenization, quality stats, language ID,
+fingerprints, shingles, MinHash, SimHash.
+
+Row-wise pure functions + vectorized batch helpers consumed by
+``stages/textstats.py`` and ``stages/dedup.py``. Tokenization is pinned to
+``\\s+`` splitting of the trimmed text so the DuckDB oracle can reproduce it
+exactly (``regexp_split_to_array(trim(text), '\\s+')``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+
+_WS_SPLIT = re.compile(r"\s+")
+_WS_ALL = re.compile(r"\s+")
+_WORD_RE = re.compile(r"[A-Za-z']+")
+# BPE-ish token regex (GPT-2-style pretokenizer shape, public knowledge):
+# contractions | words | numbers | other non-space | space runs
+_BPEISH_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by from".split()
+)
+
+# Hiragana/Katakana/CJK ranges for the ja heuristic
+_JA_RE = re.compile(r"[぀-ヿ]")
+_CJK_RE = re.compile(r"[一-鿿]")
+_HANGUL_RE = re.compile(r"[가-힯]")
+_CYR_RE = re.compile(r"[Ѐ-ӿ]")
+
+
+def tokens_ws(text: str) -> list[str]:
+    """Whitespace tokens of the trimmed text; [] for blank text. The
+    SQL-parity tokenizer."""
+    t = text.strip()
+    return _WS_SPLIT.split(t) if t else []
+
+
+def token_count_ws(text: str) -> int:
+    return len(tokens_ws(text))
+
+
+def tokens_bpeish(text: str) -> list[str]:
+    """BPE-style pretokens (regex only, no merges) — the 'token counting'
+    slot of a training-data pipeline; NOT SQL-oracled."""
+    return [t for t in _BPEISH_RE.findall(text) if not t.isspace()]
+
+
+def quality_stats(text: str) -> dict:
+    """Per-doc quality features (length / punctuation / stopword ratios) —
+    the heuristic quality-scoring slot. All fields reproducible in ANSI SQL
+    (see pipelines/queries.py) except stopword_ratio which uses DuckDB list
+    lambdas in the oracle."""
+    toks = tokens_ws(text)
+    n_words = len(toks)
+    n_chars = len(text)
+    nospace = _WS_ALL.sub("", text)
+    n_alpha = sum(ch.isalpha() for ch in text)
+    n_upper = sum(ch.isupper() for ch in text)
+    n_punct = sum(ch in ".,;:!?\"'()[]{}" for ch in text)
+    n_stop = sum(t.lower() in STOPWORDS for t in toks)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_chars_nospace": len(nospace),
+        "mean_word_len": (len(nospace) / n_words) if n_words else 0.0,
+        "alpha_ratio": (n_alpha / n_chars) if n_chars else 0.0,
+        "upper_ratio": (n_upper / n_chars) if n_chars else 0.0,
+        "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
+        "stopword_ratio": (n_stop / n_words) if n_words else 0.0,
+    }
+
+
+def quality_score(text: str) -> float:
+    """Scalar quality score in [0,1]: the reference's 4-indicator
+    keep/drop shape (cleanup_dataset.py:75-129) transplanted to text —
+    each indicator contributes 0.25."""
+    s = quality_stats(text)
+    score = 0.0
+    if 20 <= s["n_words"] <= 100_000:
+        score += 0.25
+    if 2.0 <= s["mean_word_len"] <= 12.0:
+        score += 0.25
+    if s["punct_ratio"] <= 0.2:
+        score += 0.25
+    if 0.05 <= s["stopword_ratio"] <= 0.7:
+        score += 0.25
+    return score
+
+
+def detect_lang(text: str) -> str:
+    """Character-class n-gram heuristic language ID: ja (kana), zh (CJK w/o
+    kana), ko (hangul), ru (cyrillic), en (ascii + stopword hits), else
+    'unknown'. Deterministic; meant for routing, not linguistics."""
+    if not text:
+        return "unknown"
+    sample = text[:2000]
+    n = len(sample)
+    if _JA_RE.search(sample):
+        return "ja"
+    if _HANGUL_RE.search(sample):
+        return "ko"
+    cjk = len(_CJK_RE.findall(sample))
+    if cjk > 0.05 * n:
+        return "zh"
+    if len(_CYR_RE.findall(sample)) > 0.3 * n:
+        return "ru"
+    toks = [t.lower() for t in _WORD_RE.findall(sample)]
+    if toks and sum(t in STOPWORDS for t in toks) / len(toks) > 0.03:
+        return "en"
+    if sum(ch.isascii() for ch in sample) > 0.9 * n:
+        return "en"
+    return "unknown"
+
+
+def normalize_for_fingerprint(text: str) -> str:
+    """lowercase + collapse whitespace — the canonical form both the
+    Python fingerprint and the SQL oracle hash."""
+    return _WS_ALL.sub(" ", text.lower()).strip()
+
+
+def fingerprint_md5(text: str) -> str:
+    """Document fingerprint: md5 hex of the normalized text (SQL parity:
+    md5(lower(regexp_replace(text,'\\s+',' ','g')) trimmed)."""
+    return hashlib.md5(normalize_for_fingerprint(text).encode("utf-8")).hexdigest()
+
+
+def rolling_fingerprint(text: str, window: int = 8, mod: int = 1 << 31) -> int:
+    """Rabin-Karp-style rolling-hash document fingerprint: min rolling hash
+    over byte windows of the normalized text (a winnowing-lite signature)."""
+    data = normalize_for_fingerprint(text).encode("utf-8")
+    if len(data) < window:
+        return int.from_bytes(hashlib.md5(data).digest()[:4], "little") % mod
+    B = 257
+    Bpow = pow(B, window - 1, mod)
+    h = 0
+    for b in data[:window]:
+        h = (h * B + b) % mod
+    best = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * Bpow) * B + data[i]) % mod
+        if h < best:
+            best = h
+    return best
+
+
+# --- shingling / MinHash / SimHash ---------------------------------------
+
+
+def shingles(text: str, k: int = 5) -> set[bytes]:
+    """k-word shingles (md5'd to 8 bytes) of the whitespace tokens."""
+    toks = tokens_ws(normalize_for_fingerprint(text))
+    if len(toks) < k:
+        return {hashlib.md5(" ".join(toks).encode()).digest()[:8]} if toks else set()
+    out = set()
+    for i in range(len(toks) - k + 1):
+        out.add(hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()[:8])
+    return out
+
+
+def char_ngrams(text: str, n: int = 3) -> set[str]:
+    t = normalize_for_fingerprint(text)
+    if len(t) < n:
+        return {t} if t else set()
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+_MINHASH_SEEDS = None
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) parameters for num_perm universal hashes."""
+    global _MINHASH_SEEDS
+    if _MINHASH_SEEDS is None or len(_MINHASH_SEEDS[0]) < num_perm:
+        rng = np.random.default_rng(0xDECAF)
+        a = rng.integers(1, (1 << 61) - 1, size=max(num_perm, 128), dtype=np.uint64)
+        b = rng.integers(0, (1 << 61) - 1, size=max(num_perm, 128), dtype=np.uint64)
+        _MINHASH_SEEDS = (a, b)
+    return _MINHASH_SEEDS[0][:num_perm], _MINHASH_SEEDS[1][:num_perm]
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_signature(sh: set[bytes], num_perm: int = 128) -> np.ndarray:
+    """MinHash signature over 8-byte shingle hashes (vectorized: one
+    (n_shingles x num_perm) matmul-free pass)."""
+    a, b = _minhash_params(num_perm)
+    if not sh:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    vals = np.frombuffer(b"".join(sorted(sh)), dtype="<u8").astype(np.uint64)
+    # (n, p): (a*v + b) mod mersenne61
+    prod = (vals[:, None] * a[None, :] + b[None, :]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    hashed = (prod % _MERSENNE).astype(np.uint64)
+    return hashed.min(axis=0)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[bytes]:
+    """Split the signature into bands; each band hashes to one bucket key
+    (band_id prefixed so buckets don't collide across bands)."""
+    rows = len(sig) // bands
+    keys = []
+    for bnd in range(bands):
+        chunk = sig[bnd * rows : (bnd + 1) * rows].tobytes()
+        keys.append(struct.pack("<H", bnd) + hashlib.md5(chunk).digest()[:8])
+    return keys
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (weight 1 each)."""
+    toks = tokens_ws(normalize_for_fingerprint(text))
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,445 @@
+"""Operator-coverage queries over the driver's testdata tables.
+
+One callable per implemented operator family from SURVEY.md §2, each taking
+``sf_dir`` and returning a Dataset / pandas DataFrame / pyarrow Table. The
+matching ANSI-SQL oracles live in ``__ray_entry__.oracle_sql()``; column
+names are identical on both sides (the driver hash-compares values under
+sorted column names).
+
+Float policy: per-row arithmetic is bit-identical between numpy/Arrow and
+DuckDB (same IEEE doubles, same ops) and is NOT rounded. Multi-row FLOAT
+sums are order-sensitive in the last ulps and can flip any post-hoc
+rounding at a boundary, so money/value aggregates are computed in EXACT
+integer units instead: per-row scale-and-round to cents (x100) or micros
+(x1e6) — unambiguous for non-tie doubles — then integer sums, identical on
+both sides. Ratios derived from those integers use the same double ops on
+both sides and stay bit-identical.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions import textkit
+from ..stages import dedup as dedup_stage
+from ..stages import simsearch
+from ..stages.extract import explode_images, extract_docs
+from ..stages.textstats import add_lang_pred, add_quality, add_token_counts
+from ..synth import synth_pages
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for col, nd in spec.items():
+        df[col] = df[col].round(nd)
+    return df
+
+
+# --- relational operators (filters / projections / aggregates / joins) ----
+
+
+def _to_scaled_int(arr, scale: int) -> pa.Array:
+    """Per-row exact integer units: round(x*scale) as int64. Unambiguous
+    for non-tie doubles, so Ray and DuckDB agree bit-for-bit."""
+    return pc.cast(pc.round(pc.multiply(arr, float(scale))), pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate (A1/A2 analog; TPC-H Q1 shape): per-batch
+    conversion to integer cents, then Ray's hash aggregate; input pruned to
+    6 columns at the read. Averages derived from the exact integer sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = _dt.datetime(1998, 9, 2)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": _to_scaled_int(t["l_quantity"], 100),
+                "price_c": _to_scaled_int(t["l_extendedprice"], 100),
+                "disc_price_dmc": _to_scaled_int(disc_price, 10_000),
+                "disc_c": _to_scaled_int(t["l_discount"], 100),
+            }
+        )
+
+    out = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("price_c", alias_name="sum_base_price_c"),
+            Sum("disc_price_dmc", alias_name="sum_disc_price_dmc"),
+            Sum("disc_c", alias_name="sum_disc_c"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty_c", "sum_base_price_c", "sum_disc_price_dmc", "sum_disc_c"):
+        out[c] = out[c].astype("int64")
+    out["avg_qty"] = out["sum_qty_c"] / 100.0 / out["count_order"]
+    out["avg_disc"] = out["sum_disc_c"] / 100.0 / out["count_order"]
+    out = out.drop(columns=["sum_disc_c"])
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def filtered_lineitems(sf_dir: str) -> "ray.data.Dataset":
+    """Row-level filter + computed projection (F-family/M-family analog):
+    per-row arithmetic, no rounding needed."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+
+    def _f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.greater_equal(t["l_discount"], 0.05),
+                pc.greater(t["l_quantity"], 24.0),
+            ),
+        )
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "l_quantity": t["l_quantity"],
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def top_event_types(sf_dir: str) -> pd.DataFrame:
+    """Sort + top-k (O1 analog: the reference's top-10 file sizes)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "value_u": _to_scaled_int(t["value"], 1_000_000)}
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_u", alias_name="total_value_micros"))
+        .to_pandas()
+    )
+    out["total_value_micros"] = out["total_value_micros"].astype("int64")
+    return (
+        out.sort_values(["n", "event_type"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+
+
+def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Hash join chain (J2/J3 analog): orders⋈customer broadcast-joined,
+    then nation lookup; small sides are broadcast (ray.put-equivalent via
+    driver merge of aggregated partials — the orders side is aggregated
+    per custkey BEFORE joining, so no row-level shuffle join is needed)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["o_custkey"], "price_c": _to_scaled_int(t["o_totalprice"], 100)}
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("price_c", alias_name="cust_total_c"),
+                   Count(alias_name="cust_orders"))
+        .to_pandas()
+    )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    m = per_cust.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    m = m.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = (
+        m.groupby("n_name", as_index=False)
+        .agg(revenue_c=("cust_total_c", "sum"), n_orders=("cust_orders", "sum"))
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_c"] = out["revenue_c"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join (J1/J4/D5 analog): broadcast the key set, filter inside
+    map_batches."""
+    import ray as _ray
+
+    okeys = set(
+        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+    )
+    okeys_ref = _ray.put(okeys)
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _anti(t: pa.Table) -> pa.Table:
+        keys = _ray.get(okeys_ref)
+        mask = pa.array([k not in keys for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    out = cust.map_batches(_anti, batch_format="pyarrow").to_pandas()
+    if "c_custkey" not in out.columns:  # fully-matched: empty result block
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def distinct_mktsegments(sf_dir: str) -> pd.DataFrame:
+    """Distinct (D-family): groupby-based unique."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    out = ds.groupby("c_mktsegment").count().to_pandas()[["c_mktsegment"]]
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def part_size_histogram(sf_dir: str) -> pd.DataFrame:
+    """Value histogram (A4: the file-size histogram analog)."""
+    ds = _read(sf_dir, "part", ["p_size"])
+    out = ds.groupby("p_size").count().to_pandas().rename(columns={"count()": "n"})
+    return out.sort_values("p_size").reset_index(drop=True)
+
+
+def weighted_avg_discount(sf_dir: str) -> pd.DataFrame:
+    """Weighted mean (A3: the reference's sum-of-sums / count semantics)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "disc_amount_dmc": _to_scaled_int(
+                    pc.multiply(t["l_extendedprice"], t["l_discount"]), 10_000
+                ),
+                "price_c": _to_scaled_int(t["l_extendedprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = ds.aggregate(
+        Sum("disc_amount_dmc", alias_name="sum_disc_amount_dmc"),
+        Sum("price_c", alias_name="sum_price_c"),
+    )
+    # identical double ops on both sides from the exact integer sums
+    w = (agg["sum_disc_amount_dmc"] / 10_000.0) / (agg["sum_price_c"] / 100.0)
+    return pd.DataFrame({"weighted_avg_discount": [round(w, 6)]})
+
+
+def events_hourly_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate (§2.9 streaming analog): epoch-hour
+    buckets per event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(epoch_us, 3_600_000_000)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.cast(hour, pa.int64()),
+                "value_u": _to_scaled_int(t["value"], 1_000_000),
+            }
+        )
+
+    out = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_u", alias_name="total_value_micros"))
+        .to_pandas()
+    )
+    out["total_value_micros"] = out["total_value_micros"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+# --- text / dedup / similarity operators ----------------------------------
+
+
+def doc_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Token counting (whitespace tokenizer, SQL parity)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_token_counts(ds).select_columns(["doc_id", "n_tokens"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality features (SQL-expressible subset; per-row arithmetic →
+    bit-identical, no rounding)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_quality(ds).select_columns(
+        ["doc_id", "n_words", "n_chars_nospace", "mean_word_len"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_by_lang(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup keep-first by normalized-text md5 (D1/D2 over text)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = dedup_stage.exact_dedup(ds)
+    out = kept.select_columns(["doc_id"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup dedup (no SQL oracle — verified in tests
+    against brute-force Jaccard)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = dedup_stage.minhash_lsh_dedup(ds, threshold=0.8)
+    return (
+        kept.select_columns(["doc_id"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def simhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = dedup_stage.simhash_dedup(ds, max_hamming=3)
+    return (
+        kept.select_columns(["doc_id"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def ngram_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = dedup_stage.ngram_jaccard_dedup(ds, threshold=0.9)
+    return (
+        kept.select_columns(["doc_id"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def embedding_dedup_vecs(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    kept = dedup_stage.embedding_dedup(ds, threshold=0.995)
+    return (
+        kept.select_columns(["vec_id"]).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+
+def langid_docs(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic per doc (no SQL oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_lang_pred(ds).select_columns(["doc_id", "lang_pred"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """md5 fingerprint of normalized text (SQL parity)."""
+    from ..stages.textstats import add_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_fingerprints(ds).select_columns(["doc_id", "fp_md5"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def knn_cosine_top10(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (ints only in the
+    output so the DuckDB float path can't cause hash drift)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.stack(emb.loc[emb.vec_id == 0, "embedding"].to_numpy())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = simsearch.knn_brute_force(ds, qvec, k=10, exclude_ids={0}).to_pandas()
+    return out[["rank", "vec_id"]].sort_values("rank").reset_index(drop=True)
+
+
+def knn_lsh_top10(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate top-10 (no SQL oracle; recall vs brute
+    force asserted in tests)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.stack(emb.loc[emb.vec_id == 0, "embedding"].to_numpy())
+    dim = len(emb["embedding"].iloc[0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = simsearch.knn_lsh(ds, qvec, k=10, dim=dim, n_bits=6, multiprobe=1).to_pandas()
+    return out[["rank", "vec_id"]].sort_values("rank").reset_index(drop=True)
+
+
+# --- crawl-engine operators over the synthesized page table ---------------
+
+
+def extract_docs_pages(sf_dir: str) -> pd.DataFrame:
+    """Page extraction (M3-M6): synthesized input_hint pages → docs
+    (rows-only check; byte-identity is pinned by tests/test_extract.py)."""
+    pages, _ = synth_pages(num_listing_pages=4, seed=42)
+    docs = extract_docs(ray.data.from_arrow(pages))
+    out = docs.select_columns(
+        ["url", "cat_id", "name", "n_images", "n_links", "text"]
+    ).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def harvest_images_pages(sf_dir: str) -> pd.DataFrame:
+    """Image-link harvest exploded to rows (M3/M4/M10 + S3 analog)."""
+    pages, _ = synth_pages(num_listing_pages=4, seed=42)
+    docs = extract_docs(ray.data.from_arrow(pages))
+    out = explode_images(docs).to_pandas()
+    return out.sort_values(["url", "seq"]).reset_index(drop=True)
+
+
+def crawl_visits(sf_dir: str) -> pd.DataFrame:
+    """Full frontier loop on the synthesized site (golden order pinned vs
+    the sequential oracle in tests; rows-only check here)."""
+    import tempfile
+
+    from ..config import CrawlConfig
+    from ..sources.pages import BroadcastPageStore
+    from .crawl import crawl
+
+    pages, seeds = synth_pages(num_listing_pages=4, seed=42)
+    with tempfile.TemporaryDirectory() as td:
+        res = crawl(
+            BroadcastPageStore(pages),
+            seeds,
+            td,
+            CrawlConfig(host_budget_per_round=32, max_rounds=20, seen_shards=2),
+        )
+    out = res.visits.to_pandas()
+    out["url_sha1"] = out["url_sha1"].map(lambda b: b.hex())
+    return out

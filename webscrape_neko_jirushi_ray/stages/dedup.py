@@ -1,0 +1,313 @@
+"""Deduplication family over the documents/embeddings tables.
+
+Large-scale training-data dedup as Ray Data pipelines (first-class
+components per the build brief, modeled on the reference's exact-dup removal
+D2 at aggressive_cleaning.py:170-200 generalized to text):
+
+- exact: md5-of-normalized-text hash-partition + per-group keep-first;
+- MinHash+LSH near-dup: shingle → minhash → band → bucket groupby →
+  candidate pairs → exact-Jaccard verify → connected components →
+  keep min doc_id per component;
+- SimHash near-dup: 64-bit simhash, 4x16-bit band buckets, Hamming verify;
+- n-gram Jaccard: LSH-candidates verified with exact char-3gram Jaccard;
+- embedding cosine near-dup: normalized-vector matmul per batch against a
+  broadcast matrix (brute force) — the IVF/LSH variant lives in
+  ``simsearch.py``.
+
+Scale notes: candidate-pair generation is a shuffle (groupby bucket); pair
+verification is vectorized per group; connected components run union-find
+over CANDIDATE PAIRS ONLY (bounded: pairs surviving LSH, orders of
+magnitude smaller than n^2 — logged when truncated). Components via
+driver union-find here; at 10^10 docs this becomes iterated min-label
+propagation (groupby rounds), same semantics.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions import textkit
+
+
+# --- exact ---------------------------------------------------------------
+
+
+def exact_dedup(docs: "ray.data.Dataset", key: str = "text") -> "ray.data.Dataset":
+    """Exact dedup keep-first (min doc_id) by normalized-text md5.
+    SQL-oracle-able: min(doc_id) group by md5(normalized text)."""
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "fp_md5",
+            pa.array(
+                [textkit.fingerprint_md5(t or "") for t in batch[key].to_pylist()],
+                type=pa.string(),
+            ),
+        )
+
+    def _first(group: pa.Table) -> pa.Table:
+        return group.sort_by([("doc_id", "ascending")]).slice(0, 1)
+
+    return (
+        docs.map_batches(_fp, batch_format="pyarrow", batch_size=2048)
+        .groupby("fp_md5")
+        .map_groups(_first, batch_format="pyarrow")
+    )
+
+
+# --- candidate-pair machinery --------------------------------------------
+
+
+def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """doc_id -> component representative (min id). Driver-side over the
+    LSH-surviving pairs only."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def _dedup_by_pairs(docs: "ray.data.Dataset", dup_pairs: list[tuple[int, int]]):
+    """Drop every doc whose component representative isn't itself."""
+    comp = _union_find_components(dup_pairs)
+    losers = {d for d, rep in comp.items() if rep != d}
+    losers_ref = ray.put(losers)
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        lose = ray.get(losers_ref)
+        mask = pa.array([d not in lose for d in batch["doc_id"].to_pylist()])
+        return batch.filter(mask)
+
+    return docs.map_batches(_drop, batch_format="pyarrow", batch_size=4096)
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def minhash_candidates(
+    docs: "ray.data.Dataset",
+    *,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> list[tuple[int, int]]:
+    """LSH candidate pairs: shingle+minhash per batch, explode to
+    (band_key, doc_id), groupby band_key, pair up within buckets."""
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        keys, ids = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sig = textkit.minhash_signature(
+                textkit.shingles(text or "", k=shingle_k), num_perm=num_perm
+            )
+            for bk in textkit.lsh_band_keys(sig, bands=bands):
+                keys.append(bk)
+                ids.append(doc_id)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, type=pa.binary()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+        )
+
+    exploded = docs.map_batches(_bands, batch_format="pyarrow", batch_size=1024)
+    pair_tbl = (
+        exploded.groupby("band_key").map_groups(_pairs, batch_format="pyarrow")
+    ).to_pandas()
+    if "a" not in pair_tbl.columns:  # no bucket had >1 doc
+        return []
+    return sorted(set(zip(pair_tbl["a"], pair_tbl["b"])))
+
+
+def minhash_lsh_dedup(
+    docs: "ray.data.Dataset",
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> "ray.data.Dataset":
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify at
+    ``threshold`` → connected components → keep min doc_id."""
+    cands = minhash_candidates(
+        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    )
+    if not cands:
+        return docs
+    need = sorted({d for p in cands for d in p})
+    need_set = set(need)
+
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if doc_id in need_set:
+                ids.append(doc_id)
+                blobs.append(b"".join(sorted(textkit.shingles(text or "", k=shingle_k))))
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "sh": pa.array(blobs, type=pa.binary())}
+        )
+
+    sh_tbl = docs.map_batches(_shingle_rows, batch_format="pyarrow").to_pandas()
+    sh_map = {
+        int(r.doc_id): {r.sh[i : i + 8] for i in range(0, len(r.sh), 8)}
+        for r in sh_tbl.itertuples()
+    }
+    dup_pairs = [
+        (a, b)
+        for a, b in cands
+        if textkit.jaccard(sh_map.get(a, set()), sh_map.get(b, set())) >= threshold
+    ]
+    return _dedup_by_pairs(docs, dup_pairs)
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhash_dedup(
+    docs: "ray.data.Dataset", *, max_hamming: int = 3
+) -> "ray.data.Dataset":
+    """SimHash near-dup: 64-bit signatures, candidates share one of four
+    16-bit bands (any pair within Hamming<=3 of each other must agree on
+    >=1 band by pigeonhole when differing bits spread over bands)."""
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        sigs = [textkit.simhash64(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array([s & 0xFFFFFFFFFFFFFFFF for s in sigs], type=pa.uint64()),
+            }
+        )
+
+    sig_tbl = docs.map_batches(_sig, batch_format="pyarrow").to_pandas()
+    sig_map = dict(zip(sig_tbl["doc_id"].astype(int), sig_tbl["sig"].astype(np.uint64)))
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for d, s in sig_map.items():
+        for band in range(4):
+            buckets[(band, int((int(s) >> (band * 16)) & 0xFFFF))].append(d)
+    dup_pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                if textkit.hamming64(int(sig_map[a]), int(sig_map[b])) <= max_hamming:
+                    dup_pairs.add((a, b))
+    return _dedup_by_pairs(docs, sorted(dup_pairs))
+
+
+# --- n-gram Jaccard -------------------------------------------------------
+
+
+def ngram_jaccard_dedup(
+    docs: "ray.data.Dataset", *, threshold: float = 0.9, n: int = 3
+) -> "ray.data.Dataset":
+    """Char-ngram Jaccard near-dup: MinHash-LSH candidates (word shingles)
+    re-verified with exact character n-gram Jaccard."""
+    cands = minhash_candidates(docs, num_perm=64, bands=16, shingle_k=3)
+    if not cands:
+        return docs
+    need = {d for p in cands for d in p}
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if doc_id in need:
+                ids.append(doc_id)
+                grams.append(list(textkit.char_ngrams(text or "", n=n)))
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "grams": pa.array(grams, type=pa.list_(pa.string()))}
+        )
+
+    g_tbl = docs.map_batches(_grams, batch_format="pyarrow").to_pandas()
+    g_map = {int(r.doc_id): set(r.grams) for r in g_tbl.itertuples()}
+    dup_pairs = [
+        (a, b)
+        for a, b in cands
+        if textkit.jaccard(g_map.get(a, set()), g_map.get(b, set())) >= threshold
+    ]
+    return _dedup_by_pairs(docs, dup_pairs)
+
+
+# --- embedding cosine -----------------------------------------------------
+
+
+def embedding_dedup(
+    embeddings: "ray.data.Dataset", *, threshold: float = 0.995
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup: normalize vectors, brute-force cosine per
+    batch against the broadcast full matrix (fine to ~10^5; the bucketed
+    scale path reuses simsearch.HyperplaneLSH buckets), keep min vec_id of
+    each above-threshold component."""
+    tbl = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat_ref = ray.put((ids, mat))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(mat_ref)
+        bids = np.asarray(batch["vec_id"].to_pylist())
+        bmat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
+        sims = bmat @ all_mat.T
+        a_out, b_out = [], []
+        for r in range(len(bids)):
+            hits = np.nonzero(sims[r] >= threshold)[0]
+            for c in hits:
+                if all_ids[c] > bids[r]:
+                    a_out.append(int(bids[r]))
+                    b_out.append(int(all_ids[c]))
+        return pa.table(
+            {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}
+        )
+
+    pair_tbl = embeddings.map_batches(
+        _pairs, batch_format="pyarrow", batch_size=512
+    ).to_pandas()
+    if "a" not in pair_tbl.columns:  # no above-threshold pair anywhere
+        return embeddings
+    dup_pairs = sorted(set(zip(pair_tbl["a"], pair_tbl["b"])))
+    comp = _union_find_components(dup_pairs)
+    losers = {d for d, rep in comp.items() if rep != d}
+    losers_ref = ray.put(losers)
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        lose = ray.get(losers_ref)
+        mask = pa.array([v not in lose for v in batch["vec_id"].to_pylist()])
+        return batch.filter(mask)
+
+    return embeddings.map_batches(_drop, batch_format="pyarrow", batch_size=4096)
