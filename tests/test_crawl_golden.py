@@ -65,7 +65,7 @@ def test_partitioned_store_same_result(ray_session, site, tmp_path):
     # groupby/map_groups + actor-pool plan is what's under test here
     cfg = CrawlConfig(
         host_budget_per_round=40, max_rounds=30, seen_shards=2,
-        small_round_threshold=0,
+        small_round_threshold=0, control_inline_threshold=0,
     )
     store = PartitionedPageStore.build(
         _with_keys(pages), str(tmp_path / "pstore"), num_buckets=8

@@ -168,12 +168,22 @@ class CrawlConfig:
     fetch_batch_size: int = 256
     extract_batch_size: int = 256
     page_store_buckets: int = 16
-    # Rounds with fewer pending/work rows than this run their kernels inline
-    # on the driver (identical code path, same results) instead of paying
-    # per-round Ray Data job + actor-pool startup. Large rounds — the ones
-    # that matter at 10^10 scale — always take the distributed path. Set to
-    # 0 to force the distributed path everywhere (tests do).
+    # False = "fetch list" mode: visit the frontier but do not enqueue
+    # discovered links (a Common-Crawl-style refetch job; the headline
+    # throughput benchmark uses it so the measured stage is fetch+extract).
+    expand_links: bool = True
+    # Rounds with fewer work rows than this run fetch+extract inline on the
+    # driver (identical code path, same results) instead of paying a
+    # per-round Ray Data job. Large rounds — the ones that matter at 10^10
+    # scale — always take the distributed path. Set to 0 to force the
+    # distributed path everywhere (tests do).
     small_round_threshold: int = 4096
+    # The budget/priority control plane (groupby-host top-B) is a cheap
+    # driver-side sort below this row count; above it, the salted-groupby
+    # Ray shuffle runs. Distinct from small_round_threshold because the
+    # control plane is pure metadata (no html bytes) — inline wins far
+    # longer. 0 forces the distributed path (tests).
+    control_inline_threshold: int = 200_000
 
 
 DEFAULT_ADVANCED = AdvancedCleaningConfig()

@@ -175,7 +175,13 @@ def harvest_images(
     (predicate at :184-187). Finally prepend the API row's image_1 if not
     already present (M4, :196-203).
     """
-    nodes = [n for n in parse_html(html) if n.tag == "img"]
+    return _harvest_from_nodes(parse_html(html), page_url, api_image, api_caption)
+
+
+def _harvest_from_nodes(
+    all_nodes: list[Node], page_url: str, api_image: str = "", api_caption: str = ""
+) -> list[dict[str, str]]:
+    nodes = [n for n in all_nodes if n.tag == "img"]
     images: list[dict[str, str]] = []
     seen: set[str] = set()
 
@@ -229,9 +235,13 @@ def extract_links(page_url: str, html: str) -> list[str]:
     links (?p=N — the Parquet-world analog of API pagination at
     comprehensive_scraper.py:264-282). Absolutized, document order,
     keep-first dedup."""
+    return _links_from_nodes(parse_html(html), page_url)
+
+
+def _links_from_nodes(all_nodes: list[Node], page_url: str) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()
-    for n in parse_html(html):
+    for n in all_nodes:
         if n.tag != "a":
             continue
         href = n.attrs.get("href", "")
@@ -258,10 +268,16 @@ def extract_metadata(html: str) -> tuple[str, str, list[tuple[str, str]]]:
     Later duplicate keys overwrite earlier ones (dict semantics in the
     reference); we return the post-overwrite items in first-seen key order.
     """
+    return _meta_from_nodes(parse_html(html))
+
+
+def _meta_from_nodes(
+    all_nodes: list[Node],
+) -> tuple[str, str, list[tuple[str, str]]]:
     name = ""
     description = ""
     details: dict[str, str] = {}
-    for n in parse_html(html):
+    for n in all_nodes:
         cls = " ".join(n.classes)
         if not name and n.tag in NAME_TAGS and _NAME_CLASS.search(cls):
             name = n.text
@@ -273,3 +289,22 @@ def extract_metadata(html: str) -> tuple[str, str, list[tuple[str, str]]]:
                 k, v = text.split(":", 1)
                 details[k.strip().lower()] = v.strip()
     return name, description, list(details.items())
+
+
+# --- fused single-parse extraction ----------------------------------------
+
+
+def extract_all(
+    page_url: str, html: str, api_image: str = "", api_caption: str = ""
+) -> tuple[str, str, str, list[tuple[str, str]], list[dict[str, str]], list[str]]:
+    """(text, name, description, details, images, links) with ONE tag-parse
+    pass shared by metadata/images/links (text extraction is its own regex
+    pass over the raw bytes). Byte-identical to calling the individual
+    functions — they are thin wrappers over the same node-list internals —
+    but ~3x cheaper per page, which matters: extraction dominates the
+    fetch+extract hot path."""
+    nodes = parse_html(html)
+    name, description, details = _meta_from_nodes(nodes)
+    images = _harvest_from_nodes(nodes, page_url, api_image, api_caption)
+    links = _links_from_nodes(nodes, page_url)
+    return extract_text(html), name, description, details, images, links

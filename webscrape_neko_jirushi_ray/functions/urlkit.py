@@ -108,6 +108,20 @@ def shard_of_keys(keys: list[bytes], num_shards: int) -> np.ndarray:
     return (arr % np.uint64(num_shards)).astype(np.int64)
 
 
+def sha1_first_byte(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First byte of each 20-byte sha1 in a binary column, vectorized via
+    the raw Arrow data buffer (no per-row Python). Requires a null-free
+    fixed-width(20) column — which url_sha1 always is."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32, count=n + 1)
+    return data[offsets[:-1]]
+
+
 def salt_host(hosts: list[str], sha1s: list[bytes], buckets: int) -> list[str]:
     """Skew defusal: append a per-URL sub-bucket to the host key so one
     dominant host spreads over ``buckets`` reducers in the groupby(host)

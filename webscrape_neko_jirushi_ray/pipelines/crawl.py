@@ -105,17 +105,49 @@ def seeds_to_frontier(seed_urls: list[str]) -> pa.Table:
     )
 
 
+# Per-worker fetcher memo: the fetch stage runs as STATELESS TASKS with the
+# fetcher built once per worker process and reused across rounds. An actor
+# pool would rebuild its actors on every round's map_batches execution
+# (cold-start per round); task workers stay warm for the whole job, which
+# is also the multi-node behavior. The fetcher is the ST1 state analog
+# (session/robots cache); construction cost is amortized identically.
+_FETCHER_CACHE: dict[str, object] = {}
+
+
+def make_fetch_extract_fn(store, docs_dir: str | None = None):
+    """Returns a map_batches fn that lazily builds (once per worker) and
+    reuses the store's fetcher. The cache key must be stable across task
+    deserializations (id() is not), so stores expose ``cache_key()``."""
+    key = store.cache_key()
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        actor = _FETCHER_CACHE.get(key)
+        if actor is None:
+            actor = FetchExtractActor(store)
+            _FETCHER_CACHE[key] = actor
+        return actor(batch, docs_dir=docs_dir)
+
+    return _fn
+
+
 class FetchExtractActor:
     """ST1+S2+J3: the stateful fetch stage. Holds the page-store fetcher
     (session/robots-cache analog) built once per actor in __init__, resolves
     each batch of frontier rows against the page table, then runs extraction
     in the same pass (fused fetch→extract: the html bytes never re-enter the
-    object store)."""
+    object store).
+
+    With ``docs_dir`` set, the heavy extracted payload (text, metadata,
+    image structs) is written straight to a parquet shard FROM THE TASK —
+    partition-replacing (shard name = content-derived, rewrites on retry
+    are idempotent) — and only the frontier control columns + links +
+    fetch_status return to the driver. That keeps the driver's per-round
+    working set proportional to the frontier, never to the page payloads."""
 
     def __init__(self, store):
         self.fetcher = store.make_fetcher()
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, docs_dir: str | None = None) -> pa.Table:
         urls = batch["url"].to_pylist()
         if hasattr(self.fetcher, "fetch_by_sha1"):
             pages = self.fetcher.fetch_by_sha1(urls, batch["url_sha1"].to_pylist())
@@ -125,40 +157,46 @@ class FetchExtractActor:
         ok_mask = pc.equal(status, "ok")
         ok_pages = pages.filter(ok_mask)
         docs = extract_batch(ok_pages) if ok_pages.num_rows else None
-        # re-attach frontier context + status for every attempted row
+
+        if docs is not None and docs_dir is not None:
+            shard = hashlib_sha1_hex(batch["url_sha1"][0].as_py())[:16]
+            os.makedirs(docs_dir, exist_ok=True)
+            tmp = os.path.join(docs_dir, f".part-{shard}.tmp")
+            pq.write_table(docs, tmp)
+            os.replace(tmp, os.path.join(docs_dir, f"part-{shard}.parquet"))
+
         out = batch.append_column("fetch_status", status)
-        if docs is None:
-            empty = _empty(
-                pa.schema(
-                    [f for f in docs_schema_fields()]
-                )
+        # vectorized left-attach of the control doc columns: extract_batch
+        # preserves row order, so ok row i maps to docs row rank_i =
+        # cumsum(ok)-1; pc.take with null indices fills misses with null
+        okm = ok_mask.to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        rank = np.cumsum(okm) - 1
+        idx = pa.array(
+            np.where(okm, rank, -1), type=pa.int64(), mask=~okm
+        )
+        for name in ("links", "n_links", "n_images"):
+            col = (
+                pc.take(docs[name], idx)
+                if docs is not None
+                else pa.nulls(out.num_rows, CONTROL_DOC_TYPES[name])
             )
-            return _attach_docs(out, empty)
-        return _attach_docs(out, docs)
-
-
-def docs_schema_fields():
-    from ..stages.extract import DOCS_SCHEMA
-
-    return [f for f in DOCS_SCHEMA if f.name not in ("url",)]
-
-
-def _attach_docs(frontier_rows: pa.Table, docs: pa.Table) -> pa.Table:
-    """Left-join docs onto frontier rows by url (both tiny per batch)."""
-    if docs.num_rows == 0:
-        n = frontier_rows.num_rows
-        out = frontier_rows
-        for f in docs_schema_fields():
-            out = out.append_column(f.name, pa.nulls(n, f.type))
+            out = out.append_column(name, col)
         return out
-    idx = {u: i for i, u in enumerate(docs["url"].to_pylist())}
-    order = [idx.get(u, -1) for u in frontier_rows["url"].to_pylist()]
-    out = frontier_rows
-    for f in docs_schema_fields():
-        col = docs[f.name]
-        vals = [col[i].as_py() if i >= 0 else None for i in order]
-        out = out.append_column(f.name, pa.array(vals, type=f.type))
-    return out
+
+
+CONTROL_DOC_TYPES = {
+    "links": pa.list_(pa.string()),
+    "n_links": pa.int32(),
+    "n_images": pa.int32(),
+}
+
+
+def hashlib_sha1_hex(b: bytes) -> str:
+    import hashlib
+
+    return hashlib.sha1(b).hexdigest()
 
 
 @dataclass
@@ -186,6 +224,9 @@ def _take_budget(pending: pa.Table, cfg: CrawlConfig) -> tuple[pa.Table, pa.Tabl
         return _empty(FRONTIER_SCHEMA), _empty(FRONTIER_SCHEMA)
 
     B = cfg.host_budget_per_round
+    if B >= pending.num_rows:
+        # budget cannot bind (throughput / fetch-list mode): take all
+        return pending, _empty(FRONTIER_SCHEMA)
     sha = pending["url_sha1"].to_pylist()
     hosts = pending["host"].to_pylist()
     salted = pa.array(
@@ -198,14 +239,22 @@ def _take_budget(pending: pa.Table, cfg: CrawlConfig) -> tuple[pa.Table, pa.Tabl
         g = group.sort_by("discovery_seq")
         return g.slice(0, B)
 
-    if pending.num_rows <= cfg.small_round_threshold:
-        # tiny frontier: same kernel, driver-side (no per-round Ray job)
-        parts = []
-        for sh in pc.unique(salted_tbl["salted_host"]).to_pylist():
-            parts.append(
-                _topb(salted_tbl.filter(pc.equal(salted_tbl["salted_host"], sh)))
-            )
-        win = pa.concat_tables(parts, promote_options="default")
+    if pending.num_rows <= cfg.control_inline_threshold:
+        # metadata-only control plane: vectorized driver-side rank-within-
+        # host (pandas cumcount), no per-round Ray job
+        import pandas as _pd
+
+        df = pending.select(["host", "discovery_seq"]).to_pandas()
+        rank = (
+            df.sort_values("discovery_seq", kind="mergesort")
+            .groupby("host")
+            .cumcount()
+            .reindex(df.index)
+        )
+        win = pending.filter(pa.array((rank < B).to_numpy()))
+        win = win.append_column(
+            "salted_host", salted_tbl["salted_host"].filter(pa.array((rank < B).to_numpy()))
+        )
     else:
         ds = ray.data.from_arrow(salted_tbl)
         winners = (
@@ -245,15 +294,20 @@ def _visit_order(taken: pa.Table) -> pa.Table:
         return taken
     if "host_priority" in taken.column_names:
         taken = taken.drop_columns(["host_priority"])
-    mins: dict[str, int] = {}
-    for h, s in zip(taken["host"].to_pylist(), taken["discovery_seq"].to_pylist()):
-        if h not in mins or s < mins[h]:
-            mins[h] = s
-    prio = pa.array([mins[h] for h in taken["host"].to_pylist()], type=pa.int64())
-    t = taken.append_column("host_priority", prio)
-    return t.sort_by(
-        [("host_priority", "ascending"), ("discovery_seq", "ascending")]
+    import numpy as np
+    import pandas as _pd
+
+    hosts = taken["host"].to_pandas()
+    seq = taken["discovery_seq"].to_numpy(zero_copy_only=False)
+    prio = (
+        _pd.DataFrame({"host": hosts, "seq": seq})
+        .groupby("host")["seq"]
+        .transform("min")
+        .to_numpy()
     )
+    order = np.lexsort((seq, prio))
+    t = taken.append_column("host_priority", pa.array(prio, type=pa.int64()))
+    return t.take(pa.array(order, type=pa.int64()))
 
 
 def crawl(
@@ -262,19 +316,32 @@ def crawl(
     out_dir: str,
     cfg: CrawlConfig = CrawlConfig(),
     resume: bool = False,
+    seen_set: ShardedSeenSet | None = None,
+    seed_frontier: pa.Table | None = None,
 ) -> CrawlResult:
     """Run the frontier loop. ``page_store`` is a BroadcastPageStore or
     PartitionedPageStore. Writes per-round checkpoints under ``out_dir``;
-    with ``resume=True`` continues after the last complete round."""
+    with ``resume=True`` continues after the last complete round.
+    ``seen_set``: inject a pre-spawned (empty or warm) seen-set actor pool —
+    the caller then owns its lifecycle; by default one is created and torn
+    down here. ``seed_frontier``: a pre-keyed FRONTIER_SCHEMA table (e.g.
+    read from frontier parquet, the 10^10-scale input) used instead of
+    keying ``seed_urls`` on the driver."""
     os.makedirs(out_dir, exist_ok=True)
-    seen = ShardedSeenSet(cfg.seen_shards, cfg.seen_mode)
+    own = seen_set is None
+    seen = seen_set or ShardedSeenSet(cfg.seen_shards, cfg.seen_mode)
     try:
-        return _crawl_inner(page_store, seed_urls, out_dir, cfg, resume, seen)
+        return _crawl_inner(
+            page_store, seed_urls, out_dir, cfg, resume, seen, seed_frontier
+        )
     finally:
-        seen.shutdown()
+        if own:
+            seen.shutdown()
 
 
-def _crawl_inner(page_store, seed_urls, out_dir, cfg, resume, seen) -> CrawlResult:
+def _crawl_inner(
+    page_store, seed_urls, out_dir, cfg, resume, seen, seed_frontier=None
+) -> CrawlResult:
     visits_acc: list[pa.Table] = []
     docs_paths: list[str] = []
     start_round = 0
@@ -295,7 +362,9 @@ def _crawl_inner(page_store, seed_urls, out_dir, cfg, resume, seen) -> CrawlResu
             visits_acc.append(pq.read_table(vp))
             docs_paths.append(os.path.join(ckpt.round_dir(out_dir, r), "docs"))
     else:
-        frontier = seeds_to_frontier(seed_urls)
+        frontier = (
+            seed_frontier if seed_frontier is not None else seeds_to_frontier(seed_urls)
+        )
         fresh = seen.add_if_absent(frontier["url_sha1"].to_pylist())
         pending = frontier.filter(pa.array(fresh))
         next_seq = pending.num_rows
@@ -323,25 +392,64 @@ def _crawl_inner(page_store, seed_urls, out_dir, cfg, resume, seen) -> CrawlResu
 
         rdir = ckpt.round_dir(out_dir, rnd)
         os.makedirs(rdir, exist_ok=True)
+        docs_dir = os.path.join(rdir, "docs")
+        os.makedirs(docs_dir, exist_ok=True)
 
-        # --- fetch + extract (actor pool over the ordered work set) ------
+        # --- fetch + extract (task pool over the ordered work set) -------
+        # extracted doc payloads are written to parquet shards FROM THE
+        # TASKS; only control columns (frontier + links + status) return
         if ordered.num_rows <= cfg.small_round_threshold:
-            # same kernel, inline (one actor's worth of work)
-            fetched = FetchExtractActor(page_store)(ordered)
+            # same kernel, inline (one task's worth of work)
+            fetched = FetchExtractActor(page_store)(ordered, docs_dir=docs_dir)
         else:
-            work_ds = ray.data.from_arrow(ordered)
+            # fetch order is irrelevant (visit order is restored below), so
+            # co-locate each batch with its page-store bucket: sorting by
+            # bucket turns B x batches scattered point-lookups into ~one
+            # bucket scan per batch (the partitioned-store fast path)
+            nb = getattr(page_store, "num_buckets", 0)
+            work = ordered
+            if nb:
+                from ..functions.urlkit import sha1_first_byte
+                import numpy as np
+
+                b = sha1_first_byte(ordered["url_sha1"]) % nb
+                order_idx = np.argsort(b, kind="stable")
+                work = ordered.take(pa.array(order_idx, type=pa.int64()))
+            per_batch = max(
+                cfg.fetch_batch_size,
+                -(-work.num_rows // max(1, cfg.fetch_concurrency * 2)),
+            )
+            # from_arrow(one table) yields ONE block = one task; slice the
+            # table driver-side into concurrency*2 blocks so the whole
+            # actor pool gets work (a Repartition op would deadlock against
+            # an actor pool that reserves every CPU). Slices are zero-copy
+            # and preserve the bucket-sorted order.
+            n_parts = min(work.num_rows, max(cfg.fetch_concurrency * 4, 2))
+            step = -(-work.num_rows // n_parts)
+            parts = [
+                work.slice(i * step, step)
+                for i in range(n_parts)
+                if i * step < work.num_rows
+            ]
+            work_ds = ray.data.from_arrow(parts)
+            # stateless tasks + per-worker fetcher memo: warm workers are
+            # reused across rounds (an actor pool cold-starts every round)
             fetched_ds = work_ds.map_batches(
-                FetchExtractActor,
-                fn_constructor_args=(page_store,),
+                make_fetch_extract_fn(page_store, docs_dir=docs_dir),
                 batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
-                concurrency=cfg.fetch_concurrency,
+                batch_size=per_batch,
             )
             fetched = pa.concat_tables(
                 [ray.get(r) for r in fetched_ds.to_arrow_refs()],
                 promote_options="default",
             )
-        # restore visit order (map_batches may deliver blocks out of order)
+        # restore visit order (map_batches may deliver blocks out of order);
+        # when links aren't needed (fetch-list mode) drop the list columns
+        # first so the sort shuffles only scalar control data
+        if not cfg.expand_links:
+            fetched = fetched.drop_columns(
+                [c for c in ("links", "n_links", "n_images") if c in fetched.column_names]
+            )
         fetched = _visit_order(fetched)
 
         # --- visit log ----------------------------------------------------
@@ -365,49 +473,39 @@ def _crawl_inner(page_store, seed_urls, out_dir, cfg, resume, seen) -> CrawlResu
         visits_acc.append(visits)
         ckpt.write_table_atomic(visits, os.path.join(rdir, "visits.parquet"))
 
-        # --- docs output (drop frontier bookkeeping, keep doc columns) ----
+        # docs shards were written by the fetch tasks (partition-replacing)
         ok = fetched.filter(pc.equal(fetched["fetch_status"], "ok"))
-        doc_cols = ["url", "warc_ts", "lang", "cat_id", "name", "description",
-                    "details_json", "text", "images", "links", "n_images", "n_links"]
-        docs_tbl = ok.select([c for c in doc_cols if c in ok.column_names])
-        docs_dir = os.path.join(rdir, "docs")
-        os.makedirs(docs_dir, exist_ok=True)
-        ckpt.write_table_atomic(docs_tbl, os.path.join(docs_dir, "part0.parquet"))
         docs_paths.append(docs_dir)
 
         # --- frontier expansion ------------------------------------------
-        new_rows = {k: [] for k in ("url", "parent_url", "depth", "ord")}
-        for row_i, (purl, pdepth, links) in enumerate(
-            zip(
-                ok["url"].to_pylist(),
-                ok["depth"].to_pylist(),
-                ok["links"].to_pylist(),
+        # vectorized explode: list_flatten preserves (row, element) order —
+        # exactly the (parent visit order, link position) discovery contract
+        if cfg.expand_links:
+            links_col = pa.chunked_array(
+                ok["links"].chunks or [pa.array([], pa.list_(pa.string()))]
             )
-        ):
-            for li, link in enumerate(links or []):
-                new_rows["url"].append(link)
-                new_rows["parent_url"].append(purl)
-                new_rows["depth"].append(pdepth + 1)
-                new_rows["ord"].append((row_i, li))
-        if new_rows["url"]:
+            flat = pc.list_flatten(links_col)
+        else:
+            flat = []
+        if cfg.expand_links and len(flat):
+            parent_idx = pc.list_parent_indices(links_col)
             cand = pa.table(
                 {
-                    "url": pa.array(new_rows["url"], type=pa.string()),
-                    "parent_url": pa.array(new_rows["parent_url"], type=pa.string()),
-                    "depth": pa.array(new_rows["depth"], type=pa.int32()),
+                    "url": flat,
+                    "parent_url": pc.take(ok["url"], parent_idx),
+                    "depth": pc.cast(
+                        pc.add(pc.take(ok["depth"], parent_idx), 1), pa.int32()
+                    ),
                 }
             )
             cand = add_url_key_columns(cand)
             # within-round keep-first dedup by canon url (discovery order)
-            seen_local: set[bytes] = set()
-            first_mask = []
-            for s in cand["url_sha1"].to_pylist():
-                if s in seen_local:
-                    first_mask.append(False)
-                else:
-                    seen_local.add(s)
-                    first_mask.append(True)
-            cand = cand.filter(pa.array(first_mask))
+            import pandas as _pd
+
+            first_idx = (
+                _pd.Series(cand["url_sha1"].to_pylist()).drop_duplicates().index.to_numpy()
+            )
+            cand = cand.take(pa.array(first_idx, type=pa.int64()))
             fresh = seen.add_if_absent(cand["url_sha1"].to_pylist())
             cand = cand.filter(pa.array(fresh))
             k = cand.num_rows

@@ -41,6 +41,9 @@ class BroadcastPageStore:
     def __init__(self, pages: pa.Table):
         self.table_ref = ray.put(pages)
 
+    def cache_key(self) -> str:
+        return f"broadcast:{self.table_ref.hex()}"
+
     def make_fetcher(self) -> "BroadcastFetcher":
         return BroadcastFetcher(self.table_ref)
 
@@ -89,6 +92,9 @@ class PartitionedPageStore:
         self.root = root
         self.num_buckets = num_buckets
 
+    def cache_key(self) -> str:
+        return f"partitioned:{self.root}:{self.num_buckets}"
+
     @staticmethod
     def build(pages_with_keys: pa.Table, root: str, num_buckets: int = 16) -> "PartitionedPageStore":
         """One-time layout build. ``pages_with_keys`` must carry
@@ -102,9 +108,18 @@ class PartitionedPageStore:
         sha = pages_with_keys["url_sha1"].to_pylist()
         bucket = pa.array([s[0] % num_buckets for s in sha], type=pa.int32())
         t = pages_with_keys.append_column("bucket", bucket)
+        # one global (bucket, sha1) sort + boundary slices beats B filter
+        # passes over the full table
+        t = t.sort_by([("bucket", "ascending"), ("url_sha1", "ascending")])
+        bcol = t["bucket"].to_numpy()
+        import numpy as np
+
+        bounds = np.searchsorted(bcol, np.arange(num_buckets + 1))
         for b in range(num_buckets):
-            sub = t.filter(pc.equal(t["bucket"], b))
-            sub = sub.sort_by("url_sha1")
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            if lo == hi:
+                continue
+            sub = t.slice(lo, hi - lo)
             path = os.path.join(root, f"bucket={b}")
             os.makedirs(path, exist_ok=True)
             pq.write_table(sub.drop_columns(["bucket"]), os.path.join(path, "part0.parquet"),

@@ -41,7 +41,13 @@ def decode_feature_batch(batch: pa.Table) -> pa.Table:
     feats = [decode_features(b) for b in batch["bytes"].to_pylist()]
     urls = batch["img_url"].to_pylist()
     fnames = [u.rsplit("/", 1)[-1].lower() for u in urls]
-    out = batch
+    # idempotent: chained cleaning pipelines re-enter this stage
+    stale = [
+        c for c in ("valid", "width", "height", "mode", "alpha_max",
+                    "top_color_frac", "warm_ratio", "filename", "removal_reason")
+        if c in batch.column_names
+    ]
+    out = batch.drop_columns(stale) if stale else batch
     for name, typ, key in (
         ("valid", pa.bool_(), "valid"),
         ("width", pa.int32(), "width"),
@@ -180,15 +186,48 @@ def heuristic_keep(batch: pa.Table, cfg: HeuristicCleanupConfig = DEFAULT_HEURIS
 
 def dedup_exact_md5(images: "ray.data.Dataset") -> "ray.data.Dataset":
     """D2: global exact dedup, keep-first. The reference MD5s every file
-    into one in-memory index (aggressive_cleaning.py:174-183) — here it is a
-    hash shuffle: groupby(md5) → keep the (cat_id, seq)-smallest row. The
-    md5 column is computed at ingest (synth/table build), so no bytes are
-    re-hashed here."""
+    into one in-memory index (aggressive_cleaning.py:174-183) — here it is
+    a shuffle: per-row selection key (cat_id, seq) encoded sortably, a
+    groupby(md5) Min aggregate picks each hash's winner, and a second pass
+    filters to winners. Two vectorized passes — NOT per-group map_groups,
+    which pays a Python call per tiny group and collapses at scale.
 
-    def _first(group: pa.Table) -> pa.Table:
-        return group.sort_by([("cat_id", "ascending"), ("seq", "ascending")]).slice(0, 1)
+    The winner map is broadcast (ray.put) — one entry per distinct hash;
+    at 10^10-image scale swap the broadcast for a hash join on md5 (same
+    plan shape, partitioned both sides)."""
+    import ray as _ray
+    from ray.data.aggregate import Min
 
-    return images.groupby("md5").map_groups(_first, batch_format="pyarrow")
+    def _selkey(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{c}|{s:010d}|{u}"
+            for c, s, u in zip(
+                batch["cat_id"].to_pylist(),
+                batch["seq"].to_pylist(),
+                batch["img_url"].to_pylist(),
+            )
+        ]
+        out = batch
+        if "sel_key" in out.column_names:
+            out = out.drop_columns(["sel_key"])
+        return out.append_column("sel_key", pa.array(keys, type=pa.string()))
+
+    keyed = images.map_batches(_selkey, batch_format="pyarrow", batch_size=2048)
+    winners = (
+        keyed.select_columns(["md5", "sel_key"])
+        .groupby("md5")
+        .aggregate(Min("sel_key", alias_name="win_key"))
+        .to_pandas()
+    )
+    win_set = set(winners["win_key"])
+    win_ref = _ray.put(win_set)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        wins = _ray.get(win_ref)
+        mask = pa.array([k in wins for k in batch["sel_key"].to_pylist()])
+        return batch.filter(mask).drop_columns(["sel_key"])
+
+    return keyed.map_batches(_keep, batch_format="pyarrow", batch_size=2048)
 
 
 def split_quarantine(ds_with_reason: "ray.data.Dataset"):

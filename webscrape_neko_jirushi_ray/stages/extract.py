@@ -23,12 +23,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.htmlkit import (
-    extract_links,
-    extract_metadata,
-    extract_text,
-    harvest_images,
-)
+from ..functions.htmlkit import extract_all
 from ..functions.urlkit import extract_cat_id
 
 DOC_IMAGE_TYPE = pa.list_(
@@ -81,13 +76,15 @@ def extract_batch(batch: pa.Table, keep_html: bool = False) -> pa.Table:
     texts, names, descs, details, images, links = [], [], [], [], [], []
     for url, raw, api_img in zip(urls, htmls, api_images):
         html = raw.decode("utf-8", errors="replace") if raw is not None else ""
-        texts.append(extract_text(html))
-        nm, dsc, kv = extract_metadata(html)
+        # fused single-parse extraction (byte-identical to the individual
+        # kernels — see htmlkit.extract_all)
+        txt, nm, dsc, kv, imgs, lnks = extract_all(url, html, api_image=api_img or "")
+        texts.append(txt)
         names.append(nm)
         descs.append(dsc)
         details.append(json.dumps(dict(kv), ensure_ascii=False, sort_keys=True))
-        images.append(harvest_images(url, html, api_image=api_img or ""))
-        links.append(extract_links(url, html))
+        images.append(imgs)
+        links.append(lnks)
 
     cols = {
         "url": batch["url"],

@@ -187,11 +187,15 @@ class ShardedSeenSet:
 
     def _route(self, keys: list[bytes]) -> tuple[list[list[bytes]], list[list[int]]]:
         shard_ids = shard_of_keys(keys, self.num_shards)
-        per_shard_keys: list[list[bytes]] = [[] for _ in range(self.num_shards)]
-        per_shard_pos: list[list[int]] = [[] for _ in range(self.num_shards)]
-        for pos, (k, s) in enumerate(zip(keys, shard_ids)):
-            per_shard_keys[s].append(k)
-            per_shard_pos[s].append(pos)
+        # vectorized routing: stable argsort by shard + boundary slices
+        order = np.argsort(shard_ids, kind="stable")
+        bounds = np.searchsorted(shard_ids[order], np.arange(self.num_shards + 1))
+        per_shard_keys: list[list[bytes]] = []
+        per_shard_pos: list[list[int]] = []
+        for s in range(self.num_shards):
+            idx = order[bounds[s] : bounds[s + 1]]
+            per_shard_pos.append(idx.tolist())
+            per_shard_keys.append([keys[i] for i in idx])
         return per_shard_keys, per_shard_pos
 
     def add_if_absent(self, keys: list[bytes]) -> np.ndarray:

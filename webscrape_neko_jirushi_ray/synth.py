@@ -219,7 +219,12 @@ def synth_pages(
 # --- synthetic image corpus for the cleaning/dedup/scoring stages ---------
 
 
-def synth_images(num_cats: int = 40, images_per_cat: int = 8, seed: int = 43) -> pa.Table:
+def synth_images(
+    num_cats: int = 40,
+    images_per_cat: int = 8,
+    seed: int = 43,
+    good_size_range: tuple[int, int] = (15_000, 600_000),
+) -> pa.Table:
     """Image records (FIXTURES.md §6) with planted edge cases: exact
     cross-cat duplicates, blacklist byte sizes, corrupt blobs, transparent
     RGBA, >80%-uniform color, out-of-range dimensions/aspects, and decoy
@@ -253,7 +258,7 @@ def synth_images(num_cats: int = 40, images_per_cat: int = 8, seed: int = 43) ->
                     mode="RGB",
                     top_color_frac=rng.uniform(0.05, 0.5),
                     warm_ratio=rng.uniform(0.15, 0.9),
-                    target_size=rng.randint(15_000, 600_000),
+                    target_size=rng.randint(*good_size_range),
                     payload_seed=f"{cat}/{s}".encode(),
                 )
                 if rng.random() < 0.15:
