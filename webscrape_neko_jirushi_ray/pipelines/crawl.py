@@ -210,6 +210,20 @@ class CrawlResult:
         ok = self.visits.filter(pc.equal(self.visits["fetch_status"], "ok"))
         return set(ok["url_sha1"].to_pylist())
 
+    def nonempty_docs_paths(self) -> list[str]:
+        """All docs shard FILES across rounds (ray.data.read_parquet does
+        not expand directories when given a list, and rounds where every
+        fetch 404'd have no shards at all)."""
+        out = []
+        for d in self.docs_paths:
+            if os.path.isdir(d):
+                out.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
 
 def _take_budget(pending: pa.Table, cfg: CrawlConfig) -> tuple[pa.Table, pa.Table]:
     """Split pending into (taken, deferred) by the per-true-host budget.

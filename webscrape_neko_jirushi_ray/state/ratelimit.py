@@ -33,16 +33,19 @@ class TokenBucket:
 
     def take(self, now: float, n: float = 1.0) -> float:
         """Consume n tokens at time ``now``; returns seconds the caller must
-        wait before the request may be issued (0.0 = immediately)."""
+        wait before the request may be issued (0.0 = immediately).
+
+        The balance may go negative (a debt): a caller that is told to wait
+        has already claimed its token, so back-to-back calls can't
+        double-spend the same future refill — the long-run rate is exactly
+        ``rate`` regardless of call pattern."""
         elapsed = max(0.0, now - self.last_ts)
         self.tokens = min(self.burst, self.tokens + elapsed * self.rate)
         self.last_ts = now
-        if self.tokens >= n:
-            self.tokens -= n
+        self.tokens -= n
+        if self.tokens >= 0:
             return 0.0
-        deficit = n - self.tokens
-        self.tokens = 0.0
-        return deficit / self.rate
+        return -self.tokens / self.rate
 
 
 class HostRateLimiter:
