@@ -13,8 +13,24 @@ ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# Ray tasks deserialize functions BY REFERENCE to this package, so worker
+# processes must be able to import it. Workers inherit the driver's cwd at
+# ray.init time, so the supported mode is "ray.init with cwd = repo root"
+# (the driver's mode). The lines below additionally cover the driver-side
+# import path and any worker processes spawned AFTER this import (workers
+# prestarted by an earlier ray.init in a foreign cwd cannot be reached
+# from here).
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+os.environ["PYTHONPATH"] = (
+    _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 from webscrape_neko_jirushi_ray.pipelines import queries as q
 
@@ -70,6 +86,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_pages": q.extract_docs_pages,
         "harvest_images_pages": q.harvest_images_pages,
         "crawl_visits": q.crawl_visits,
+        # widened relational / streaming / formatting coverage
+        "semi_join_customers": q.semi_join_customers,
+        "union_distinct_nations": q.union_distinct_nations,
+        "kv_parse_props": q.kv_parse_props,
+        "session_windows": q.session_windows,
+        "rank_customers": q.rank_customers,
+        "dataset_totals": q.dataset_totals,
+        "strided_id_probe": q.strided_id_probe,
+        "content_type_extensions": q.content_type_extensions,
+        "zero_pad_part_labels": q.zero_pad_part_labels,
+        "head_sample_orders": q.head_sample_orders,
+        # image-pipeline coverage (rows-only; pinned by tests)
+        "cleaning_advanced_counts": q.cleaning_advanced_counts,
+        "scorer_summary_stats": q.scorer_summary_stats,
     }
 
 
@@ -77,10 +107,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))       AS sum_qty_c,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))  AS sum_base_price_c,
-                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-                                                                      AS sum_disc_price_dmc,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_dmc,
                    COUNT(*)                                           AS count_order,
                    SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*)
                                                                       AS avg_qty,
@@ -102,7 +131,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_event_types": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micros
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micros
             FROM events
             GROUP BY event_type
             ORDER BY n DESC, event_type
@@ -110,7 +139,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_revenue": """
             SELECT n_name,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_c,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
                    COUNT(*)                                       AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -141,7 +170,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
                    COUNT(*)                                    AS n,
-                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micros
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micros
             FROM events
             GROUP BY event_type, hour
             ORDER BY event_type, hour
@@ -168,7 +197,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "docs_by_lang": """
-            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents
             GROUP BY lang
             ORDER BY lang
@@ -202,8 +231,85 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank
             LIMIT 10
         """,
-        # minhash/simhash/ngram/embedding dedup, langid, knn_lsh and the
-        # crawl-engine queries are intentionally oracle-less (stateful /
-        # model-scoring / non-SQL-expressible); the driver records the
-        # weaker rows-only check and tests pin their semantics instead.
+        "semi_join_customers": """
+            SELECT c_custkey
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "union_distinct_nations": """
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey FROM supplier
+            ) ORDER BY nationkey
+        """,
+        "kv_parse_props": """
+            SELECT event_id,
+                   CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val
+            FROM events
+            ORDER BY event_id
+        """,
+        "session_windows": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
+            FROM gaps
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "rank_customers": """
+            SELECT c_custkey,
+                   CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                        AS BIGINT) AS bal_rank
+            FROM customer
+            ORDER BY c_custkey
+        """,
+        "dataset_totals": """
+            SELECT (SELECT COUNT(*) FROM documents)                    AS n_docs,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)   AS total_chars,
+                   (SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+                    FROM documents)                                    AS avg_chars,
+                   (SELECT COUNT(*) FROM events)                       AS n_events,
+                   (SELECT COUNT(*) FROM embeddings)                   AS n_vecs
+        """,
+        "strided_id_probe": """
+            SELECT CAST(UNNEST(GENERATE_SERIES(226400, 226899, 5)) AS BIGINT)
+                   AS cat_id
+            ORDER BY cat_id
+        """,
+        "content_type_extensions": """
+            SELECT content_type,
+                   CASE content_type
+                        WHEN 'image/jpeg' THEN '.jpg'
+                        WHEN 'image/jpg'  THEN '.jpg'
+                        WHEN 'image/png'  THEN '.png'
+                        WHEN 'image/gif'  THEN '.gif'
+                        WHEN 'image/webp' THEN '.webp'
+                        ELSE '.jpg'
+                   END AS ext
+            FROM (SELECT UNNEST(['image/jpeg','image/jpg','image/png','image/gif',
+                                 'image/webp','text/html','application/json'])
+                  AS content_type)
+            ORDER BY content_type
+        """,
+        "zero_pad_part_labels": """
+            SELECT p_partkey, PRINTF('cat_%04d', p_partkey % 10000) AS label
+            FROM part
+            ORDER BY p_partkey
+        """,
+        "head_sample_orders": """
+            SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10
+        """,
+        # minhash/simhash/ngram/embedding dedup, langid, knn_lsh, the
+        # crawl-engine queries and the image-pipeline stats are
+        # intentionally oracle-less (stateful / model-scoring /
+        # non-SQL-expressible); the driver records the weaker rows-only
+        # check and tests pin their semantics instead.
     }

@@ -443,3 +443,226 @@ def crawl_visits(sf_dir: str) -> pd.DataFrame:
     out = res.visits.to_pandas()
     out["url_sha1"] = out["url_sha1"].map(lambda b: b.hex())
     return out
+
+
+# --- additional operator coverage (round-1 widening) ----------------------
+
+
+def semi_join_customers(sf_dir: str) -> pd.DataFrame:
+    """Semi-join (J1 positive form): customers WITH >=1 order, via a
+    broadcast key set filtered inside map_batches."""
+    import ray as _ray
+
+    okeys = set(
+        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+    )
+    okeys_ref = _ray.put(okeys)
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _semi(t: pa.Table) -> pa.Table:
+        keys = _ray.get(okeys_ref)
+        mask = pa.array([k in keys for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    out = cust.map_batches(_semi, batch_format="pyarrow").to_pandas()
+    if "c_custkey" not in out.columns:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def union_distinct_nations(sf_dir: str) -> pd.DataFrame:
+    """Union + distinct (D3: union of frontier sources then dedup)."""
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t["c_nationkey"], pa.int32())}),
+        batch_format="pyarrow",
+    )
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t["s_nationkey"], pa.int32())}),
+        batch_format="pyarrow",
+    )
+    u = c.union(s)
+    out = u.groupby("nationkey").count().to_pandas()[["nationkey"]]
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def kv_parse_props(sf_dir: str) -> pd.DataFrame:
+    """Key-value parse (M6 analog): extract the integer under key 'k' from
+    the JSON-ish props string with the same regex as the SQL oracle."""
+    import re
+
+    rx = re.compile(r'"k": (\d+)')
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def _kv(t: pa.Table) -> pa.Table:
+        vals = [
+            int(m.group(1)) if (m := rx.search(p or "")) else None
+            for p in t["props"].to_pylist()
+        ]
+        return pa.table(
+            {"event_id": t["event_id"], "k_val": pa.array(vals, type=pa.int64())}
+        )
+
+    out = ds.map_batches(_kv, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def session_windows(sf_dir: str) -> pd.DataFrame:
+    """Sessionization (§2.9 streaming analog): per user, count sessions
+    where a >30-minute gap starts a new session. groupby(user).map_groups
+    over ts-sorted groups — the engine's stateful-window idiom."""
+    GAP_US = 30 * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().astype("int64").to_numpy()
+        n_sessions = 1 + int((np.diff(ts) > GAP_US).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(_sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def rank_customers(sf_dir: str) -> pd.DataFrame:
+    """Global dense enumeration (O3/ST6: the cat_0001... counter): rank by
+    (acctbal desc, custkey). Driver-side enumeration over the sorted key
+    column — the documented small-cardinality path; at 10^9 groups this
+    becomes range-partitioned offsets."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    df = ds.to_pandas().sort_values(
+        ["c_acctbal", "c_custkey"], ascending=[False, True]
+    )
+    df["bal_rank"] = range(1, len(df) + 1)
+    return df[["c_custkey", "bal_rank"]].sort_values("c_custkey").reset_index(drop=True)
+
+
+def dataset_totals(sf_dir: str) -> pd.DataFrame:
+    """A5 analog: global dataset totals in one row."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["n_chars"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+    n_events = _read(sf_dir, "events", ["event_id"]).count()
+    n_vecs = _read(sf_dir, "embeddings", ["vec_id"]).count()
+    avg_chars = docs["total_chars"] / docs["n_docs"]
+    return pd.DataFrame(
+        {
+            "n_docs": [int(docs["n_docs"])],
+            "total_chars": [int(docs["total_chars"])],
+            "avg_chars": [avg_chars],
+            "n_events": [int(n_events)],
+            "n_vecs": [int(n_vecs)],
+        }
+    )
+
+
+def strided_id_probe(sf_dir: str) -> pd.DataFrame:
+    """O5: strided ID-range probe seeding (smart_cat_discovery.py:158-173)
+    as ray.data.range + arithmetic map."""
+    import ray.data as rd
+
+    ranges = [(226400, 226500), (226500, 226600), (226600, 226700),
+              (226700, 226800), (226800, 226900)]
+    parts = []
+    for lo, hi in ranges:
+        n = (hi - lo + 4) // 5
+        ds = rd.range(n).map_batches(
+            lambda t, lo=lo: pa.table(
+                {"cat_id": pc.add(pc.multiply(t["id"], 5), lo)}
+            ),
+            batch_format="pyarrow",
+        )
+        parts.append(ds)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    out = u.to_pandas()
+    out["cat_id"] = out["cat_id"].astype("int64")
+    return out.sort_values("cat_id").reset_index(drop=True)
+
+
+def content_type_extensions(sf_dir: str) -> pd.DataFrame:
+    """M9: Content-Type -> extension mapping (config.py:117-123 of the
+    reference; '.jpg' default)."""
+    import ray.data as rd
+
+    from ..config import CONTENT_TYPE_TO_EXTENSION, DEFAULT_IMAGE_EXTENSION
+
+    cts = ["image/jpeg", "image/jpg", "image/png", "image/gif",
+           "image/webp", "text/html", "application/json"]
+    ds = rd.from_items([{"content_type": c} for c in cts])
+
+    def _map(t: pa.Table) -> pa.Table:
+        exts = [
+            CONTENT_TYPE_TO_EXTENSION.get(c, DEFAULT_IMAGE_EXTENSION)
+            for c in t["content_type"].to_pylist()
+        ]
+        return t.append_column("ext", pa.array(exts, type=pa.string()))
+
+    return (
+        ds.map_batches(_map, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("content_type")
+        .reset_index(drop=True)
+    )
+
+
+def zero_pad_part_labels(sf_dir: str) -> pd.DataFrame:
+    """M7/O3 formatting: the reference's cat_%04d / image_%03d zero-pad
+    naming (reorganize_dataset.py:87,103) as a vectorized projection."""
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def _label(t: pa.Table) -> pa.Table:
+        labels = [f"cat_{int(k) % 10000:04d}" for k in t["p_partkey"].to_pylist()]
+        return t.append_column("label", pa.array(labels, type=pa.string()))
+
+    out = ds.map_batches(_label, batch_format="pyarrow").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def head_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """O6: deterministic head-n sample (sort then limit 10)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort("o_orderkey").limit(10).to_pandas()
+    return out[["o_orderkey"]].reset_index(drop=True)
+
+
+# --- image-pipeline coverage (rows-only; semantics pinned by tests) -------
+
+
+def cleaning_advanced_counts(sf_dir: str) -> pd.DataFrame:
+    """F1-F7 per-reason removal accounting over the synthetic image corpus
+    (advanced_cleaning.py report shape)."""
+    import ray.data as rd
+
+    from ..stages.cleaning import advanced_cleaning_pipeline, removal_stats
+    from ..synth import synth_images
+
+    images = synth_images(num_cats=40, images_per_cat=8, seed=42)
+    kept, quarantined = advanced_cleaning_pipeline(rd.from_arrow(images))
+    stats = removal_stats(quarantined).to_pandas()
+    stats = stats.rename(columns={"count()": "n"}).sort_values("removal_reason")
+    total = pd.DataFrame(
+        {"removal_reason": ["__kept__"], "n": [kept.count()]}
+    )
+    return pd.concat([stats, total], ignore_index=True)
+
+
+def scorer_summary_stats(sf_dir: str) -> pd.DataFrame:
+    """ST2/A3: pseudo-YOLO scoring summary with the reference's weighted
+    mean (yolo_cat_detector.py:219-220)."""
+    import ray.data as rd
+
+    from ..stages.scorer import detection_summary, score_images
+    from ..synth import synth_images
+
+    images = synth_images(num_cats=30, images_per_cat=6, seed=42)
+    s = detection_summary(score_images(rd.from_arrow(images), concurrency=2))
+    return pd.DataFrame([s])
