@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -404,6 +405,7 @@ def _crawl_inner(
         if ordered.num_rows == 0:
             break
 
+        round_t0 = _time.perf_counter()
         rdir = ckpt.round_dir(out_dir, rnd)
         os.makedirs(rdir, exist_ok=True)
         docs_dir = os.path.join(rdir, "docs")
@@ -550,6 +552,7 @@ def _crawl_inner(
             os.path.join(rdir, "frontier_next.parquet"),
         )
         seen.snapshot(os.path.join(rdir, "seen"))
+        n_ok = int(pc.sum(pc.cast(pc.equal(fetched["fetch_status"], "ok"), pa.int64())).as_py() or 0)
         ckpt.write_manifest(
             out_dir,
             rnd,
@@ -557,8 +560,13 @@ def _crawl_inner(
                 "round": rnd,
                 "visited_round": n,
                 "visited_total": visited_total,
+                "fetch_ok": n_ok,
+                "fetch_failed": n - n_ok,
+                "hosts_visited": len(set(fetched["host"].to_pylist())),
                 "next_seq": next_seq,
                 "pending_rows": pending.num_rows,
+                "seen_size": seen.size(),
+                "round_wall_sec": round(_time.perf_counter() - round_t0, 3),
                 "config_hash": ckpt.config_hash(cfg),
                 "lineage": {"docs": os.path.join(rdir, "docs"),
                             "visits": os.path.join(rdir, "visits.parquet")},
