@@ -242,36 +242,46 @@ def _take_budget(pending: pa.Table, cfg: CrawlConfig) -> tuple[pa.Table, pa.Tabl
     if B >= pending.num_rows:
         # budget cannot bind (throughput / fetch-list mode): take all
         return pending, _empty(FRONTIER_SCHEMA)
-    sha = pending["url_sha1"].to_pylist()
-    hosts = pending["host"].to_pylist()
-    salted = pa.array(
-        [f"{h}#{s[0] % cfg.host_salt_buckets}" for h, s in zip(hosts, sha)],
-        type=pa.string(),
-    )
-    salted_tbl = pending.append_column("salted_host", salted)
+
+    import numpy as np
+    import pandas as _pd
+
+    def _rank_within_host(tbl: pa.Table) -> np.ndarray:
+        """Vectorized per-host rank by discovery_seq (0-based)."""
+        df = _pd.DataFrame(
+            {
+                "host": tbl["host"].to_pandas(),
+                "seq": tbl["discovery_seq"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return (
+            df.sort_values("seq", kind="mergesort")
+            .groupby("host")
+            .cumcount()
+            .reindex(df.index)
+            .to_numpy()
+        )
 
     def _topb(group: pa.Table) -> pa.Table:
         g = group.sort_by("discovery_seq")
         return g.slice(0, B)
 
     if pending.num_rows <= cfg.control_inline_threshold:
-        # metadata-only control plane: vectorized driver-side rank-within-
-        # host (pandas cumcount), no per-round Ray job
-        import pandas as _pd
-
-        df = pending.select(["host", "discovery_seq"]).to_pandas()
-        rank = (
-            df.sort_values("discovery_seq", kind="mergesort")
-            .groupby("host")
-            .cumcount()
-            .reindex(df.index)
-        )
-        win = pending.filter(pa.array((rank < B).to_numpy()))
-        win = win.append_column(
-            "salted_host", salted_tbl["salted_host"].filter(pa.array((rank < B).to_numpy()))
-        )
+        # metadata-only control plane: one vectorized pass, no Ray job
+        rank = _rank_within_host(pending)
+        win = pending.filter(pa.array(rank < B))
     else:
-        ds = ray.data.from_arrow(salted_tbl)
+        # distributed: top-B per SALTED sub-bucket (skew defusal — one
+        # dominant host fans out over S reducers), then re-enforce per
+        # TRUE host over the hosts x S x B-bounded winners
+        from ..functions.urlkit import sha1_first_byte
+
+        salt = sha1_first_byte(pending["url_sha1"]) % cfg.host_salt_buckets
+        salted = pa.array(
+            [f"{h}#{s}" for h, s in zip(pending["host"].to_pylist(), salt)],
+            type=pa.string(),
+        )
+        ds = ray.data.from_arrow(pending.append_column("salted_host", salted))
         winners = (
             ds.groupby("salted_host")
             .map_groups(_topb, batch_format="pyarrow")
@@ -280,26 +290,18 @@ def _take_budget(pending: pa.Table, cfg: CrawlConfig) -> tuple[pa.Table, pa.Tabl
         win = pa.concat_tables(
             [ray.get(r) for r in winners], promote_options="default"
         )
+        if win.num_rows:
+            win = win.drop_columns(["salted_host"])
+            rank = _rank_within_host(win)
+            win = win.filter(pa.array(rank < B))
     if win.num_rows == 0:
         return _empty(FRONTIER_SCHEMA), _empty(FRONTIER_SCHEMA)
-    win = win.drop_columns(["salted_host"])
 
-    # second (bounded) take per TRUE host, driver-side over <= hosts*S*B rows
-    win = win.sort_by([("host", "ascending"), ("discovery_seq", "ascending")])
-    hosts2 = win["host"].to_pylist()
-    keep_mask = []
-    count = 0
-    prev = None
-    for h in hosts2:
-        if h != prev:
-            prev, count = h, 0
-        keep_mask.append(count < B)
-        count += 1
-    keep = win.filter(pa.array(keep_mask))
-    taken_keys = set(keep["url_sha1"].to_pylist())
-    defer_mask = pa.array([s not in taken_keys for s in sha])
+    # deferred = pending minus winners (vectorized anti-join on url_sha1)
+    taken_set = pa.array(win["url_sha1"].to_pylist(), type=pa.binary())
+    defer_mask = pc.invert(pc.is_in(pending["url_sha1"], value_set=taken_set))
     deferred = pending.filter(defer_mask)
-    return keep, deferred
+    return win, deferred
 
 
 def _visit_order(taken: pa.Table) -> pa.Table:
@@ -514,7 +516,29 @@ def _crawl_inner(
                     ),
                 }
             )
-            cand = add_url_key_columns(cand)
+            if cand.num_rows > cfg.control_inline_threshold:
+                # huge discovery round: distribute the canonicalize+SHA1
+                # keying (order restored by re-sorting on a position col)
+                posd = cand.append_column(
+                    "_pos", pa.array(range(cand.num_rows), type=pa.int64())
+                )
+                n_parts = max(2, cfg.fetch_concurrency * 2)
+                step = -(-posd.num_rows // n_parts)
+                parts = [
+                    posd.slice(i * step, step)
+                    for i in range(n_parts)
+                    if i * step < posd.num_rows
+                ]
+                keyed = (
+                    ray.data.from_arrow(parts)
+                    .map_batches(add_url_key_columns, batch_format="pyarrow")
+                    .to_arrow_refs()
+                )
+                cand = pa.concat_tables(
+                    [ray.get(r) for r in keyed], promote_options="default"
+                ).sort_by("_pos").drop_columns(["_pos"])
+            else:
+                cand = add_url_key_columns(cand)
             # within-round keep-first dedup by canon url (discovery order)
             import pandas as _pd
 
