@@ -104,3 +104,22 @@ def test_dedup_property_no_repeat_visits(ray_session, site, tmp_path):
     res = crawl(BroadcastPageStore(pages), seeds, str(tmp_path / "crawld"), cfg)
     sha = res.visits["url_sha1"].to_pylist()
     assert len(sha) == len(set(sha)), "a URL was visited twice"
+
+
+def test_politeness_on_distributed_path(ray_session, site, tmp_path):
+    """Budget must hold per TRUE host even when the salted groupby shuffle
+    (distributed control plane) computes the winners."""
+    pages, seeds, page_map = site
+    cfg = CrawlConfig(
+        host_budget_per_round=3, max_rounds=8, seen_shards=2,
+        control_inline_threshold=0, host_salt_buckets=8,
+    )
+    res = crawl(BroadcastPageStore(pages), seeds, str(tmp_path / "crawlsp"), cfg)
+    import pandas as pd
+
+    df = res.visits.to_pandas()
+    per_round_host = df.groupby(["round", "host"]).size()
+    assert (per_round_host <= 3).all(), per_round_host[per_round_host > 3]
+    # and the order still matches the oracle exactly
+    oracle = crawl_oracle(page_map, seeds, host_budget_per_round=3, max_rounds=8)
+    assert [v["url"] for v in res.visits.to_pylist()] == oracle.order()

@@ -63,3 +63,18 @@ def test_snapshot_restore_roundtrip(ray_session, tmp_path):
         assert not seen2.add_if_absent(ks).any()
     finally:
         seen2.shutdown()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(min_size=20, max_size=20), min_size=1, max_size=200))
+def test_cuckoo_property_no_false_negatives(keys_list):
+    cf = CuckooFilter(capacity=4096)
+    ks = np.frombuffer(
+        b"".join(k[:8] for k in keys_list), dtype=">u8"
+    ).astype(np.uint64)
+    cf.add_many(ks)
+    assert cf.contains_many(ks).all()

@@ -163,6 +163,10 @@ class CrawlConfig:
     target_urls: int | None = None   # early stop (comprehensive_scraper.py:334-336)
     seen_shards: int = 4
     seen_mode: str = "exact"         # "exact" | "cuckoo"
+    # cuckoo capacity per shard; size with ~1.25x headroom over the
+    # expected URLs/shard (SURVEY.md §4: 16 shards x ~10^9 for a 10^10
+    # frontier at ~16 bits/key)
+    seen_capacity_per_shard: int = 1_000_000
     host_salt_buckets: int = 8
     fetch_concurrency: int = 4
     fetch_batch_size: int = 256

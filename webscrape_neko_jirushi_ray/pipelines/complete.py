@@ -99,7 +99,10 @@ def run_complete_pipeline(
     # step 5: reorganize into the uniform ML layout
     final = reorganize(docs, valid)
     final_dir = os.path.join(out_dir, "final")
-    final.write_parquet(final_dir)
+    # hive-partition by group dir: the parquet analog of the reference's
+    # cat_0001_<name>/ directory layout (reorganize_dataset.py:85-108),
+    # and the resumable-output unit (skip finished partitions on rerun)
+    final.write_parquet(final_dir, partition_cols=["group_dir"])
 
     # report (complete_pipeline.py:134-202 shape)
     n_docs = docs.count()

@@ -346,7 +346,9 @@ def crawl(
     keying ``seed_urls`` on the driver."""
     os.makedirs(out_dir, exist_ok=True)
     own = seen_set is None
-    seen = seen_set or ShardedSeenSet(cfg.seen_shards, cfg.seen_mode)
+    seen = seen_set or ShardedSeenSet(
+        cfg.seen_shards, cfg.seen_mode, cfg.seen_capacity_per_shard
+    )
     try:
         return _crawl_inner(
             page_store, seed_urls, out_dir, cfg, resume, seen, seed_frontier
