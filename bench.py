@@ -136,7 +136,11 @@ def run_bench() -> dict:
     frontier_tbl = seeds_to_frontier(all_urls)
     # best-of-N to damp co-tenant noise on this box; each repetition is a
     # fresh crawl with its own (pre-spawned) seen-set actors and out dir
-    reps = 2 if os.environ.get("GRAFT_BENCH_MODE") == "fetch" else 1
+    reps = (
+        int(os.environ.get("GRAFT_BENCH_FETCH_REPS", "3"))
+        if os.environ.get("GRAFT_BENCH_MODE") == "fetch"
+        else 1
+    )
     t_fetch = None
     for it in range(reps):
         seen_pool = ShardedSeenSet(fetch_cfg.seen_shards, fetch_cfg.seen_mode)
@@ -249,18 +253,20 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    lo, hi = run(n_lo), run(n_hi)
     tput_lo = lo["urls_per_sec"]
     tput_hi = hi["urls_per_sec"]
-    eff = (tput_hi / tput_lo) / (32 / 8)
+    eff = (tput_hi / tput_lo) / (n_hi / n_lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "urls_per_sec_8": tput_lo,
-        "urls_per_sec_32": tput_hi,
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
+        f"urls_per_sec_{n_lo}": tput_lo,
+        f"urls_per_sec_{n_hi}": tput_hi,
+        f"sec_{n_lo}": lo["value"],
+        f"sec_{n_hi}": hi["value"],
         "sf": SF_DIR,
     }
 

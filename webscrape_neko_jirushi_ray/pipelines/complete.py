@@ -28,7 +28,6 @@ from ..config import CrawlConfig, DEFAULT_SCORER
 from ..stages.cleaning import (
     advanced_cleaning_pipeline,
     aggressive_cleaning_pipeline,
-    per_cat_stats,
     removal_stats,
 )
 from ..stages.extract import explode_images

@@ -41,7 +41,6 @@ range-partitioned offset enumeration (documented in util.attach_dense_index).
 
 from __future__ import annotations
 
-import json
 import os
 import time as _time
 from dataclasses import dataclass, field

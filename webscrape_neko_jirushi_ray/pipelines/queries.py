@@ -27,7 +27,6 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..functions import textkit
 from ..stages import dedup as dedup_stage
 from ..stages import simsearch
 from ..stages.extract import explode_images, extract_docs

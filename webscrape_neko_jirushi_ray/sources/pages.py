@@ -26,7 +26,6 @@ import os
 from collections import defaultdict
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 

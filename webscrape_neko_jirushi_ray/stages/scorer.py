@@ -24,7 +24,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
 
 import ray.data
 
