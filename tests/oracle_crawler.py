@@ -16,6 +16,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from webscrape_neko_jirushi_ray.functions.htmlkit import extract_links
+from webscrape_neko_jirushi_ray.functions.robotskit import (
+    is_allowed,
+    parse_robots,
+    path_of,
+    robots_url_for,
+)
 from webscrape_neko_jirushi_ray.functions.urlkit import canonicalize_url, url_sha1
 
 
@@ -48,10 +54,22 @@ def crawl_oracle(
     host_budget_per_round: int,
     max_rounds: int = 50,
     target_urls: int | None = None,
+    respect_robots: bool = True,
 ) -> OracleResult:
     """``pages``: canonical url -> html string (the page table)."""
     res = OracleResult()
     enqueued: set[bytes] = set()
+    robots_cache: dict[str, list] = {}
+
+    def allowed(url: str, host: str) -> bool:
+        if not respect_robots:
+            return True
+        rules = robots_cache.get(host)
+        if rules is None:
+            body = pages.get(canonicalize_url(robots_url_for(url)))
+            rules = parse_robots(body) if body else []
+            robots_cache[host] = rules
+        return True if not rules else is_allowed(rules, path_of(url))
     # pending rows: (url, sha1, host, depth, seq)
     pending: list[tuple[str, bytes, str, int, int]] = []
     next_seq = 0
@@ -90,6 +108,14 @@ def crawl_oracle(
         if not taken:
             break
         for url, s, host, depth, seq in taken:
+            if not allowed(url, host):
+                res.visits.append(
+                    OracleVisit(
+                        visited_total, url, s, host, depth, seq, rnd, "robots_denied"
+                    )
+                )
+                visited_total += 1
+                continue
             html = pages.get(url)
             status = "ok" if html is not None else "notfound"
             res.visits.append(

@@ -172,6 +172,10 @@ class CrawlConfig:
     fetch_batch_size: int = 256
     extract_batch_size: int = 256
     page_store_buckets: int = 16
+    # Honor robots.txt (fetched + parsed once per host per fetch worker,
+    # the ST1-style cache the north_star names). Denied URLs get
+    # fetch_status='robots_denied' and are never fetched or expanded.
+    respect_robots: bool = True
     # False = "fetch list" mode: visit the frontier but do not enqueue
     # discovered links (a Common-Crawl-style refetch job; the headline
     # throughput benchmark uses it so the measured stage is fetch+extract).

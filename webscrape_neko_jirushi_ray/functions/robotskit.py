@@ -1,0 +1,76 @@
+"""robots.txt parsing + allow/deny decisions.
+
+The reference crawls a single site with no robots handling; the north-star
+engine (BASELINE.json) carries "robots.txt caches in stateful fetch
+actors", so the rebuild implements the standard semantics (public
+robots-exclusion protocol, RFC 9309 shape):
+
+- only ``User-agent: *`` groups are honored (we present no specific agent);
+- ``Disallow:`` / ``Allow:`` rules are path prefixes;
+- decision = longest-matching rule wins; tie → Allow; no match → Allow;
+- empty ``Disallow:`` means allow-all; a missing robots.txt allows all.
+
+Pure functions — the per-host cache lives in the fetch stage
+(pipelines/crawl.py), built once per worker like the session state (ST1).
+"""
+
+from __future__ import annotations
+
+ROBOTS_PATH = "/robots.txt"
+
+
+def robots_url_for(canon_url: str) -> str:
+    """https://host[:port]/robots.txt for the URL's origin."""
+    scheme_host = canon_url.split("/", 3)
+    return f"{scheme_host[0]}//{scheme_host[2]}{ROBOTS_PATH}"
+
+
+def parse_robots(text: str) -> list[tuple[bool, str]]:
+    """robots.txt body → [(allow, path_prefix)] for the ``*`` agent.
+
+    Deterministic: rules in file order; group state machine per RFC 9309
+    (a group's user-agent lines precede its rules; rules bind to every
+    agent named above them since the last rule)."""
+    rules: list[tuple[bool, str]] = []
+    applies = False
+    in_agent_block = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_block:
+                applies = False
+            in_agent_block = True
+            if value == "*":
+                applies = True
+        else:
+            in_agent_block = False
+            if not applies:
+                continue
+            if field == "disallow":
+                if value:  # empty disallow = allow all (no rule)
+                    rules.append((False, value))
+            elif field == "allow" and value:
+                rules.append((True, value))
+    return rules
+
+
+def is_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Longest-prefix-match decision; tie → allow; no match → allow."""
+    best_len = -1
+    best_allow = True
+    for allow, prefix in rules:
+        if path.startswith(prefix) and len(prefix) >= best_len:
+            if len(prefix) > best_len or allow:
+                best_len = len(prefix)
+                best_allow = allow
+    return best_allow
+
+
+def path_of(canon_url: str) -> str:
+    parts = canon_url.split("/", 3)
+    return "/" + parts[3] if len(parts) > 3 else "/"

@@ -114,16 +114,17 @@ def seeds_to_frontier(seed_urls: list[str]) -> pa.Table:
 _FETCHER_CACHE: dict[str, object] = {}
 
 
-def make_fetch_extract_fn(store, docs_dir: str | None = None):
+def make_fetch_extract_fn(store, docs_dir: str | None = None,
+                          respect_robots: bool = True):
     """Returns a map_batches fn that lazily builds (once per worker) and
     reuses the store's fetcher. The cache key must be stable across task
     deserializations (id() is not), so stores expose ``cache_key()``."""
-    key = store.cache_key()
+    key = (store.cache_key(), respect_robots)
 
     def _fn(batch: pa.Table) -> pa.Table:
         actor = _FETCHER_CACHE.get(key)
         if actor is None:
-            actor = FetchExtractActor(store)
+            actor = FetchExtractActor(store, respect_robots=respect_robots)
             _FETCHER_CACHE[key] = actor
         return actor(batch, docs_dir=docs_dir)
 
@@ -142,21 +143,83 @@ class FetchExtractActor:
     partition-replacing (shard name = content-derived, rewrites on retry
     are idempotent) — and only the frontier control columns + links +
     fetch_status return to the driver. That keeps the driver's per-round
-    working set proportional to the frontier, never to the page payloads."""
+    working set proportional to the frontier, never to the page payloads.
 
-    def __init__(self, store):
+    Robots: per-host robots.txt is fetched through the same page store and
+    parsed ONCE per worker (the ST1 robots-cache the north_star names);
+    denied rows get fetch_status='robots_denied' and never hit the store."""
+
+    def __init__(self, store, respect_robots: bool = True):
         self.fetcher = store.make_fetcher()
+        self.respect_robots = respect_robots
+        self.robots_cache: dict[str, list] = {}
+
+    def _robots_rules(self, host: str, sample_url: str) -> list:
+        rules = self.robots_cache.get(host)
+        if rules is None:
+            from ..functions.robotskit import parse_robots, robots_url_for
+            from ..functions.urlkit import canonicalize_url, url_sha1 as _sha
+
+            rurl = canonicalize_url(robots_url_for(sample_url))
+            if hasattr(self.fetcher, "fetch_by_sha1"):
+                page = self.fetcher.fetch_by_sha1([rurl], [_sha(rurl)])
+            else:
+                page = self.fetcher.fetch([rurl])
+            body = page["html"][0].as_py()
+            if page["fetch_status"][0].as_py() == "ok" and body:
+                rules = parse_robots(body.decode("utf-8", errors="replace"))
+            else:
+                rules = []  # no robots.txt -> allow all
+            self.robots_cache[host] = rules
+        return rules
+
+    def _robots_mask(self, batch: pa.Table):
+        """Boolean list: True = allowed to fetch."""
+        from ..functions.robotskit import is_allowed, path_of
+
+        hosts = batch["host"].to_pylist()
+        urls = batch["url"].to_pylist()
+        allowed = []
+        for h, u in zip(hosts, urls):
+            rules = self._robots_rules(h, u)
+            allowed.append(True if not rules else is_allowed(rules, path_of(u)))
+        return allowed
 
     def __call__(self, batch: pa.Table, docs_dir: str | None = None) -> pa.Table:
         urls = batch["url"].to_pylist()
-        if hasattr(self.fetcher, "fetch_by_sha1"):
-            pages = self.fetcher.fetch_by_sha1(urls, batch["url_sha1"].to_pylist())
+        if self.respect_robots:
+            allowed = self._robots_mask(batch)
         else:
-            pages = self.fetcher.fetch(urls)
-        status = pages["fetch_status"]
-        ok_mask = pc.equal(status, "ok")
-        ok_pages = pages.filter(ok_mask)
-        docs = extract_batch(ok_pages) if ok_pages.num_rows else None
+            allowed = [True] * len(urls)
+        fetch_rows = batch.filter(pa.array(allowed))
+        if fetch_rows.num_rows:
+            if hasattr(self.fetcher, "fetch_by_sha1"):
+                pages = self.fetcher.fetch_by_sha1(
+                    fetch_rows["url"].to_pylist(),
+                    fetch_rows["url_sha1"].to_pylist(),
+                )
+            else:
+                pages = self.fetcher.fetch(fetch_rows["url"].to_pylist())
+        else:
+            pages = None
+        # stitch statuses back in original row order
+        fetched_status = pages["fetch_status"].to_pylist() if pages is not None else []
+        status_list = []
+        it = iter(fetched_status)
+        for a in allowed:
+            status_list.append(next(it) if a else "robots_denied")
+        status = pa.array(status_list, type=pa.string())
+        ok_mask = pc.equal(status, "ok")  # over the FULL batch
+        ok_pages = (
+            pages.filter(pc.equal(pages["fetch_status"], "ok"))
+            if pages is not None
+            else None
+        )
+        docs = (
+            extract_batch(ok_pages)
+            if ok_pages is not None and ok_pages.num_rows
+            else None
+        )
 
         if docs is not None and docs_dir is not None:
             shard = hashlib_sha1_hex(batch["url_sha1"][0].as_py())[:16]
@@ -419,7 +482,9 @@ def _crawl_inner(
         # TASKS; only control columns (frontier + links + status) return
         if ordered.num_rows <= cfg.small_round_threshold:
             # same kernel, inline (one task's worth of work)
-            fetched = FetchExtractActor(page_store)(ordered, docs_dir=docs_dir)
+            fetched = FetchExtractActor(
+                page_store, respect_robots=cfg.respect_robots
+            )(ordered, docs_dir=docs_dir)
         else:
             # fetch order is irrelevant (visit order is restored below), so
             # co-locate each batch with its page-store bucket: sorting by
@@ -454,7 +519,10 @@ def _crawl_inner(
             # stateless tasks + per-worker fetcher memo: warm workers are
             # reused across rounds (an actor pool cold-starts every round)
             fetched_ds = work_ds.map_batches(
-                make_fetch_extract_fn(page_store, docs_dir=docs_dir),
+                make_fetch_extract_fn(
+                    page_store, docs_dir=docs_dir,
+                    respect_robots=cfg.respect_robots,
+                ),
                 batch_format="pyarrow",
                 batch_size=per_batch,
             )

@@ -140,12 +140,18 @@ def synth_pages(
     missing_frac: float = 0.05,
     minor_host_pages: int = 6,
     texts: list[str] | None = None,
+    robots_denied_every: int = 0,
 ) -> tuple[pa.Table, list[str]]:
     """Build the pages table and the seed-URL list.
 
     Returns ``(pages, seeds)`` where pages has the input_hint schema and
     seeds = the first listing page per host (dominant host first).
     Deterministic in all arguments.
+
+    ``robots_denied_every``: if > 0, the dominant host publishes a
+    robots.txt disallowing every Nth detail page (the pages still exist in
+    the table — a compliant crawler must mark them robots_denied and never
+    expand their links).
     """
     rng = random.Random(seed)
     first_id = 226_000
@@ -167,6 +173,17 @@ def synth_pages(
         texts_out.append(extract_text(html))
         langs.append(lang)
         tss.append(BASE_TS + _dt.timedelta(seconds=ts_off))
+
+    # robots.txt on the dominant host (plain-text page; the crawler's
+    # fetch stage resolves it through the same page store)
+    if robots_denied_every:
+        denied_ids = [
+            i for k, i in enumerate(all_ids) if k % robots_denied_every == 0
+        ]
+        robots_body = "User-agent: *\nDisallow: /private/\n" + "".join(
+            f"Disallow: /foster/{i}/\n" for i in denied_ids
+        )
+        add(f"{DOMINANT_HOST}/robots.txt", robots_body, "en", 0)
 
     # listing pages on the dominant host
     for p in range(1, num_listing_pages + 1):
