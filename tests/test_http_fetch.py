@@ -1,0 +1,110 @@
+"""Live-HTTP fetch path against a localhost http.server: the real-crawl
+realization of the fetcher interface (S2/ST1/ST4 with actual sockets),
+including retry-on-transient-failure and robots over HTTP."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from webscrape_neko_jirushi_ray.config import CrawlConfig
+from webscrape_neko_jirushi_ray.functions.urlkit import canonicalize_url
+from webscrape_neko_jirushi_ray.pipelines.crawl import crawl
+from webscrape_neko_jirushi_ray.sources.http import HttpPageStore
+from webscrape_neko_jirushi_ray.synth import synth_pages
+
+from .oracle_crawler import crawl_oracle
+
+
+@pytest.fixture(scope="module")
+def http_site():
+    pages, seeds = synth_pages(
+        num_listing_pages=2, seed=33, robots_denied_every=6
+    )
+    by_path = {}
+    for r in pages.to_pylist():
+        path = "/" + r["url"].split("/", 3)[3]
+        by_path[path] = r["html"]
+    flaky_state = {"/flaky": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/flaky":
+                flaky_state["/flaky"] += 1
+                if flaky_state["/flaky"] < 3:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                body = b"<html><body>finally ok</body></html>"
+            elif self.path in by_path:
+                body = by_path[self.path]
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    yield pages, seeds, base, flaky_state
+    srv.shutdown()
+
+
+def _rebase(url: str, base: str) -> str:
+    return base + "/" + url.split("/", 3)[3]
+
+
+def test_http_fetcher_direct(http_site):
+    pages, _, base, flaky = http_site
+    store = HttpPageStore(rate_per_host=1000.0, backoff_s=0.0, timeout_s=5.0)
+    f = store.make_fetcher()
+    some = [_rebase(r["url"], base) for r in pages.slice(0, 5).to_pylist()]
+    out = f.fetch(some + [base + "/nope"])
+    st = out["fetch_status"].to_pylist()
+    assert st[:5] == ["ok"] * 5
+    assert st[5] == "notfound"
+    assert out["html"][0].as_py() == pages["html"][0].as_py()  # byte-identical
+
+
+def test_http_retry_on_transient_failure(http_site):
+    _, _, base, flaky = http_site
+    flaky["/flaky"] = 0
+    store = HttpPageStore(rate_per_host=1000.0, backoff_s=0.0, max_retries=3)
+    out = store.make_fetcher().fetch([base + "/flaky"])
+    assert out["fetch_status"][0].as_py() == "ok"  # 2x503 then 200
+    assert flaky["/flaky"] == 3
+
+
+def test_live_crawl_matches_oracle(ray_session, http_site, tmp_path):
+    """Full crawl over real sockets equals the sequential oracle on the
+    same logical site (URLs rebased to the local server; robots active)."""
+    pages, seeds, base, _ = http_site
+    live_seeds = [_rebase(u, base) for u in seeds if "neko-jirushi" in u]
+    cfg = CrawlConfig(host_budget_per_round=30, max_rounds=15, seen_shards=2)
+    store = HttpPageStore(rate_per_host=10_000.0, backoff_s=0.0, timeout_s=5.0)
+    res = crawl(store, live_seeds, str(tmp_path / "live"), cfg)
+
+    # oracle over the same logical site, rebased page map
+    page_map = {}
+    for r in pages.to_pylist():
+        page_map[canonicalize_url(_rebase(r["url"], base))] = (
+            r["html"].decode("utf-8").replace("https://www.neko-jirushi.com", base)
+        )
+    # links inside pages are root-relative (/foster/...), so no rebasing of
+    # bodies is actually needed for same-host traversal; minor-host links
+    # are absolute and point off-site (fetched as notfound or skipped)
+    oracle = crawl_oracle(page_map, live_seeds, host_budget_per_round=30, max_rounds=15)
+    got = [(v["url"], v["fetch_status"]) for v in res.visits.to_pylist()
+           if v["url"].startswith(base)]
+    want = [(w.url, w.fetch_status) for w in oracle.visits if w.url.startswith(base)]
+    assert got == want
+    statuses = {s for _, s in got}
+    assert "robots_denied" in statuses and "ok" in statuses

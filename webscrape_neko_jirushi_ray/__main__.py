@@ -1,0 +1,188 @@
+"""CLI entry points (the reference's per-script argparse surface, §2.10).
+
+    python -m webscrape_neko_jirushi_ray crawl   --store DIR --seeds FILE --out DIR
+    python -m webscrape_neko_jirushi_ray crawl   --http --seeds FILE --out DIR
+    python -m webscrape_neko_jirushi_ray complete --demo --out DIR
+    python -m webscrape_neko_jirushi_ray clean   --images DIR --out DIR [--aggressive]
+    python -m webscrape_neko_jirushi_ray score   --images DIR --out DIR
+
+``--config FILE`` overrides CrawlConfig fields from JSON, mirroring
+complete_pipeline.py:233-258's config-file override. These scripts own a
+Ray session (guarded init) — the library itself never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _ray_session(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _load_cfg(path: str | None):
+    from .config import CrawlConfig
+
+    if not path:
+        return CrawlConfig()
+    with open(path, encoding="utf-8") as f:
+        overrides = json.load(f)
+    valid = {f.name for f in dataclasses.fields(CrawlConfig)}
+    unknown = set(overrides) - valid
+    if unknown:
+        raise SystemExit(f"unknown CrawlConfig fields in {path}: {sorted(unknown)}")
+    return CrawlConfig(**overrides)
+
+
+def cmd_crawl(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.crawl import crawl
+    from .sources.http import HttpPageStore
+    from .sources.pages import PartitionedPageStore
+
+    seeds = [
+        line.strip()
+        for line in open(args.seeds, encoding="utf-8")
+        if line.strip() and not line.startswith("#")
+    ]
+    if args.http:
+        store = HttpPageStore(rate_per_host=args.rate)
+    else:
+        store = PartitionedPageStore(args.store)
+    cfg = _load_cfg(args.config)
+    res = crawl(store, seeds, args.out, cfg, resume=args.resume)
+    ok = sum(1 for s in res.visits["fetch_status"].to_pylist() if s == "ok")
+    print(
+        json.dumps(
+            {
+                "rounds": res.rounds,
+                "visited": res.visits.num_rows,
+                "fetched_ok": ok,
+                "out": args.out,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_complete(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.complete import run_complete_pipeline
+    from .sources.pages import BroadcastPageStore
+    from .synth import synth_pages
+
+    if not args.demo:
+        raise SystemExit("only --demo (synthesized site) is supported offline")
+    pages, seeds = synth_pages(num_listing_pages=args.listing_pages, seed=args.seed)
+    report = run_complete_pipeline(
+        BroadcastPageStore(pages), seeds, args.out, _load_cfg(args.config)
+    )
+    print(json.dumps({k: report[k] for k in (
+        "pages_visited", "docs_extracted", "images_harvested",
+        "after_advanced", "after_aggressive", "after_scoring", "final_dir",
+    )}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_clean(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.cleaning import (
+        advanced_cleaning_pipeline,
+        aggressive_cleaning_pipeline,
+        removal_stats,
+    )
+
+    images = rd.read_parquet(args.images)
+    pipeline = (
+        aggressive_cleaning_pipeline if args.aggressive else advanced_cleaning_pipeline
+    )
+    kept, quarantined = pipeline(images)
+    kept.write_parquet(f"{args.out}/kept")
+    quarantined.write_parquet(f"{args.out}/quarantined")
+    print(json.dumps({
+        "kept": kept.count(),
+        "reasons": removal_stats(quarantined).to_pydict(),
+    }))
+    ray.shutdown()
+    return 0
+
+
+def cmd_score(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.scorer import detection_summary, score_images, split_by_detection
+
+    images = rd.read_parquet(args.images)
+    scored = score_images(images, concurrency=args.concurrency)
+    valid, removed = split_by_detection(scored)
+    valid.write_parquet(f"{args.out}/valid")
+    removed.write_parquet(f"{args.out}/removed")
+    print(json.dumps(detection_summary(scored)))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="webscrape_neko_jirushi_ray")
+    p.add_argument("--num-cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the URL-frontier crawl")
+    c.add_argument("--seeds", required=True, help="file with one seed URL per line")
+    c.add_argument("--out", required=True)
+    c.add_argument("--store", help="partitioned page-store root (offline crawl)")
+    c.add_argument("--http", action="store_true", help="live HTTP fetch")
+    c.add_argument("--rate", type=float, default=0.5, help="req/s per host (http)")
+    c.add_argument("--config", help="JSON CrawlConfig overrides")
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    comp = sub.add_parser("complete", help="full pipeline on the demo site")
+    comp.add_argument("--demo", action="store_true")
+    comp.add_argument("--out", required=True)
+    comp.add_argument("--listing-pages", type=int, default=3)
+    comp.add_argument("--seed", type=int, default=42)
+    comp.add_argument("--config", help="JSON CrawlConfig overrides")
+    comp.set_defaults(fn=cmd_complete)
+
+    cl = sub.add_parser("clean", help="image cleaning chain")
+    cl.add_argument("--images", required=True, help="images parquet path/dir")
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--aggressive", action="store_true")
+    cl.set_defaults(fn=cmd_clean)
+
+    sc = sub.add_parser("score", help="pseudo-YOLO scoring")
+    sc.add_argument("--images", required=True)
+    sc.add_argument("--out", required=True)
+    sc.add_argument("--concurrency", type=int, default=2)
+    sc.set_defaults(fn=cmd_score)
+
+    args = p.parse_args(argv)
+    if args.cmd == "crawl" and not (args.http or args.store):
+        p.error("crawl needs --store DIR or --http")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,27 @@ def synth_image_bytes_for(img_url: str) -> bytes:
     226-247): bytes are a pure function of the URL, so the whole pipeline
     is reproducible."""
     h = hashlib.sha256(img_url.encode()).digest()
+    case = h[6] % 12
+    if case == 0:    # suspicious exact byte size (F3 blacklist)
+        return imagekit.encode_fake_image(
+            300, 300, target_size=6490, payload_seed=img_url.encode()
+        )
+    if case == 1:    # tiny dimensions (F4)
+        return imagekit.encode_fake_image(
+            60, 60, target_size=12_000, payload_seed=img_url.encode()
+        )
+    if case == 2:    # mostly-transparent RGBA (F5)
+        return imagekit.encode_fake_image(
+            600, 600, mode="RGBA", alpha_max=8, target_size=15_000,
+            payload_seed=img_url.encode(),
+        )
+    if case == 3:    # uniform color (F6)
+        return imagekit.encode_fake_image(
+            500, 500, top_color_frac=0.95, target_size=15_000,
+            payload_seed=img_url.encode(),
+        )
+    if case == 4:    # corrupt blob (F1)
+        return b"CORRUPT" + h
     width = 200 + h[0] * 8          # 200..2240
     height = 200 + h[1] * 8
     size = 8_000 + int.from_bytes(h[2:4], "little") % 120_000

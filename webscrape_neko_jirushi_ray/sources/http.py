@@ -1,0 +1,131 @@
+"""Real HTTP fetch path (stdlib urllib — no external deps).
+
+The reference fetches with requests.Session + retry/backoff
+(comprehensive_scraper.py:32-42,126-137: 3 attempts, backoff between
+tries, sticky headers from config.py:38-45). This module is the live-HTTP
+realization of the same fetcher interface the page stores expose, so the
+crawl pipeline can run against a real site by swapping the store:
+
+    crawl(HttpPageStore(rate=0.5), seeds, out_dir, cfg)
+
+Politeness: a per-host token bucket (state/ratelimit.py) gates every
+request inside the fetch worker; the deterministic budget in the crawl
+loop still bounds per-round fan-out. Failures return fetch_status
+('timeout' | 'error' | 'notfound') instead of raising — the reference's
+failed-set semantics.
+
+No network exists in the build sandbox; tests exercise this against a
+localhost http.server (tests/test_http_fetch.py).
+"""
+
+from __future__ import annotations
+
+import time
+import urllib.error
+import urllib.request
+
+import pyarrow as pa
+
+from ..state.ratelimit import HostRateLimiter
+
+DEFAULT_HEADERS = {
+    # a plain, honest UA (the reference spoofs a browser UA; we don't)
+    "User-Agent": "webscrape-neko-jirushi-ray/0.1 (+research crawler)",
+    "Accept": "text/html,application/xhtml+xml,*/*;q=0.8",
+    "Accept-Language": "ja,en;q=0.7",
+}
+
+
+class HttpPageStore:
+    """Store-compatible facade over live HTTP."""
+
+    def __init__(
+        self,
+        rate_per_host: float = 0.5,
+        burst: float = 2.0,
+        timeout_s: float = 30.0,
+        max_retries: int = 3,
+        backoff_s: float = 2.0,
+        headers: dict | None = None,
+        sleep=time.sleep,
+        clock=time.monotonic,
+    ):
+        self.rate_per_host = rate_per_host
+        self.burst = burst
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.headers = dict(headers or DEFAULT_HEADERS)
+        self._sleep = sleep
+        self._clock = clock
+
+    def cache_key(self) -> str:
+        return f"http:{self.rate_per_host}:{self.timeout_s}"
+
+    def make_fetcher(self) -> "HttpFetcher":
+        return HttpFetcher(self)
+
+
+class HttpFetcher:
+    """One per fetch worker: opener + rate limiter state (ST1+ST4)."""
+
+    def __init__(self, store: HttpPageStore):
+        self.store = store
+        self.limiter = HostRateLimiter(rate=store.rate_per_host, burst=store.burst)
+        self.opener = urllib.request.build_opener()
+        self.opener.addheaders = list(store.headers.items())
+        self._sleep = store._sleep
+        self._clock = store._clock
+
+    def _get_once(self, url: str) -> tuple[str, bytes | None]:
+        try:
+            with self.opener.open(url, timeout=self.store.timeout_s) as resp:
+                return "ok", resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return "notfound", None
+            return f"error:{e.code}", None
+        except urllib.error.URLError as e:
+            if isinstance(getattr(e, "reason", None), TimeoutError):
+                return "timeout", None
+            return "error", None
+        except TimeoutError:
+            return "timeout", None
+
+    def _get(self, url: str, host: str) -> tuple[str, bytes | None]:
+        """Rate-limited GET with the reference's retry-with-backoff shape
+        (comprehensive_scraper.py:126-137: retry transient failures up to
+        max_retries with a pause; 404 is terminal)."""
+        status, body = "error", None
+        for attempt in range(self.store.max_retries):
+            wait = self.limiter.wait_time(host, self._clock())
+            if wait > 0:
+                self._sleep(wait)
+            status, body = self._get_once(url)
+            if status == "ok" or status == "notfound":
+                break
+            if attempt + 1 < self.store.max_retries:
+                self._sleep(self.store.backoff_s)
+        return status, body
+
+    def fetch(self, urls: list[str]) -> pa.Table:
+        out_html, out_ts, status = [], [], []
+        import datetime as _dt
+
+        for u in urls:
+            host = u.split("/", 3)[2] if "//" in u else ""
+            s, body = self._get(u, host)
+            status.append(s)
+            out_html.append(body)
+            # live fetches do get a wall-clock capture time (this path is
+            # inherently nondeterministic; golden fixtures use the stores)
+            out_ts.append(_dt.datetime.utcnow())
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(out_ts, type=pa.timestamp("us")),
+                "html": pa.array(out_html, type=pa.binary()),
+                "lang": pa.array([""] * len(urls), type=pa.string()),
+                "fetch_status": pa.array(status, type=pa.string()),
+            }
+        )
