@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_type_extensions": q.content_type_extensions,
         "zero_pad_part_labels": q.zero_pad_part_labels,
         "head_sample_orders": q.head_sample_orders,
+        "incremental_hourly_window": q.incremental_hourly_window,
+        "knn_ivf_top10": q.knn_ivf_top10,
         # image-pipeline coverage (rows-only; pinned by tests)
         "cleaning_advanced_counts": q.cleaning_advanced_counts,
         "scorer_summary_stats": q.scorer_summary_stats,
@@ -306,6 +308,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "head_sample_orders": """
             SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10
+        """,
+        "incremental_hourly_window": """
+            SELECT event_type,
+                   CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
+                   COUNT(*)                                    AS n,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micros
+            FROM events
+            GROUP BY event_type, hour
+            ORDER BY event_type, hour
         """,
         # minhash/simhash/ngram/embedding dedup, langid, knn_lsh, the
         # crawl-engine queries and the image-pipeline stats are

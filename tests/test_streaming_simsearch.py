@@ -1,0 +1,102 @@
+"""Incremental streaming windows (actor state) and the IVF ANN variant."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from webscrape_neko_jirushi_ray.stages.simsearch import (
+    IVFIndex,
+    knn_brute_force,
+    knn_ivf,
+)
+from webscrape_neko_jirushi_ray.stages.streaming import incremental_windows
+
+
+def test_incremental_windows_match_batch_groupby(ray_session):
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_type", "ts", "value"],
+    )
+    out = incremental_windows(
+        ds, key_col="event_type", ts_col="ts", value_col="value",
+        window_s=3600, num_buckets=3,
+    ).to_pandas()
+
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_type", "ts", "value"],
+    )
+    df["window_start_us"] = (
+        df["ts"].astype("int64") // 3_600_000_000
+    ) * 3_600_000_000
+    want = (
+        df.groupby(["event_type", "window_start_us"])
+        .agg(n=("value", "size"), value_sum=("value", "sum"))
+        .reset_index()
+        .rename(columns={"event_type": "key"})
+        .sort_values(["key", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    got = out[["key", "window_start_us", "n", "value_sum"]].reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["key"].values == want["key"].values).all()
+    assert (got["n"].values == want["n"].values).all()
+    assert np.allclose(got["value_sum"].values, want["value_sum"].values)
+    # ts-sorted input within the lateness bound: nothing dropped
+    assert (out["late_dropped_total"] == 0).all()
+
+
+def test_incremental_windows_deterministic(ray_session):
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts", "value"],
+    )
+    a = incremental_windows(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        window_s=7200, num_buckets=4,
+    )
+    b = incremental_windows(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+        window_s=7200, num_buckets=4,
+    )
+    assert a.equals(b)
+
+
+def test_ivf_recall_and_determinism(ray_session):
+    rng = np.random.default_rng(11)
+    # clustered data so IVF has structure to exploit
+    centers = rng.standard_normal((8, 32)) * 4
+    vecs = np.vstack(
+        [c + rng.standard_normal((64, 32)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    q = vecs[:3].astype(np.float64)
+
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    approx = knn_ivf(ds, q, k=10, n_lists=8, nprobe=3).to_pandas()
+    approx2 = knn_ivf(ds, q, k=10, n_lists=8, nprobe=3).to_pandas()
+    assert approx.equals(approx2)  # deterministic
+
+    # recall@10 over the 3 queries should be high on clustered data
+    recall = 0.0
+    for qi in range(3):
+        e = set(exact[exact.query_idx == qi]["vec_id"])
+        a = set(approx[approx.query_idx == qi]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 3 >= 0.8, recall / 3
+
+    # train() centroids unit-norm
+    idx = IVFIndex(n_lists=8).train(vecs)
+    assert np.allclose(np.linalg.norm(idx.centroids, axis=1), 1.0)

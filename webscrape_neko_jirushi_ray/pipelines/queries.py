@@ -665,3 +665,47 @@ def scorer_summary_stats(sf_dir: str) -> pd.DataFrame:
     images = synth_images(num_cats=30, images_per_cat=6, seed=42)
     s = detection_summary(score_images(rd.from_arrow(images), concurrency=2))
     return pd.DataFrame([s])
+
+
+def incremental_hourly_window(sf_dir: str) -> pd.DataFrame:
+    """§2.9 incremental form: the same tumbling-window aggregate as
+    events_hourly_window, computed through per-bucket STATE ACTORS fed a
+    ts-ordered stream (stages/streaming.py) instead of a groupby shuffle.
+    Values scaled to exact integer micros so the SQL oracle matches."""
+    from ..stages.streaming import incremental_windows
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "ts": t["ts"],
+                "value_u": pc.cast(
+                    _to_scaled_int(t["value"], 1_000_000), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = incremental_windows(
+        ds, key_col="event_type", ts_col="ts", value_col="value_u",
+        window_s=3600, num_buckets=4,
+    ).to_pandas()
+    out["hour"] = (out["window_start_us"] // 3_600_000_000).astype("int64")
+    out["total_value_micros"] = out["value_sum"].round().astype("int64")
+    out = out.rename(columns={"key": "event_type"})[
+        ["event_type", "hour", "n", "total_value_micros"]
+    ]
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-10 (no SQL oracle; recall pinned by
+    tests on clustered data)."""
+    from ..stages.simsearch import knn_ivf
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.stack(emb.loc[emb.vec_id == 0, "embedding"].to_numpy())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, qvec, k=10, n_lists=8, nprobe=4).to_pandas()
+    return out[["rank", "vec_id"]].sort_values("rank").reset_index(drop=True)

@@ -159,3 +159,80 @@ def knn_lsh(
 
     probe = bucketed.map_batches(_probe, batch_format="pyarrow")
     return knn_brute_force(probe, query_vecs, k)
+
+
+class IVFIndex:
+    """IVF coarse quantizer: seeded k-means (few Lloyd iterations, numpy)
+    over a sample; vectors assign to their nearest centroid's list. Queries
+    probe the ``nprobe`` nearest centroids — the classic recall/cost dial.
+    Deterministic (fixed seed, fixed iteration count)."""
+
+    def __init__(self, n_lists: int = 16, n_iter: int = 8, seed: int = 0xA11CE):
+        self.n_lists = n_lists
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def train(self, sample: np.ndarray) -> "IVFIndex":
+        x = _normalize(np.asarray(sample, dtype=np.float64))
+        rng = np.random.default_rng(self.seed)
+        k = min(self.n_lists, len(x))
+        cent = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(self.n_iter):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 1e-12:
+                        cent[c] = v / n
+        self.centroids = cent
+        return self
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(mat) @ self.centroids.T, axis=1)
+
+
+def knn_ivf(
+    embeddings: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    k: int = 10,
+    *,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+) -> pa.Table:
+    """IVF-bucketed approximate top-k: train the coarse quantizer on a
+    driver-side sample (centroids broadcast via closure capture — tiny),
+    add a ``ivf_list`` column in a map stage, then brute-force only rows
+    whose list is among each query's ``nprobe`` nearest centroids."""
+    sample = np.stack(
+        embeddings.limit(train_sample).to_pandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    index = IVFIndex(n_lists=n_lists).train(sample)
+    cents = index.centroids
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        lists = np.argmax(_normalize(mat) @ cents.T, axis=1)
+        return batch.append_column("ivf_list", pa.array(lists, type=pa.int32()))
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probe_lists = set(
+        int(l)
+        for qi in range(len(q))
+        for l in np.argsort(-(q[qi] @ cents.T))[:nprobe]
+    )
+    probe_arr = pa.array(sorted(probe_lists), type=pa.int32())
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch["ivf_list"], value_set=probe_arr))
+
+    probed = (
+        embeddings.map_batches(_assign, batch_format="pyarrow", batch_size=4096)
+        .map_batches(_probe, batch_format="pyarrow")
+    )
+    return knn_brute_force(probed, query_vecs, k)
