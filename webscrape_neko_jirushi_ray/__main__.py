@@ -143,6 +143,32 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """data_manager.py analog (A5): dataset totals for a final layout dir."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(args.data)
+    cols = set(ds.schema().names)
+    agg = [Count(alias_name="total_images")]
+    if "size" in cols:
+        agg.append(Sum("size", alias_name="total_bytes"))
+    totals = ds.aggregate(*agg)
+    out = {"total_images": int(totals["total_images"])}
+    if "total_bytes" in totals and totals["total_bytes"] is not None:
+        out["total_mb"] = round(totals["total_bytes"] / (1024 * 1024), 2)
+    if "cat_id" in cols:
+        per_cat = ds.groupby("cat_id").count().to_pandas()
+        out["total_cats"] = int(len(per_cat))
+        out["avg_images_per_cat"] = round(
+            out["total_images"] / max(1, len(per_cat)), 2
+        )
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="webscrape_neko_jirushi_ray")
     p.add_argument("--num-cpus", type=int, default=8)
@@ -177,6 +203,10 @@ def main(argv=None) -> int:
     sc.add_argument("--out", required=True)
     sc.add_argument("--concurrency", type=int, default=2)
     sc.set_defaults(fn=cmd_score)
+
+    stt = sub.add_parser("stats", help="dataset totals (data_manager analog)")
+    stt.add_argument("--data", required=True, help="parquet dir (e.g. final layout)")
+    stt.set_defaults(fn=cmd_stats)
 
     args = p.parse_args(argv)
     if args.cmd == "crawl" and not (args.http or args.store):
