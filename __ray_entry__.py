@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_sample_orders": q.head_sample_orders,
         "incremental_hourly_window": q.incremental_hourly_window,
         "knn_ivf_top10": q.knn_ivf_top10,
+        "textprep_corpus": q.textprep_corpus,
         # image-pipeline coverage (rows-only; pinned by tests)
         "cleaning_advanced_counts": q.cleaning_advanced_counts,
         "scorer_summary_stats": q.scorer_summary_stats,

@@ -128,3 +128,56 @@ def test_textkit_kernels():
     assert textkit.rolling_fingerprint("Hello  World") == textkit.rolling_fingerprint(
         "hello world"
     )
+
+
+def test_textprep_pipeline_monotone_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from webscrape_neko_jirushi_ray.pipelines.textprep import prepare_text_corpus
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    kept, report = prepare_text_corpus(ds, min_words=5, min_quality=0.5)
+    assert (
+        report["input"]
+        >= report["after_quality"]
+        >= report["after_exact_dedup"]
+        >= report["after_near_dedup"]
+    )
+    assert report["total_tokens"] > 0
+    kept2, report2 = prepare_text_corpus(ds, min_words=5, min_quality=0.5)
+    assert report == report2
+    a = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    b = sorted(r["doc_id"] for r in kept2.select_columns(["doc_id"]).take_all())
+    assert a == b
+
+
+def test_embedding_dedup_lsh_finds_planted_dups(ray_session):
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((40, 24)).astype(np.float32)
+    # plant 5 near-identical copies of the first 5 vectors
+    dups = base[:5] + 1e-4 * rng.standard_normal((5, 24)).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    kept = sorted(
+        r["vec_id"]
+        for r in D.embedding_dedup_lsh(
+            ds, dim=24, threshold=0.999, n_bits=10, multiprobe=1
+        ).take_all()
+    )
+    assert len(kept) == 40
+    assert all(v < 40 for v in kept)  # the planted copies (40..44) dropped
+    # matches the brute-force path exactly on this corpus
+    kept_bf = sorted(
+        r["vec_id"] for r in D.embedding_dedup(ds, threshold=0.999).take_all()
+    )
+    assert kept == kept_bf

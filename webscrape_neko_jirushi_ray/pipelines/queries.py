@@ -709,3 +709,16 @@ def knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_ivf(ds, qvec, k=10, n_lists=8, nprobe=4).to_pandas()
     return out[["rank", "vec_id"]].sort_values("rank").reset_index(drop=True)
+
+
+def textprep_corpus(sf_dir: str) -> pd.DataFrame:
+    """Composed training-data prep pipeline (langid -> quality -> exact
+    dedup -> minhash near-dedup -> token counts); returns kept doc_ids +
+    per-doc token counts (rows-only; stage semantics oracled/tested
+    individually)."""
+    from .textprep import prepare_text_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept, report = prepare_text_corpus(ds, min_words=5, min_quality=0.5)
+    out = kept.select_columns(["doc_id", "n_tokens"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -311,3 +311,94 @@ def embedding_dedup(
         return batch.filter(mask)
 
     return embeddings.map_batches(_drop, batch_format="pyarrow", batch_size=4096)
+
+
+def embedding_dedup_lsh(
+    embeddings: "ray.data.Dataset",
+    *,
+    dim: int,
+    threshold: float = 0.995,
+    n_bits: int = 10,
+    multiprobe: int = 1,
+) -> "ray.data.Dataset":
+    """Scale path for embedding near-dup: hyperplane-LSH signatures bucket
+    the corpus (a groupby shuffle, never a broadcast matrix); candidate
+    pairs form within a bucket and its ``multiprobe`` bit-flip neighbors;
+    exact cosine verifies. Near-identical vectors (cos >= ~0.99) disagree
+    on a hyperplane with probability ~acos(cos)/pi per bit, so recall at
+    dedup-grade thresholds is high and tunable via n_bits/multiprobe."""
+    import numpy as np
+
+    from .simsearch import HyperplaneLSH, _normalize
+
+    lsh = HyperplaneLSH(dim, n_bits)
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        mat = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        sigs = lsh.signature(mat)
+        rows_id, rows_bucket = [], []
+        for vid, s in zip(batch["vec_id"].to_pylist(), sigs):
+            buckets = {int(s)}
+            for k in range(multiprobe and n_bits):
+                buckets.add(int(s) ^ (1 << k))
+            for b in buckets:
+                rows_id.append(vid)
+                rows_bucket.append(b)
+        return pa.table(
+            {
+                "vec_id": pa.array(rows_id, type=pa.int64()),
+                "bucket": pa.array(rows_bucket, type=pa.uint32()),
+            }
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["vec_id"].to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+        )
+
+    cand_tbl = (
+        embeddings.map_batches(_sig, batch_format="pyarrow", batch_size=2048)
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "a" not in cand_tbl.columns:
+        return embeddings
+    cands = sorted(set(zip(cand_tbl["a"], cand_tbl["b"])))
+
+    # verify candidates with exact cosine (only candidate vectors pulled)
+    need = sorted({d for p in cands for d in p})
+    need_set = set(need)
+
+    def _vecs(batch: pa.Table) -> pa.Table:
+        keep = pa.array([v in need_set for v in batch["vec_id"].to_pylist()])
+        return batch.filter(keep)
+
+    vec_tbl = embeddings.map_batches(_vecs, batch_format="pyarrow").to_pandas()
+    vmap = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in vec_tbl.itertuples()
+    }
+    for k in vmap:
+        n = np.linalg.norm(vmap[k])
+        if n > 1e-12:
+            vmap[k] = vmap[k] / n
+    dup_pairs = [
+        (a, b) for a, b in cands if float(vmap[a] @ vmap[b]) >= threshold
+    ]
+    comp = _union_find_components(dup_pairs)
+    losers = {d for d, rep in comp.items() if rep != d}
+    losers_ref = ray.put(losers)
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        lose = ray.get(losers_ref)
+        mask = pa.array([v not in lose for v in batch["vec_id"].to_pylist()])
+        return batch.filter(mask)
+
+    return embeddings.map_batches(_drop, batch_format="pyarrow", batch_size=4096)
