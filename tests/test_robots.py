@@ -137,3 +137,26 @@ def test_robots_on_partitioned_store(ray_session, robots_site, tmp_path):
     assert [
         (v["url"], v["fetch_status"]) for v in res.visits.to_pylist()
     ] == [(w.url, w.fetch_status) for w in oracle.visits]
+
+
+def test_crawl_delay_parsing_and_rate_override():
+    from webscrape_neko_jirushi_ray.functions.robotskit import parse_robots_full
+    from webscrape_neko_jirushi_ray.state.ratelimit import HostRateLimiter
+
+    rules, delay = parse_robots_full(
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x/\n"
+    )
+    assert delay == 2.5 and (False, "/x/") in rules
+    # other-agent delay ignored
+    _, d2 = parse_robots_full("User-agent: bot\nCrawl-delay: 9\n")
+    assert d2 is None
+    # bad value ignored
+    _, d3 = parse_robots_full("User-agent: *\nCrawl-delay: soon\n")
+    assert d3 is None
+
+    rl = HostRateLimiter(rate=10.0, burst=1.0)
+    rl.wait_time("h.com", now=0.0)
+    rl.set_rate("h.com", 1.0 / 2.5)
+    assert rl.buckets["h.com"].rate == 1.0 / 2.5
+    # next request must wait ~2.5s at the new rate
+    assert abs(rl.wait_time("h.com", now=0.0) - 2.5) < 1e-9

@@ -31,7 +31,15 @@ def parse_robots(text: str) -> list[tuple[bool, str]]:
     Deterministic: rules in file order; group state machine per RFC 9309
     (a group's user-agent lines precede its rules; rules bind to every
     agent named above them since the last rule)."""
+    return parse_robots_full(text)[0]
+
+
+def parse_robots_full(text: str) -> tuple[list[tuple[bool, str]], float | None]:
+    """(rules, crawl_delay_seconds) for the ``*`` agent. ``Crawl-delay`` is
+    a de-facto extension honored by major crawlers; it feeds the per-host
+    token bucket (rate = 1/delay) in the live-HTTP path."""
     rules: list[tuple[bool, str]] = []
+    crawl_delay: float | None = None
     applies = False
     in_agent_block = False
     for raw in text.splitlines():
@@ -56,7 +64,12 @@ def parse_robots(text: str) -> list[tuple[bool, str]]:
                     rules.append((False, value))
             elif field == "allow" and value:
                 rules.append((True, value))
-    return rules
+            elif field == "crawl-delay":
+                try:
+                    crawl_delay = float(value)
+                except ValueError:
+                    pass
+    return rules, crawl_delay
 
 
 def is_allowed(rules: list[tuple[bool, str]], path: str) -> bool:

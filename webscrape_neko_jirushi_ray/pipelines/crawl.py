@@ -157,7 +157,7 @@ class FetchExtractActor:
     def _robots_rules(self, host: str, sample_url: str) -> list:
         rules = self.robots_cache.get(host)
         if rules is None:
-            from ..functions.robotskit import parse_robots, robots_url_for
+            from ..functions.robotskit import parse_robots_full, robots_url_for
             from ..functions.urlkit import canonicalize_url, url_sha1 as _sha
 
             rurl = canonicalize_url(robots_url_for(sample_url))
@@ -167,7 +167,12 @@ class FetchExtractActor:
                 page = self.fetcher.fetch([rurl])
             body = page["html"][0].as_py()
             if page["fetch_status"][0].as_py() == "ok" and body:
-                rules = parse_robots(body.decode("utf-8", errors="replace"))
+                rules, crawl_delay = parse_robots_full(
+                    body.decode("utf-8", errors="replace")
+                )
+                # Crawl-delay feeds the live-HTTP token bucket (ST4)
+                if crawl_delay and crawl_delay > 0 and hasattr(self.fetcher, "limiter"):
+                    self.fetcher.limiter.set_rate(host, 1.0 / crawl_delay)
             else:
                 rules = []  # no robots.txt -> allow all
             self.robots_cache[host] = rules

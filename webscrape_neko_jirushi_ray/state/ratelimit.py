@@ -64,3 +64,11 @@ class HostRateLimiter:
         if b is None:
             b = self.buckets[host] = TokenBucket(self.rate, self.burst)
         return b.take(now)
+
+    def set_rate(self, host: str, rate: float) -> None:
+        """Override one host's refill rate (e.g. robots Crawl-delay)."""
+        b = self.buckets.get(host)
+        if b is None:
+            self.buckets[host] = TokenBucket(rate, self.burst)
+        else:
+            b.rate = rate
