@@ -38,12 +38,6 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
-    for col, nd in spec.items():
-        df[col] = df[col].round(nd)
-    return df
-
-
 # --- relational operators (filters / projections / aggregates / joins) ----
 
 
