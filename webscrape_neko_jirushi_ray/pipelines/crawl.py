@@ -486,10 +486,11 @@ def _crawl_inner(
         # extracted doc payloads are written to parquet shards FROM THE
         # TASKS; only control columns (frontier + links + status) return
         if ordered.num_rows <= cfg.small_round_threshold:
-            # same kernel, inline (one task's worth of work)
-            fetched = FetchExtractActor(
-                page_store, respect_robots=cfg.respect_robots
-            )(ordered, docs_dir=docs_dir)
+            # same kernel, inline (one task's worth of work); the memo
+            # keeps fetcher + robots cache warm across rounds
+            fetched = make_fetch_extract_fn(
+                page_store, docs_dir=docs_dir, respect_robots=cfg.respect_robots
+            )(ordered)
         else:
             # fetch order is irrelevant (visit order is restored below), so
             # co-locate each batch with its page-store bucket: sorting by
