@@ -19,6 +19,7 @@ from .oracle_crawler import crawl_oracle
 @settings(
     max_examples=6,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(

@@ -69,7 +69,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.lists(st.binary(min_size=20, max_size=20), min_size=1, max_size=200))
 def test_cuckoo_property_no_false_negatives(keys_list):
     cf = CuckooFilter(capacity=4096)

@@ -27,7 +27,7 @@ def test_canonicalize_basics():
     assert canonicalize_url("http://example.com:8080/x") == "http://example.com:8080/x"
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(
     st.builds(
         lambda h, p, q: f"http://{h}/{p}?{q}",
