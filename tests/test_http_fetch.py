@@ -108,3 +108,27 @@ def test_live_crawl_matches_oracle(ray_session, http_site, tmp_path):
     assert got == want
     statuses = {s for _, s in got}
     assert "robots_denied" in statuses and "ok" in statuses
+
+
+def test_live_mode_host_aligned_partitioning():
+    """In live-HTTP mode each host's round rows must land in one task so
+    the per-worker token bucket enforces the TRUE per-host rate."""
+    from webscrape_neko_jirushi_ray.pipelines.crawl import (
+        _slice_parts,
+        seeds_to_frontier,
+    )
+
+    urls = [f"http://h{i % 5}.example.org/p/{i}/" for i in range(2000)]
+    work = seeds_to_frontier(urls).sort_by("host")
+    parts = _slice_parts(work, 16, host_aligned=True)
+    assert sum(p.num_rows for p in parts) == 2000
+    seen_hosts = {}
+    for pid, p in enumerate(parts):
+        for h in set(p["host"].to_pylist()):
+            assert h not in seen_hosts, f"host {h} split across parts"
+            seen_hosts[h] = pid
+    assert len(seen_hosts) == 5
+    # non-aligned slicing keeps row count too
+    plain = _slice_parts(work, 16, host_aligned=False)
+    assert sum(p.num_rows for p in plain) == 2000
+

@@ -267,6 +267,36 @@ def hashlib_sha1_hex(b: bytes) -> str:
     return hashlib.sha1(b).hexdigest()
 
 
+def _slice_parts(
+    work: pa.Table, n_parts: int, *, host_aligned: bool = False
+) -> list[pa.Table]:
+    """Zero-copy slices of a (sorted) work table into ~n_parts blocks.
+
+    With ``host_aligned`` (live-HTTP politeness), ``work`` is host-sorted
+    and every cut moves forward to the next host boundary, so one host's
+    rows always land in exactly one part — the per-worker token bucket then
+    enforces the true per-host rate."""
+    step = -(-work.num_rows // max(1, n_parts))
+    if not host_aligned:
+        return [
+            work.slice(i * step, step)
+            for i in range(n_parts)
+            if i * step < work.num_rows
+        ]
+    hosts_sorted = work["host"].to_pylist()
+    cuts = [0]
+    for i in range(1, n_parts):
+        c = i * step
+        while c < work.num_rows and hosts_sorted[c] == hosts_sorted[c - 1]:
+            c += 1
+        if c > cuts[-1] and c < work.num_rows:
+            cuts.append(c)
+    cuts.append(work.num_rows)
+    return [
+        work.slice(lo, hi - lo) for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo
+    ]
+
+
 @dataclass
 class CrawlResult:
     out_dir: str
@@ -496,31 +526,33 @@ def _crawl_inner(
             # co-locate each batch with its page-store bucket: sorting by
             # bucket turns B x batches scattered point-lookups into ~one
             # bucket scan per batch (the partitioned-store fast path)
+            import numpy as np
+
             nb = getattr(page_store, "num_buckets", 0)
             work = ordered
+            host_aligned = False
             if nb:
                 from ..functions.urlkit import sha1_first_byte
-                import numpy as np
 
                 b = sha1_first_byte(ordered["url_sha1"]) % nb
                 order_idx = np.argsort(b, kind="stable")
                 work = ordered.take(pa.array(order_idx, type=pa.int64()))
-            per_batch = max(
-                cfg.fetch_batch_size,
-                -(-work.num_rows // max(1, cfg.fetch_concurrency * 2)),
-            )
+            elif getattr(page_store, "rate_per_host", None) is not None:
+                # LIVE-HTTP politeness: token buckets live per worker, so a
+                # host's URLs must land in ONE task per round or the global
+                # rate multiplies by the worker count. Sort by host and cut
+                # part boundaries on host changes.
+                work = ordered.sort_by("host")
+                host_aligned = True
             # from_arrow(one table) yields ONE block = one task; slice the
             # table driver-side into concurrency*2 blocks so the whole
-            # actor pool gets work (a Repartition op would deadlock against
+            # worker pool gets work (a Repartition op would deadlock against
             # an actor pool that reserves every CPU). Slices are zero-copy
-            # and preserve the bucket-sorted order.
+            # and preserve the sorted order.
             n_parts = min(work.num_rows, max(cfg.fetch_concurrency * 4, 2))
             step = -(-work.num_rows // n_parts)
-            parts = [
-                work.slice(i * step, step)
-                for i in range(n_parts)
-                if i * step < work.num_rows
-            ]
+            parts = _slice_parts(work, n_parts, host_aligned=host_aligned)
+            per_batch = max(cfg.fetch_batch_size, step)
             work_ds = ray.data.from_arrow(parts)
             # stateless tasks + per-worker fetcher memo: warm workers are
             # reused across rounds (an actor pool cold-starts every round)
