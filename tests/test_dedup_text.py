@@ -181,3 +181,30 @@ def test_embedding_dedup_lsh_finds_planted_dups(ray_session):
         r["vec_id"] for r in D.embedding_dedup(ds, threshold=0.999).take_all()
     )
     assert kept == kept_bf
+
+
+def test_label_propagation_components_match_union_find(ray_session):
+    import pyarrow as pa
+
+    # chain 1-2-3, pair 10-11, triangle 20-21-22, singleton edge 30-31
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (30, 31)]
+    tbl = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+        }
+    )
+    out = D.components_label_propagation(tbl).to_pandas()
+    got = dict(zip(out["doc_id"], out["component"]))
+    want = D._union_find_components(pairs)
+    assert got == want
+    # long chain exercises multi-round convergence
+    chain = [(i, i + 1) for i in range(100, 140)]
+    tbl2 = pa.table(
+        {
+            "a": pa.array([p[0] for p in chain], type=pa.int64()),
+            "b": pa.array([p[1] for p in chain], type=pa.int64()),
+        }
+    )
+    out2 = D.components_label_propagation(tbl2).to_pandas()
+    assert set(out2["component"]) == {100}

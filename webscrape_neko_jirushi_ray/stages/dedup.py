@@ -402,3 +402,82 @@ def embedding_dedup_lsh(
         return batch.filter(mask)
 
     return embeddings.map_batches(_drop, batch_format="pyarrow", batch_size=4096)
+
+
+def components_label_propagation(
+    pairs: "ray.data.Dataset | pa.Table", *, max_rounds: int = 50
+) -> pa.Table:
+    """Distributed connected components over candidate-pair edges by
+    iterated min-label propagation — the scale path the driver-side
+    union-find documents (at 10^10 docs the pair set no longer fits one
+    machine).
+
+    Each round: explode edges to (node, neighbor_label) messages both ways
+    → groupby(node).min → new labels; stop at fixpoint. Converges in
+    O(diameter) rounds; every round is one groupby shuffle. Returns
+    (doc_id, component) with component = min doc_id of the component."""
+    import pandas as pd
+
+    tbl = pairs if isinstance(pairs, pa.Table) else pa.concat_tables(
+        [ray.get(r) for r in pairs.to_arrow_refs()], promote_options="default"
+    )
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "component": pa.array([], type=pa.int64())}
+        )
+    edges = ray.data.from_arrow(tbl)
+
+    # labels start as the node id itself
+    nodes = pd.unique(
+        pd.concat([tbl["a"].to_pandas(), tbl["b"].to_pandas()], ignore_index=True)
+    )
+    labels = ray.data.from_arrow(
+        pa.table({"node": pa.array(sorted(nodes), type=pa.int64()),
+                  "label": pa.array(sorted(nodes), type=pa.int64())})
+    )
+
+    from ray.data.aggregate import Min
+
+    for _ in range(max_rounds):
+        lab_tbl = pa.concat_tables(
+            [ray.get(r) for r in labels.to_arrow_refs()], promote_options="default"
+        )
+        lab_map = dict(
+            zip(lab_tbl["node"].to_pylist(), lab_tbl["label"].to_pylist())
+        )
+        lab_ref = ray.put(lab_map)
+
+        def _messages(batch: pa.Table) -> pa.Table:
+            lm = ray.get(lab_ref)
+            nodes_out, labels_out = [], []
+            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+                la, lb = lm[a], lm[b]
+                # each endpoint hears the other's label and its own
+                nodes_out += [a, b, a, b]
+                labels_out += [lb, la, la, lb]
+            return pa.table(
+                {"node": pa.array(nodes_out, type=pa.int64()),
+                 "label": pa.array(labels_out, type=pa.int64())}
+            )
+
+        new_labels = (
+            edges.map_batches(_messages, batch_format="pyarrow", batch_size=8192)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+        new_tbl = pa.concat_tables(
+            [ray.get(r) for r in new_labels.to_arrow_refs()],
+            promote_options="default",
+        ).sort_by("node")
+        old_sorted = lab_tbl.sort_by("node")
+        if new_tbl["label"].to_pylist() == old_sorted["label"].to_pylist():
+            break
+        labels = ray.data.from_arrow(new_tbl)
+
+    final = pa.concat_tables(
+        [ray.get(r) for r in labels.to_arrow_refs()], promote_options="default"
+    ).sort_by("node")
+    return pa.table(
+        {"doc_id": final["node"], "component": final["label"]}
+    )
