@@ -199,6 +199,7 @@ def run_bench() -> dict:
         ("exact_dedup_docs", lambda: q.exact_dedup_docs(SF_DIR)),
         ("minhash_dedup_docs", lambda: q.minhash_dedup_docs(SF_DIR)),
         ("knn_cosine_top10", lambda: q.knn_cosine_top10(SF_DIR)),
+        ("textprep_corpus", lambda: q.textprep_corpus(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

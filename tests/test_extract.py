@@ -117,3 +117,33 @@ def test_explode_images_orders_and_seqs(ray_session):
     assert (img_rows.groupby("url")["seq"].min() == 1).all()
     one = img_rows[img_rows.url == img_rows.url.iloc[0]].sort_values("seq")
     assert list(one["seq"]) == list(range(1, len(one) + 1))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None, derandomize=True)
+@given(st.text(max_size=400))
+def test_parser_never_crashes_and_is_deterministic(blob):
+    """Fuzz: the extraction kernels accept ARBITRARY text (broken tags,
+    stray brackets, control chars) without raising, and are pure."""
+    url = "https://www.neko-jirushi.com/foster/1/"
+    t1 = extract_text(blob)
+    t2 = extract_text(blob)
+    assert t1 == t2
+    assert harvest_images(url, blob) == harvest_images(url, blob)
+    assert extract_links(url, blob) == extract_links(url, blob)
+    assert extract_metadata(blob) == extract_metadata(blob)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(
+    st.text(alphabet="<>ab c/\"'=&#;!-", max_size=200)
+)
+def test_parser_survives_tag_soup(blob):
+    """Targeted tag-soup fuzz (brackets/quotes/entities heavy)."""
+    assert isinstance(extract_text(blob), str)
+    assert isinstance(
+        harvest_images("https://x.com/foster/2/", blob), list
+    )

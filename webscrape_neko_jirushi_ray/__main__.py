@@ -143,6 +143,26 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_textprep(args) -> int:
+    """Training-data text prep over a documents parquet table."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.textprep import prepare_text_corpus
+
+    docs = rd.read_parquet(args.docs)
+    kept, report = prepare_text_corpus(
+        docs,
+        keep_langs=tuple(args.langs.split(",")) if args.langs else None,
+        min_words=args.min_words,
+        min_quality=args.min_quality,
+    )
+    kept.write_parquet(args.out)
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     """data_manager.py analog (A5): dataset totals for a final layout dir."""
     ray = _ray_session(args.num_cpus)
@@ -203,6 +223,14 @@ def main(argv=None) -> int:
     sc.add_argument("--out", required=True)
     sc.add_argument("--concurrency", type=int, default=2)
     sc.set_defaults(fn=cmd_score)
+
+    tp = sub.add_parser("textprep", help="training-data text preparation")
+    tp.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    tp.add_argument("--out", required=True)
+    tp.add_argument("--langs", help="comma-separated lang_pred allowlist")
+    tp.add_argument("--min-words", type=int, default=10)
+    tp.add_argument("--min-quality", type=float, default=0.5)
+    tp.set_defaults(fn=cmd_textprep)
 
     stt = sub.add_parser("stats", help="dataset totals (data_manager analog)")
     stt.add_argument("--data", required=True, help="parquet dir (e.g. final layout)")

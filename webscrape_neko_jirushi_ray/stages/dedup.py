@@ -85,9 +85,26 @@ def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+# Above this many verified pairs, component resolution goes through the
+# distributed min-label propagation instead of driver union-find.
+_PAIRS_DISTRIBUTED_THRESHOLD = 2_000_000
+
+
 def _dedup_by_pairs(docs: "ray.data.Dataset", dup_pairs: list[tuple[int, int]]):
     """Drop every doc whose component representative isn't itself."""
-    comp = _union_find_components(dup_pairs)
+    if len(dup_pairs) > _PAIRS_DISTRIBUTED_THRESHOLD:
+        tbl = pa.table(
+            {
+                "a": pa.array([p[0] for p in dup_pairs], type=pa.int64()),
+                "b": pa.array([p[1] for p in dup_pairs], type=pa.int64()),
+            }
+        )
+        comp_tbl = components_label_propagation(tbl)
+        comp = dict(
+            zip(comp_tbl["doc_id"].to_pylist(), comp_tbl["component"].to_pylist())
+        )
+    else:
+        comp = _union_find_components(dup_pairs)
     losers = {d for d, rep in comp.items() if rep != d}
     losers_ref = ray.put(losers)
 
