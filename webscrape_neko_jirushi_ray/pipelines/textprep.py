@@ -35,6 +35,10 @@ def prepare_text_corpus(
     near_dup_threshold: float = 0.8,
 ) -> tuple["ray.data.Dataset", dict]:
     """Returns (kept_docs, report). ``docs`` needs doc_id + text columns."""
+    # datasets are lazy: each stage is materialize()d once so the stage
+    # counters don't re-execute the whole lineage (the corpus shrinks
+    # monotonically, so pinning each survivor set is the cheap direction;
+    # at 100 TB the counters would instead come from written stage outputs)
     report: dict[str, int] = {"input": docs.count()}
 
     staged = add_quality(add_lang_pred(docs))
@@ -45,7 +49,7 @@ def prepare_text_corpus(
                 pa.array([x in _l for x in t["lang_pred"].to_pylist()])
             ),
             batch_format="pyarrow",
-        )
+        ).materialize()
         report["after_lang_filter"] = staged.count()
 
     def _quality_gate(t: pa.Table) -> pa.Table:
@@ -57,13 +61,13 @@ def prepare_text_corpus(
         )
         return t.filter(mask)
 
-    staged = staged.map_batches(_quality_gate, batch_format="pyarrow")
+    staged = staged.map_batches(_quality_gate, batch_format="pyarrow").materialize()
     report["after_quality"] = staged.count()
 
-    staged = exact_dedup(staged)
+    staged = exact_dedup(staged).materialize()
     report["after_exact_dedup"] = staged.count()
 
-    staged = minhash_lsh_dedup(staged, threshold=near_dup_threshold)
+    staged = minhash_lsh_dedup(staged, threshold=near_dup_threshold).materialize()
     report["after_near_dedup"] = staged.count()
 
     staged = add_token_counts(staged)
