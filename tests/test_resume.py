@@ -47,3 +47,50 @@ def test_resume_is_noop_when_complete(ray_session, tmp_path):
     full = crawl(store, seeds, str(tmp_path / "c"), cfg)
     again = crawl(store, seeds, str(tmp_path / "c"), cfg, resume=True)
     assert again.visits.num_rows == full.visits.num_rows
+
+
+def test_resume_replays_round_with_missing_manifest(ray_session, tmp_path):
+    """Crash window: snapshot written but manifest not (the round is
+    incomplete) → resume replays that round idempotently and the final
+    result equals the uninterrupted run."""
+    import os
+
+    pages, seeds = synth_pages(num_listing_pages=3, seed=71)
+    cfg = CrawlConfig(host_budget_per_round=12, max_rounds=30, seen_shards=2)
+    store = BroadcastPageStore(pages)
+    full = crawl(store, seeds, str(tmp_path / "full"), cfg)
+
+    # run 4 rounds, then simulate a crash DURING round 3 by deleting its
+    # manifest (its partial outputs — docs shards, snapshot — remain)
+    part = crawl(
+        store, seeds, str(tmp_path / "crashed"),
+        CrawlConfig(host_budget_per_round=12, max_rounds=4, seen_shards=2),
+    )
+    assert part.rounds == 4
+    os.remove(str(tmp_path / "crashed" / "round_0003" / "manifest.json"))
+    assert ckpt.last_complete_round(str(tmp_path / "crashed")) == 2
+
+    res = crawl(store, seeds, str(tmp_path / "crashed"), cfg, resume=True)
+    assert res.visits.num_rows == full.visits.num_rows
+    got = [(v["visit_idx"], v["url"], v["fetch_status"]) for v in res.visits.to_pylist()]
+    want = [(v["visit_idx"], v["url"], v["fetch_status"]) for v in full.visits.to_pylist()]
+    assert got == want
+    assert res.visited_sha1s() == full.visited_sha1s()
+
+
+def test_resume_cuckoo_mode(ray_session, tmp_path):
+    """Resume must restore cuckoo-filter shards too (snapshot round-trips
+    the fingerprint table, not a key list)."""
+    pages, seeds = synth_pages(num_listing_pages=2, seed=73)
+    store = BroadcastPageStore(pages)
+    cfg_full = CrawlConfig(host_budget_per_round=10, max_rounds=30,
+                           seen_shards=2, seen_mode="cuckoo")
+    full = crawl(store, seeds, str(tmp_path / "f"), cfg_full)
+    part = crawl(store, seeds, str(tmp_path / "r"),
+                 CrawlConfig(host_budget_per_round=10, max_rounds=2,
+                             seen_shards=2, seen_mode="cuckoo"))
+    res = crawl(store, seeds, str(tmp_path / "r"), cfg_full, resume=True)
+    assert res.visits.num_rows == full.visits.num_rows
+    assert [v["url"] for v in res.visits.to_pylist()] == [
+        v["url"] for v in full.visits.to_pylist()
+    ]
