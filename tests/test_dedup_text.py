@@ -208,3 +208,17 @@ def test_label_propagation_components_match_union_find(ray_session):
     )
     out2 = D.components_label_propagation(tbl2).to_pandas()
     assert set(out2["component"]) == {100}
+
+
+def test_minhash_batch_equals_per_doc():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "",
+        "short one",
+        "completely different content about ray data pipelines and arrow",
+    ]
+    sets = [textkit.shingles(t) for t in texts]
+    batch = textkit.minhash_signatures_batch(sets, num_perm=64)
+    for i, s in enumerate(sets):
+        per_doc = textkit.minhash_signature(s, num_perm=64)
+        assert (batch[i] == per_doc).all(), i

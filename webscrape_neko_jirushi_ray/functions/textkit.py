@@ -210,6 +210,33 @@ def minhash_signature(sh: set[bytes], num_perm: int = 128) -> np.ndarray:
     return hashed.min(axis=0)
 
 
+def minhash_signatures_batch(
+    shingle_sets: list[set[bytes]], num_perm: int = 128
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures in ONE vectorized pass:
+    concatenate all docs' shingle values, hash the whole (total, num_perm)
+    matrix, then segment-min with np.minimum.reduceat. Identical output to
+    per-doc ``minhash_signature`` (tested), ~an order of magnitude faster
+    for batch-sized corpora."""
+    a, b = _minhash_params(num_perm)
+    n = len(shingle_sets)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lengths = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    nonempty = np.nonzero(lengths > 0)[0]
+    if nonempty.size == 0:
+        return out
+    blob = b"".join(
+        b"".join(sorted(shingle_sets[i])) for i in nonempty
+    )
+    vals = np.frombuffer(blob, dtype="<u8").astype(np.uint64)
+    prod = (vals[:, None] * a[None, :] + b[None, :]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    hashed = (prod % _MERSENNE).astype(np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(lengths[nonempty])[:-1]])
+    mins = np.minimum.reduceat(hashed, offsets, axis=0)
+    out[nonempty] = mins
+    return out
+
+
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[bytes]:
     """Split the signature into bands; each band hashes to one bucket key
     (band_id prefixed so buckets don't collide across bands)."""

@@ -130,13 +130,14 @@ def minhash_candidates(
     (band_key, doc_id), groupby band_key, pair up within buckets."""
 
     def _bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        sets = [
+            textkit.shingles(t or "", k=shingle_k)
+            for t in batch["text"].to_pylist()
+        ]
+        sigs = textkit.minhash_signatures_batch(sets, num_perm=num_perm)
         keys, ids = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = textkit.minhash_signature(
-                textkit.shingles(text or "", k=shingle_k), num_perm=num_perm
-            )
+        for doc_id, sig in zip(doc_ids, sigs):
             for bk in textkit.lsh_band_keys(sig, bands=bands):
                 keys.append(bk)
                 ids.append(doc_id)
