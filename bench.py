@@ -42,6 +42,9 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # raylet/worker log forwarding prints to STDOUT and would corrupt
+        # the one-JSON-line contract the driver parses
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
