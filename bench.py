@@ -276,5 +276,16 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    payload = run_scaling() if "--scaling" in sys.argv else run_bench()
-    print(json.dumps(payload))
+    # Ray's raylet/log-monitor can print warnings onto fd 1 regardless of
+    # log_to_driver; the driver parses stdout as ONE JSON line. Point fd 1
+    # at stderr for the duration of the run and restore it only for the
+    # final JSON print.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        payload = run_scaling() if "--scaling" in sys.argv else run_bench()
+    finally:
+        sys.stdout.flush()
+        os.dup2(real_stdout, 1)
+        os.close(real_stdout)
+    print(json.dumps(payload), flush=True)
