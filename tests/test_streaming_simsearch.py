@@ -100,3 +100,30 @@ def test_ivf_recall_and_determinism(ray_session):
     # train() centroids unit-norm
     idx = IVFIndex(n_lists=8).train(vecs)
     assert np.allclose(np.linalg.norm(idx.centroids, axis=1), 1.0)
+
+
+def test_window_actor_lateness_accounting(ray_session):
+    """Direct actor test: rows later than watermark - lateness are dropped
+    and counted; rows within the bound merge into open windows."""
+    import ray as _ray
+
+    from webscrape_neko_jirushi_ray.stages.streaming import WindowBucketActor
+
+    W = 1_000_000  # 1s windows
+    a = WindowBucketActor.remote(window_us=W, lateness_us=W)  # 1s lateness
+    # feed t=0..5s for key 'k'
+    _ray.get(a.feed.remote(["k"] * 6, [i * W for i in range(6)], [1.0] * 6))
+    # watermark=5s; a row at 3.5s is within lateness of closed horizon?
+    # horizon = 5s - 1s = 4s; windows ending <= 4s are emitted; a late row
+    # at 3.5s is older than watermark - lateness (4s) -> dropped
+    _ray.get(a.feed.remote(["k"], [int(3.5 * W)], [9.0]))
+    # a row at 4.5s is within the bound -> merges into the open 4s window
+    _ray.get(a.feed.remote(["k"], [int(4.5 * W)], [2.0]))
+    out = _ray.get(a.flush.remote()).to_pandas()
+    _ray.kill(a)
+    assert out["late_dropped_total"].iloc[0] == 1
+    w4 = out[out.window_start_us == 4 * W]
+    assert int(w4["n"].iloc[0]) == 2           # original 4s row + the 4.5s row
+    assert float(w4["value_sum"].iloc[0]) == 3.0
+    # dropped row's value (9.0) is nowhere
+    assert float(out["value_sum"].sum()) == 6 * 1.0 + 2.0
