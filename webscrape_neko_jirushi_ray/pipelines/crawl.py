@@ -28,15 +28,17 @@ golden fixtures pin (SURVEY.md §5.2, tests/oracle_crawler.py).
 
 pending (Arrow) → groupby(salted host).map_groups(top-B by seq)   [skew-safe]
   → true-host re-take + priority sort (bounded by budget x hosts)
-  → map_batches(FetchActor pool)   [page-table join, ST1/J3/S2]
-  → map_batches(extract)           [stages/extract.py, zero-copy Arrow]
+  → map_batches(fetch+extract tasks, per-worker fetcher memo)
+    [page-table join ST1/J3/S2 fused with stages/extract.py, zero-copy
+     Arrow; doc shards written task-side]
   → links explode → seen-set add_if_absent (J1 anti-join) → next pending
 
 The per-round *control plane* (budget winners, new-link seq assignment) is
 bounded by budget × live hosts, not by frontier size; the frontier itself
 only ever streams through groupby/sort stages. Seq assignment for new links
 is driver-side over that bounded set; at 10^10 scale it becomes a
-range-partitioned offset enumeration (documented in util.attach_dense_index).
+range-partitioned offset enumeration (same contract: sort by the discovery
+key, per-partition offsets from partition sizes, dense ranks per block).
 """
 
 from __future__ import annotations
