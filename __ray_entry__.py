@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zero_pad_part_labels": q.zero_pad_part_labels,
         "head_sample_orders": q.head_sample_orders,
         "incremental_hourly_window": q.incremental_hourly_window,
+        "running_order_totals": q.running_order_totals,
         "knn_ivf_top10": q.knn_ivf_top10,
         "textprep_corpus": q.textprep_corpus,
         # image-pipeline coverage (rows-only; pinned by tests)
@@ -309,6 +310,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "head_sample_orders": """
             SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10
+        """,
+        "running_order_totals": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                        AS running_total_c,
+                   CAST(ROW_NUMBER()
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                        AS order_rank
+            FROM orders
+            ORDER BY o_orderkey
         """,
         "incremental_hourly_window": """
             SELECT event_type,

@@ -716,3 +716,37 @@ def textprep_corpus(sf_dir: str) -> pd.DataFrame:
     kept, report = prepare_text_corpus(ds, min_words=5, min_quality=0.5)
     out = kept.select_columns(["doc_id", "n_tokens"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def running_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Window function (running sum per partition): per customer, orders in
+    (o_orderdate, o_orderkey) order with a cumulative total. groupby(key)
+    .map_groups over date-sorted groups — the engine's window idiom; cents
+    ints keep the cumulative sums exact vs the SQL oracle."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "price_c": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        g["running_total_c"] = g["price_c"].cumsum()
+        g["order_rank"] = range(1, len(g) + 1)
+        return g[["o_orderkey", "o_custkey", "running_total_c", "order_rank"]]
+
+    out = (
+        ds.groupby("o_custkey")
+        .map_groups(_running, batch_format="pandas")
+        .to_pandas()
+    )
+    out["running_total_c"] = out["running_total_c"].astype("int64")
+    out["order_rank"] = out["order_rank"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
