@@ -1,0 +1,75 @@
+"""Distributed dense enumeration: must equal a driver-side global sort +
+enumerate for any key shape (the scale path for O3/ST6)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from webscrape_neko_jirushi_ray.functions.enumerate import attach_dense_index
+
+
+def _check(ds, df_ref, key_cols, asc):
+    out = attach_dense_index(
+        ds, key_cols, ascending=asc, num_ranges=7
+    ).to_pandas()
+    want = df_ref.sort_values(
+        key_cols, ascending=asc, kind="mergesort"
+    ).reset_index(drop=True)
+    want["rank"] = range(1, len(want) + 1)
+    got = out.sort_values("rank").reset_index(drop=True)
+    for c in key_cols + ["rank"]:
+        assert (got[c].values == want[c].values).all(), c
+
+
+def test_single_ascending_key(ray_session):
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    import pandas as pd
+
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    _check(ds, df, ["c_custkey"], True)
+
+
+def test_descending_numeric_key(ray_session):
+    import pandas as pd
+
+    # unique float values + unique tiebreak id
+    rng = np.random.default_rng(5)
+    vals = rng.permutation(500).astype(float)
+    df = pd.DataFrame({"v": vals, "id": range(500)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    _check(ds, df, ["v", "id"], [False, True])
+
+
+def test_matches_driver_rank_query(ray_session):
+    """The distributed path reproduces rank_customers (driver-side
+    enumeration) exactly."""
+    import pandas as pd
+
+    import webscrape_neko_jirushi_ray.pipelines.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    want = q.rank_customers(sf)
+    ds = ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    out = attach_dense_index(
+        ds, ["c_acctbal", "c_custkey"], ascending=[False, True],
+        index_col="bal_rank", num_ranges=6,
+    ).to_pandas()
+    got = out[["c_custkey", "bal_rank"]].sort_values("c_custkey").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_string_descending_rejected(ray_session):
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_name"]
+    )
+    with pytest.raises(Exception):
+        attach_dense_index(ds, ["c_name"], ascending=False).to_pandas()

@@ -1,0 +1,103 @@
+"""Distributed dense enumeration (zip-with-index) by range partitioning.
+
+Closes the scale path that `stages/reorganize.py` (O3/ST6) and the crawl
+loop's seq assignment document: assign rank 1..N over a sort order WITHOUT
+pulling the keys to the driver.
+
+Plan (all Ray Data + one tiny driver cumsum):
+1. sample the key column → R-1 range boundaries (as transformed tuples);
+2. tag each row with its range id (bisect against the boundary list);
+3. groupby(range_id).count() → range sizes (R rows; driver cumsum →
+   exclusive offsets);
+4. groupby(range_id).map_groups: sort the range locally, rank = offset +
+   local position.
+
+Descending order is supported by negating numeric key columns before
+comparison (string columns must be ascending). Keys must be unique across
+the dataset — ties would make the rank ambiguous. Driver state is O(R),
+never O(N).
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _key_tuples(df: pd.DataFrame, key_cols: list[str], asc: list[bool]) -> list[tuple]:
+    cols = []
+    for c, a in zip(key_cols, asc):
+        v = df[c]
+        if not a:
+            if not np.issubdtype(v.dtype, np.number):
+                raise ValueError(
+                    f"descending order needs a numeric column, got {v.dtype} for {c}"
+                )
+            v = -v
+        cols.append(v.to_numpy())
+    return list(zip(*cols))
+
+
+def attach_dense_index(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    *,
+    ascending: bool | list[bool] = True,
+    index_col: str = "rank",
+    num_ranges: int = 32,
+    sample_size: int = 10_000,
+) -> "ray.data.Dataset":
+    """+ ``index_col`` = 1-based dense rank of the row under the
+    (key_cols, ascending) order."""
+    asc = [ascending] * len(key_cols) if isinstance(ascending, bool) else list(ascending)
+
+    # 1. boundaries from a (deterministic) sample
+    sample = ds.limit(sample_size).to_pandas()[key_cols]
+    if len(sample) == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(
+                index_col, pa.nulls(t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    keys_sorted = sorted(_key_tuples(sample, key_cols, asc))
+    r = min(num_ranges, len(keys_sorted))
+    bounds = [keys_sorted[int(i * len(keys_sorted) / r)] for i in range(1, r)]
+    bounds_ref = ray.put(bounds)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bounds_ref)
+        df = batch.select(key_cols).to_pandas()
+        rid = [bisect.bisect_right(bl, t) for t in _key_tuples(df, key_cols, asc)]
+        return batch.append_column("_range_id", pa.array(rid, type=pa.int64()))
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+
+    # 3. exact range sizes → exclusive offsets (<= R rows on the driver)
+    sizes = (
+        tagged.groupby("_range_id").count().to_pandas().sort_values("_range_id")
+    )
+    offsets = {}
+    acc = 0
+    for _, row in sizes.iterrows():
+        offsets[int(row["_range_id"])] = acc
+        acc += int(row["count()"])
+    offsets_ref = ray.put(offsets)
+
+    # 4. per-range local sort + offset rank
+    def _rank(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        rid = int(group["_range_id"].iloc[0])
+        g = group.sort_values(
+            key_cols, ascending=asc, kind="mergesort"
+        ).reset_index(drop=True)
+        g[index_col] = np.arange(1, len(g) + 1, dtype=np.int64) + offs[rid]
+        return g.drop(columns=["_range_id"])
+
+    return tagged.groupby("_range_id").map_groups(_rank, batch_format="pandas")
