@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kv_parse_props": q.kv_parse_props,
         "session_windows": q.session_windows,
         "rank_customers": q.rank_customers,
+        "rank_customers_distributed": q.rank_customers_distributed,
         "dataset_totals": q.dataset_totals,
         "strided_id_probe": q.strided_id_probe,
         "content_type_extensions": q.content_type_extensions,
@@ -269,6 +270,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id
         """,
         "rank_customers": """
+            SELECT c_custkey,
+                   CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                        AS BIGINT) AS bal_rank
+            FROM customer
+            ORDER BY c_custkey
+        """,
+        "rank_customers_distributed": """
             SELECT c_custkey,
                    CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey)
                         AS BIGINT) AS bal_rank

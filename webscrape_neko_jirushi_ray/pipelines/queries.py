@@ -750,3 +750,17 @@ def running_order_totals(sf_dir: str) -> pd.DataFrame:
     out["running_total_c"] = out["running_total_c"].astype("int64")
     out["order_rank"] = out["order_rank"].astype("int64")
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def rank_customers_distributed(sf_dir: str) -> pd.DataFrame:
+    """Same ranking as rank_customers but through the range-partitioned
+    distributed enumeration (functions/enumerate.py) — two plans, one
+    answer, same DuckDB oracle."""
+    from ..functions.enumerate import attach_dense_index
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    out = attach_dense_index(
+        ds, ["c_acctbal", "c_custkey"], ascending=[False, True],
+        index_col="bal_rank", num_ranges=8,
+    ).to_pandas()
+    return out[["c_custkey", "bal_rank"]].sort_values("c_custkey").reset_index(drop=True)
