@@ -251,7 +251,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kv_parse_props": """
             SELECT event_id,
-                   CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val
+                   TRY_CAST(NULLIF(REGEXP_EXTRACT(props, '"k": (\\d+)', 1), '')
+                            AS BIGINT) AS k_val
             FROM events
             ORDER BY event_id
         """,

@@ -73,3 +73,27 @@ def test_string_descending_rejected(ray_session):
     )
     with pytest.raises(Exception):
         attach_dense_index(ds, ["c_name"], ascending=False).to_pandas()
+
+
+def test_dense_index_on_key_clustered_input(ray_session):
+    """Regression: input already sorted by the key used to derive range
+    boundaries (the case the old limit(N) sample degenerated on) must
+    still produce a correct dense rank — and the cross-block sample must
+    spread rows over multiple ranges, not collapse into one."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.functions.enumerate import attach_dense_index
+
+    n = 20_000
+    vals = np.sort(np.random.default_rng(7).integers(0, 1 << 40, size=n))
+    vals = np.unique(vals)  # keys must be unique
+    tbl = pa.table({"k": pa.array(vals, type=pa.int64())})
+    # many blocks, each a contiguous (clustered) key span
+    parts = [tbl.slice(i, 2000) for i in range(0, len(vals), 2000)]
+    ds = ray.data.from_arrow(parts)
+    out = attach_dense_index(ds, ["k"], index_col="r", num_ranges=8).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert (out["r"].to_numpy() == np.arange(1, len(vals) + 1)).all()

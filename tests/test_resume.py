@@ -94,3 +94,57 @@ def test_resume_cuckoo_mode(ray_session, tmp_path):
     assert [v["url"] for v in res.visits.to_pylist()] == [
         v["url"] for v in full.visits.to_pylist()
     ]
+
+
+def test_resume_rejects_incompatible_config(ray_session, tmp_path):
+    """Resuming under a config that reshapes batch boundaries must fail
+    loudly (stale task-side shards would otherwise survive the replay);
+    run-control knobs (max_rounds) may differ freely."""
+    import pytest
+
+    from webscrape_neko_jirushi_ray.sources.pages import BroadcastPageStore
+    from webscrape_neko_jirushi_ray.synth import synth_pages
+
+    pages, seeds = synth_pages(num_listing_pages=3, seed=11)
+    out = str(tmp_path / "c")
+    crawl(
+        BroadcastPageStore(pages), seeds, out,
+        CrawlConfig(host_budget_per_round=10, max_rounds=2, seen_shards=2),
+    )
+    # different fetch_batch_size -> different shard boundaries -> reject
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        crawl(
+            BroadcastPageStore(pages), seeds, out,
+            CrawlConfig(
+                host_budget_per_round=10, max_rounds=30, seen_shards=2,
+                fetch_batch_size=7,
+            ),
+            resume=True,
+        )
+
+
+def test_resume_sweeps_incomplete_round_dir(ray_session, tmp_path):
+    """A crashed round's partial artifacts (no manifest) must be removed on
+    resume so stale docs shards can't join the replayed round's output."""
+    import os
+
+    from webscrape_neko_jirushi_ray.sources.pages import BroadcastPageStore
+    from webscrape_neko_jirushi_ray.synth import synth_pages
+
+    pages, seeds = synth_pages(num_listing_pages=3, seed=11)
+    out = str(tmp_path / "c")
+    cfg = CrawlConfig(host_budget_per_round=10, max_rounds=2, seen_shards=2)
+    crawl(BroadcastPageStore(pages), seeds, out, cfg)
+    # fake a crashed round 2 with a stale shard and no manifest
+    stale = os.path.join(out, "round_0002", "docs")
+    os.makedirs(stale, exist_ok=True)
+    stale_file = os.path.join(stale, "part-deadbeef.parquet")
+    with open(stale_file, "wb") as f:
+        f.write(b"junk")
+    res = crawl(
+        BroadcastPageStore(pages), seeds, out,
+        CrawlConfig(host_budget_per_round=10, max_rounds=30, seen_shards=2),
+        resume=True,
+    )
+    assert not os.path.exists(stale_file)
+    assert res.rounds >= 2

@@ -160,3 +160,79 @@ def test_crawl_delay_parsing_and_rate_override():
     assert rl.buckets["h.com"].rate == 1.0 / 2.5
     # next request must wait ~2.5s at the new rate
     assert abs(rl.wait_time("h.com", now=0.0) - 2.5) < 1e-9
+
+
+def test_wildcard_and_anchor_patterns():
+    """RFC 9309 wildcards: * matches any sequence, trailing $ anchors."""
+    rules = parse_robots(
+        "User-agent: *\n"
+        "Disallow: /*.php\n"
+        "Disallow: /search/*/results\n"
+        "Disallow: /tmp$\n"
+        "Allow: /private/*.html\n"
+        "Disallow: /private/\n"
+    )
+    assert not is_allowed(rules, "/index.php")
+    assert not is_allowed(rules, "/a/b/c.php?x=1")
+    assert not is_allowed(rules, "/search/cats/results")
+    assert is_allowed(rules, "/search/results")       # * needs the /.../ hop
+    assert not is_allowed(rules, "/tmp")              # $ anchored: exact end
+    assert is_allowed(rules, "/tmp/file")             # past the anchor -> no match
+    # longest-pattern specificity: the /private/*.html Allow (15 chars)
+    # beats the /private/ Disallow (9 chars)
+    assert is_allowed(rules, "/private/page.html")
+    assert not is_allowed(rules, "/private/page.txt")
+
+
+def test_unreachable_robots_fails_closed(ray_session):
+    """5xx / network-error robots.txt -> disallow all in the fetch stage
+    (RFC 9309 §2.3.1.4); 404 keeps allowing all."""
+    import pyarrow as pa
+
+    from webscrape_neko_jirushi_ray.pipelines.crawl import FetchExtractActor
+
+    class _ErrFetcher:
+        def __init__(self, robots_status):
+            self.robots_status = robots_status
+
+        def fetch(self, urls):
+            status = [
+                self.robots_status if u.endswith("/robots.txt") else "ok"
+                for u in urls
+            ]
+            return pa.table(
+                {
+                    "url": pa.array(urls, type=pa.string()),
+                    "warc_ts": pa.array([None] * len(urls), type=pa.timestamp("us")),
+                    "html": pa.array(
+                        [b"" if s != "ok" else b"<html></html>" for s in status],
+                        type=pa.binary(),
+                    ),
+                    "lang": pa.array([""] * len(urls), type=pa.string()),
+                    "fetch_status": pa.array(status, type=pa.string()),
+                }
+            )
+
+    class _ErrStore:
+        def __init__(self, robots_status):
+            self.robots_status = robots_status
+
+        def cache_key(self):
+            return f"err:{self.robots_status}"
+
+        def make_fetcher(self):
+            return _ErrFetcher(self.robots_status)
+
+    def _mask(status):
+        actor = FetchExtractActor(_ErrStore(status))
+        batch = pa.table(
+            {
+                "host": pa.array(["h.com"], type=pa.string()),
+                "url": pa.array(["https://h.com/page"], type=pa.string()),
+            }
+        )
+        return actor._robots_mask(batch)
+
+    assert _mask("error:503") == [False]   # 5xx -> fail closed
+    assert _mask("timeout") == [False]     # unreachable -> fail closed
+    assert _mask("notfound") == [True]     # no robots.txt -> allow all

@@ -78,3 +78,19 @@ def test_cuckoo_property_no_false_negatives(keys_list):
     ).astype(np.uint64)
     cf.add_many(ks)
     assert cf.contains_many(ks).all()
+
+
+def test_cuckoo_fingerprint_independent_of_shard_routing():
+    """Regression: fingerprints must not reuse the routing bits. Keys that
+    all land in one shard (same u64 residue) must still span the full
+    16-bit fingerprint space — before the mix, low log2(K) bits were
+    constant per shard, collapsing entropy K-fold."""
+    import numpy as np
+
+    from webscrape_neko_jirushi_ray.state.seen import CuckooFilter
+
+    # 100k keys, all routed to shard 3 of 16 (u64 % 16 == 3)
+    keys = (np.arange(100_000, dtype=np.uint64) * np.uint64(16)) + np.uint64(3)
+    fp = CuckooFilter._fingerprint(keys)
+    # full 16-bit space: expect ~51k distinct; pre-fix ceiling was 4096
+    assert len(np.unique(fp)) > 20_000

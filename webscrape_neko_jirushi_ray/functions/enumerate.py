@@ -57,8 +57,25 @@ def attach_dense_index(
     (key_cols, ascending) order."""
     asc = [ascending] * len(key_cols) if isinstance(ascending, bool) else list(ascending)
 
-    # 1. boundaries from a (deterministic) sample
-    sample = ds.limit(sample_size).to_pandas()[key_cols]
+    # 1. boundaries from a deterministic CROSS-BLOCK sample: a strided
+    # per-block pick (not ds.limit — the first N rows of an input clustered
+    # by the key would collapse every boundary into one range and
+    # degenerate the whole enumeration to a single-group sort). Driver
+    # state is O(blocks x per_block), never O(N).
+    per_block = max(8, sample_size // 256)
+
+    def _block_sample(t: pa.Table) -> pa.Table:
+        t = t.select(key_cols)
+        if t.num_rows <= per_block:
+            return t
+        idx = np.unique(
+            np.linspace(0, t.num_rows - 1, per_block).astype(np.int64)
+        )
+        return t.take(pa.array(idx, type=pa.int64()))
+
+    sample = ds.map_batches(
+        _block_sample, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()[key_cols]
     if len(sample) == 0:
         return ds.map_batches(
             lambda t: t.append_column(

@@ -6,9 +6,14 @@ actors", so the rebuild implements the standard semantics (public
 robots-exclusion protocol, RFC 9309 shape):
 
 - only ``User-agent: *`` groups are honored (we present no specific agent);
-- ``Disallow:`` / ``Allow:`` rules are path prefixes;
-- decision = longest-matching rule wins; tie → Allow; no match → Allow;
-- empty ``Disallow:`` means allow-all; a missing robots.txt allows all.
+- ``Disallow:`` / ``Allow:`` rules are path patterns with RFC 9309
+  wildcards: ``*`` matches any char sequence, a trailing ``$`` anchors the
+  end of the path; anything else is a literal prefix;
+- decision = most-specific (longest PATTERN) matching rule wins; tie →
+  Allow; no match → Allow;
+- empty ``Disallow:`` means allow-all; a missing robots.txt (404) allows
+  all; an UNREACHABLE robots.txt (5xx / timeout) disallows all in the
+  live-HTTP path (fail-closed — see pipelines/crawl.py:_robots_rules).
 
 Pure functions — the per-host cache lives in the fetch stage
 (pipelines/crawl.py), built once per worker like the session state (ST1).
@@ -16,7 +21,13 @@ Pure functions — the per-host cache lives in the fetch stage
 
 from __future__ import annotations
 
+import re
+
 ROBOTS_PATH = "/robots.txt"
+
+# rules that unconditionally disallow everything (the fail-closed sentinel
+# the fetch stage installs when robots.txt is unreachable)
+DISALLOW_ALL: list[tuple[bool, str]] = [(False, "/")]
 
 
 def robots_url_for(canon_url: str) -> str:
@@ -72,14 +83,41 @@ def parse_robots_full(text: str) -> tuple[list[tuple[bool, str]], float | None]:
     return rules, crawl_delay
 
 
+# compiled-pattern cache: robots rule strings repeat across hosts and
+# rounds; compiling once per distinct pattern keeps the per-URL check a
+# C-level regex match
+_PATTERN_CACHE: dict[str, "re.Pattern[str]"] = {}
+
+
+def _compile_rule(pattern: str) -> "re.Pattern[str]":
+    rx = _PATTERN_CACHE.get(pattern)
+    if rx is None:
+        anchored_end = pattern.endswith("$")
+        body = pattern[:-1] if anchored_end else pattern
+        # escape everything, then turn escaped \* back into .*
+        esc = re.escape(body).replace(r"\*", ".*")
+        rx = re.compile("^" + esc + ("$" if anchored_end else ""))
+        _PATTERN_CACHE[pattern] = rx
+    return rx
+
+
+def _rule_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 match: ``*`` = any sequence, trailing ``$`` = end anchor,
+    else prefix. The common wildcard-free case stays a plain startswith."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    return _compile_rule(pattern).match(path) is not None
+
+
 def is_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
-    """Longest-prefix-match decision; tie → allow; no match → allow."""
+    """Most-specific-match decision (longest pattern, per RFC 9309 §2.2.2);
+    tie → allow; no match → allow."""
     best_len = -1
     best_allow = True
-    for allow, prefix in rules:
-        if path.startswith(prefix) and len(prefix) >= best_len:
-            if len(prefix) > best_len or allow:
-                best_len = len(prefix)
+    for allow, pattern in rules:
+        if len(pattern) >= best_len and _rule_matches(pattern, path):
+            if len(pattern) > best_len or allow:
+                best_len = len(pattern)
                 best_allow = allow
     return best_allow
 

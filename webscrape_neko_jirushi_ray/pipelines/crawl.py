@@ -168,15 +168,24 @@ class FetchExtractActor:
             else:
                 page = self.fetcher.fetch([rurl])
             body = page["html"][0].as_py()
-            if page["fetch_status"][0].as_py() == "ok" and body:
+            status = page["fetch_status"][0].as_py()
+            if status == "ok" and body:
                 rules, crawl_delay = parse_robots_full(
                     body.decode("utf-8", errors="replace")
                 )
                 # Crawl-delay feeds the live-HTTP token bucket (ST4)
                 if crawl_delay and crawl_delay > 0 and hasattr(self.fetcher, "limiter"):
                     self.fetcher.limiter.set_rate(host, 1.0 / crawl_delay)
+            elif status == "notfound" or status == "ok":
+                rules = []  # no robots.txt (404) / empty body -> allow all
             else:
-                rules = []  # no robots.txt -> allow all
+                # unreachable robots.txt (5xx / timeout / network error):
+                # fail CLOSED per RFC 9309 §2.3.1.4 (cached for this
+                # worker's lifetime; the HTTP fetcher already retried with
+                # backoff before reporting the error)
+                from ..functions.robotskit import DISALLOW_ALL
+
+                rules = DISALLOW_ALL
             self.robots_cache[host] = rules
         return rules
 
@@ -468,6 +477,33 @@ def _crawl_inner(
 
     if resume and (last := ckpt.last_complete_round(out_dir)) >= 0:
         m = ckpt.read_manifest(out_dir, last)
+        # The idempotent-replay contract (checkpoint.py) holds only when
+        # the boundary-shaping config is IDENTICAL: batch boundaries (and
+        # so task-side docs-shard names) derive from fetch_concurrency /
+        # batch sizes, so replaying a crashed round under a different value
+        # would leave stale shards beside the new ones. Run-control knobs
+        # (max_rounds, target_urls) may differ. Fail loudly on mismatch...
+        want = ckpt.resume_compat_hash(cfg)
+        got = m.get("resume_hash")
+        if got is not None and got != want:
+            raise ValueError(
+                f"resume config mismatch: checkpoint was written with config "
+                f"{got}, current config hashes to {want} — resume with the "
+                f"original CrawlConfig or start a fresh out_dir"
+            )
+        # ...and sweep every incomplete round dir (> last manifest) so a
+        # crashed attempt's partial docs/visits shards can't survive into
+        # this run's outputs.
+        import shutil
+
+        for name in sorted(os.listdir(out_dir)):
+            if name.startswith("round_"):
+                try:
+                    r = int(name.split("_")[1])
+                except (IndexError, ValueError):
+                    continue
+                if r > last:
+                    shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
         seen.restore(os.path.join(ckpt.round_dir(out_dir, last), "seen"))
         pending = pq.read_table(
             os.path.join(ckpt.round_dir(out_dir, last), "frontier_next.parquet")
@@ -701,6 +737,7 @@ def _crawl_inner(
                 "seen_size": seen.size(),
                 "round_wall_sec": round(_time.perf_counter() - round_t0, 3),
                 "config_hash": ckpt.config_hash(cfg),
+                "resume_hash": ckpt.resume_compat_hash(cfg),
                 "lineage": {"docs": os.path.join(rdir, "docs"),
                             "visits": os.path.join(rdir, "visits.parquet")},
             },

@@ -199,16 +199,17 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     map_batches."""
     import ray as _ray
 
-    okeys = set(
-        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+    okeys = pa.array(
+        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
+            "o_custkey"
+        ].unique()
     )
     okeys_ref = _ray.put(okeys)
     cust = _read(sf_dir, "customer", ["c_custkey"])
 
     def _anti(t: pa.Table) -> pa.Table:
         keys = _ray.get(okeys_ref)
-        mask = pa.array([k not in keys for k in t["c_custkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys)))
 
     out = cust.map_batches(_anti, batch_format="pyarrow").to_pandas()
     if "c_custkey" not in out.columns:  # fully-matched: empty result block
@@ -446,16 +447,17 @@ def semi_join_customers(sf_dir: str) -> pd.DataFrame:
     broadcast key set filtered inside map_batches."""
     import ray as _ray
 
-    okeys = set(
-        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+    okeys = pa.array(
+        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
+            "o_custkey"
+        ].unique()
     )
     okeys_ref = _ray.put(okeys)
     cust = _read(sf_dir, "customer", ["c_custkey"])
 
     def _semi(t: pa.Table) -> pa.Table:
         keys = _ray.get(okeys_ref)
-        mask = pa.array([k in keys for k in t["c_custkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
 
     out = cust.map_batches(_semi, batch_format="pyarrow").to_pandas()
     if "c_custkey" not in out.columns:

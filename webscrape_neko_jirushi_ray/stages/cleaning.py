@@ -219,12 +219,12 @@ def dedup_exact_md5(images: "ray.data.Dataset") -> "ray.data.Dataset":
         .aggregate(Min("sel_key", alias_name="win_key"))
         .to_pandas()
     )
-    win_set = set(winners["win_key"])
-    win_ref = _ray.put(win_set)
+    win_arr = pa.array(winners["win_key"], type=pa.string())
+    win_ref = _ray.put(win_arr)
 
     def _keep(batch: pa.Table) -> pa.Table:
         wins = _ray.get(win_ref)
-        mask = pa.array([k in wins for k in batch["sel_key"].to_pylist()])
+        mask = pc.is_in(batch["sel_key"], value_set=wins)
         return batch.filter(mask).drop_columns(["sel_key"])
 
     return keyed.map_batches(_keep, batch_format="pyarrow", batch_size=2048)

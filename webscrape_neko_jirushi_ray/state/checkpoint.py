@@ -75,3 +75,23 @@ def write_table_atomic(table: pa.Table, path: str) -> None:
 def config_hash(obj) -> str:
     """Stable hash of a (frozen dataclass) config for lineage records."""
     return hashlib.sha1(repr(obj).encode("utf-8")).hexdigest()[:12]
+
+
+# Run-control knobs that may legitimately differ between a crashed attempt
+# and its resume (how LONG to run) — everything else (batch sizes,
+# concurrency, budgets, thresholds, seen-set config) shapes batch
+# boundaries and task-side shard names, so replaying a round under a
+# different value would strand stale shards beside the new ones.
+_RESUME_IRRELEVANT = ("max_rounds", "target_urls")
+
+
+def resume_compat_hash(cfg) -> str:
+    """Hash of the config fields that must be IDENTICAL across resume."""
+    import dataclasses
+
+    items = sorted(
+        (f.name, getattr(cfg, f.name))
+        for f in dataclasses.fields(cfg)
+        if f.name not in _RESUME_IRRELEVANT
+    )
+    return hashlib.sha1(repr(items).encode("utf-8")).hexdigest()[:12]

@@ -48,7 +48,13 @@ class CuckooFilter:
 
     @staticmethod
     def _fingerprint(keys: np.ndarray) -> np.ndarray:
-        fp = (keys & np.uint64(0xFFFF)).astype(np.uint16)
+        # Rehash before taking fingerprint bits: shard routing upstream is
+        # u64 % num_shards over the SAME u64, so raw low bits would be
+        # partially constant within a shard (effective entropy 16-log2(K)
+        # bits -> FP rate ~K x the design 1e-6). The multiplicative mix
+        # makes the 16 fingerprint bits independent of the routing bits.
+        mixed = (keys * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)
+        fp = mixed.astype(np.uint16)
         fp[fp == 0] = 1  # 0 marks an empty slot
         return fp
 
