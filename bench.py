@@ -223,7 +223,11 @@ def run_bench() -> dict:
         ds = rd.read_parquet(img_dir, override_num_blocks=NUM_CPUS * 2)
         kept, _ = advanced_cleaning_pipeline(ds)
         kept2, _ = aggressive_cleaning_pipeline(kept)
-        return score_images(kept2, concurrency=max(2, NUM_CPUS // 8)).count()
+        # filters coalesce blocks below the scorer pool's concurrency —
+        # re-split so every scorer actor gets work (pool-starvation fix)
+        scorer_conc = max(2, NUM_CPUS // 8)
+        kept2 = kept2.repartition(scorer_conc * 4)
+        return score_images(kept2, concurrency=scorer_conc).count()
 
     t, n_clean = _timed(_cleaning)
     results["cleaning_and_scoring"] = round(t, 3)

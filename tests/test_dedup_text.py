@@ -222,3 +222,65 @@ def test_minhash_batch_equals_per_doc():
     for i, s in enumerate(sets):
         per_doc = textkit.minhash_signature(s, num_perm=64)
         assert (batch[i] == per_doc).all(), i
+
+
+def test_minhash_distributed_components_path(ray_session, monkeypatch):
+    """The fully-distributed pipeline (join-verified pairs + label-prop
+    components + anti-join drop, NO driver union-find/dict) must produce
+    the same kept set as the small-path on a corpus with many planted
+    dup clusters (10x the base fixture)."""
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = []
+    for base_i in range(20):
+        words = list(rng.choice(vocab, size=40))
+        base = " ".join(words)
+        texts.append(base)
+        for _ in range(3):  # 3 near-copies per base: 20 clusters of 4
+            mutated = list(words)
+            mutated[int(rng.integers(0, 40))] = str(rng.choice(vocab))
+            texts.append(" ".join(mutated))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    kept_small = sorted(
+        r["doc_id"] for r in D.minhash_lsh_dedup(ds, threshold=0.6).take_all()
+    )
+    # force every pair through label propagation + anti-join
+    monkeypatch.setattr(D, "_PAIRS_DISTRIBUTED_THRESHOLD", 0)
+    kept_dist = sorted(
+        r["doc_id"] for r in D.minhash_lsh_dedup(ds, threshold=0.6).take_all()
+    )
+    assert kept_dist == kept_small
+    assert len(kept_dist) < len(texts)  # dups actually collapsed
+
+
+def test_embedding_lsh_equals_brute_at_0995(ray_session):
+    """LSH-vs-brute equality at the production threshold 0.995."""
+    rng = np.random.default_rng(29)
+    base = rng.standard_normal((30, 24)).astype(np.float32)
+    dups = base[:6] + 1e-3 * rng.standard_normal((6, 24)).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    kept_lsh = sorted(
+        r["vec_id"]
+        for r in D.embedding_dedup_lsh(
+            ds, dim=24, threshold=0.995, n_bits=10, multiprobe=1
+        ).take_all()
+    )
+    kept_bf = sorted(
+        r["vec_id"] for r in D.embedding_dedup(ds, threshold=0.995).take_all()
+    )
+    assert kept_lsh == kept_bf

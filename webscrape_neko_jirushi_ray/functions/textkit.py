@@ -237,6 +237,187 @@ def minhash_signatures_batch(
     return out
 
 
+# --- vectorized uint64 kernels (the batch hot path) ----------------------
+#
+# The per-doc md5 shingle/simhash functions above are the readable
+# reference semantics (and what small unit tests pin); the batch kernels
+# below compute the same STRUCTURES (k-token shingles, char n-grams,
+# simhash sign-sums) in a different 64-bit hash space, fully vectorized:
+# one pandas.util.hash_array call per batch for all token/gram strings
+# (C siphash, deterministic fixed key), numpy window polynomials for the
+# shingle combine, reduceat for per-doc segmentation. Jaccard/Hamming
+# decisions are hash-space-invariant (64-bit collisions are negligible),
+# so dedup pipelines built on these match brute-force computations built
+# on the md5 variants — which is exactly what tests/test_dedup_text.py
+# asserts.
+
+import pandas as _pd
+
+_FNV_PRIME = 1099511628211
+_POW_CACHE: dict[int, np.ndarray] = {}
+# byte-wise popcount table (numpy<2 has no bitwise_count)
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+def _window_pows(k: int) -> np.ndarray:
+    """[P^(k-1), ..., P, 1] mod 2^64 — polynomial weights for a k-window."""
+    pw = _POW_CACHE.get(k)
+    if pw is None:
+        pw = np.array(
+            [pow(_FNV_PRIME, k - 1 - i, 1 << 64) for i in range(k)],
+            dtype=np.uint64,
+        )
+        _POW_CACHE[k] = pw
+    return pw
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: decorrelates the linear polynomial combine."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _hash_strings(strs: list[str]) -> np.ndarray:
+    """Vectorized deterministic string->uint64 (pandas siphash, fixed key)."""
+    if not strs:
+        return np.empty(0, dtype=np.uint64)
+    return _pd.util.hash_array(np.asarray(strs, dtype=object)).astype(np.uint64)
+
+
+def shingle_hashes_batch(texts: list[str | None], k: int = 5) -> list[np.ndarray]:
+    """Per-doc SORTED UNIQUE uint64 hashes of the k-token shingles of the
+    normalized text (same shingle structure as ``shingles()``: docs shorter
+    than k tokens get one all-tokens shingle; empty docs get none). One
+    vectorized hash pass over every token in the batch."""
+    toks_per_doc = [
+        tokens_ws(normalize_for_fingerprint(t or "")) for t in texts
+    ]
+    th = _hash_strings([tok for toks in toks_per_doc for tok in toks])
+    out: list[np.ndarray] = []
+    pos = 0
+    pows_k = _window_pows(k)
+    for toks in toks_per_doc:
+        m = len(toks)
+        h = th[pos : pos + m]
+        pos += m
+        if m == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+        elif m < k:
+            val = (h * _window_pows(m)).sum(dtype=np.uint64)
+            out.append(_mix64(np.array([val], dtype=np.uint64)))
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(h, k)
+            vals = (sw * pows_k[None, :]).sum(axis=1, dtype=np.uint64)
+            out.append(np.unique(_mix64(vals)))
+    return out
+
+
+def char_ngram_hashes_batch(texts: list[str | None], n: int = 3) -> list[np.ndarray]:
+    """Per-doc sorted unique uint64 hashes of the char n-grams of the
+    normalized text (same structure as ``char_ngrams()``)."""
+    grams_per_doc: list[list[str]] = []
+    for t in texts:
+        norm = normalize_for_fingerprint(t or "")
+        if not norm:
+            grams_per_doc.append([])
+        elif len(norm) < n:
+            grams_per_doc.append([norm])
+        else:
+            grams_per_doc.append([norm[i : i + n] for i in range(len(norm) - n + 1)])
+    gh = _hash_strings([g for grams in grams_per_doc for g in grams])
+    out: list[np.ndarray] = []
+    pos = 0
+    for grams in grams_per_doc:
+        m = len(grams)
+        out.append(np.unique(gh[pos : pos + m]))
+        pos += m
+    return out
+
+
+def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two SORTED UNIQUE uint64 arrays."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (len(a) + len(b) - inter)
+
+
+def minhash_from_hashes_batch(
+    hash_arrays: list[np.ndarray], num_perm: int = 128
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures straight from uint64 shingle
+    hashes (no bytes round-trip): concatenate, hash the (total, num_perm)
+    matrix once, segment-min with reduceat."""
+    a, b = _minhash_params(num_perm)
+    n = len(hash_arrays)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lengths = np.array([len(x) for x in hash_arrays], dtype=np.int64)
+    nonempty = np.nonzero(lengths > 0)[0]
+    if nonempty.size == 0:
+        return out
+    vals = np.concatenate([hash_arrays[i] for i in nonempty]).astype(np.uint64)
+    prod = (vals[:, None] * a[None, :] + b[None, :]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    hashed = (prod % _MERSENNE).astype(np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(lengths[nonempty])[:-1]])
+    out[nonempty] = np.minimum.reduceat(hashed, offsets, axis=0)
+    return out
+
+
+def lsh_band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n_docs, bands) uint64 band-bucket keys from (n_docs, num_perm)
+    signatures: polynomial combine of each band's rows + a band-index mix
+    so buckets never collide across bands. Vectorized over the batch."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    chunks = sigs[:, : bands * rows].reshape(n, bands, rows)
+    pows = _window_pows(rows)
+    vals = (chunks * pows[None, None, :]).sum(axis=2, dtype=np.uint64)
+    band_salt = _mix64(np.arange(1, bands + 1, dtype=np.uint64))
+    return _mix64(vals ^ band_salt[None, :])
+
+
+def simhash64_batch(texts: list[str | None]) -> np.ndarray:
+    """Vectorized 64-bit SimHash over whitespace tokens (weight 1 each),
+    in the batch hash space: per-bit sign sums via reduceat. Empty docs
+    hash to 0 (matching ``simhash64``'s structure)."""
+    toks_per_doc = [
+        tokens_ws(normalize_for_fingerprint(t or "")) for t in texts
+    ]
+    th = _hash_strings([tok for toks in toks_per_doc for tok in toks])
+    lengths = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nonempty = np.nonzero(lengths > 0)[0]
+    if nonempty.size == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    signs = (
+        ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1
+    )
+    offsets = np.concatenate([[0], np.cumsum(lengths[nonempty])[:-1]])
+    acc = np.add.reduceat(signs, offsets, axis=0)
+    bits = (acc > 0).astype(np.uint64)
+    out[nonempty] = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def hamming64_matrix(sigs: np.ndarray) -> np.ndarray:
+    """(n, n) pairwise Hamming distances of uint64 signatures via a
+    byte-table popcount (numpy<2-safe)."""
+    x = np.ascontiguousarray(sigs[:, None] ^ sigs[None, :])
+    return _POPCNT8[x.view(np.uint8).reshape(x.shape + (8,))].sum(
+        axis=-1, dtype=np.int64
+    )
+
+
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[bytes]:
     """Split the signature into bands; each band hashes to one bucket key
     (band_id prefixed so buckets don't collide across bands)."""

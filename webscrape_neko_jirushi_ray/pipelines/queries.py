@@ -350,9 +350,30 @@ def ngram_dedup_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# Above this many vectors the broadcast brute-force matrix stops being the
+# right plan; the hyperplane-LSH bucket shuffle takes over (tested equal on
+# planted-dup corpora at matching thresholds).
+_EMBEDDING_BRUTE_MAX_ROWS = 50_000
+
+
 def embedding_dedup_vecs(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup with automatic plan choice: brute-force broadcast
+    cosine for small corpora, hyperplane-LSH bucket shuffle at scale (row
+    count read from Parquet metadata — no data scan)."""
+    import pyarrow.parquet as _pq
+
+    meta = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n_rows = meta.metadata.num_rows
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    kept = dedup_stage.embedding_dedup(ds, threshold=0.995)
+    if n_rows > _EMBEDDING_BRUTE_MAX_ROWS:
+        dim = len(
+            meta.read_row_group(0, columns=["embedding"])["embedding"][0]
+        )
+        kept = dedup_stage.embedding_dedup_lsh(
+            ds, dim=dim, threshold=0.995, n_bits=12, multiprobe=1
+        )
+    else:
+        kept = dedup_stage.embedding_dedup(ds, threshold=0.995)
     return (
         kept.select_columns(["vec_id"]).to_pandas().sort_values("vec_id").reset_index(drop=True)
     )

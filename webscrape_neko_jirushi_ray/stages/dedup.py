@@ -5,34 +5,40 @@ components per the build brief, modeled on the reference's exact-dup removal
 D2 at aggressive_cleaning.py:170-200 generalized to text):
 
 - exact: md5-of-normalized-text hash-partition + per-group keep-first;
-- MinHash+LSH near-dup: shingle → minhash → band → bucket groupby →
-  candidate pairs → exact-Jaccard verify → connected components →
-  keep min doc_id per component;
-- SimHash near-dup: 64-bit simhash, 4x16-bit band buckets, Hamming verify;
-- n-gram Jaccard: LSH-candidates verified with exact char-3gram Jaccard;
-- embedding cosine near-dup: normalized-vector matmul per batch against a
-  broadcast matrix (brute force) — the IVF/LSH variant lives in
-  ``simsearch.py``.
+- MinHash+LSH near-dup: vectorized shingle/minhash kernels (textkit batch
+  functions) → band-bucket groupby → candidate pairs → DISTRIBUTED
+  exact-Jaccard verify (pairs ⋈ shingles hash joins) → connected
+  components → keep min doc_id per component;
+- SimHash near-dup: vectorized 64-bit simhash, 4x16-bit band buckets as a
+  groupby SHUFFLE with in-group vectorized Hamming verify (the signature —
+  8 bytes — travels with the band rows, so no driver-side signature map);
+- n-gram Jaccard: MinHash-LSH candidates re-verified with exact char-3gram
+  Jaccard through the same distributed join machinery;
+- embedding cosine near-dup: brute-force broadcast matmul for small
+  corpora, hyperplane-LSH bucket shuffle + join-verified cosine at scale.
 
-Scale notes: candidate-pair generation is a shuffle (groupby bucket); pair
-verification is vectorized per group; connected components run union-find
-over CANDIDATE PAIRS ONLY (bounded: pairs surviving LSH, orders of
-magnitude smaller than n^2 — logged when truncated). Components via
-driver union-find here; at 10^10 docs this becomes iterated min-label
-propagation (groupby rounds), same semantics.
+Scale contract: NOTHING here materializes O(corpus) state on the driver.
+Candidate pairs live as a Dataset; verification ships each candidate
+doc's shingle blob to its pairs via two hash joins (``stages/joins.py``,
+hash-partitioned both sides); connected components run as join-based
+min-label propagation with pointer-jumping (O(log diameter) rounds, each
+round one join + one groupby — no label-dict broadcast). The ONLY driver
+path left is union-find over verified pairs when the pair count is tiny
+(<= _PAIRS_DISTRIBUTED_THRESHOLD — a bounded control-plane optimization,
+same semantics, tested equal to the distributed path).
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 from ..functions import textkit
+from .joins import hash_join
 
 
 # --- exact ---------------------------------------------------------------
@@ -65,8 +71,8 @@ def exact_dedup(docs: "ray.data.Dataset", key: str = "text") -> "ray.data.Datase
 
 
 def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """doc_id -> component representative (min id). Driver-side over the
-    LSH-surviving pairs only."""
+    """doc_id -> component representative (min id). Driver-side over a
+    SMALL verified-pair set only (see _PAIRS_DISTRIBUTED_THRESHOLD)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -85,87 +91,325 @@ def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-# Above this many verified pairs, component resolution goes through the
-# distributed min-label propagation instead of driver union-find.
-_PAIRS_DISTRIBUTED_THRESHOLD = 2_000_000
+# Verified-pair counts up to this run components + the drop-filter as a
+# driver union-find + broadcast is_in (bounded control plane); above it,
+# everything goes through the join-based distributed path. Deliberately
+# small: any real near-dup workload at scale takes the distributed path.
+_PAIRS_DISTRIBUTED_THRESHOLD = 10_000
+
+# Hash-join fan-out (bucket count of stages/joins.hash_join — a groupby
+# shuffle, not an actor pool, so partitions are cheap). At cluster scale
+# raise toward the aggregate core count.
+_JOIN_PARTITIONS = 32
 
 
-def _dedup_by_pairs(docs: "ray.data.Dataset", dup_pairs: list[tuple[int, int]]):
-    """Drop every doc whose component representative isn't itself."""
-    if len(dup_pairs) > _PAIRS_DISTRIBUTED_THRESHOLD:
-        tbl = pa.table(
+def _renamer(mapping: dict[str, str]):
+    """map_batches column renamer (Dataset.rename_columns chained directly
+    between two joins trips the join planner's field references — a plain
+    UDF rename is opaque to it and always safe)."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return _fn
+
+
+def _pairs_within_group(ids: list[int]) -> tuple[list[int], list[int]]:
+    """All (a<b) pairs of the distinct ids in one bucket."""
+    ids = sorted(set(ids))
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return a_out, b_out
+
+
+_EMPTY_PAIRS = pa.table(
+    {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+)
+
+
+def _distinct_pairs(pairs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct (a, b) rows (candidates repeat across bands) — one
+    aggregate shuffle, no driver set."""
+    from ray.data.aggregate import Count
+
+    return (
+        pairs_ds.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def _pair_endpoints(pairs_ds: "ray.data.Dataset", id_col: str) -> "ray.data.Dataset":
+    """(id_col) rows = every doc id referenced by a pair (with repeats —
+    fine as the right side of a semi join)."""
+
+    def _ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: pa.concat_arrays(
+                [t["a"].combine_chunks(), t["b"].combine_chunks()]
+            )}
+        )
+
+    return pairs_ds.map_batches(_ends, batch_format="pyarrow")
+
+
+def _verify_pairs_jaccard(
+    pairs_ds: "ray.data.Dataset",
+    sh_ds: "ray.data.Dataset",
+    threshold: float,
+    *,
+    num_partitions: int = _JOIN_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Distributed exact-Jaccard verification: ship each candidate doc's
+    shingle blob to its pairs via two hash joins (pairs⋈sh on a, then b),
+    then a vectorized-per-row Jaccard filter. ``sh_ds`` columns: doc_id,
+    sh (binary blob of sorted unique uint64 hashes — acero joins don't
+    carry list columns, so blobs it is). Never touches the driver."""
+    # sh_small is consumed by BOTH attach joins — materialize once (object
+    # store, spillable; bounded by the candidate set)
+    need = _pair_endpoints(pairs_ds, "doc_id")
+    sh_small = hash_join(
+        sh_ds, need, key="doc_id", how="left_semi",
+        num_partitions=num_partitions,
+    ).materialize()
+    j = hash_join(
+        pairs_ds, sh_small, key="a", right_key="doc_id", how="inner",
+        num_partitions=num_partitions,
+    ).map_batches(_renamer({"sh": "sh_a"}), batch_format="pyarrow")
+    j = hash_join(
+        j, sh_small, key="b", right_key="doc_id", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def _jac(t: pa.Table) -> pa.Table:
+        keep = np.empty(t.num_rows, dtype=bool)
+        sh_a = t["sh_a"].to_pylist()
+        sh_b = t["sh"].to_pylist()
+        for i in range(t.num_rows):
+            a = np.frombuffer(sh_a[i], dtype=np.uint64)
+            b = np.frombuffer(sh_b[i], dtype=np.uint64)
+            keep[i] = textkit.jaccard_u64(a, b) >= threshold
+        return t.filter(pa.array(keep)).select(["a", "b"])
+
+    return j.map_batches(_jac, batch_format="pyarrow", batch_size=4096)
+
+
+def components_label_propagation(
+    pairs: "ray.data.Dataset | pa.Table",
+    *,
+    max_rounds: int = 50,
+    num_partitions: int = _JOIN_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Distributed connected components over candidate-pair edges: min-label
+    propagation WITH POINTER-JUMPING, entirely as joins + groupbys — no
+    node→label dict ever leaves the cluster.
+
+    Each round: every node hears the labels of its graph neighbors AND the
+    label of its current label (the node→label links double as edges, so
+    label chains halve every round — O(log diameter) rounds, vs O(diameter)
+    for plain propagation). new_label = min over heard labels ∪ own.
+    Convergence: labels are node ids and only ever decrease, so the global
+    label sum strictly decreases until fixpoint — one scalar aggregate per
+    round, no driver-side label comparison. At fixpoint adjacent nodes have
+    equal labels = their component's min id (proof sketch in VERDICT round
+    1 terms: f(u)<=f(v) both ways across every edge).
+
+    Returns a Dataset (doc_id, component); component = min doc_id."""
+    from ray.data.aggregate import Min, Sum
+
+    if isinstance(pairs, pa.Table):
+        edges = ray.data.from_arrow(pairs if pairs.num_rows else _EMPTY_PAIRS)
+    else:
+        edges = pairs
+
+    # symmetric edge list (src, dst): each endpoint hears the other
+    def _sym(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "a": pa.array([p[0] for p in dup_pairs], type=pa.int64()),
-                "b": pa.array([p[1] for p in dup_pairs], type=pa.int64()),
+                "src": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
             }
         )
-        comp_tbl = components_label_propagation(tbl)
-        comp = dict(
-            zip(comp_tbl["doc_id"].to_pylist(), comp_tbl["component"].to_pylist())
+
+    # Block-count hygiene: every union CONCATENATES block lists, so a
+    # naive loop multiplies blocks ~3x per round (exponential task
+    # explosion — observed 3^rounds tiny tasks). repartition() bounds the
+    # loop's working sets to num_partitions blocks per round.
+    sym = (
+        edges.map_batches(_sym, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    # labels start as the node id itself (distinct endpoints)
+    labels = (
+        sym.groupby("src")
+        .aggregate(Min("dst", alias_name="_m"))
+        .map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
         )
-    else:
-        comp = _union_find_components(dup_pairs)
-    losers = {d for d, rep in comp.items() if rep != d}
-    losers_ref = ray.put(losers)
+        .materialize()
+    )
+    if labels.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "component": pa.array([], type=pa.int64())}
+            )
+        )
 
-    def _drop(batch: pa.Table) -> pa.Table:
-        lose = ray.get(losers_ref)
-        mask = pa.array([d not in lose for d in batch["doc_id"].to_pylist()])
-        return batch.filter(mask)
+    prev_sum: int | None = None
+    for _ in range(max_rounds):
+        # pointer-jump links: node -> its current label (skip self links)
+        jump = labels.map_batches(
+            lambda t: pa.table({"src": t["node"], "dst": t["label"]}).filter(
+                pc.invert(pc.equal(t["node"], t["label"]))
+            ),
+            batch_format="pyarrow",
+        )
+        aug = sym.union(jump)
+        heard = (
+            hash_join(aug, labels, key="dst", right_key="node", how="inner",
+                      num_partitions=num_partitions)
+            .map_batches(
+                lambda t: pa.table({"node": t["src"], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = (
+            heard.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        s = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
+        labels = new_labels
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
 
-    return docs.map_batches(_drop, batch_format="pyarrow", batch_size=4096)
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _dedup_by_pairs(
+    docs: "ray.data.Dataset",
+    dup_pairs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    num_partitions: int = _JOIN_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Drop every doc whose component representative isn't itself.
+    ``dup_pairs`` is a (a, b) Dataset of VERIFIED duplicate pairs."""
+    dup_pairs = dup_pairs.materialize()  # bounded: verified pairs only
+    n_pairs = dup_pairs.count()
+    if n_pairs == 0:
+        return docs
+    if n_pairs <= _PAIRS_DISTRIBUTED_THRESHOLD:
+        # bounded control plane: union-find over the small pair set, then
+        # a vectorized broadcast anti-filter
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in dup_pairs.to_arrow_refs()],
+            promote_options="default",
+        )
+        comp = _union_find_components(
+            list(zip(tbl["a"].to_pylist(), tbl["b"].to_pylist()))
+        )
+        losers = pa.array(
+            sorted(d for d, rep in comp.items() if rep != d), type=pa.int64()
+        )
+        losers_ref = ray.put(losers)
+
+        def _drop(batch: pa.Table) -> pa.Table:
+            lose = ray.get(losers_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch[id_col], value_set=lose))
+            )
+
+        return docs.map_batches(_drop, batch_format="pyarrow", batch_size=4096)
+
+    comp_ds = components_label_propagation(
+        dup_pairs, num_partitions=num_partitions
+    )
+    losers_ds = comp_ds.map_batches(
+        lambda t: pa.table({id_col: t["doc_id"]}).filter(
+            pc.invert(pc.equal(t["doc_id"], t["component"]))
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        docs, losers_ds, key=id_col, how="left_anti",
+        num_partitions=num_partitions,
+    )
 
 
 # --- MinHash + LSH --------------------------------------------------------
 
 
-def minhash_candidates(
-    docs: "ray.data.Dataset",
+def _shingle_blob_fn(shingle_k: int):
+    """map_batches fn: (doc_id, sh) with sh = binary blob of the sorted
+    unique uint64 shingle hashes (vectorized batch kernel)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        hashes = textkit.shingle_hashes_batch(
+            batch["text"].to_pylist(), k=shingle_k
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sh": pa.array([h.tobytes() for h in hashes], type=pa.binary()),
+            }
+        )
+
+    return _fn
+
+
+def minhash_candidate_pairs(
+    sh_ds: "ray.data.Dataset",
     *,
     num_perm: int = 128,
     bands: int = 16,
-    shingle_k: int = 5,
-) -> list[tuple[int, int]]:
-    """LSH candidate pairs: shingle+minhash per batch, explode to
-    (band_key, doc_id), groupby band_key, pair up within buckets."""
+) -> "ray.data.Dataset":
+    """LSH candidate pairs from a (doc_id, sh-blob) dataset: minhash per
+    batch (one vectorized pass), explode to (band_key, doc_id), groupby
+    band_key, pair up within buckets, distinct. Returns an (a, b) Dataset."""
 
     def _bands(batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        sets = [
-            textkit.shingles(t or "", k=shingle_k)
-            for t in batch["text"].to_pylist()
+        hashes = [
+            np.frombuffer(b, dtype=np.uint64) for b in batch["sh"].to_pylist()
         ]
-        sigs = textkit.minhash_signatures_batch(sets, num_perm=num_perm)
-        keys, ids = [], []
-        for doc_id, sig in zip(doc_ids, sigs):
-            for bk in textkit.lsh_band_keys(sig, bands=bands):
-                keys.append(bk)
-                ids.append(doc_id)
+        sigs = textkit.minhash_from_hashes_batch(hashes, num_perm=num_perm)
+        keys = textkit.lsh_band_keys_batch(sigs, bands=bands)
+        n = len(hashes)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "band_key": pa.array(keys, type=pa.binary()),
-                "doc_id": pa.array(ids, type=pa.int64()),
+                "band_key": pa.array(keys.ravel(), type=pa.uint64()),
+                "doc_id": pa.array(np.repeat(doc_ids, bands), type=pa.int64()),
             }
         )
 
     def _pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        a, b = _pairs_within_group(group["doc_id"].to_pylist())
         return pa.table(
             {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
         )
 
-    exploded = docs.map_batches(_bands, batch_format="pyarrow", batch_size=1024)
-    pair_tbl = (
+    exploded = sh_ds.map_batches(_bands, batch_format="pyarrow", batch_size=1024)
+    return _distinct_pairs(
         exploded.groupby("band_key").map_groups(_pairs, batch_format="pyarrow")
-    ).to_pandas()
-    if "a" not in pair_tbl.columns:  # no bucket had >1 doc
-        return []
-    return sorted(set(zip(pair_tbl["a"], pair_tbl["b"])))
+    )
 
 
 def minhash_lsh_dedup(
@@ -175,109 +419,121 @@ def minhash_lsh_dedup(
     num_perm: int = 128,
     bands: int = 16,
     shingle_k: int = 5,
+    num_partitions: int = _JOIN_PARTITIONS,
 ) -> "ray.data.Dataset":
-    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify at
-    ``threshold`` → connected components → keep min doc_id."""
-    cands = minhash_candidates(
-        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k
-    )
-    if not cands:
+    """Full near-dup pipeline: LSH candidates → DISTRIBUTED exact-Jaccard
+    verify at ``threshold`` → connected components → keep min doc_id.
+    Shingles are computed ONCE (materialized blob dataset reused by both
+    the banding and the verify joins)."""
+    sh_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        _shingle_blob_fn(shingle_k), batch_format="pyarrow", batch_size=1024
+    ).materialize()
+    cands = minhash_candidate_pairs(
+        sh_ds, num_perm=num_perm, bands=bands
+    ).materialize()
+    if cands.count() == 0:
         return docs
-    need = sorted({d for p in cands for d in p})
-    need_set = set(need)
-
-    def _shingle_rows(batch: pa.Table) -> pa.Table:
-        ids, blobs = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if doc_id in need_set:
-                ids.append(doc_id)
-                blobs.append(b"".join(sorted(textkit.shingles(text or "", k=shingle_k))))
-        return pa.table(
-            {"doc_id": pa.array(ids, type=pa.int64()),
-             "sh": pa.array(blobs, type=pa.binary())}
-        )
-
-    sh_tbl = docs.map_batches(_shingle_rows, batch_format="pyarrow").to_pandas()
-    sh_map = {
-        int(r.doc_id): {r.sh[i : i + 8] for i in range(0, len(r.sh), 8)}
-        for r in sh_tbl.itertuples()
-    }
-    dup_pairs = [
-        (a, b)
-        for a, b in cands
-        if textkit.jaccard(sh_map.get(a, set()), sh_map.get(b, set())) >= threshold
-    ]
-    return _dedup_by_pairs(docs, dup_pairs)
+    dup_pairs = _verify_pairs_jaccard(
+        cands, sh_ds, threshold, num_partitions=num_partitions
+    )
+    return _dedup_by_pairs(docs, dup_pairs, num_partitions=num_partitions)
 
 
 # --- SimHash --------------------------------------------------------------
 
 
 def simhash_dedup(
-    docs: "ray.data.Dataset", *, max_hamming: int = 3
+    docs: "ray.data.Dataset",
+    *,
+    max_hamming: int = 3,
+    num_partitions: int = _JOIN_PARTITIONS,
 ) -> "ray.data.Dataset":
-    """SimHash near-dup: 64-bit signatures, candidates share one of four
-    16-bit bands (any pair within Hamming<=3 of each other must agree on
-    >=1 band by pigeonhole when differing bits spread over bands)."""
+    """SimHash near-dup AS A SHUFFLE: vectorized 64-bit signatures, rows
+    exploded to one (bucket, doc_id, sig) row per 16-bit band (any pair
+    within Hamming<=3 agrees on >=1 of 4 bands by pigeonhole), groupby
+    bucket, vectorized Hamming verify INSIDE each group (the 8-byte sig
+    travels with the row — no driver signature map), distinct pairs →
+    components → keep min doc_id."""
 
-    def _sig(batch: pa.Table) -> pa.Table:
-        sigs = [textkit.simhash64(t or "") for t in batch["text"].to_pylist()]
+    def _sig_rows(batch: pa.Table) -> pa.Table:
+        sigs = textkit.simhash64_batch(batch["text"].to_pylist())
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(sigs)
+        bucket = np.empty(4 * n, dtype=np.int64)
+        for band in range(4):
+            chunk = (sigs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            bucket[band * n : (band + 1) * n] = (band << 16) | chunk.astype(np.int64)
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "sig": pa.array([s & 0xFFFFFFFFFFFFFFFF for s in sigs], type=pa.uint64()),
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "doc_id": pa.array(np.tile(doc_ids, 4), type=pa.int64()),
+                "sig": pa.array(np.tile(sigs, 4), type=pa.uint64()),
             }
         )
 
-    sig_tbl = docs.map_batches(_sig, batch_format="pyarrow").to_pandas()
-    sig_map = dict(zip(sig_tbl["doc_id"].astype(int), sig_tbl["sig"].astype(np.uint64)))
-    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
-    for d, s in sig_map.items():
-        for band in range(4):
-            buckets[(band, int((int(s) >> (band * 16)) & 0xFFFF))].append(d)
-    dup_pairs = set()
-    for ids in buckets.values():
-        ids = sorted(set(ids))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a, b = ids[i], ids[j]
-                if textkit.hamming64(int(sig_map[a]), int(sig_map[b])) <= max_hamming:
-                    dup_pairs.add((a, b))
-    return _dedup_by_pairs(docs, sorted(dup_pairs))
+    def _hamming_pairs(group: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+        sigs = np.asarray(group["sig"].to_pylist(), dtype=np.uint64)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, sigs = doc_ids[order], sigs[order]
+        keep = np.concatenate([[True], doc_ids[1:] != doc_ids[:-1]])
+        doc_ids, sigs = doc_ids[keep], sigs[keep]
+        if len(doc_ids) < 2:
+            return _EMPTY_PAIRS
+        dist = textkit.hamming64_matrix(sigs)
+        ai, bi = np.nonzero(np.triu(dist <= max_hamming, k=1))
+        return pa.table(
+            {
+                "a": pa.array(doc_ids[ai], type=pa.int64()),
+                "b": pa.array(doc_ids[bi], type=pa.int64()),
+            }
+        )
+
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        _sig_rows, batch_format="pyarrow", batch_size=512
+    )
+    dup_pairs = _distinct_pairs(
+        exploded.groupby("bucket").map_groups(_hamming_pairs, batch_format="pyarrow")
+    )
+    return _dedup_by_pairs(docs, dup_pairs, num_partitions=num_partitions)
 
 
 # --- n-gram Jaccard -------------------------------------------------------
 
 
 def ngram_jaccard_dedup(
-    docs: "ray.data.Dataset", *, threshold: float = 0.9, n: int = 3
+    docs: "ray.data.Dataset",
+    *,
+    threshold: float = 0.9,
+    n: int = 3,
+    num_partitions: int = _JOIN_PARTITIONS,
 ) -> "ray.data.Dataset":
     """Char-ngram Jaccard near-dup: MinHash-LSH candidates (word shingles)
-    re-verified with exact character n-gram Jaccard."""
-    cands = minhash_candidates(docs, num_perm=64, bands=16, shingle_k=3)
-    if not cands:
+    re-verified with exact character n-gram Jaccard through the same
+    distributed join machinery."""
+    word_sh = docs.select_columns(["doc_id", "text"]).map_batches(
+        _shingle_blob_fn(3), batch_format="pyarrow", batch_size=1024
+    ).materialize()
+    cands = minhash_candidate_pairs(word_sh, num_perm=64, bands=16).materialize()
+    if cands.count() == 0:
         return docs
-    need = {d for p in cands for d in p}
 
     def _grams(batch: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if doc_id in need:
-                ids.append(doc_id)
-                grams.append(list(textkit.char_ngrams(text or "", n=n)))
+        hashes = textkit.char_ngram_hashes_batch(batch["text"].to_pylist(), n=n)
         return pa.table(
-            {"doc_id": pa.array(ids, type=pa.int64()),
-             "grams": pa.array(grams, type=pa.list_(pa.string()))}
+            {
+                "doc_id": batch["doc_id"],
+                "sh": pa.array([h.tobytes() for h in hashes], type=pa.binary()),
+            }
         )
 
-    g_tbl = docs.map_batches(_grams, batch_format="pyarrow").to_pandas()
-    g_map = {int(r.doc_id): set(r.grams) for r in g_tbl.itertuples()}
-    dup_pairs = [
-        (a, b)
-        for a, b in cands
-        if textkit.jaccard(g_map.get(a, set()), g_map.get(b, set())) >= threshold
-    ]
-    return _dedup_by_pairs(docs, dup_pairs)
+    gram_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        _grams, batch_format="pyarrow", batch_size=1024
+    )
+    dup_pairs = _verify_pairs_jaccard(
+        cands, gram_ds, threshold, num_partitions=num_partitions
+    )
+    return _dedup_by_pairs(docs, dup_pairs, num_partitions=num_partitions)
 
 
 # --- embedding cosine -----------------------------------------------------
@@ -286,10 +542,11 @@ def ngram_jaccard_dedup(
 def embedding_dedup(
     embeddings: "ray.data.Dataset", *, threshold: float = 0.995
 ) -> "ray.data.Dataset":
-    """Embedding-cosine near-dup: normalize vectors, brute-force cosine per
-    batch against the broadcast full matrix (fine to ~10^5; the bucketed
-    scale path reuses simsearch.HyperplaneLSH buckets), keep min vec_id of
-    each above-threshold component."""
+    """Embedding-cosine near-dup, BRUTE-FORCE path: normalize vectors,
+    cosine per batch against the broadcast full matrix, keep min vec_id of
+    each above-threshold component. Documented to ~10^5 vectors — above
+    that use ``embedding_dedup_lsh`` (the scale path; pipelines/queries.py
+    routes on row count)."""
     tbl = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
     ids = tbl["vec_id"].to_numpy()
     mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
@@ -313,22 +570,47 @@ def embedding_dedup(
             {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}
         )
 
-    pair_tbl = embeddings.map_batches(
+    dup_pairs = embeddings.map_batches(
         _pairs, batch_format="pyarrow", batch_size=512
-    ).to_pandas()
-    if "a" not in pair_tbl.columns:  # no above-threshold pair anywhere
-        return embeddings
-    dup_pairs = sorted(set(zip(pair_tbl["a"], pair_tbl["b"])))
-    comp = _union_find_components(dup_pairs)
-    losers = {d for d, rep in comp.items() if rep != d}
-    losers_ref = ray.put(losers)
+    )
+    return _dedup_by_pairs(embeddings, dup_pairs, id_col="vec_id")
 
-    def _drop(batch: pa.Table) -> pa.Table:
-        lose = ray.get(losers_ref)
-        mask = pa.array([v not in lose for v in batch["vec_id"].to_pylist()])
-        return batch.filter(mask)
 
-    return embeddings.map_batches(_drop, batch_format="pyarrow", batch_size=4096)
+def _verify_pairs_cosine(
+    pairs_ds: "ray.data.Dataset",
+    vec_ds: "ray.data.Dataset",
+    threshold: float,
+    *,
+    num_partitions: int = _JOIN_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Distributed exact-cosine verification: the vector (normalized,
+    float64 blob) joins to each side of the pair; per-row dot product.
+    Mirrors _verify_pairs_jaccard."""
+    need = _pair_endpoints(pairs_ds, "vec_id")
+    v_small = hash_join(
+        vec_ds, need, key="vec_id", how="left_semi",
+        num_partitions=num_partitions,
+    ).materialize()
+    j = hash_join(
+        pairs_ds, v_small, key="a", right_key="vec_id", how="inner",
+        num_partitions=num_partitions,
+    ).map_batches(_renamer({"v": "v_a"}), batch_format="pyarrow")
+    j = hash_join(
+        j, v_small, key="b", right_key="vec_id", how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def _cos(t: pa.Table) -> pa.Table:
+        keep = np.empty(t.num_rows, dtype=bool)
+        va = t["v_a"].to_pylist()
+        vb = t["v"].to_pylist()
+        for i in range(t.num_rows):
+            a = np.frombuffer(va[i], dtype=np.float64)
+            b = np.frombuffer(vb[i], dtype=np.float64)
+            keep[i] = float(a @ b) >= threshold
+        return t.filter(pa.array(keep)).select(["a", "b"])
+
+    return j.map_batches(_cos, batch_format="pyarrow", batch_size=4096)
 
 
 def embedding_dedup_lsh(
@@ -338,15 +620,16 @@ def embedding_dedup_lsh(
     threshold: float = 0.995,
     n_bits: int = 10,
     multiprobe: int = 1,
+    num_partitions: int = _JOIN_PARTITIONS,
 ) -> "ray.data.Dataset":
     """Scale path for embedding near-dup: hyperplane-LSH signatures bucket
     the corpus (a groupby shuffle, never a broadcast matrix); candidate
     pairs form within a bucket and its ``multiprobe`` bit-flip neighbors;
-    exact cosine verifies. Near-identical vectors (cos >= ~0.99) disagree
-    on a hyperplane with probability ~acos(cos)/pi per bit, so recall at
-    dedup-grade thresholds is high and tunable via n_bits/multiprobe."""
-    import numpy as np
-
+    exact cosine verifies THROUGH JOINS (normalized-vector blobs shipped to
+    their pairs — no driver vector map). Near-identical vectors
+    (cos >= ~0.99) disagree on a hyperplane with probability ~acos(cos)/pi
+    per bit, so recall at dedup-grade thresholds is high and tunable via
+    n_bits/multiprobe."""
     from .simsearch import HyperplaneLSH, _normalize
 
     lsh = HyperplaneLSH(dim, n_bits)
@@ -370,132 +653,34 @@ def embedding_dedup_lsh(
         )
 
     def _pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["vec_id"].to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        a, b = _pairs_within_group(group["vec_id"].to_pylist())
         return pa.table(
             {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
         )
 
-    cand_tbl = (
+    cands = _distinct_pairs(
         embeddings.map_batches(_sig, batch_format="pyarrow", batch_size=2048)
         .groupby("bucket")
         .map_groups(_pairs, batch_format="pyarrow")
-        .to_pandas()
-    )
-    if "a" not in cand_tbl.columns:
+    ).materialize()
+    if cands.count() == 0:
         return embeddings
-    cands = sorted(set(zip(cand_tbl["a"], cand_tbl["b"])))
 
-    # verify candidates with exact cosine (only candidate vectors pulled)
-    need = sorted({d for p in cands for d in p})
-    need_set = set(need)
-
-    def _vecs(batch: pa.Table) -> pa.Table:
-        keep = pa.array([v in need_set for v in batch["vec_id"].to_pylist()])
-        return batch.filter(keep)
-
-    vec_tbl = embeddings.map_batches(_vecs, batch_format="pyarrow").to_pandas()
-    vmap = {
-        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
-        for r in vec_tbl.itertuples()
-    }
-    for k in vmap:
-        n = np.linalg.norm(vmap[k])
-        if n > 1e-12:
-            vmap[k] = vmap[k] / n
-    dup_pairs = [
-        (a, b) for a, b in cands if float(vmap[a] @ vmap[b]) >= threshold
-    ]
-    comp = _union_find_components(dup_pairs)
-    losers = {d for d, rep in comp.items() if rep != d}
-    losers_ref = ray.put(losers)
-
-    def _drop(batch: pa.Table) -> pa.Table:
-        lose = ray.get(losers_ref)
-        mask = pa.array([v not in lose for v in batch["vec_id"].to_pylist()])
-        return batch.filter(mask)
-
-    return embeddings.map_batches(_drop, batch_format="pyarrow", batch_size=4096)
-
-
-def components_label_propagation(
-    pairs: "ray.data.Dataset | pa.Table", *, max_rounds: int = 50
-) -> pa.Table:
-    """Distributed connected components over candidate-pair edges by
-    iterated min-label propagation — the scale path the driver-side
-    union-find documents (at 10^10 docs the pair set no longer fits one
-    machine).
-
-    Each round: explode edges to (node, neighbor_label) messages both ways
-    → groupby(node).min → new labels; stop at fixpoint. Converges in
-    O(diameter) rounds; every round is one groupby shuffle. Returns
-    (doc_id, component) with component = min doc_id of the component."""
-    import pandas as pd
-
-    tbl = pairs if isinstance(pairs, pa.Table) else pa.concat_tables(
-        [ray.get(r) for r in pairs.to_arrow_refs()], promote_options="default"
-    )
-    if tbl.num_rows == 0:
+    def _vec_blob(batch: pa.Table) -> pa.Table:
+        mat = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
         return pa.table(
-            {"doc_id": pa.array([], type=pa.int64()),
-             "component": pa.array([], type=pa.int64())}
+            {
+                "vec_id": batch["vec_id"],
+                "v": pa.array([row.tobytes() for row in mat], type=pa.binary()),
+            }
         )
-    edges = ray.data.from_arrow(tbl)
 
-    # labels start as the node id itself
-    nodes = pd.unique(
-        pd.concat([tbl["a"].to_pandas(), tbl["b"].to_pandas()], ignore_index=True)
+    vec_ds = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _vec_blob, batch_format="pyarrow", batch_size=2048
     )
-    labels = ray.data.from_arrow(
-        pa.table({"node": pa.array(sorted(nodes), type=pa.int64()),
-                  "label": pa.array(sorted(nodes), type=pa.int64())})
+    dup_pairs = _verify_pairs_cosine(
+        cands, vec_ds, threshold, num_partitions=num_partitions
     )
-
-    from ray.data.aggregate import Min
-
-    for _ in range(max_rounds):
-        lab_tbl = pa.concat_tables(
-            [ray.get(r) for r in labels.to_arrow_refs()], promote_options="default"
-        )
-        lab_map = dict(
-            zip(lab_tbl["node"].to_pylist(), lab_tbl["label"].to_pylist())
-        )
-        lab_ref = ray.put(lab_map)
-
-        def _messages(batch: pa.Table) -> pa.Table:
-            lm = ray.get(lab_ref)
-            nodes_out, labels_out = [], []
-            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-                la, lb = lm[a], lm[b]
-                # each endpoint hears the other's label and its own
-                nodes_out += [a, b, a, b]
-                labels_out += [lb, la, la, lb]
-            return pa.table(
-                {"node": pa.array(nodes_out, type=pa.int64()),
-                 "label": pa.array(labels_out, type=pa.int64())}
-            )
-
-        new_labels = (
-            edges.map_batches(_messages, batch_format="pyarrow", batch_size=8192)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-        )
-        new_tbl = pa.concat_tables(
-            [ray.get(r) for r in new_labels.to_arrow_refs()],
-            promote_options="default",
-        ).sort_by("node")
-        old_sorted = lab_tbl.sort_by("node")
-        if new_tbl["label"].to_pylist() == old_sorted["label"].to_pylist():
-            break
-        labels = ray.data.from_arrow(new_tbl)
-
-    final = pa.concat_tables(
-        [ray.get(r) for r in labels.to_arrow_refs()], promote_options="default"
-    ).sort_by("node")
-    return pa.table(
-        {"doc_id": final["node"], "component": final["label"]}
+    return _dedup_by_pairs(
+        embeddings, dup_pairs, id_col="vec_id", num_partitions=num_partitions
     )

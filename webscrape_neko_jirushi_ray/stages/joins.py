@@ -1,0 +1,205 @@
+"""Partition-bucketed distributed equi-joins over Ray Datasets.
+
+Why not ``Dataset.join``: Ray 2.49's hash-shuffle join intermittently
+fails ("No match ... for key field reference" in the aggregator finalize)
+when an input contains the SCHEMA-LESS EMPTY BLOCKS that ``map_batches``
+emits for empty inputs (the UDF is skipped, so the output block has no
+columns) — and almost every real pipeline stage (filters, renames,
+projections) can produce such blocks. This module implements the same
+physical plan — hash-partition both sides on the key, join each partition
+independently — on top of ``groupby(partition).map_groups``, which
+tolerates empty blocks, and joins each partition with vectorized kernels
+(pyarrow acero for inner, ``pc.is_in`` masks for semi/anti, so semi/anti
+support ANY payload type including lists).
+
+Partitioning assumption (document per the build brief): the join keys
+hash-distribute over ``num_partitions`` buckets, and each bucket's rows
+(both sides) fit in one worker's heap. Raise ``num_partitions`` with the
+data; the shuffle itself is Ray's sort-based groupby and streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_PART = "_jpart"
+_SIDE = "_jside"
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _partition_of(keys: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
+    k = np.asarray(keys.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    mixed = (k * _MIX) >> np.uint64(33)
+    return pa.array((mixed % np.uint64(num_partitions)).astype(np.int64))
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key: str,
+    right_key: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 64,
+    right_suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Distributed equi-join on int64 keys.
+
+    how: 'inner' | 'left_semi' | 'left_anti'. For 'inner', the right key
+    column is dropped from the output and conflicting right column names
+    get ``right_suffix``; acero does the per-partition stitch, so non-key
+    payloads must be acero-joinable types (ints/floats/strings/binary —
+    NOT lists; blob-encode those). Semi/anti use is_in masks and carry any
+    left payload type untouched.
+    """
+    rk = right_key or key
+    if how in ("left_semi", "left_anti"):
+        return _semi_anti_join(
+            left, right, key=key, right_key=rk, anti=(how == "left_anti"),
+            num_partitions=num_partitions,
+        )
+    if how != "inner":
+        raise ValueError(f"unsupported join type {how!r}")
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lnames = list(lschema.names)
+    ltypes = list(lschema.types)
+    rnames_in = list(rschema.names)
+    rtypes_in = list(rschema.types)
+    # rename right columns that collide with left ones (key col excepted —
+    # it is dropped after the stitch)
+    rmap = {}
+    for n in rnames_in:
+        rmap[n] = (n + right_suffix) if (n in lnames and n != rk) else n
+    rnames = [rmap[n] for n in rnames_in]
+    rk_out = rmap[rk]
+
+    # combined schema both sides map into (other side's columns null-typed)
+    all_names = [_PART, _SIDE] + lnames + [n for n in rnames if n not in lnames]
+    all_types = {_PART: pa.int64(), _SIDE: pa.int8()}
+    for n, t in zip(lnames, ltypes):
+        all_types[n] = t
+    for n, t in zip(rnames, rtypes_in):
+        if n not in all_types:
+            all_types[n] = t
+
+    def _pad(t: pa.Table, side: int, key_col: str, names_here: list[str]) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            _PART: _partition_of(t[key_col], num_partitions),
+            _SIDE: pa.array(np.full(n, side, dtype=np.int8)),
+        }
+        here = set(names_here)
+        for name in all_names[2:]:
+            cols[name] = t[name] if name in here else pa.nulls(n, all_types[name])
+        return pa.table({nm: cols[nm] for nm in all_names})
+
+    def _pad_left(t: pa.Table) -> pa.Table:
+        return _pad(t, 0, key, lnames)
+
+    def _pad_right(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([rmap[c] for c in t.column_names])
+        return _pad(t, 1, rk_out, rnames)
+
+    combined = left.map_batches(_pad_left, batch_format="pyarrow").union(
+        right.map_batches(_pad_right, batch_format="pyarrow")
+    )
+
+    out_names = lnames + [n for n in rnames if n != rk_out and n not in lnames]
+
+    def _stitch(g: pa.Table) -> pa.Table:
+        side = g[_SIDE]
+        lt = g.filter(pc.equal(side, 0)).select(lnames)
+        rt = g.filter(pc.equal(side, 1)).select(rnames)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table(
+                {n: pa.array([], type=all_types[n]) for n in out_names}
+            )
+        joined = lt.join(
+            rt, keys=[key], right_keys=[rk_out], join_type="inner"
+        )
+        return joined.select(out_names)
+
+    return combined.groupby(_PART).map_groups(_stitch, batch_format="pyarrow")
+
+
+def _semi_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key: str,
+    right_key: str,
+    anti: bool,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Hash-partitioned semi/anti join: the right side is reduced to its
+    key column; per partition the decision is one vectorized is_in. Left
+    payload columns pass through untouched (any type)."""
+    lschema = left.schema()
+    lnames = list(lschema.names)
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    key_type = ltypes[key]
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        out = t
+        if _PART in out.column_names:
+            out = out.drop_columns([_PART])
+        return out.append_column(_PART, _partition_of(t[key], num_partitions))
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        keys = t[right_key]
+        return pa.table(
+            {
+                _PART: _partition_of(keys, num_partitions),
+                "_jkey": pc.cast(keys, key_type),
+            }
+        )
+
+    left_t = left.map_batches(_tag_left, batch_format="pyarrow")
+    right_t = right.map_batches(_tag_right, batch_format="pyarrow")
+
+    def _decide(g: pa.Table) -> pa.Table:
+        # side split via _jkey presence: right rows carry it non-null
+        is_right = pc.is_valid(g["_jkey"])
+        lt = g.filter(pc.invert(is_right)).select(lnames)
+        rkeys = g.filter(is_right)["_jkey"].combine_chunks()
+        if lt.num_rows == 0:
+            return pa.table({n: pa.array([], type=ltypes[n]) for n in lnames})
+        if len(rkeys) == 0:
+            hit = pa.array(np.zeros(lt.num_rows, dtype=bool))
+        else:
+            hit = pc.is_in(lt[key], value_set=rkeys)
+        mask = pc.invert(hit) if anti else hit
+        return lt.filter(mask)
+
+    # union needs one schema: pad left with null _jkey, right with null
+    # left columns
+    def _pad_left(t: pa.Table) -> pa.Table:
+        return t.append_column("_jkey", pa.nulls(t.num_rows, key_type))
+
+    def _pad_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in lnames:
+            cols[n] = (
+                pa.nulls(t.num_rows, ltypes[n])
+            )
+        cols[_PART] = t[_PART]
+        cols["_jkey"] = t["_jkey"]
+        order = lnames + [_PART, "_jkey"]
+        return pa.table({nm: cols[nm] for nm in order})
+
+    def _order_left(t: pa.Table) -> pa.Table:
+        order = lnames + [_PART, "_jkey"]
+        return t.select(order)
+
+    combined = (
+        left_t.map_batches(_pad_left, batch_format="pyarrow")
+        .map_batches(_order_left, batch_format="pyarrow")
+        .union(right_t.map_batches(_pad_right, batch_format="pyarrow"))
+    )
+    return combined.groupby(_PART).map_groups(_decide, batch_format="pyarrow")
