@@ -160,7 +160,7 @@ def run_bench() -> dict:
         )
         seen_pool.shutdown()
         t_fetch = t_i if t_fetch is None else min(t_fetch, t_i)
-    n_urls = res_fetch.visits.num_rows
+    n_urls = res_fetch.visits_count
     results["fetch_extract_all"] = round(t_fetch, 3)
     urls_per_sec = round(n_urls / t_fetch, 1)
 

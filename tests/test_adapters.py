@@ -1,0 +1,147 @@
+"""Real-codec adapter seams (VERDICT round-1 item 8): the NEKO1 decode
+stub and the pseudo scorer are swappable for Pillow / ultralytics
+implementations. The heavy halves skip when the libraries are absent
+(this container has neither); the seam CONTRACTS — signatures, schema
+construction, injectability — are asserted unconditionally."""
+
+import inspect
+
+import pyarrow as pa
+import pytest
+
+from webscrape_neko_jirushi_ray.functions import imagekit, imagekit_pil
+from webscrape_neko_jirushi_ray.stages import cleaning, scorer
+
+
+STUB_KEYS = {
+    "valid", "width", "height", "mode", "alpha_max", "top_color_frac",
+    "warm_ratio",
+}
+
+
+def test_decode_seam_contract():
+    """Always runs: both decoders share one signature; the cleaning
+    pipelines expose the injection point."""
+    assert set(inspect.signature(imagekit_pil.decode_features).parameters) == set(
+        inspect.signature(imagekit.decode_features).parameters
+    )
+    # stub output keys define the contract
+    out = imagekit.decode_features(b"not an image")
+    assert set(out) == STUB_KEYS and out["valid"] is False
+    # injection points exist on every consumer
+    for fn in (
+        cleaning.decode_feature_batch,
+        cleaning.with_features,
+        cleaning.advanced_cleaning_pipeline,
+        cleaning.aggressive_cleaning_pipeline,
+    ):
+        assert "decode_fn" in inspect.signature(fn).parameters, fn.__name__
+    assert "scorer_cls" in inspect.signature(scorer.score_images).parameters
+
+
+def test_decode_seam_accepts_custom_decoder():
+    """Always runs: a hand-rolled decoder with the contract keys flows
+    through decode_feature_batch (the same path a PIL decoder takes)."""
+    calls = []
+
+    def fake_decode(blob):
+        calls.append(blob)
+        return {
+            "valid": True, "width": 321, "height": 123, "mode": "RGB",
+            "alpha_max": 255, "top_color_frac": 0.1, "warm_ratio": 0.9,
+        }
+
+    batch = pa.table(
+        {
+            "img_url": pa.array(["http://x/y.jpg"], type=pa.string()),
+            "bytes": pa.array([b"blob"], type=pa.binary()),
+            "size": pa.array([4], type=pa.int64()),
+        }
+    )
+    out = cleaning.decode_feature_batch(batch, decode_fn=fake_decode)
+    assert calls == [b"blob"]
+    assert out["width"][0].as_py() == 321
+    assert out["warm_ratio"][0].as_py() == 0.9
+
+
+def test_scorer_seam_accepts_custom_model():
+    """Always runs: a custom scorer class built on append_detection_columns
+    produces the exact pseudo-scorer schema — the swap the YOLO adapter
+    performs."""
+
+    class FixedScorer:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+        def __call__(self, batch):
+            dets = [
+                [{"confidence": 0.9, "bbox": [0.0, 0.0, 5.0, 5.0]}]
+            ] * batch.num_rows
+            return scorer.append_detection_columns(batch, dets)
+
+    batch = pa.table({"bytes": pa.array([b"a", b"b"], type=pa.binary())})
+    got = FixedScorer(scorer.DEFAULT_SCORER)(batch)
+    ref = scorer.PseudoCatScorer(scorer.DEFAULT_SCORER)(batch)
+    assert got.schema.names == ref.schema.names
+    assert got.schema.types == ref.schema.types
+    assert got["has_cat"].to_pylist() == [True, True]
+    # YoloCatScorer exposes the same constructor/callable shape
+    sig = inspect.signature(scorer.YoloCatScorer.__init__)
+    assert "cfg" in sig.parameters
+    assert callable(getattr(scorer.YoloCatScorer, "__call__"))
+
+
+@pytest.mark.skipif(not imagekit_pil.HAVE_PIL, reason="Pillow not installed")
+def test_pil_decode_real_png(ray_session):
+    """Runs only where Pillow exists: a real PNG round-trips through the
+    PIL adapter AND through the cleaning pipeline via the seam."""
+    import io
+
+    from PIL import Image
+
+    import ray.data as rd
+
+    img = Image.new("RGBA", (320, 240), (200, 120, 80, 255))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    blob = buf.getvalue()
+
+    feats = imagekit_pil.decode_features(blob)
+    assert set(feats) == STUB_KEYS
+    assert feats["valid"] and feats["width"] == 320 and feats["height"] == 240
+    assert feats["alpha_max"] == 255
+    assert feats["top_color_frac"] > 0.99  # uniform color
+    assert imagekit_pil.decode_features(b"junk")["valid"] is False
+
+    ds = rd.from_items(
+        [
+            {
+                "cat_id": 1, "seq": 0, "img_url": "http://x/cat.png",
+                "bytes": blob, "size": len(blob),
+                "md5": "0" * 32,
+            }
+        ]
+    )
+    kept, quarantined = cleaning.advanced_cleaning_pipeline(
+        ds, decode_fn=imagekit_pil.decode_features
+    )
+    assert kept.count() + quarantined.count() == 1
+
+
+def test_yolo_scorer_real_model(ray_session):
+    """Runs only where ultralytics + Pillow exist: the real adapter scores
+    a tiny image batch with the pseudo schema."""
+    pytest.importorskip("ultralytics")
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (64, 64), (10, 10, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    batch = pa.table({"bytes": pa.array([buf.getvalue()], type=pa.binary())})
+    ys = scorer.YoloCatScorer(scorer.DEFAULT_SCORER)
+    out = ys(batch)
+    ref = scorer.PseudoCatScorer(scorer.DEFAULT_SCORER)(batch)
+    assert out.schema.names == ref.schema.names

@@ -29,7 +29,24 @@ def http_site():
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
-            if self.path == "/flaky":
+            if self.path == "/r/1":
+                self.send_response(301)
+                self.send_header("Location", "/r/2")
+                self.end_headers()
+                return
+            elif self.path == "/r/2":
+                self.send_response(301)
+                self.send_header("Location", "/r/final")
+                self.end_headers()
+                return
+            elif self.path == "/r/final":
+                body = b"<html><body>redirect target</body></html>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            elif self.path == "/flaky":
                 flaky_state["/flaky"] += 1
                 if flaky_state["/flaky"] < 3:
                     self.send_response(503)
@@ -132,3 +149,41 @@ def test_live_mode_host_aligned_partitioning():
     plain = _slice_parts(work, 16, host_aligned=False)
     assert sum(p.num_rows for p in plain) == 2000
 
+
+def test_redirect_chain_fetch_and_seen(ray_session, http_site, tmp_path):
+    """301 chain /r/1 -> /r/2 -> /r/final: ONE fetch follows the chain,
+    the visit records the canonical final URL in redirect_to, and BOTH the
+    alias and the final URL end up in the seen-set — so a later discovery
+    of the final URL is never fetched again."""
+    from webscrape_neko_jirushi_ray.functions.urlkit import url_sha1
+    from webscrape_neko_jirushi_ray.state.seen import ShardedSeenSet
+
+    _, _, base, _ = http_site
+    # fetcher-level: final body + final_url surfaced
+    store = HttpPageStore(rate_per_host=1000.0, backoff_s=0.0, timeout_s=5.0)
+    out = store.make_fetcher().fetch([base + "/r/1"])
+    assert out["fetch_status"][0].as_py() == "ok"
+    assert out["final_url"][0].as_py().endswith("/r/final")
+    assert b"redirect target" in out["html"][0].as_py()
+
+    # crawl-level: redirect_to in visits + both identities seen
+    seen = ShardedSeenSet(2, "exact")
+    try:
+        cfg = CrawlConfig(
+            host_budget_per_round=10, max_rounds=3, seen_shards=2,
+            respect_robots=False,
+        )
+        res = crawl(
+            store, [base + "/r/1"], str(tmp_path / "rc"), cfg, seen_set=seen
+        )
+        v = res.visits_table().to_pandas()
+        assert len(v) == 1
+        alias = canonicalize_url(base + "/r/1")
+        final = canonicalize_url(base + "/r/final")
+        assert v.iloc[0]["url"] == alias
+        assert v.iloc[0]["fetch_status"] == "ok"
+        assert v.iloc[0]["redirect_to"] == final
+        marks = seen.contains([url_sha1(alias), url_sha1(final)])
+        assert list(marks) == [True, True]
+    finally:
+        seen.shutdown()

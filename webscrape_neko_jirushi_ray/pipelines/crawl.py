@@ -82,6 +82,10 @@ VISITS_SCHEMA = pa.schema(
         ("discovery_seq", pa.int64()),
         ("round", pa.int32()),
         ("fetch_status", pa.string()),
+        # canonical POST-redirect URL when the fetch was redirected (live
+        # HTTP follows 3xx implicitly, like the reference's requests);
+        # empty string when the final URL is the requested one
+        ("redirect_to", pa.string()),
     ]
 )
 
@@ -218,13 +222,29 @@ class FetchExtractActor:
                 pages = self.fetcher.fetch(fetch_rows["url"].to_pylist())
         else:
             pages = None
-        # stitch statuses back in original row order
+        # stitch statuses (and redirect finals, when the fetcher reports
+        # them — the live-HTTP path follows 3xx implicitly) back in
+        # original row order
         fetched_status = pages["fetch_status"].to_pylist() if pages is not None else []
+        fetched_finals = (
+            pages["final_url"].to_pylist()
+            if pages is not None and "final_url" in pages.column_names
+            else None
+        )
         status_list = []
+        redirect_list = []
         it = iter(fetched_status)
-        for a in allowed:
+        itf = iter(fetched_finals or [])
+        for a, u in zip(allowed, urls):
             status_list.append(next(it) if a else "robots_denied")
+            f = next(itf) if (a and fetched_finals is not None) else None
+            if f:
+                canon_f = canonicalize_url(f)
+                redirect_list.append(canon_f if canon_f != u else "")
+            else:
+                redirect_list.append("")
         status = pa.array(status_list, type=pa.string())
+        redirect_to = pa.array(redirect_list, type=pa.string())
         ok_mask = pc.equal(status, "ok")  # over the FULL batch
         ok_pages = (
             pages.filter(pc.equal(pages["fetch_status"], "ok"))
@@ -245,6 +265,7 @@ class FetchExtractActor:
             os.replace(tmp, os.path.join(docs_dir, f"part-{shard}.parquet"))
 
         out = batch.append_column("fetch_status", status)
+        out = out.append_column("redirect_to", redirect_to)
         # vectorized left-attach of the control doc columns: extract_batch
         # preserves row order, so ok row i maps to docs row rank_i =
         # cumsum(ok)-1; pc.take with null indices fills misses with null
@@ -312,11 +333,51 @@ def _slice_parts(
 class CrawlResult:
     out_dir: str
     rounds: int
-    visits: pa.Table
+    # BFS mode materializes the visit log eagerly (bounded by budget x
+    # hosts x rounds). The streamed fetch-list mode sets this None — visits
+    # live as task-written parquet shards (visits_dirs); use
+    # ``visits_table()`` (small runs) or ``visits_dataset()`` (any size).
+    visits: pa.Table | None
     docs_paths: list[str] = field(default_factory=list)
+    visits_count: int = -1
+    visits_dirs: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.visits_count < 0:
+            self.visits_count = self.visits.num_rows if self.visits is not None else 0
+
+    def visits_shard_files(self) -> list[str]:
+        out = []
+        for d in self.visits_dirs:
+            if os.path.isdir(d):
+                out.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    def visits_table(self) -> pa.Table:
+        """Visit log in visit order. DRIVER-MATERIALIZING — small runs and
+        tests only; at scale read ``visits_dataset()``."""
+        if self.visits is not None:
+            return self.visits
+        files = self.visits_shard_files()
+        if not files:
+            return _empty(VISITS_SCHEMA)
+        return pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="default"
+        ).sort_by("visit_idx")
+
+    def visits_dataset(self) -> "ray.data.Dataset":
+        files = self.visits_shard_files()
+        if not files and self.visits is not None:
+            return ray.data.from_arrow(self.visits)
+        return ray.data.read_parquet(files)
 
     def visited_sha1s(self) -> set[bytes]:
-        ok = self.visits.filter(pc.equal(self.visits["fetch_status"], "ok"))
+        v = self.visits_table()
+        ok = v.filter(pc.equal(v["fetch_status"], "ok"))
         return set(ok["url_sha1"].to_pylist())
 
     def nonempty_docs_paths(self) -> list[str]:
@@ -451,16 +512,53 @@ def crawl(
     the caller then owns its lifecycle; by default one is created and torn
     down here. ``seed_frontier``: a pre-keyed FRONTIER_SCHEMA table (e.g.
     read from frontier parquet, the 10^10-scale input) used instead of
-    keying ``seed_urls`` on the driver."""
+    keying ``seed_urls`` on the driver.
+
+    ``expand_links=False`` (fetch-list mode — the Common-Crawl-style
+    refetch job and the 10^10-scale headline) routes to the STREAMED
+    implementation (``crawl_fetch_list``): the frontier lives as a
+    Dataset/parquet, the seen anti-join and visit-log writes happen inside
+    tasks, and the driver never holds frontier- or visit-sized tables."""
     os.makedirs(out_dir, exist_ok=True)
     own = seen_set is None
     seen = seen_set or ShardedSeenSet(
         cfg.seen_shards, cfg.seen_mode, cfg.seen_capacity_per_shard
     )
     try:
+        if not cfg.expand_links:
+            frontier = (
+                seed_frontier
+                if seed_frontier is not None
+                else seeds_to_frontier(seed_urls)
+            )
+            return _fetch_list_inner(page_store, frontier, out_dir, cfg, resume, seen)
         return _crawl_inner(
             page_store, seed_urls, out_dir, cfg, resume, seen, seed_frontier
         )
+    finally:
+        if own:
+            seen.shutdown()
+
+
+def crawl_fetch_list(
+    page_store,
+    frontier: "pa.Table | str | ray.data.Dataset",
+    out_dir: str,
+    cfg: CrawlConfig = CrawlConfig(),
+    resume: bool = False,
+    seen_set: ShardedSeenSet | None = None,
+) -> CrawlResult:
+    """Streamed fetch-list crawl: visit every frontier URL (per-host budget
+    per round, priority order) WITHOUT link expansion, never materializing
+    frontier- or visit-sized data on the driver. ``frontier`` is a
+    FRONTIER_SCHEMA Arrow table, a parquet path/dir, or a Dataset."""
+    os.makedirs(out_dir, exist_ok=True)
+    own = seen_set is None
+    seen = seen_set or ShardedSeenSet(
+        cfg.seen_shards, cfg.seen_mode, cfg.seen_capacity_per_shard
+    )
+    try:
+        return _fetch_list_inner(page_store, frontier, out_dir, cfg, resume, seen)
     finally:
         if own:
             seen.shutdown()
@@ -630,11 +728,23 @@ def _crawl_inner(
                 "discovery_seq": fetched["discovery_seq"],
                 "round": pa.array([rnd] * n, type=pa.int32()),
                 "fetch_status": fetched["fetch_status"],
+                "redirect_to": (
+                    fetched["redirect_to"]
+                    if "redirect_to" in fetched.column_names
+                    else pa.array([""] * n, type=pa.string())
+                ),
             }
         )
         visited_total += n
         visits_acc.append(visits)
         ckpt.write_table_atomic(visits, os.path.join(rdir, "visits.parquet"))
+
+        # redirect targets become SEEN under their canonical identity, so
+        # a later discovery of the final URL is never fetched again (the
+        # source alias was marked seen at its own discovery time)
+        rt = [u for u in visits["redirect_to"].to_pylist() if u]
+        if rt:
+            seen.add_if_absent([url_sha1(u) for u in rt])
 
         # docs shards were written by the fetch tasks (partition-replacing)
         ok = fetched.filter(pc.equal(fetched["fetch_status"], "ok"))
@@ -753,4 +863,375 @@ def _crawl_inner(
         rounds=len(visits_acc),
         visits=all_visits,
         docs_paths=docs_paths,
+    )
+
+
+# --- streamed fetch-list mode (Dataset-native frontier) -------------------
+
+
+def _frontier_dataset(frontier, n_parts: int) -> "ray.data.Dataset":
+    """Normalize the frontier input to a multi-block Dataset. An Arrow
+    table is sliced driver-side (zero-copy) — from_arrow(one table) would
+    yield ONE block and serialize every downstream stage."""
+    if isinstance(frontier, str):
+        return ray.data.read_parquet(frontier)
+    if isinstance(frontier, pa.Table):
+        if frontier.num_rows == 0:
+            return ray.data.from_arrow(frontier)
+        n = min(frontier.num_rows, max(2, n_parts))
+        step = -(-frontier.num_rows // n)
+        return ray.data.from_arrow(
+            [
+                frontier.slice(i * step, step)
+                for i in range(n)
+                if i * step < frontier.num_rows
+            ]
+        )
+    return frontier
+
+
+def _host_partials(pending_ds: "ray.data.Dataset") -> "pd_DataFrame":
+    """Per-host (n rows, min discovery_seq) via per-batch partials combined
+    on the driver — O(live hosts) driver state, one cheap map pass (a full
+    groupby-aggregate shuffle costs ~4x for the same tiny result)."""
+    import pandas as _pd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = _pd.DataFrame(
+            {
+                "host": t["host"].to_pandas(),
+                "seq": t["discovery_seq"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("host")["seq"].agg(["count", "min"]).reset_index()
+        return pa.table(
+            {
+                "host": pa.array(g["host"], type=pa.string()),
+                "n": pa.array(g["count"].astype("int64")),
+                "min_seq": pa.array(g["min"].astype("int64")),
+            }
+        )
+
+    parts = pending_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    if not len(parts):
+        return _pd.DataFrame({"host": [], "n": [], "min_seq": []})
+    return (
+        parts.groupby("host")
+        .agg(n=("n", "sum"), min_seq=("min_seq", "min"))
+        .reset_index()
+    )
+
+
+def _enumerate_visits_by_host(
+    pending_ds: "ray.data.Dataset", hosts: "pd_DataFrame", budget: int
+) -> "ray.data.Dataset":
+    """Attach ``_vseq`` (1-based dense visit rank) and apply the per-host
+    budget in ONE groupby pass. This is the host-partitioned instance of
+    the range-partitioned dense enumeration (functions/enumerate.py): every
+    host has a UNIQUE priority (its min pending seq — seqs are unique), so
+    the global (host_priority, discovery_seq) order decomposes into
+    host_offset[host] + within-host rank, with offsets a driver cumsum over
+    the live-hosts table. Rows past the budget get ``_vseq = -1``
+    (deferred). Partitioning assumption: one host's pending rows fit in one
+    worker (matches the upstream fetch-list sharding; budget rounds exist
+    to shrink a huge host's round anyway)."""
+    import numpy as _np
+    import pandas as _pd
+
+    h = hosts.sort_values("min_seq").reset_index(drop=True)
+    taken_n = _np.minimum(h["n"].to_numpy(), budget)
+    offsets = _np.concatenate([[0], _np.cumsum(taken_n)[:-1]])
+    info_ref = ray.put(
+        {
+            host: (int(off), int(tn))
+            for host, off, tn in zip(h["host"], offsets, taken_n)
+        }
+    )
+
+    def _rank(g: _pd.DataFrame) -> _pd.DataFrame:
+        off, tn = ray.get(info_ref)[g["host"].iloc[0]]
+        g = g.sort_values("discovery_seq", kind="mergesort").reset_index(drop=True)
+        pos = _np.arange(len(g), dtype=_np.int64)
+        g["_vseq"] = _np.where(pos < tn, off + pos + 1, -1)
+        return g
+
+    return pending_ds.groupby("host").map_groups(_rank, batch_format="pandas")
+
+
+_FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
+
+
+def _fetch_list_inner(
+    page_store, frontier, out_dir, cfg, resume, seen
+) -> CrawlResult:
+    """The scale path of the engine. Per round, ALL of:
+    frontier-entry seen anti-join (J1), per-host budget split, host
+    priority, dense visit enumeration (functions/enumerate.py — the
+    range-partitioned O3/ST6 machinery), bucket-colocated fetch+extract,
+    and the visit-log write happen INSIDE Ray Data stages. Driver state per
+    round: scalar counters, a host→min-seq table bounded by live hosts,
+    and O(#batches) summary rows — never O(frontier) or O(visits).
+
+    Visit-order contract (same as the BFS loop): visit_idx enumerates
+    (host_priority, discovery_seq) ascending, where host_priority is the
+    host's min pending discovery_seq; per-host budget defers all but the
+    B smallest-seq rows of each host to the next round."""
+    docs_paths: list[str] = []
+    visits_dirs: list[str] = []
+    start_round = 0
+    visited_total = 0
+    rounds_run = 0
+
+    if resume and (last := ckpt.last_complete_round(out_dir)) >= 0:
+        m = ckpt.read_manifest(out_dir, last)
+        want = ckpt.resume_compat_hash(cfg)
+        got = m.get("resume_hash")
+        if got is not None and got != want:
+            raise ValueError(
+                f"resume config mismatch: checkpoint was written with config "
+                f"{got}, current config hashes to {want} — resume with the "
+                f"original CrawlConfig or start a fresh out_dir"
+            )
+        import shutil
+
+        for name in sorted(os.listdir(out_dir)):
+            if name.startswith("round_"):
+                try:
+                    r = int(name.split("_")[1])
+                except (IndexError, ValueError):
+                    continue
+                if r > last:
+                    shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+        seen.restore(os.path.join(ckpt.round_dir(out_dir, last), "seen"))
+        start_round = last + 1
+        visited_total = m["visited_total"]
+        rounds_run = last + 1
+        n_pending = m["pending_rows"]
+        pend_dir = os.path.join(ckpt.round_dir(out_dir, last), "frontier_next")
+        pending_ds = (
+            ray.data.read_parquet(pend_dir) if n_pending else None
+        )
+        for r in range(last + 1):
+            docs_paths.append(os.path.join(ckpt.round_dir(out_dir, r), "docs"))
+            visits_dirs.append(os.path.join(ckpt.round_dir(out_dir, r), "visits"))
+    else:
+        fds = _frontier_dataset(frontier, cfg.fetch_concurrency * 4)
+
+        def _seen_filter(batch: pa.Table) -> pa.Table:
+            fresh = seen.add_if_absent(batch["url_sha1"].to_pylist())
+            return batch.filter(pa.array(fresh))
+
+        # frontier-entry anti-join, streamed per batch from the tasks (the
+        # side effect — seen-set insertion — runs exactly once because the
+        # result is materialized, never re-executed)
+        pending_ds = fds.map_batches(
+            _seen_filter, batch_format="pyarrow", batch_size=8192
+        ).materialize()
+        n_pending = pending_ds.count()
+
+    for rnd in range(start_round, cfg.max_rounds):
+        if n_pending == 0 or pending_ds is None:
+            break
+        if cfg.target_urls is not None and visited_total >= cfg.target_urls:
+            break
+        round_t0 = _time.perf_counter()
+        rdir = ckpt.round_dir(out_dir, rnd)
+        docs_dir = os.path.join(rdir, "docs")
+        visits_dir = os.path.join(rdir, "visits")
+        os.makedirs(docs_dir, exist_ok=True)
+        os.makedirs(visits_dir, exist_ok=True)
+
+        # --- one-pass budget + dense visit enumeration --------------------
+        # (host-offset plan: partials pass -> driver cumsum over live
+        # hosts -> one groupby(host) attaching _vseq / deferring over-budget
+        # rows; see _enumerate_visits_by_host for why this realizes the
+        # same contract as functions/enumerate.attach_dense_index)
+        import numpy as np
+
+        hosts = _host_partials(pending_ds)
+        ranked = _enumerate_visits_by_host(
+            pending_ds, hosts, cfg.host_budget_per_round
+        ).materialize()
+        n_taken_total = int(
+            np.minimum(hosts["n"].to_numpy(), cfg.host_budget_per_round).sum()
+        )
+        room = None
+        if cfg.target_urls is not None:
+            room = cfg.target_urls - visited_total
+        n_round = n_taken_total if room is None else min(n_taken_total, room)
+
+        def _in_round(t: pa.Table, _room=room) -> pa.Table:
+            m = pc.greater(t["_vseq"], 0)
+            if _room is not None:
+                m = pc.and_(m, pc.less_equal(t["_vseq"], _room))
+            return t.filter(m)
+
+        def _deferred_rows(t: pa.Table, _room=room) -> pa.Table:
+            m = pc.equal(t["_vseq"], pa.scalar(-1, pa.int64()))
+            if _room is not None:
+                m = pc.or_(m, pc.greater(t["_vseq"], _room))
+            return t.filter(m).select(_FRONTIER_COLS)
+
+        idx_ds = ranked.map_batches(_in_round, batch_format="pyarrow")
+        if n_round < n_pending:
+            deferred = ranked.map_batches(_deferred_rows, batch_format="pyarrow")
+        else:
+            deferred = None
+
+        # --- fetch order: co-locate page-store buckets (or hosts for the
+        # live-HTTP token buckets) — fetch order is free, visit_idx already
+        # pins the logical order
+        # NOTE the trailing repartition: the rank groupby emits ONE block
+        # per host, so a low-host-count frontier would otherwise cap fetch
+        # parallelism at the host count (measured 4 blocks -> 4 of 32 CPUs
+        # busy). The split is order-preserving (no shuffle), so bucket
+        # locality from the sort survives.
+        n_parts = max(2, cfg.fetch_concurrency * 4)
+        nb = getattr(page_store, "num_buckets", 0)
+        if nb:
+
+            def _bucket(t: pa.Table) -> pa.Table:
+                from ..functions.urlkit import sha1_first_byte
+
+                b = sha1_first_byte(t["url_sha1"]) % nb
+                return t.append_column("_fb", pa.array(b, type=pa.int64()))
+
+            work = (
+                idx_ds.map_batches(_bucket, batch_format="pyarrow")
+                .sort("_fb")
+                .repartition(n_parts)
+            )
+        elif getattr(page_store, "rate_per_host", None) is not None:
+            # live-HTTP: host-sorted so token buckets see near-aligned
+            # batches; no repartition (it could split a host mid-block)
+            work = idx_ds.sort("host")
+        else:
+            work = idx_ds.repartition(n_parts)
+
+        # batch size: fetch_batch_size is a FLOOR; a round is split into
+        # ~concurrency*4 batches so each fetch call amortizes its bucket
+        # scans over thousands of keys (per-call overhead dominates tiny
+        # batches: 64-row batches were measured 2x slower end-to-end)
+        per_batch = max(
+            cfg.fetch_batch_size, -(-n_round // max(1, cfg.fetch_concurrency * 4))
+        )
+        fetched = work.map_batches(
+            make_fetch_extract_fn(
+                page_store, docs_dir=docs_dir, respect_robots=cfg.respect_robots
+            ),
+            batch_format="pyarrow",
+            batch_size=per_batch,
+        )
+
+        # --- visit-log write, task-side (idempotent shard names) ----------
+        vbase = visited_total
+
+        def _write_visits(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"n": pa.array([], pa.int64()),
+                     "n_ok": pa.array([], pa.int64()),
+                     "hosts": pa.array([], pa.list_(pa.string()))}
+                )
+            visit_idx = pc.add(pc.cast(t["_vseq"], pa.int64()), vbase - 1)
+            redirect_col = (
+                t["redirect_to"]
+                if "redirect_to" in t.column_names
+                else pa.array([""] * t.num_rows, type=pa.string())
+            )
+            visits = pa.table(
+                {
+                    "visit_idx": visit_idx,
+                    "url": t["url"],
+                    "url_sha1": t["url_sha1"],
+                    "host": t["host"],
+                    "depth": t["depth"],
+                    "discovery_seq": t["discovery_seq"],
+                    "round": pa.array([rnd] * t.num_rows, type=pa.int32()),
+                    "fetch_status": t["fetch_status"],
+                    "redirect_to": redirect_col,
+                }
+            )
+            # redirect targets become seen under their canonical identity
+            # (task-side RPC to the seen shards — no driver hop)
+            rt = [u for u in redirect_col.to_pylist() if u]
+            if rt:
+                seen.add_if_absent([url_sha1(u) for u in rt])
+            lo = int(pc.min(visit_idx).as_py())
+            tmp = os.path.join(visits_dir, f".part-{lo:012d}.tmp")
+            pq.write_table(visits, tmp)
+            os.replace(tmp, os.path.join(visits_dir, f"part-{lo:012d}.parquet"))
+            n_ok = int(
+                pc.sum(pc.cast(pc.equal(t["fetch_status"], "ok"), pa.int64())).as_py()
+                or 0
+            )
+            return pa.table(
+                {
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "n_ok": pa.array([n_ok], pa.int64()),
+                    "hosts": pa.array(
+                        [sorted(set(t["host"].to_pylist()))], pa.list_(pa.string())
+                    ),
+                }
+            )
+
+        summaries = fetched.map_batches(
+            _write_visits, batch_format="pyarrow"
+        ).to_pandas()  # O(#batches) rows
+        n = int(summaries["n"].sum()) if len(summaries) else 0
+        n_ok = int(summaries["n_ok"].sum()) if len(summaries) else 0
+        hosts_visited = len(
+            set().union(*summaries["hosts"].tolist()) if len(summaries) else set()
+        )
+        visited_total += n
+        docs_paths.append(docs_dir)
+        visits_dirs.append(visits_dir)
+        rounds_run = rnd + 1
+
+        # --- next round's frontier (parquet — the resumable handoff) ------
+        if deferred is not None:
+            deferred = deferred.map_batches(
+                lambda t: t.select(_FRONTIER_COLS), batch_format="pyarrow"
+            ).materialize()
+            n_pending = deferred.count()
+        else:
+            n_pending = 0
+        fdir = os.path.join(rdir, "frontier_next")
+        if n_pending:
+            deferred.write_parquet(fdir)
+            pending_ds = ray.data.read_parquet(fdir)
+        else:
+            pending_ds = None
+
+        seen.snapshot(os.path.join(rdir, "seen"))
+        ckpt.write_manifest(
+            out_dir,
+            rnd,
+            {
+                "round": rnd,
+                "visited_round": n,
+                "visited_total": visited_total,
+                "fetch_ok": n_ok,
+                "fetch_failed": n - n_ok,
+                "hosts_visited": hosts_visited,
+                "next_seq": 0,
+                "pending_rows": n_pending,
+                "seen_size": seen.size(),
+                "round_wall_sec": round(_time.perf_counter() - round_t0, 3),
+                "config_hash": ckpt.config_hash(cfg),
+                "resume_hash": ckpt.resume_compat_hash(cfg),
+                "mode": "fetch_list_streamed",
+                "lineage": {"docs": docs_dir, "visits": visits_dir},
+            },
+        )
+
+    return CrawlResult(
+        out_dir=out_dir,
+        rounds=rounds_run,
+        visits=None,
+        docs_paths=docs_paths,
+        visits_count=visited_total,
+        visits_dirs=visits_dirs,
     )

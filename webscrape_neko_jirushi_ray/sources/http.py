@@ -77,46 +77,51 @@ class HttpFetcher:
         self._sleep = store._sleep
         self._clock = store._clock
 
-    def _get_once(self, url: str) -> tuple[str, bytes | None]:
+    def _get_once(self, url: str) -> tuple[str, bytes | None, str]:
+        """(status, body, final_url). urllib follows redirects implicitly
+        (the reference's requests does too, comprehensive_scraper.py:153);
+        ``resp.geturl()`` surfaces the POST-redirect URL so the crawl can
+        learn the page's canonical identity."""
         try:
             with self.opener.open(url, timeout=self.store.timeout_s) as resp:
-                return "ok", resp.read()
+                return "ok", resp.read(), resp.geturl()
         except urllib.error.HTTPError as e:
             if e.code == 404:
-                return "notfound", None
-            return f"error:{e.code}", None
+                return "notfound", None, url
+            return f"error:{e.code}", None, url
         except urllib.error.URLError as e:
             if isinstance(getattr(e, "reason", None), TimeoutError):
-                return "timeout", None
-            return "error", None
+                return "timeout", None, url
+            return "error", None, url
         except TimeoutError:
-            return "timeout", None
+            return "timeout", None, url
 
-    def _get(self, url: str, host: str) -> tuple[str, bytes | None]:
+    def _get(self, url: str, host: str) -> tuple[str, bytes | None, str]:
         """Rate-limited GET with the reference's retry-with-backoff shape
         (comprehensive_scraper.py:126-137: retry transient failures up to
         max_retries with a pause; 404 is terminal)."""
-        status, body = "error", None
+        status, body, final = "error", None, url
         for attempt in range(self.store.max_retries):
             wait = self.limiter.wait_time(host, self._clock())
             if wait > 0:
                 self._sleep(wait)
-            status, body = self._get_once(url)
+            status, body, final = self._get_once(url)
             if status == "ok" or status == "notfound":
                 break
             if attempt + 1 < self.store.max_retries:
                 self._sleep(self.store.backoff_s)
-        return status, body
+        return status, body, final
 
     def fetch(self, urls: list[str]) -> pa.Table:
-        out_html, out_ts, status = [], [], []
+        out_html, out_ts, status, finals = [], [], [], []
         import datetime as _dt
 
         for u in urls:
             host = u.split("/", 3)[2] if "//" in u else ""
-            s, body = self._get(u, host)
+            s, body, final = self._get(u, host)
             status.append(s)
             out_html.append(body)
+            finals.append(final)
             # live fetches do get a wall-clock capture time (this path is
             # inherently nondeterministic; golden fixtures use the stores)
             out_ts.append(_dt.datetime.utcnow())
@@ -127,5 +132,6 @@ class HttpFetcher:
                 "html": pa.array(out_html, type=pa.binary()),
                 "lang": pa.array([""] * len(urls), type=pa.string()),
                 "fetch_status": pa.array(status, type=pa.string()),
+                "final_url": pa.array(finals, type=pa.string()),
             }
         )

@@ -34,11 +34,14 @@ from ..config import (
 from ..functions.imagekit import decode_features
 
 
-def decode_feature_batch(batch: pa.Table) -> pa.Table:
+def decode_feature_batch(batch: pa.Table, decode_fn=decode_features) -> pa.Table:
     """One fused decode pass emitting every feature the filters need
     (F1 validity, F4 dims, F5 alpha, F6 uniformity, F7 warm ratio) plus the
-    filename (derived from img_url) used by the pattern filters."""
-    feats = [decode_features(b) for b in batch["bytes"].to_pylist()]
+    filename (derived from img_url) used by the pattern filters.
+    ``decode_fn`` is the codec seam: the NEKO1 stub by default, a real
+    Pillow decoder via functions/imagekit_pil.decode_features when the
+    library exists (adapter-tested, skip-if-absent)."""
+    feats = [decode_fn(b) for b in batch["bytes"].to_pylist()]
     urls = batch["img_url"].to_pylist()
     fnames = [u.rsplit("/", 1)[-1].lower() for u in urls]
     # idempotent: chained cleaning pipelines re-enter this stage
@@ -61,10 +64,15 @@ def decode_feature_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("filename", pa.array(fnames, type=pa.string()))
 
 
-def with_features(images: "ray.data.Dataset", batch_size: int = 512) -> "ray.data.Dataset":
-    return images.map_batches(
-        decode_feature_batch, batch_format="pyarrow", batch_size=batch_size
+def with_features(
+    images: "ray.data.Dataset", batch_size: int = 512, decode_fn=None
+) -> "ray.data.Dataset":
+    fn = (
+        decode_feature_batch
+        if decode_fn is None
+        else (lambda b, _d=decode_fn: decode_feature_batch(b, decode_fn=_d))
     )
+    return images.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def _substr_any(col: pa.ChunkedArray | pa.Array, patterns: tuple[str, ...]):
@@ -259,10 +267,11 @@ def per_cat_stats(before: "ray.data.Dataset", after: "ray.data.Dataset") -> pa.T
 
 
 def advanced_cleaning_pipeline(
-    images: "ray.data.Dataset", cfg: AdvancedCleaningConfig = DEFAULT_ADVANCED
+    images: "ray.data.Dataset", cfg: AdvancedCleaningConfig = DEFAULT_ADVANCED,
+    decode_fn=None,
 ):
     """Full advanced_cleaning.py rebuild: decode → reasons → split."""
-    feats = with_features(images)
+    feats = with_features(images, decode_fn=decode_fn)
     reasoned = feats.map_batches(
         lambda b: advanced_reasons(b, cfg), batch_format="pyarrow"
     )
@@ -270,13 +279,14 @@ def advanced_cleaning_pipeline(
 
 
 def aggressive_cleaning_pipeline(
-    images: "ray.data.Dataset", cfg: AggressiveCleaningConfig = DEFAULT_AGGRESSIVE
+    images: "ray.data.Dataset", cfg: AggressiveCleaningConfig = DEFAULT_AGGRESSIVE,
+    decode_fn=None,
 ):
     """Full aggressive_cleaning.py rebuild: global dedup FIRST
     (aggressive_cleaning.py:271 runs dedup before per-dir filters), then
     decode → reasons → split."""
     deduped = dedup_exact_md5(images)
-    feats = with_features(deduped)
+    feats = with_features(deduped, decode_fn=decode_fn)
     reasoned = feats.map_batches(
         lambda b: aggressive_reasons(b, cfg), batch_format="pyarrow"
     )

@@ -62,25 +62,79 @@ class PseudoCatScorer:
         return dets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        all_dets, has_cat, counts, avg_conf, tot_conf = [], [], [], [], []
-        for blob in batch["bytes"].to_pylist():
-            dets = self._detect(blob)
-            total = sum(d["confidence"] for d in dets)
-            all_dets.append(dets)
-            has_cat.append(len(dets) > 0)
-            counts.append(len(dets))
-            avg_conf.append(total / len(dets) if dets else 0.0)
-            tot_conf.append(total)
-        out = batch
-        for name, arr in (
-            ("detections", pa.array(all_dets, type=DETECTION_TYPE)),
-            ("has_cat", pa.array(has_cat, type=pa.bool_())),
-            ("detection_count", pa.array(counts, type=pa.int32())),
-            ("avg_confidence", pa.array(avg_conf, type=pa.float64())),
-            ("total_confidence", pa.array(tot_conf, type=pa.float64())),
-        ):
-            out = out.append_column(name, arr)
-        return out
+        dets = [self._detect(b) for b in batch["bytes"].to_pylist()]
+        return append_detection_columns(batch, dets)
+
+
+def append_detection_columns(
+    batch: pa.Table, per_image_dets: list[list[dict]]
+) -> pa.Table:
+    """The SINGLE output-schema builder every scorer (pseudo or real) goes
+    through — so a model swap cannot drift the schema
+    (yolo_cat_detector.py:104-119 fields)."""
+    all_dets, has_cat, counts, avg_conf, tot_conf = [], [], [], [], []
+    for dets in per_image_dets:
+        total = sum(d["confidence"] for d in dets)
+        all_dets.append(dets)
+        has_cat.append(len(dets) > 0)
+        counts.append(len(dets))
+        avg_conf.append(total / len(dets) if dets else 0.0)
+        tot_conf.append(total)
+    out = batch
+    for name, arr in (
+        ("detections", pa.array(all_dets, type=DETECTION_TYPE)),
+        ("has_cat", pa.array(has_cat, type=pa.bool_())),
+        ("detection_count", pa.array(counts, type=pa.int32())),
+        ("avg_confidence", pa.array(avg_conf, type=pa.float64())),
+        ("total_confidence", pa.array(tot_conf, type=pa.float64())),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
+class YoloCatScorer:
+    """Real ultralytics YOLOv8 adapter (yolo_cat_detector.py:57-75 load,
+    :100-119 per-image decision): weights load ONCE per actor in __init__;
+    detections keep class == cat_class_id at confidence >=
+    confidence_threshold. Emits the identical output schema via
+    ``append_detection_columns``. Import-gated — constructing it without
+    ultralytics/Pillow raises, and the adapter tests skip in containers
+    without the libraries (the seam itself is import-checked regardless)."""
+
+    def __init__(self, cfg: ScorerConfig = DEFAULT_SCORER, weights: str = "yolov8n.pt"):
+        import io
+
+        import numpy as np
+        from PIL import Image
+        from ultralytics import YOLO
+
+        self._io = io
+        self._np = np
+        self._Image = Image
+        self.model = YOLO(weights)
+        self.cfg = cfg
+
+    def _detect(self, blob: bytes) -> list[dict]:
+        if not blob:
+            return []
+        try:
+            img = self._Image.open(self._io.BytesIO(blob)).convert("RGB")
+        except Exception:
+            return []
+        results = self.model(self._np.asarray(img), verbose=False)
+        dets: list[dict] = []
+        for r in results:
+            for box in r.boxes:
+                cls = int(box.cls[0])
+                conf = float(box.conf[0])
+                if cls == self.cfg.cat_class_id and conf >= self.cfg.confidence_threshold:
+                    x1, y1, x2, y2 = (float(v) for v in box.xyxy[0])
+                    dets.append({"confidence": conf, "bbox": [x1, y1, x2, y2]})
+        return dets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dets = [self._detect(b) for b in batch["bytes"].to_pylist()]
+        return append_detection_columns(batch, dets)
 
 
 def score_images(
