@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image-pipeline coverage (rows-only; pinned by tests)
         "cleaning_advanced_counts": q.cleaning_advanced_counts,
         "scorer_summary_stats": q.scorer_summary_stats,
+        # custom relational operators (as-of / range joins) + wordcount
+        "asof_join_clicks_views": q.asof_join_clicks_views,
+        "range_join_quantity_buckets": q.range_join_quantity_buckets,
+        "top_tokens": q.top_tokens,
     }
 
 
@@ -341,6 +345,39 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, hour
             ORDER BY event_type, hour
+        """,
+        "asof_join_clicks_views": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+                SELECT user_id, ts, MAX(event_id) AS view_event_id
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, v.view_event_id
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY c.event_id
+        """,
+        "range_join_quantity_buckets": """
+            SELECT l_orderkey, l_linenumber, r.bucket_label
+            FROM lineitem l
+            JOIN (VALUES (0, 10, 'xs'), (10, 20, 's'), (20, 30, 'm'),
+                         (30, 40, 'l'), (40, 60, 'xl'))
+                 AS r(lo, hi, bucket_label)
+              ON l.l_quantity >= r.lo AND l.l_quantity < r.hi
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "top_tokens": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS token
+                FROM documents WHERE TRIM(text) <> ''
+            )
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 20
         """,
         # minhash/simhash/ngram/embedding dedup, langid, knn_lsh, the
         # crawl-engine queries and the image-pipeline stats are

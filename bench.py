@@ -99,18 +99,42 @@ def run_bench() -> dict:
 
     # scaling mode uses a larger corpus so the job is firmly compute-bound
     # at 32 CPUs (efficiency compares steady-state throughput, not fixed
-    # per-job costs, which on a real cluster amortize over 10^10 URLs)
+    # per-job costs, which on a real cluster amortize over 10^10 URLs).
+    # The corpus is built INCREMENTALLY — one replicated variant at a time
+    # appended to the bucketed store, frontier rows written straight to
+    # parquet chunks — so the driver never holds the full page table (a
+    # REP=48 run is ~4 GB of html as one Arrow table; one rep is ~90 MB).
+    from webscrape_neko_jirushi_ray.pipelines.crawl import seeds_to_frontier
+
     _default_rep = "24" if os.environ.get("GRAFT_BENCH_MODE") == "fetch" else "10"
     REP = int(os.environ.get("GRAFT_BENCH_REP", _default_rep))
-    rep_tables = [pages]
-    for k in range(1, REP):
-        urls_k = pa.array([f"{u}?rep={k}" for u in pages["url"].to_pylist()])
-        rep_tables.append(pages.set_column(0, "url", urls_k))
-    big = pa.concat_tables(rep_tables, promote_options="default")
-    big_store = PartitionedPageStore.build(
-        add_url_key_columns(big), os.path.join(tmp_root, "bigstore"), num_buckets=64
-    )
-    all_urls = big["url"].to_pylist()
+    big_root = os.path.join(tmp_root, "bigstore")
+    frontier_dir = os.path.join(tmp_root, "frontier")
+    os.makedirs(frontier_dir, exist_ok=True)
+    n_urls_total = 0
+    base_urls = pages["url"].to_pylist()
+    for k in range(REP):
+        if k == 0:
+            rep_tbl = pages
+            urls_k = base_urls
+        else:
+            urls_k = [f"{u}?rep={k}" for u in base_urls]
+            rep_tbl = pages.set_column(0, "url", pa.array(urls_k))
+        PartitionedPageStore.build(
+            add_url_key_columns(rep_tbl), big_root, num_buckets=64,
+            part_name=f"part{k}",
+        )
+        chunk = seeds_to_frontier(urls_k)
+        chunk = chunk.set_column(
+            chunk.schema.get_field_index("discovery_seq"),
+            "discovery_seq",
+            pa.array(
+                [n_urls_total + i for i in range(chunk.num_rows)], type=pa.int64()
+            ),
+        )
+        pq.write_table(chunk, os.path.join(frontier_dir, f"chunk-{k:04d}.parquet"))
+        n_urls_total += chunk.num_rows
+    big_store = PartitionedPageStore(big_root, num_buckets=64)
     fetch_cfg = CrawlConfig(
         host_budget_per_round=100_000_000,
         max_rounds=2,
@@ -124,19 +148,17 @@ def run_bench() -> dict:
     )
     # warmup pass (untimed): spawns task workers + fetcher caches + seen
     # actors — steady-state cluster conditions
+    from webscrape_neko_jirushi_ray.pipelines.crawl import crawl_fetch_list
     from webscrape_neko_jirushi_ray.state.seen import ShardedSeenSet
 
     crawl(
         big_store,
-        all_urls[: NUM_CPUS * 64],
+        base_urls[: NUM_CPUS * 64],
         os.path.join(tmp_root, "warmup"),
         fetch_cfg,
     )
-    # pre-keyed frontier table = the job's real input shape (frontier
-    # parquet carries url_sha1/host already at 10^10 scale)
-    from webscrape_neko_jirushi_ray.pipelines.crawl import seeds_to_frontier
-
-    frontier_tbl = seeds_to_frontier(all_urls)
+    # frontier = pre-keyed parquet dir — the job's real input shape at
+    # 10^10 scale (the driver never holds the frontier)
     # best-of-N to damp co-tenant noise on this box; each repetition is a
     # fresh crawl with its own (pre-spawned) seen-set actors and out dir
     reps = (
@@ -149,13 +171,12 @@ def run_bench() -> dict:
         seen_pool = ShardedSeenSet(fetch_cfg.seen_shards, fetch_cfg.seen_mode)
         seen_pool.size()  # block until actors are live
         t_i, res_fetch = _timed(
-            lambda: crawl(
+            lambda: crawl_fetch_list(
                 big_store,
-                [],
+                frontier_dir,
                 os.path.join(tmp_root, f"fetchlist{it}"),
                 fetch_cfg,
                 seen_set=seen_pool,
-                seed_frontier=frontier_tbl,
             )
         )
         seen_pool.shutdown()
@@ -178,7 +199,7 @@ def run_bench() -> dict:
         }
 
     # ---- full BFS crawl with politeness + link expansion ----------------
-    bfs_seeds = [u for u in all_urls if "/foster/cat/?p=" in u] or seeds
+    bfs_seeds = [u for u in base_urls if "/foster/cat/?p=" in u] or seeds
     cfg = CrawlConfig(
         host_budget_per_round=1_000_000,
         max_rounds=20,
@@ -251,7 +272,14 @@ def run_scaling() -> dict:
     parallelism levels (the sandbox stand-in for N vs 4N nodes)."""
 
     def run(ncpu: int) -> dict:
+        # Scaling measures steady-state throughput at two parallelism
+        # levels on the SAME input. The input is 2x the plain-bench fetch
+        # corpus (~1.4M pages) so the streamed control plane's fixed
+        # per-round stage latency (~6 s of scheduling that is the same at
+        # 8 and 32 CPUs, and amortizes per-row at the 10^10-row design
+        # scale) does not masquerade as poor scaling of the fetch itself.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="fetch")
+        env.setdefault("GRAFT_BENCH_REP", "48")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -1,0 +1,78 @@
+"""CLI surface (§2.10): crawl + fetchlist + config rejection, end to end.
+
+Runs in ONE subprocess because each CLI command owns (and shuts down) its
+own Ray session — doing that in-process would tear down the shared test
+fixture session."""
+
+import json
+import subprocess
+import sys
+import textwrap
+
+
+def test_cli_crawl_fetchlist_and_config_rejection(tmp_path):
+    script = textwrap.dedent(
+        f"""
+        import json, os, sys
+        sys.path.insert(0, {repr(str(tmp_path))})  # noop, keeps cwd clean
+        os.chdir("/root/repo")
+        import pyarrow.parquet as pq
+
+        from webscrape_neko_jirushi_ray.__main__ import main
+        from webscrape_neko_jirushi_ray.functions.urlkit import add_url_key_columns
+        from webscrape_neko_jirushi_ray.pipelines.crawl import seeds_to_frontier
+        from webscrape_neko_jirushi_ray.sources.pages import PartitionedPageStore
+        from webscrape_neko_jirushi_ray.synth import synth_pages
+
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+
+        out = {repr(str(tmp_path))}
+        pages, seeds = synth_pages(num_listing_pages=2, seed=9)
+        store_dir = os.path.join(out, "store")
+        PartitionedPageStore.build(add_url_key_columns(pages), store_dir,
+                                   num_buckets=4)
+        seeds_file = os.path.join(out, "seeds.txt")
+        with open(seeds_file, "w") as f:
+            f.write("\\n".join(seeds))
+
+        # 1. BFS crawl
+        rc = main(["crawl", "--store", store_dir, "--seeds", seeds_file,
+                   "--out", os.path.join(out, "c1")])
+        assert rc == 0
+
+        # 2. streamed fetch-list over a frontier parquet
+        fdir = os.path.join(out, "frontier"); os.makedirs(fdir)
+        pq.write_table(seeds_to_frontier(pages["url"].to_pylist()),
+                       os.path.join(fdir, "f.parquet"))
+        rc = main(["fetchlist", "--store", store_dir, "--frontier", fdir,
+                   "--out", os.path.join(out, "c2")])
+        assert rc == 0
+
+        # 3. bad config is rejected loudly
+        bad = os.path.join(out, "bad.json")
+        with open(bad, "w") as f:
+            json.dump({{"no_such_field": 1}}, f)
+        try:
+            main(["crawl", "--store", store_dir, "--seeds", seeds_file,
+                  "--out", os.path.join(out, "c3"), "--config", bad])
+            raise AssertionError("bad config accepted")
+        except SystemExit as e:
+            assert "no_such_field" in str(e)
+        print("CLI_OK")
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines[-1] == "CLI_OK"
+    # the two crawl commands printed their JSON summaries
+    payloads = [json.loads(ln) for ln in lines if ln.startswith("{")]
+    assert payloads[0]["visited"] > 0 and payloads[0]["fetched_ok"] > 0
+    assert payloads[1]["visited"] > 0

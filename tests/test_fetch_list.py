@@ -219,3 +219,52 @@ def test_fetch_list_bounded_driver_memory(ray_session, monkeypatch, tmp_path):
     # coarse backstop (see docstring for why the bound is loose)
     growth_mb = (rss_after - rss_before) / 1024.0
     assert growth_mb < 300, f"driver RSS grew {growth_mb:.0f} MB"
+
+
+def test_enumerate_visits_sub_host_ranges(ray_session):
+    """Sub-host range splitting (parallelism fix for low-host-count
+    frontiers) must keep the exact (host_priority, seq) enumeration and
+    prefix-budget semantics across range boundaries."""
+    import ray.data as rd
+
+    from webscrape_neko_jirushi_ray.pipelines.crawl import (
+        _enumerate_visits_by_host,
+        _host_partials,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    hosts = [f"h{int(i) % 3}.test" for i in range(n)]
+    seqs = rng.permutation(n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "host": pa.array(hosts),
+            "discovery_seq": pa.array(seqs, type=pa.int64()),
+            "url": pa.array([f"u{i}" for i in range(n)]),
+        }
+    )
+    parts = [tbl.slice(i, 500) for i in range(0, n, 500)]
+    ds = rd.from_arrow(parts).materialize()
+    budget = 700  # binds mid-range for every host
+    hp = _host_partials(ds)
+    out = (
+        _enumerate_visits_by_host(ds, hp, budget, target_rows_per_range=200)
+        .to_pandas()
+    )
+    # brute-force expectation
+    df = tbl.to_pandas()
+    prio = df.groupby("host")["discovery_seq"].transform("min")
+    df = df.assign(_prio=prio)
+    taken = (
+        df.sort_values("discovery_seq")
+        .groupby("host", sort=False)
+        .head(budget)
+        .sort_values(["_prio", "discovery_seq"])
+    )
+    want = {u: i + 1 for i, u in enumerate(taken["url"])}
+    got_taken = out[out["_vseq"] > 0]
+    assert len(got_taken) == 3 * budget
+    for u, v in zip(got_taken["url"], got_taken["_vseq"]):
+        assert want[u] == v, u
+    assert (out[out["_vseq"] < 0]["_vseq"] == -1).all()
+    assert len(out) == n

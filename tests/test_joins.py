@@ -1,0 +1,102 @@
+"""stages/joins.py hash_join unit coverage: inner/semi/anti vs pandas
+reference, empty-block tolerance (the Dataset.join failure mode that
+motivated the module), list-payload pass-through on semi/anti."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from webscrape_neko_jirushi_ray.stages.joins import hash_join
+
+
+def _mk(df):
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_inner_join_matches_pandas(ray_session):
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 40, 200).astype(np.int64),
+         "lval": np.arange(200, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(0, 40, 60).astype(np.int64),
+         "rval": np.arange(60, dtype=np.int64) * 7}
+    )
+    out = (
+        hash_join(_mk(left), _mk(right), key="k", right_key="rk", how="inner",
+                  num_partitions=8)
+        .to_pandas()
+        .sort_values(["k", "lval", "rval"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["k", "lval", "rval"])
+        .reset_index(drop=True)
+    )
+    assert out[["k", "lval", "rval"]].equals(want[["k", "lval", "rval"]])
+
+
+def test_inner_join_suffixes_conflicts(ray_session):
+    left = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+    right = pd.DataFrame({"k": [1, 2], "v": [100, 200]})
+    out = (
+        hash_join(_mk(left), _mk(right), key="k", how="inner", num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert sorted(out.columns) == ["k", "v", "v_r"]
+    assert out["v"].tolist() == [10, 20]
+    assert out["v_r"].tolist() == [100, 200]
+
+
+def test_semi_anti_with_list_payload_and_empty_blocks(ray_session):
+    """Semi/anti must carry list-typed payloads (acero can't) and tolerate
+    the schema-less empty blocks a filter map emits."""
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "emb": pa.array([[1.0], [2.0], [3.0], [4.0]], type=pa.list_(pa.float64())),
+        }
+    )
+    lds = ray.data.from_arrow([left.slice(0, 2), left.slice(2, 2)])
+    # force empty blocks on the right via a filter that kills one block
+    right = pa.table({"rk": pa.array([2, 4, 100], type=pa.int64())})
+    rds = ray.data.from_arrow([right.slice(0, 2), right.slice(2, 1)]).map_batches(
+        lambda t: t.filter(pa.compute.less(t["rk"], 50)), batch_format="pyarrow"
+    )
+    semi = (
+        hash_join(lds, rds, key="k", right_key="rk", how="left_semi",
+                  num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert semi["k"].tolist() == [2, 4]
+    assert semi["emb"].tolist()[0] == [2.0]
+    anti = (
+        hash_join(lds, rds, key="k", right_key="rk", how="left_anti",
+                  num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert anti["k"].tolist() == [1, 3]
+
+
+def test_inner_join_empty_right(ray_session):
+    left = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+    right = pd.DataFrame({"rk": pd.Series([], dtype="int64"),
+                          "w": pd.Series([], dtype="int64")})
+    out = hash_join(
+        _mk(left), _mk(right), key="k", right_key="rk", how="inner",
+        num_partitions=4,
+    ).to_pandas()
+    assert len(out) == 0
+    # Ray normalizes all-empty map outputs to schema-less blocks, so a
+    # fully-empty result may surface with no columns — both are acceptable
+    assert sorted(out.columns) in ([], ["k", "v", "w"])

@@ -1,0 +1,115 @@
+"""Custom relational operators (as-of join, broadcast range join) verified
+against brute-force computations; token top-k against a Counter."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from webscrape_neko_jirushi_ray.stages.relops import asof_join, range_join_broadcast
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(5)
+    n_l, n_r = 300, 200
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_l, dtype=np.int64),
+            "k": rng.integers(0, 8, n_l).astype(np.int64),
+            "t": rng.integers(0, 1000, n_l).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_r).astype(np.int64),
+            "t": rng.integers(0, 1000, n_r).astype(np.int64),
+            "val": np.arange(n_r, dtype=np.int64) * 10,
+        }
+    ).drop_duplicates(["k", "t"])  # unambiguous matches
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    out = (
+        asof_join(lds, rds, by="k", on="t", value_cols=["val"])
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # brute force: per left row, the right row of same k with max t <= left t
+    want_vals = []
+    for _, row in left.iterrows():
+        cand = right[(right["k"] == row["k"]) & (right["t"] <= row["t"])]
+        want_vals.append(
+            float(cand.sort_values("t").iloc[-1]["val"]) if len(cand) else np.nan
+        )
+    got_vals = out["val"].astype("float64").tolist()
+    assert len(got_vals) == n_l
+    for g, w in zip(got_vals, want_vals):
+        assert (np.isnan(g) and np.isnan(w)) or g == w
+
+
+def test_asof_join_forward_direction(ray_session):
+    left = pd.DataFrame({"k": [1, 1], "t": [10, 50], "lid": [0, 1]})
+    right = pd.DataFrame({"k": [1, 1], "t": [20, 60], "val": [100, 200]})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    out = (
+        asof_join(lds, rds, by="k", on="t", value_cols=["val"], direction="forward")
+        .to_pandas()
+        .sort_values("lid")
+    )
+    assert out["val"].tolist() == [100, 200]  # next value at or after t
+
+
+def test_range_join_broadcast(ray_session):
+    ranges = pa.table(
+        {
+            "lo": pa.array([0, 10, 20], type=pa.int64()),
+            "hi": pa.array([10, 20, 30], type=pa.int64()),
+            "label": pa.array(["a", "b", "c"]),
+        }
+    )
+    vals = [-5.0, 0.0, 9.9, 10.0, 19.5, 25.0, 30.0, 99.0]
+    ds = ray.data.from_arrow(
+        pa.table({"i": pa.array(range(len(vals)), type=pa.int64()),
+                  "v": pa.array(vals, type=pa.float64())})
+    )
+    out = (
+        range_join_broadcast(ds, ranges, value_col="v")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    # -5, 30 (hi-exclusive) and 99 drop; boundaries lo-inclusive
+    assert out["i"].tolist() == [1, 2, 3, 4, 5]
+    assert out["label"].tolist() == ["a", "a", "b", "b", "c"]
+
+
+def test_range_join_rejects_overlap(ray_session):
+    ranges = pa.table(
+        {"lo": pa.array([0, 5], type=pa.int64()),
+         "hi": pa.array([10, 15], type=pa.int64()),
+         "label": pa.array(["a", "b"])}
+    )
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([1.0])}))
+    import pytest
+
+    with pytest.raises(ValueError, match="non-overlapping"):
+        range_join_broadcast(ds, ranges, value_col="v")
+
+
+def test_top_tokens_matches_counter(ray_session):
+    from collections import Counter
+
+    from webscrape_neko_jirushi_ray.functions import textkit
+    from webscrape_neko_jirushi_ray.pipelines.queries import top_tokens
+
+    sf = "/root/testdata/sf0.001"
+    got = top_tokens(sf)
+    texts = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])["text"]
+    c = Counter()
+    for t in texts:
+        c.update(textkit.tokens_ws(t or ""))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["token"], got["n"])) == want

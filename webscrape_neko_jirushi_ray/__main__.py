@@ -1,7 +1,8 @@
 """CLI entry points (the reference's per-script argparse surface, §2.10).
 
-    python -m webscrape_neko_jirushi_ray crawl   --store DIR --seeds FILE --out DIR
-    python -m webscrape_neko_jirushi_ray crawl   --http --seeds FILE --out DIR
+    python -m webscrape_neko_jirushi_ray crawl     --store DIR --seeds FILE --out DIR
+    python -m webscrape_neko_jirushi_ray crawl     --http --seeds FILE --out DIR
+    python -m webscrape_neko_jirushi_ray fetchlist --store DIR --frontier PARQUET --out DIR
     python -m webscrape_neko_jirushi_ray complete --demo --out DIR
     python -m webscrape_neko_jirushi_ray clean   --images DIR --out DIR [--aggressive]
     python -m webscrape_neko_jirushi_ray score   --images DIR --out DIR
@@ -67,14 +68,56 @@ def cmd_crawl(args) -> int:
         store = PartitionedPageStore(args.store)
     cfg = _load_cfg(args.config)
     res = crawl(store, seeds, args.out, cfg, resume=args.resume)
-    ok = sum(1 for s in res.visits["fetch_status"].to_pylist() if s == "ok")
+    # expand_links=False (config override) returns a streamed result whose
+    # visit log lives in parquet shards; summarize from the manifests
+    if res.visits is not None:
+        ok = sum(1 for s in res.visits["fetch_status"].to_pylist() if s == "ok")
+    else:
+        from .state import checkpoint as ckpt
+
+        ok = sum(
+            (ckpt.read_manifest(args.out, r) or {}).get("fetch_ok", 0)
+            for r in range(res.rounds)
+        )
     print(
         json.dumps(
             {
                 "rounds": res.rounds,
-                "visited": res.visits.num_rows,
+                "visited": res.visits_count,
                 "fetched_ok": ok,
                 "out": args.out,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_fetchlist(args) -> int:
+    """Streamed fetch-list crawl over a frontier parquet (the 10^10-scale
+    refetch job): the frontier never touches the driver."""
+    ray = _ray_session(args.num_cpus)
+    from .pipelines.crawl import crawl_fetch_list
+    from .sources.http import HttpPageStore
+    from .sources.pages import PartitionedPageStore
+
+    if args.http:
+        store = HttpPageStore(rate_per_host=args.rate)
+    else:
+        store = PartitionedPageStore(args.store)
+    cfg = _load_cfg(args.config)
+    if cfg.expand_links:
+        cfg = dataclasses.replace(cfg, expand_links=False)
+    res = crawl_fetch_list(
+        store, args.frontier, args.out, cfg, resume=args.resume
+    )
+    print(
+        json.dumps(
+            {
+                "rounds": res.rounds,
+                "visited": res.visits_count,
+                "out": args.out,
+                "visits_dirs": res.visits_dirs,
             }
         )
     )
@@ -204,6 +247,18 @@ def main(argv=None) -> int:
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=cmd_crawl)
 
+    fl = sub.add_parser(
+        "fetchlist", help="streamed fetch-list crawl over a frontier parquet"
+    )
+    fl.add_argument("--frontier", required=True, help="frontier parquet path/dir")
+    fl.add_argument("--out", required=True)
+    fl.add_argument("--store", help="partitioned page-store root")
+    fl.add_argument("--http", action="store_true", help="live HTTP fetch")
+    fl.add_argument("--rate", type=float, default=0.5, help="req/s per host (http)")
+    fl.add_argument("--config", help="JSON CrawlConfig overrides")
+    fl.add_argument("--resume", action="store_true")
+    fl.set_defaults(fn=cmd_fetchlist)
+
     comp = sub.add_parser("complete", help="full pipeline on the demo site")
     comp.add_argument("--demo", action="store_true")
     comp.add_argument("--out", required=True)
@@ -237,8 +292,8 @@ def main(argv=None) -> int:
     stt.set_defaults(fn=cmd_stats)
 
     args = p.parse_args(argv)
-    if args.cmd == "crawl" and not (args.http or args.store):
-        p.error("crawl needs --store DIR or --http")
+    if args.cmd in ("crawl", "fetchlist") and not (args.http or args.store):
+        p.error(f"{args.cmd} needs --store DIR or --http")
     return args.fn(args)
 
 

@@ -47,6 +47,7 @@ import os
 import time as _time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -704,13 +705,9 @@ def _crawl_inner(
                 [ray.get(r) for r in fetched_ds.to_arrow_refs()],
                 promote_options="default",
             )
-        # restore visit order (map_batches may deliver blocks out of order);
-        # when links aren't needed (fetch-list mode) drop the list columns
-        # first so the sort shuffles only scalar control data
-        if not cfg.expand_links:
-            fetched = fetched.drop_columns(
-                [c for c in ("links", "n_links", "n_images") if c in fetched.column_names]
-            )
+        # restore visit order (map_batches may deliver blocks out of
+        # order). expand_links=False never reaches this loop — crawl()
+        # routes it to the streamed _fetch_list_inner.
         fetched = _visit_order(fetched)
 
         # --- visit log ----------------------------------------------------
@@ -753,14 +750,11 @@ def _crawl_inner(
         # --- frontier expansion ------------------------------------------
         # vectorized explode: list_flatten preserves (row, element) order —
         # exactly the (parent visit order, link position) discovery contract
-        if cfg.expand_links:
-            links_col = pa.chunked_array(
-                ok["links"].chunks or [pa.array([], pa.list_(pa.string()))]
-            )
-            flat = pc.list_flatten(links_col)
-        else:
-            flat = []
-        if cfg.expand_links and len(flat):
+        links_col = pa.chunked_array(
+            ok["links"].chunks or [pa.array([], pa.list_(pa.string()))]
+        )
+        flat = pc.list_flatten(links_col)
+        if len(flat):
             parent_idx = pc.list_parent_indices(links_col)
             cand = pa.table(
                 {
@@ -890,10 +884,14 @@ def _frontier_dataset(frontier, n_parts: int) -> "ray.data.Dataset":
     return frontier
 
 
-def _host_partials(pending_ds: "ray.data.Dataset") -> "pd_DataFrame":
-    """Per-host (n rows, min discovery_seq) via per-batch partials combined
-    on the driver — O(live hosts) driver state, one cheap map pass (a full
-    groupby-aggregate shuffle costs ~4x for the same tiny result)."""
+def _host_partials(
+    pending_ds: "ray.data.Dataset", samples_per_block: int = 32
+) -> "pd_DataFrame":
+    """Per-host (n rows, min discovery_seq, strided seq samples) via
+    per-batch partials combined on the driver — O(live hosts x samples)
+    driver state, one cheap map pass (a full groupby-aggregate shuffle
+    costs ~4x for the same tiny result). The samples seed the sub-host
+    range boundaries of _enumerate_visits_by_host."""
     import pandas as _pd
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -903,12 +901,21 @@ def _host_partials(pending_ds: "ray.data.Dataset") -> "pd_DataFrame":
                 "seq": t["discovery_seq"].to_numpy(zero_copy_only=False),
             }
         )
-        g = df.groupby("host")["seq"].agg(["count", "min"]).reset_index()
+        hosts_out, n_out, min_out, samp_out = [], [], [], []
+        for host, g in df.groupby("host"):
+            seqs = np.sort(g["seq"].to_numpy())
+            hosts_out.append(host)
+            n_out.append(len(seqs))
+            min_out.append(int(seqs[0]))
+            k = min(samples_per_block, len(seqs))
+            idx = np.unique(np.linspace(0, len(seqs) - 1, k).astype(np.int64))
+            samp_out.append(seqs[idx].tolist())
         return pa.table(
             {
-                "host": pa.array(g["host"], type=pa.string()),
-                "n": pa.array(g["count"].astype("int64")),
-                "min_seq": pa.array(g["min"].astype("int64")),
+                "host": pa.array(hosts_out, type=pa.string()),
+                "n": pa.array(n_out, type=pa.int64()),
+                "min_seq": pa.array(min_out, type=pa.int64()),
+                "samples": pa.array(samp_out, type=pa.list_(pa.int64())),
             }
         )
 
@@ -916,48 +923,115 @@ def _host_partials(pending_ds: "ray.data.Dataset") -> "pd_DataFrame":
         _partial, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     if not len(parts):
-        return _pd.DataFrame({"host": [], "n": [], "min_seq": []})
+        return _pd.DataFrame({"host": [], "n": [], "min_seq": [], "samples": []})
     return (
         parts.groupby("host")
-        .agg(n=("n", "sum"), min_seq=("min_seq", "min"))
+        .agg(
+            n=("n", "sum"),
+            min_seq=("min_seq", "min"),
+            samples=("samples", lambda s: sorted({x for lst in s for x in lst})),
+        )
         .reset_index()
     )
 
 
 def _enumerate_visits_by_host(
-    pending_ds: "ray.data.Dataset", hosts: "pd_DataFrame", budget: int
+    pending_ds: "ray.data.Dataset",
+    hosts: "pd_DataFrame",
+    budget: int,
+    *,
+    target_rows_per_range: int = 16384,
 ) -> "ray.data.Dataset":
     """Attach ``_vseq`` (1-based dense visit rank) and apply the per-host
-    budget in ONE groupby pass. This is the host-partitioned instance of
-    the range-partitioned dense enumeration (functions/enumerate.py): every
-    host has a UNIQUE priority (its min pending seq — seqs are unique), so
-    the global (host_priority, discovery_seq) order decomposes into
-    host_offset[host] + within-host rank, with offsets a driver cumsum over
-    the live-hosts table. Rows past the budget get ``_vseq = -1``
-    (deferred). Partitioning assumption: one host's pending rows fit in one
-    worker (matches the upstream fetch-list sharding; budget rounds exist
-    to shrink a huge host's round anyway)."""
-    import numpy as _np
+    budget. The host-partitioned instance of the range-partitioned dense
+    enumeration (functions/enumerate.py): every host has a UNIQUE priority
+    (its min pending seq — seqs are unique), so the global
+    (host_priority, discovery_seq) order decomposes into host offsets +
+    within-host rank. Each host is further split into seq ranges (sampled
+    boundaries, EXACT sizes from a counting pass), so the rank groupby's
+    parallelism is hosts x ranges — a low-host-count frontier no longer
+    serializes on the host count. Rows past the budget get ``_vseq = -1``
+    (deferred). Driver state: the (host, range) table — bounded by
+    n / target_rows_per_range, never by rows."""
     import pandas as _pd
 
+    # --- driver: per-host range boundaries from the sampled seqs ---------
     h = hosts.sort_values("min_seq").reset_index(drop=True)
-    taken_n = _np.minimum(h["n"].to_numpy(), budget)
-    offsets = _np.concatenate([[0], _np.cumsum(taken_n)[:-1]])
-    info_ref = ray.put(
-        {
-            host: (int(off), int(tn))
-            for host, off, tn in zip(h["host"], offsets, taken_n)
-        }
-    )
+    host_cuts: dict[str, np.ndarray] = {}
+    rid_base: dict[str, int] = {}
+    next_rid = 0
+    for _, row in h.iterrows():
+        n_ranges = max(1, min(int(row["n"]) // max(1, target_rows_per_range) + 1, 64))
+        samples = np.asarray(row["samples"], dtype=np.int64)
+        if n_ranges > 1 and len(samples) > n_ranges:
+            cut_idx = np.unique(
+                (np.arange(1, n_ranges) * len(samples)) // n_ranges
+            )
+            cuts = np.unique(samples[cut_idx])
+        else:
+            cuts = np.empty(0, dtype=np.int64)
+        host_cuts[row["host"]] = cuts
+        rid_base[row["host"]] = next_rid
+        next_rid += len(cuts) + 1
+    n_rids = next_rid
+    cuts_ref = ray.put((host_cuts, rid_base))
+
+    def _tag(t: pa.Table) -> pa.Table:
+        hc, rb = ray.get(cuts_ref)
+        host_col = np.asarray(t["host"].to_pylist(), dtype=object)
+        seqs = t["discovery_seq"].to_numpy(zero_copy_only=False)
+        rid = np.empty(t.num_rows, dtype=np.int64)
+        for host in np.unique(host_col):
+            m = host_col == host
+            rid[m] = rb[host] + np.searchsorted(hc[host], seqs[m], side="right")
+        return t.append_column("_rid", pa.array(rid, type=pa.int64()))
+
+    # --- counting pass: EXACT range sizes (driver state = ranges) --------
+    def _sizes(t: pa.Table) -> pa.Table:
+        rid = t["_rid"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(rid, return_counts=True)
+        return pa.table(
+            {"rid": pa.array(uniq, type=pa.int64()),
+             "cnt": pa.array(cnt, type=pa.int64())}
+        )
+
+    tagged = pending_ds.map_batches(_tag, batch_format="pyarrow")
+    size_parts = tagged.map_batches(
+        _sizes, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    sizes = np.zeros(n_rids, dtype=np.int64)
+    if len(size_parts):
+        agg = size_parts.groupby("rid")["cnt"].sum()
+        sizes[agg.index.to_numpy()] = agg.to_numpy()
+
+    # --- driver: per-range (taken_n, visit offset) in global visit order -
+    taken_per_rid = np.zeros(n_rids, dtype=np.int64)
+    voff_per_rid = np.zeros(n_rids, dtype=np.int64)
+    vnext = 0
+    for _, row in h.iterrows():
+        base = rid_base[row["host"]]
+        r_count = len(host_cuts[row["host"]]) + 1
+        within = 0
+        for j in range(r_count):
+            rid = base + j
+            take = int(np.clip(budget - within, 0, sizes[rid]))
+            taken_per_rid[rid] = take
+            voff_per_rid[rid] = vnext
+            vnext += take
+            within += int(sizes[rid])
+    plan_ref = ray.put((taken_per_rid, voff_per_rid))
 
     def _rank(g: _pd.DataFrame) -> _pd.DataFrame:
-        off, tn = ray.get(info_ref)[g["host"].iloc[0]]
+        takes, voffs = ray.get(plan_ref)
+        rid = int(g["_rid"].iloc[0])
         g = g.sort_values("discovery_seq", kind="mergesort").reset_index(drop=True)
-        pos = _np.arange(len(g), dtype=_np.int64)
-        g["_vseq"] = _np.where(pos < tn, off + pos + 1, -1)
-        return g
+        pos = np.arange(len(g), dtype=np.int64)
+        g["_vseq"] = np.where(
+            pos < takes[rid], voffs[rid] + pos + 1, -1
+        )
+        return g.drop(columns=["_rid"])
 
-    return pending_ds.groupby("host").map_groups(_rank, batch_format="pandas")
+    return tagged.groupby("_rid").map_groups(_rank, batch_format="pandas")
 
 
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]

@@ -787,3 +787,102 @@ def rank_customers_distributed(sf_dir: str) -> pd.DataFrame:
         index_col="bal_rank", num_ranges=8,
     ).to_pandas()
     return out[["c_custkey", "bal_rank"]].sort_values("c_custkey").reset_index(drop=True)
+
+
+# --- custom relational operators (as-of / range joins, token top-k) -------
+
+
+def asof_join_clicks_views(sf_dir: str) -> pd.DataFrame:
+    """As-of join (custom operator — Ray Data has no native one): for each
+    'click' event, the latest 'view' of the same user at or before the
+    click. Right-side ties pre-resolved to max event_id per (user, ts) so
+    the match is unambiguous on both sides (DuckDB ASOF JOIN oracle)."""
+    from ray.data.aggregate import Max
+
+    from ..stages.relops import asof_join
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _side(ev_type):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], ev_type)).drop_columns(
+                ["event_type"]
+            )
+
+        return _f
+
+    clicks = ds.map_batches(_side("click"), batch_format="pyarrow")
+    views = (
+        ds.map_batches(_side("view"), batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("event_id", alias_name="view_event_id"))
+    )
+    out = asof_join(
+        clicks, views, by="user_id", on="ts", value_cols=["view_event_id"]
+    ).to_pandas()
+    out = out[["event_id", "user_id", "view_event_id"]]
+    # the union pad makes left ints nullable inside groups -> float; clicks
+    # themselves are never null, so restore exact int64
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["view_event_id"] = out["view_event_id"].astype("float64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def range_join_quantity_buckets(sf_dir: str) -> pd.DataFrame:
+    """Broadcast range join (custom operator): lineitem quantities
+    classified into [lo, hi) buckets — the ranges are metadata (ray.put
+    once), the fact table streams through one vectorized searchsorted."""
+    from ..stages.relops import range_join_broadcast
+
+    ranges = pa.table(
+        {
+            "lo": pa.array([0, 10, 20, 30, 40], type=pa.int64()),
+            "hi": pa.array([10, 20, 30, 40, 60], type=pa.int64()),
+            "bucket_label": pa.array(["xs", "s", "m", "l", "xl"]),
+        }
+    )
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = range_join_broadcast(
+        ds, ranges, value_col="l_quantity",
+        keep_cols=["l_orderkey", "l_linenumber"],
+    ).to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Global token top-20 with PARTIAL PRE-AGGREGATION: per-batch Counter
+    partials (vocab-of-batch rows) -> groupby(token).sum -> distributed
+    sort + limit. The full corpus never shuffles raw tokens — only
+    per-batch (token, n) partials — the wordcount shape a 100 TB corpus
+    needs."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import textkit
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(textkit.tokens_ws(txt or ""))
+        items = sorted(c.items())
+        return pa.table(
+            {
+                "token": pa.array([k for k, _ in items], type=pa.string()),
+                "n": pa.array([v for _, v in items], type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)

@@ -85,20 +85,42 @@ class BroadcastFetcher:
 
 
 class PartitionedPageStore:
-    """Hive-partitioned bucket layout keyed by sha1(canon url) prefix."""
+    """Hive-partitioned bucket layout keyed by sha1(canon url) prefix.
+
+    The layout is self-describing: ``build`` writes ``_store_meta.json``
+    with the bucket count, and ``__init__`` prefers it over the argument —
+    opening a store with the wrong bucket count would silently miss every
+    lookup (keys route to the wrong bucket dir)."""
+
+    META_NAME = "_store_meta.json"
 
     def __init__(self, root: str, num_buckets: int = 16):
         self.root = root
+        meta_path = os.path.join(root, self.META_NAME)
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path, encoding="utf-8") as f:
+                num_buckets = int(json.load(f)["num_buckets"])
         self.num_buckets = num_buckets
 
     def cache_key(self) -> str:
         return f"partitioned:{self.root}:{self.num_buckets}"
 
     @staticmethod
-    def build(pages_with_keys: pa.Table, root: str, num_buckets: int = 16) -> "PartitionedPageStore":
-        """One-time layout build. ``pages_with_keys`` must carry
-        ``url_sha1``; rows land in bucket sha1[0] % B, sorted by url_sha1
-        within the bucket so row-group stats prune point lookups.
+    def build(
+        pages_with_keys: pa.Table,
+        root: str,
+        num_buckets: int = 16,
+        part_name: str = "part0",
+    ) -> "PartitionedPageStore":
+        """Layout build. ``pages_with_keys`` must carry ``url_sha1``; rows
+        land in bucket sha1[0] % B, sorted by url_sha1 within the bucket so
+        row-group stats prune point lookups. Call repeatedly with distinct
+        ``part_name`` values to APPEND shards (each part is sorted within
+        itself; the bucket dataset is a union of sorted files, which the
+        filter scan prunes per file) — large corpora build incrementally
+        without ever holding the whole table.
 
         At scale this build is itself a Dataset job
         (ds.write_parquet(partition_cols=['bucket'])); driver-side here
@@ -121,8 +143,17 @@ class PartitionedPageStore:
             sub = t.slice(lo, hi - lo)
             path = os.path.join(root, f"bucket={b}")
             os.makedirs(path, exist_ok=True)
-            pq.write_table(sub.drop_columns(["bucket"]), os.path.join(path, "part0.parquet"),
-                           row_group_size=4096)
+            pq.write_table(
+                sub.drop_columns(["bucket"]),
+                os.path.join(path, f"{part_name}.parquet"),
+                row_group_size=4096,
+            )
+        import json
+
+        os.makedirs(root, exist_ok=True)
+        meta_path = os.path.join(root, PartitionedPageStore.META_NAME)
+        with open(meta_path, "w", encoding="utf-8") as f:
+            json.dump({"num_buckets": num_buckets}, f)
         return PartitionedPageStore(root, num_buckets)
 
     def make_fetcher(self) -> "PartitionedFetcher":

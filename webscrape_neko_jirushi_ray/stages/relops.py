@@ -1,0 +1,132 @@
+"""Custom relational operators Ray Data lacks natively (build-brief §custom
+operators): as-of join and broadcast range join, expressed per the brief's
+preference order — (a) compositions of map_batches + groupby().map_groups.
+
+Partitioning assumptions (documented per the brief):
+- ``asof_join``: co-locates rows by the ``by`` key (one groupby shuffle);
+  one key's rows (both sides) must fit in a worker. Right-side ties on
+  (by, on) must be pre-resolved (unique) or the match is ambiguous.
+- ``range_join_broadcast``: the ranges table is SMALL (broadcast once via
+  ray.put, vectorized searchsorted per batch); ranges must be sorted,
+  non-overlapping [lo, hi) intervals. Rows outside every range drop
+  (inner-join semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_SIDE = "_aside"
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str,
+    on: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> "ray.data.Dataset":
+    """For each left row, attach ``value_cols`` of the right row with the
+    largest ``on`` <= left's ``on`` (direction='backward'; 'forward' takes
+    the smallest >=), within the same ``by`` group. Left rows without a
+    match keep null values (left-join semantics, pandas ``merge_asof``
+    per co-located group)."""
+    lschema = left.schema()
+    lnames = list(lschema.names)
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    rschema = right.schema()
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+
+    all_names = [_SIDE] + lnames + [c for c in value_cols if c not in lnames]
+    all_types = {_SIDE: pa.int8()}
+    all_types.update(ltypes)
+    for c in value_cols:
+        if c not in all_types:
+            all_types[c] = rtypes[c]
+
+    def _pad(side: int, names_here: list[str]):
+        here = set(names_here)
+
+        def _fn(t: pa.Table) -> pa.Table:
+            cols = {_SIDE: pa.array(np.full(t.num_rows, side, dtype=np.int8))}
+            for n in all_names[1:]:
+                cols[n] = t[n] if n in here else pa.nulls(t.num_rows, all_types[n])
+            return pa.table({nm: cols[nm] for nm in all_names})
+
+        return _fn
+
+    combined = left.map_batches(_pad(0, lnames), batch_format="pyarrow").union(
+        right.select_columns(
+            [c for c in dict.fromkeys([by, on, *value_cols])]
+        ).map_batches(_pad(1, [by, on, *value_cols]), batch_format="pyarrow")
+    )
+
+    out_cols = lnames + [c for c in value_cols if c not in lnames]
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g[_SIDE] == 0][lnames].sort_values(on, kind="mergesort")
+        rt = g[g[_SIDE] == 1][[on, *value_cols]].sort_values(on, kind="mergesort")
+        if not len(lt):
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in out_cols})
+        if not len(rt):
+            out = lt.copy()
+            for c in value_cols:
+                if c not in out.columns:
+                    out[c] = pd.NA
+            return out[out_cols]
+        merged = pd.merge_asof(
+            lt, rt, on=on, direction=direction, suffixes=("", "_r")
+        )
+        # value col colliding with a left name came back suffixed
+        for c in value_cols:
+            if c in lnames:
+                merged[c] = merged[c + "_r"]
+        return merged[out_cols]
+
+    return combined.groupby(by).map_groups(_merge, batch_format="pandas")
+
+
+def range_join_broadcast(
+    ds: "ray.data.Dataset",
+    ranges: pa.Table,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    keep_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Inner range join against a broadcast interval table: row matches the
+    range with lo <= value < hi. One ray.put, one vectorized searchsorted
+    per batch — never a shuffle (the reference's bucketed-classification
+    shape at 100 TB: the ranges are metadata, the fact table streams)."""
+    r = ranges.sort_by(lo_col)
+    los = np.asarray(r[lo_col].to_pylist(), dtype=np.float64)
+    his = np.asarray(r[hi_col].to_pylist(), dtype=np.float64)
+    if (los[1:] < his[:-1]).any():
+        raise ValueError("ranges must be sorted and non-overlapping")
+    payload_cols = [c for c in r.column_names if c not in (lo_col, hi_col)]
+    ref = ray.put((los, his, {c: r[c].to_pylist() for c in payload_cols}))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        _los, _his, payload = ray.get(ref)
+        vals = np.asarray(t[value_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        idx = np.searchsorted(_los, vals, side="right") - 1
+        ok = (idx >= 0) & (vals < _his[np.clip(idx, 0, len(_his) - 1)])
+        kept = t.filter(pa.array(ok)) if not ok.all() else t
+        hit = idx[ok]
+        if keep_cols is not None:
+            kept = kept.select(keep_cols)
+        for c, vals_c in payload.items():
+            arr = np.asarray(vals_c, dtype=object)[hit]
+            kept = kept.append_column(c, pa.array(list(arr)))
+        return kept
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
