@@ -24,7 +24,7 @@ golden fixtures pin (SURVEY.md §5.2, tests/oracle_crawler.py).
 - ``target_urls`` truncates the final round's visit list in visit order
   (comprehensive_scraper.py:334-336).
 
-## Physical plan per round (all Ray Data)
+## Physical plan per round — BFS mode (link expansion on)
 
 pending (Arrow) → groupby(salted host).map_groups(top-B by seq)   [skew-safe]
   → true-host re-take + priority sort (bounded by budget x hosts)
@@ -33,12 +33,21 @@ pending (Arrow) → groupby(salted host).map_groups(top-B by seq)   [skew-safe]
      Arrow; doc shards written task-side]
   → links explode → seen-set add_if_absent (J1 anti-join) → next pending
 
-The per-round *control plane* (budget winners, new-link seq assignment) is
-bounded by budget × live hosts, not by frontier size; the frontier itself
-only ever streams through groupby/sort stages. Seq assignment for new links
-is driver-side over that bounded set; at 10^10 scale it becomes a
-range-partitioned offset enumeration (same contract: sort by the discovery
-key, per-partition offsets from partition sizes, dense ranks per block).
+BFS mode's per-round control plane is bounded by budget × live hosts ×
+links/page (the politeness budget is the point of this mode), never by
+frontier size.
+
+## Physical plan per round — fetch-list mode (``crawl_fetch_list``)
+
+The 10^10-scale headline job (no link expansion) is FULLY STREAMED: the
+frontier is a Dataset/parquet; the seen anti-join runs per batch inside
+tasks; the per-host budget + dense visit enumeration run as a partials
+pass (driver state = live hosts) + one groupby over sub-host seq ranges
+with exact counted sizes (parallelism = hosts x ranges); fetch order is
+re-sorted to the page-store's buckets; visit-log shards and doc shards
+are written task-side with idempotent names; deferred rows hand off
+round-to-round as parquet. Driver state per round: scalar counters, a
+live-hosts table, O(#batches) summary rows.
 """
 
 from __future__ import annotations

@@ -19,8 +19,9 @@ D2 at aggressive_cleaning.py:170-200 generalized to text):
 
 Scale contract: NOTHING here materializes O(corpus) state on the driver.
 Candidate pairs live as a Dataset; verification ships each candidate
-doc's shingle blob to its pairs via two hash joins (``stages/joins.py``,
-hash-partitioned both sides); connected components run as join-based
+doc's shingle blob to its pairs via a two-shuffle co-group
+(``_verify_pairs_cogroup``: blobs and pair-sides co-partition by doc id,
+then pair sides meet keyed by (a, b)); connected components run as join-based
 min-label propagation with pointer-jumping (O(log diameter) rounds, each
 round one join + one groupby — no label-dict broadcast). The ONLY driver
 path left is union-find over verified pairs when the pair count is tiny
@@ -103,26 +104,6 @@ _PAIRS_DISTRIBUTED_THRESHOLD = 10_000
 _JOIN_PARTITIONS = 32
 
 
-def _renamer(mapping: dict[str, str]):
-    """map_batches column renamer (Dataset.rename_columns chained directly
-    between two joins trips the join planner's field references — a plain
-    UDF rename is opaque to it and always safe)."""
-
-    def _fn(t: pa.Table) -> pa.Table:
-        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
-
-    return _fn
-
-
-def _pairs_within_group(ids: list[int]) -> tuple[list[int], list[int]]:
-    """All (a<b) pairs of the distinct ids in one bucket."""
-    ids = sorted(set(ids))
-    a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return a_out, b_out
 
 
 _EMPTY_PAIRS = pa.table(
@@ -130,30 +111,130 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
-def _distinct_pairs(pairs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Distinct (a, b) rows (candidates repeat across bands) — one
-    aggregate shuffle, no driver set."""
-    from ray.data.aggregate import Count
-
-    return (
-        pairs_ds.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
 
 
-def _pair_endpoints(pairs_ds: "ray.data.Dataset", id_col: str) -> "ray.data.Dataset":
-    """(id_col) rows = every doc id referenced by a pair (with repeats —
-    fine as the right side of a semi join)."""
+_PMIX = np.uint64(0x9E3779B97F4A7C15)
 
-    def _ends(t: pa.Table) -> pa.Table:
+
+def _part_of(vals: np.ndarray, num_partitions: int) -> np.ndarray:
+    mixed = (vals.astype(np.uint64) * _PMIX) >> np.uint64(33)
+    return (mixed % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _verify_pairs_cogroup(
+    pairs_ds: "ray.data.Dataset",
+    blob_ds: "ray.data.Dataset",
+    predicate,
+    *,
+    id_col: str = "doc_id",
+    blob_col: str = "sh",
+    num_partitions: int = _JOIN_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Distributed pair verification in TWO co-group shuffles (cheaper and
+    empty-block-proof vs the 3-join plan it replaces):
+
+    1. key by doc id: each pair emits one row per side; blob rows ride the
+       same shuffle; inside a partition the local id→blob map (bounded by
+       the partition) attaches the blob to each pair-side row.
+    2. key by (a, b): a pair's two attached sides meet; ``predicate(blob_a,
+       blob_b)`` decides. Duplicate candidate pairs (cross-band repeats)
+       collapse here for free.
+
+    The blob dataset streams through shuffle 1 exactly once — same volume
+    as the semi-join plan — and the driver never sees a blob."""
+    nulls_bin = lambda n: pa.nulls(n, pa.binary())  # noqa: E731
+
+    def _pair_sides(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        doc = pa.chunked_array([a, b]).combine_chunks()
+        n2 = len(doc)
         return pa.table(
-            {id_col: pa.concat_arrays(
-                [t["a"].combine_chunks(), t["b"].combine_chunks()]
-            )}
+            {
+                "_p": pa.array(
+                    _part_of(doc.to_numpy(zero_copy_only=False), num_partitions)
+                ),
+                "_doc": doc,
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
+                "_blob": nulls_bin(n2),
+            }
         )
 
-    return pairs_ds.map_batches(_ends, batch_format="pyarrow")
+    def _blob_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        n = len(ids)
+        return pa.table(
+            {
+                "_p": pa.array(
+                    _part_of(ids.to_numpy(zero_copy_only=False), num_partitions)
+                ),
+                "_doc": ids,
+                "a": pa.nulls(n, pa.int64()),
+                "b": pa.nulls(n, pa.int64()),
+                "_blob": pc.cast(t[blob_col], pa.binary()),
+            }
+        )
+
+    combined = pairs_ds.map_batches(_pair_sides, batch_format="pyarrow").union(
+        blob_ds.map_batches(_blob_rows, batch_format="pyarrow")
+    )
+
+    def _attach(g: pa.Table) -> pa.Table:
+        is_blob = pc.is_valid(g["_blob"])
+        blobs = g.filter(is_blob)
+        bmap = dict(
+            zip(blobs["_doc"].to_pylist(), blobs["_blob"].to_pylist())
+        )
+        sides = g.filter(pc.invert(is_blob))
+        docs = sides["_doc"].to_pylist()
+        found = [bmap.get(d) for d in docs]
+        keep = pa.array([f is not None for f in found], type=pa.bool_())
+        out = pa.table(
+            {
+                "a": sides["a"],
+                "b": sides["b"],
+                "_is_a": pc.equal(sides["_doc"], sides["a"]),
+                "_blob": pa.array(found, type=pa.binary()),
+            }
+        ).filter(keep)
+        return out
+
+    attached = combined.groupby("_p").map_groups(_attach, batch_format="pyarrow")
+
+    def _pair_part(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (a * _PMIX) ^ b
+        return t.append_column(
+            "_p2", pa.array(_part_of(key, num_partitions))
+        )
+
+    def _decide(g: pa.Table) -> pa.Table:
+        sides: dict[tuple[int, int], list] = {}
+        for a, b, is_a, blob in zip(
+            g["a"].to_pylist(), g["b"].to_pylist(),
+            g["_is_a"].to_pylist(), g["_blob"].to_pylist(),
+        ):
+            slot = sides.setdefault((a, b), [None, None])
+            slot[0 if is_a else 1] = blob
+        a_out, b_out = [], []
+        for (a, b), (blob_a, blob_b) in sides.items():
+            if blob_a is None or blob_b is None:
+                continue
+            if predicate(blob_a, blob_b):
+                a_out.append(a)
+                b_out.append(b)
+        return pa.table(
+            {"a": pa.array(a_out, type=pa.int64()),
+             "b": pa.array(b_out, type=pa.int64())}
+        )
+
+    return (
+        attached.map_batches(_pair_part, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(_decide, batch_format="pyarrow")
+    )
 
 
 def _verify_pairs_jaccard(
@@ -163,38 +244,18 @@ def _verify_pairs_jaccard(
     *,
     num_partitions: int = _JOIN_PARTITIONS,
 ) -> "ray.data.Dataset":
-    """Distributed exact-Jaccard verification: ship each candidate doc's
-    shingle blob to its pairs via two hash joins (pairs⋈sh on a, then b),
-    then a vectorized-per-row Jaccard filter. ``sh_ds`` columns: doc_id,
-    sh (binary blob of sorted unique uint64 hashes — acero joins don't
-    carry list columns, so blobs it is). Never touches the driver."""
-    # sh_small is consumed by BOTH attach joins — materialize once (object
-    # store, spillable; bounded by the candidate set)
-    need = _pair_endpoints(pairs_ds, "doc_id")
-    sh_small = hash_join(
-        sh_ds, need, key="doc_id", how="left_semi",
-        num_partitions=num_partitions,
-    ).materialize()
-    j = hash_join(
-        pairs_ds, sh_small, key="a", right_key="doc_id", how="inner",
-        num_partitions=num_partitions,
-    ).map_batches(_renamer({"sh": "sh_a"}), batch_format="pyarrow")
-    j = hash_join(
-        j, sh_small, key="b", right_key="doc_id", how="inner",
-        num_partitions=num_partitions,
+    """Distributed exact-Jaccard verification over shingle-hash blobs
+    (sorted unique uint64 arrays serialized as binary — list columns don't
+    survive joins/shuffles everywhere). Never touches the driver."""
+
+    def _pred(blob_a: bytes, blob_b: bytes) -> bool:
+        a = np.frombuffer(blob_a, dtype=np.uint64)
+        b = np.frombuffer(blob_b, dtype=np.uint64)
+        return textkit.jaccard_u64(a, b) >= threshold
+
+    return _verify_pairs_cogroup(
+        pairs_ds, sh_ds, _pred, num_partitions=num_partitions
     )
-
-    def _jac(t: pa.Table) -> pa.Table:
-        keep = np.empty(t.num_rows, dtype=bool)
-        sh_a = t["sh_a"].to_pylist()
-        sh_b = t["sh"].to_pylist()
-        for i in range(t.num_rows):
-            a = np.frombuffer(sh_a[i], dtype=np.uint64)
-            b = np.frombuffer(sh_b[i], dtype=np.uint64)
-            keep[i] = textkit.jaccard_u64(a, b) >= threshold
-        return t.filter(pa.array(keep)).select(["a", "b"])
-
-    return j.map_batches(_jac, batch_format="pyarrow", batch_size=4096)
 
 
 def components_label_propagation(
@@ -375,40 +436,77 @@ def _shingle_blob_fn(shingle_k: int):
     return _fn
 
 
+def _bucket_pairs_fn(key_col: str, id_col: str):
+    """map_groups fn over a PARTITION of bucket keys (not one tiny group
+    per key — per-group Python calls collapse with ~one bucket per doc):
+    vectorized boundary scan over the partition's (key, id) rows, emitting
+    locally-distinct (a<b) pairs for every multi-doc bucket."""
+
+    def _fn(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g[key_col].to_pylist(), dtype=np.uint64)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        bounds = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+        bounds = np.append(bounds, len(keys))
+        a_out, b_out = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if hi - lo < 2:
+                continue
+            u = np.unique(ids[lo:hi])
+            if len(u) < 2:
+                continue
+            ii, jj = np.triu_indices(len(u), k=1)
+            a_out.append(u[ii])
+            b_out.append(u[jj])
+        if not a_out:
+            return _EMPTY_PAIRS
+        stacked = np.unique(
+            np.stack([np.concatenate(a_out), np.concatenate(b_out)], axis=1),
+            axis=0,
+        )
+        return pa.table(
+            {"a": pa.array(stacked[:, 0], type=pa.int64()),
+             "b": pa.array(stacked[:, 1], type=pa.int64())}
+        )
+
+    return _fn
+
+
 def minhash_candidate_pairs(
     sh_ds: "ray.data.Dataset",
     *,
     num_perm: int = 128,
     bands: int = 16,
+    num_partitions: int = _JOIN_PARTITIONS,
 ) -> "ray.data.Dataset":
     """LSH candidate pairs from a (doc_id, sh-blob) dataset: minhash per
-    batch (one vectorized pass), explode to (band_key, doc_id), groupby
-    band_key, pair up within buckets, distinct. Returns an (a, b) Dataset."""
+    batch (one vectorized pass), explode to (band_key, doc_id) rows
+    PRE-PARTITIONED by band-key hash, one groupby over the partitions with
+    a vectorized in-partition bucket scan. Pairs are distinct within a
+    partition; cross-band repeats of a true near-dup pair survive and
+    collapse in the verify stage (harmless: union-find/label-prop are
+    duplicate-edge tolerant). Returns an (a, b) Dataset."""
 
     def _bands(batch: pa.Table) -> pa.Table:
         hashes = [
             np.frombuffer(b, dtype=np.uint64) for b in batch["sh"].to_pylist()
         ]
         sigs = textkit.minhash_from_hashes_batch(hashes, num_perm=num_perm)
-        keys = textkit.lsh_band_keys_batch(sigs, bands=bands)
-        n = len(hashes)
+        keys = textkit.lsh_band_keys_batch(sigs, bands=bands).ravel()
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "band_key": pa.array(keys.ravel(), type=pa.uint64()),
+                "band_key": pa.array(keys, type=pa.uint64()),
                 "doc_id": pa.array(np.repeat(doc_ids, bands), type=pa.int64()),
+                "_p": pa.array(_part_of(keys, num_partitions)),
             }
         )
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        a, b = _pairs_within_group(group["doc_id"].to_pylist())
-        return pa.table(
-            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
-        )
-
     exploded = sh_ds.map_batches(_bands, batch_format="pyarrow", batch_size=1024)
-    return _distinct_pairs(
-        exploded.groupby("band_key").map_groups(_pairs, batch_format="pyarrow")
+    return exploded.groupby("_p").map_groups(
+        _bucket_pairs_fn("band_key", "doc_id"), batch_format="pyarrow"
     )
 
 
@@ -450,10 +548,10 @@ def simhash_dedup(
 ) -> "ray.data.Dataset":
     """SimHash near-dup AS A SHUFFLE: vectorized 64-bit signatures, rows
     exploded to one (bucket, doc_id, sig) row per 16-bit band (any pair
-    within Hamming<=3 agrees on >=1 of 4 bands by pigeonhole), groupby
-    bucket, vectorized Hamming verify INSIDE each group (the 8-byte sig
-    travels with the row — no driver signature map), distinct pairs →
-    components → keep min doc_id."""
+    within Hamming<=3 agrees on >=1 of 4 bands by pigeonhole), ONE groupby
+    over hash partitions of the bucket key, vectorized Hamming verify per
+    bucket inside the partition (the 8-byte sig travels with the row — no
+    driver signature map), → components → keep min doc_id."""
 
     def _sig_rows(batch: pa.Table) -> pa.Table:
         sigs = textkit.simhash64_batch(batch["text"].to_pylist())
@@ -468,32 +566,49 @@ def simhash_dedup(
                 "bucket": pa.array(bucket, type=pa.int64()),
                 "doc_id": pa.array(np.tile(doc_ids, 4), type=pa.int64()),
                 "sig": pa.array(np.tile(sigs, 4), type=pa.uint64()),
+                "_p": pa.array(_part_of(bucket.astype(np.uint64), num_partitions)),
             }
         )
 
-    def _hamming_pairs(group: pa.Table) -> pa.Table:
-        doc_ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-        sigs = np.asarray(group["sig"].to_pylist(), dtype=np.uint64)
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids, sigs = doc_ids[order], sigs[order]
-        keep = np.concatenate([[True], doc_ids[1:] != doc_ids[:-1]])
-        doc_ids, sigs = doc_ids[keep], sigs[keep]
-        if len(doc_ids) < 2:
+    def _hamming_pairs(g: pa.Table) -> pa.Table:
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sigs = np.asarray(g["sig"].to_pylist(), dtype=np.uint64)
+        order = np.lexsort((doc_ids, buckets))
+        buckets, doc_ids, sigs = buckets[order], doc_ids[order], sigs[order]
+        bounds = np.nonzero(
+            np.concatenate([[True], buckets[1:] != buckets[:-1]])
+        )[0]
+        bounds = np.append(bounds, len(buckets))
+        a_out, b_out = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if hi - lo < 2:
+                continue
+            ids_b, first = np.unique(doc_ids[lo:hi], return_index=True)
+            if len(ids_b) < 2:
+                continue
+            sig_b = sigs[lo:hi][first]
+            dist = textkit.hamming64_matrix(sig_b)
+            ai, bi = np.nonzero(np.triu(dist <= max_hamming, k=1))
+            a_out.append(ids_b[ai])
+            b_out.append(ids_b[bi])
+        if not a_out:
             return _EMPTY_PAIRS
-        dist = textkit.hamming64_matrix(sigs)
-        ai, bi = np.nonzero(np.triu(dist <= max_hamming, k=1))
+        stacked = np.unique(
+            np.stack([np.concatenate(a_out), np.concatenate(b_out)], axis=1),
+            axis=0,
+        )
         return pa.table(
-            {
-                "a": pa.array(doc_ids[ai], type=pa.int64()),
-                "b": pa.array(doc_ids[bi], type=pa.int64()),
-            }
+            {"a": pa.array(stacked[:, 0], type=pa.int64()),
+             "b": pa.array(stacked[:, 1], type=pa.int64())}
         )
 
     exploded = docs.select_columns(["doc_id", "text"]).map_batches(
         _sig_rows, batch_format="pyarrow", batch_size=512
     )
-    dup_pairs = _distinct_pairs(
-        exploded.groupby("bucket").map_groups(_hamming_pairs, batch_format="pyarrow")
+    dup_pairs = exploded.groupby("_p").map_groups(
+        _hamming_pairs, batch_format="pyarrow"
     )
     return _dedup_by_pairs(docs, dup_pairs, num_partitions=num_partitions)
 
@@ -583,34 +698,18 @@ def _verify_pairs_cosine(
     *,
     num_partitions: int = _JOIN_PARTITIONS,
 ) -> "ray.data.Dataset":
-    """Distributed exact-cosine verification: the vector (normalized,
-    float64 blob) joins to each side of the pair; per-row dot product.
-    Mirrors _verify_pairs_jaccard."""
-    need = _pair_endpoints(pairs_ds, "vec_id")
-    v_small = hash_join(
-        vec_ds, need, key="vec_id", how="left_semi",
-        num_partitions=num_partitions,
-    ).materialize()
-    j = hash_join(
-        pairs_ds, v_small, key="a", right_key="vec_id", how="inner",
-        num_partitions=num_partitions,
-    ).map_batches(_renamer({"v": "v_a"}), batch_format="pyarrow")
-    j = hash_join(
-        j, v_small, key="b", right_key="vec_id", how="inner",
+    """Distributed exact-cosine verification over normalized float64
+    vector blobs — same two-shuffle co-group plan as the Jaccard verify."""
+
+    def _pred(blob_a: bytes, blob_b: bytes) -> bool:
+        a = np.frombuffer(blob_a, dtype=np.float64)
+        b = np.frombuffer(blob_b, dtype=np.float64)
+        return float(a @ b) >= threshold
+
+    return _verify_pairs_cogroup(
+        pairs_ds, vec_ds, _pred, id_col="vec_id", blob_col="v",
         num_partitions=num_partitions,
     )
-
-    def _cos(t: pa.Table) -> pa.Table:
-        keep = np.empty(t.num_rows, dtype=bool)
-        va = t["v_a"].to_pylist()
-        vb = t["v"].to_pylist()
-        for i in range(t.num_rows):
-            a = np.frombuffer(va[i], dtype=np.float64)
-            b = np.frombuffer(vb[i], dtype=np.float64)
-            keep[i] = float(a @ b) >= threshold
-        return t.filter(pa.array(keep)).select(["a", "b"])
-
-    return j.map_batches(_cos, batch_format="pyarrow", batch_size=4096)
 
 
 def embedding_dedup_lsh(
@@ -625,8 +724,9 @@ def embedding_dedup_lsh(
     """Scale path for embedding near-dup: hyperplane-LSH signatures bucket
     the corpus (a groupby shuffle, never a broadcast matrix); candidate
     pairs form within a bucket and its ``multiprobe`` bit-flip neighbors;
-    exact cosine verifies THROUGH JOINS (normalized-vector blobs shipped to
-    their pairs — no driver vector map). Near-identical vectors
+    exact cosine verifies through the distributed co-group
+    (normalized-vector blobs shipped to their pairs — no driver vector
+    map). Near-identical vectors
     (cos >= ~0.99) disagree on a hyperplane with probability ~acos(cos)/pi
     per bit, so recall at dedup-grade thresholds is high and tunable via
     n_bits/multiprobe."""
@@ -645,24 +745,21 @@ def embedding_dedup_lsh(
             for b in buckets:
                 rows_id.append(vid)
                 rows_bucket.append(b)
+        buckets_arr = np.asarray(rows_bucket, dtype=np.uint64)
         return pa.table(
             {
                 "vec_id": pa.array(rows_id, type=pa.int64()),
-                "bucket": pa.array(rows_bucket, type=pa.uint32()),
+                "bucket": pa.array(buckets_arr, type=pa.uint64()),
+                "_p": pa.array(_part_of(buckets_arr, num_partitions)),
             }
         )
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        a, b = _pairs_within_group(group["vec_id"].to_pylist())
-        return pa.table(
-            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
-        )
-
-    cands = _distinct_pairs(
+    cands = (
         embeddings.map_batches(_sig, batch_format="pyarrow", batch_size=2048)
-        .groupby("bucket")
-        .map_groups(_pairs, batch_format="pyarrow")
-    ).materialize()
+        .groupby("_p")
+        .map_groups(_bucket_pairs_fn("bucket", "vec_id"), batch_format="pyarrow")
+        .materialize()
+    )
     if cands.count() == 0:
         return embeddings
 
