@@ -47,24 +47,38 @@ from .joins import hash_join
 
 def exact_dedup(docs: "ray.data.Dataset", key: str = "text") -> "ray.data.Dataset":
     """Exact dedup keep-first (min doc_id) by normalized-text md5.
-    SQL-oracle-able: min(doc_id) group by md5(normalized text)."""
+    SQL-oracle-able: min(doc_id) group by md5(normalized text).
+
+    Physical plan: one groupby over HASH PARTITIONS of the fingerprint
+    (not one tiny group per distinct text — that pays a Python call per
+    group); within a partition the keep-first is one vectorized
+    sort + boundary mask."""
 
     def _fp(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "fp_md5",
-            pa.array(
-                [textkit.fingerprint_md5(t or "") for t in batch[key].to_pylist()],
-                type=pa.string(),
-            ),
+        fps = pa.array(
+            [textkit.fingerprint_md5(t or "") for t in batch[key].to_pylist()],
+            type=pa.string(),
+        )
+        fp_u64 = np.array(
+            [int(f[:16], 16) for f in fps.to_pylist()], dtype=np.uint64
+        )
+        out = batch.append_column("fp_md5", fps)
+        return out.append_column(
+            "_p", pa.array((fp_u64 % np.uint64(64)).astype(np.int64))
         )
 
-    def _first(group: pa.Table) -> pa.Table:
-        return group.sort_by([("doc_id", "ascending")]).slice(0, 1)
+    def _first_per_fp(g: pa.Table) -> pa.Table:
+        fps = np.asarray(g["fp_md5"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fps))
+        keep_sorted = np.concatenate([[True], fps[order][1:] != fps[order][:-1]])
+        take = np.sort(np.asarray(order)[keep_sorted])
+        return g.take(pa.array(take, type=pa.int64())).drop_columns(["_p"])
 
     return (
         docs.map_batches(_fp, batch_format="pyarrow", batch_size=2048)
-        .groupby("fp_md5")
-        .map_groups(_first, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(_first_per_fp, batch_format="pyarrow")
     )
 
 
