@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_pages": q.extract_docs_pages,
         "harvest_images_pages": q.harvest_images_pages,
         "crawl_visits": q.crawl_visits,
+        "fetch_list_visits": q.fetch_list_visits,
         # widened relational / streaming / formatting coverage
         "semi_join_customers": q.semi_join_customers,
         "union_distinct_nations": q.union_distinct_nations,

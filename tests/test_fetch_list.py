@@ -268,3 +268,48 @@ def test_enumerate_visits_sub_host_ranges(ray_session):
         assert want[u] == v, u
     assert (out[out["_vseq"] < 0]["_vseq"] == -1).all()
     assert len(out) == n
+
+
+def test_fetch_list_random_conformance(ray_session, tmp_path):
+    """Randomized frontiers x budgets: the streamed loop must equal the
+    sequential reference on every draw (hypothesis-style, fixed seeds so
+    the suite stays deterministic)."""
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        n_hosts = int(rng.integers(1, 7))
+        n = int(rng.integers(20, 120))
+        hosts = [f"h{int(rng.integers(0, n_hosts))}.test" for _ in range(n)]
+        # unique, shuffled, non-dense seqs
+        seqs = rng.choice(np.arange(0, n * 7), size=n, replace=False)
+        urls = [f"https://{h}/p/{i}" for i, h in enumerate(hosts)]
+        frontier = pa.table(
+            {
+                "url": pa.array(urls),
+                "url_sha1": pa.array([os.urandom(20) for _ in range(n)],
+                                     type=pa.binary()),
+                "host": pa.array(hosts),
+                "depth": pa.array(np.zeros(n, dtype=np.int32)),
+                "discovery_seq": pa.array(seqs, type=pa.int64()),
+                "parent_url": pa.array([""] * n),
+            }
+        )
+        budget = int(rng.integers(1, 40))
+        empty_pages = pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "warc_ts": pa.array([], type=pa.timestamp("us")),
+                "html": pa.array([], type=pa.binary()),
+                "lang": pa.array([], type=pa.string()),
+            }
+        )
+        cfg = CrawlConfig(
+            host_budget_per_round=budget, max_rounds=50, seen_shards=2,
+            expand_links=False, fetch_batch_size=16, respect_robots=False,
+        )
+        res = crawl_fetch_list(
+            BroadcastPageStore(empty_pages), frontier,
+            str(tmp_path / f"t{trial}"), cfg,
+        )
+        got, _ = _visit_urls(res)
+        want = expected_fetch_list_order(frontier, budget)
+        assert got == want, f"trial {trial} (hosts={n_hosts}, n={n}, B={budget})"

@@ -232,6 +232,22 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_archive(args) -> int:
+    """S8 sinks: backup (copytree), archive (tar.gz/zip), age-GC — no Ray
+    session needed (driver-side ops on final layouts)."""
+    from .state.archive import archive_dir, backup_dir, gc_backups
+
+    out = {}
+    if args.backup_root:
+        out["backup"] = backup_dir(args.src, args.backup_root, run_id=args.run_id)
+    if args.dest:
+        out["archive"] = archive_dir(args.src, args.dest, fmt=args.fmt)
+    if args.gc_days is not None and args.backup_root:
+        out["gc_removed"] = gc_backups(args.backup_root, args.gc_days)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="webscrape_neko_jirushi_ray")
     p.add_argument("--num-cpus", type=int, default=8)
@@ -290,6 +306,15 @@ def main(argv=None) -> int:
     stt = sub.add_parser("stats", help="dataset totals (data_manager analog)")
     stt.add_argument("--data", required=True, help="parquet dir (e.g. final layout)")
     stt.set_defaults(fn=cmd_stats)
+
+    ar = sub.add_parser("archive", help="backup/archive/GC sinks (data_manager analog)")
+    ar.add_argument("--src", required=True, help="layout dir to preserve")
+    ar.add_argument("--backup-root", help="copytree backup destination root")
+    ar.add_argument("--run-id", help="deterministic backup name suffix")
+    ar.add_argument("--dest", help="archive file (.tar.gz / .zip)")
+    ar.add_argument("--fmt", default="tar.gz", choices=["tar.gz", "zip"])
+    ar.add_argument("--gc-days", type=float, help="delete backups older than N days")
+    ar.set_defaults(fn=cmd_archive)
 
     args = p.parse_args(argv)
     if args.cmd in ("crawl", "fetchlist") and not (args.http or args.store):

@@ -886,3 +886,32 @@ def top_tokens(sf_dir: str) -> pd.DataFrame:
     )
     out["n"] = out["n"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def fetch_list_visits(sf_dir: str) -> pd.DataFrame:
+    """Streamed fetch-list crawl (the 10^10-scale headline path) over the
+    synthesized site: Dataset frontier, task-side seen anti-join + visit
+    shards, sub-host-range dense enumeration. Rows-only driver check; the
+    visit-order contract is pinned bit-for-bit by tests/test_fetch_list.py
+    against a sequential reference."""
+    import tempfile
+
+    from ..config import CrawlConfig
+    from ..sources.pages import BroadcastPageStore
+    from .crawl import crawl_fetch_list, seeds_to_frontier
+
+    pages, _ = synth_pages(num_listing_pages=4, seed=42)
+    frontier = seeds_to_frontier(pages["url"].to_pylist())
+    with tempfile.TemporaryDirectory() as td:
+        res = crawl_fetch_list(
+            BroadcastPageStore(pages),
+            frontier,
+            td,
+            CrawlConfig(
+                host_budget_per_round=40, max_rounds=20, seen_shards=2,
+                expand_links=False, fetch_batch_size=64,
+            ),
+        )
+        out = res.visits_table().to_pandas()
+    out["url_sha1"] = out["url_sha1"].map(lambda b: b.hex())
+    return out.sort_values("visit_idx").reset_index(drop=True)
