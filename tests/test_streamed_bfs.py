@@ -1,0 +1,104 @@
+"""Streamed BFS (link expansion inside crawl_fetch_list): the fully
+driver-unbounded crawl must reproduce the sequential oracle's visit
+sequence exactly — same contract the classic BFS loop pins, now with the
+frontier, discovery dedup, seen anti-join, and dense seq assignment all
+running as Ray Data stages."""
+
+import pytest
+
+from webscrape_neko_jirushi_ray.config import CrawlConfig
+from webscrape_neko_jirushi_ray.functions.urlkit import canonicalize_url
+from webscrape_neko_jirushi_ray.pipelines.crawl import (
+    crawl_fetch_list,
+    seeds_to_frontier,
+)
+from webscrape_neko_jirushi_ray.sources.pages import BroadcastPageStore
+from webscrape_neko_jirushi_ray.synth import synth_pages
+
+from .oracle_crawler import crawl_oracle
+
+
+def _run_streamed(pages, seeds, out_dir, budget, max_rounds=30, **cfg_kw):
+    cfg = CrawlConfig(
+        host_budget_per_round=budget, max_rounds=max_rounds, seen_shards=2,
+        expand_links=True, fetch_batch_size=32, **cfg_kw,
+    )
+    res = crawl_fetch_list(
+        BroadcastPageStore(pages), seeds_to_frontier(seeds), out_dir, cfg
+    )
+    v = res.visits_table().to_pandas().sort_values("visit_idx")
+    return res, v
+
+
+@pytest.mark.parametrize("budget", [5, 12, 1000])
+def test_streamed_bfs_equals_oracle(ray_session, tmp_path, budget):
+    pages, seeds = synth_pages(num_listing_pages=3, seed=11)
+    page_map = {
+        canonicalize_url(r["url"]): r["html"].decode("utf-8")
+        for r in pages.to_pylist()
+    }
+    res, v = _run_streamed(pages, seeds, str(tmp_path / f"b{budget}"), budget)
+    oracle = crawl_oracle(
+        page_map, seeds, host_budget_per_round=budget, max_rounds=30
+    )
+    got = list(zip(v["url"], v["fetch_status"], v["round"], v["discovery_seq"]))
+    want = [
+        (w.url, w.fetch_status, w.round, w.discovery_seq) for w in oracle.visits
+    ]
+    assert got == want
+    assert res.visits_count == len(oracle.visits)
+
+
+def test_streamed_bfs_with_robots(ray_session, tmp_path):
+    pages, seeds = synth_pages(num_listing_pages=3, seed=21, robots_denied_every=7)
+    page_map = {
+        canonicalize_url(r["url"]): r["html"].decode("utf-8")
+        for r in pages.to_pylist()
+    }
+    res, v = _run_streamed(pages, seeds, str(tmp_path / "r"), 12, max_rounds=25)
+    oracle = crawl_oracle(page_map, seeds, host_budget_per_round=12, max_rounds=25)
+    got = list(zip(v["url"], v["fetch_status"]))
+    want = [(w.url, w.fetch_status) for w in oracle.visits]
+    assert got == want
+    assert "robots_denied" in set(v["fetch_status"])
+
+
+def test_streamed_bfs_target_early_stop(ray_session, tmp_path):
+    pages, seeds = synth_pages(num_listing_pages=3, seed=11)
+    page_map = {
+        canonicalize_url(r["url"]): r["html"].decode("utf-8")
+        for r in pages.to_pylist()
+    }
+    res, v = _run_streamed(
+        pages, seeds, str(tmp_path / "t"), 10, target_urls=23
+    )
+    oracle = crawl_oracle(
+        page_map, seeds, host_budget_per_round=10, max_rounds=30, target_urls=23
+    )
+    assert list(v["url"]) == [w.url for w in oracle.visits]
+    assert res.visits_count == 23
+
+
+def test_streamed_bfs_random_sites(ray_session, tmp_path):
+    """Seeded random sites x budgets (the BFS analog of
+    test_fetch_list_random_conformance)."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    for trial in range(2):
+        seed = int(rng.integers(1, 10_000))
+        budget = int(rng.integers(3, 40))
+        pages, seeds = synth_pages(num_listing_pages=2, seed=seed)
+        page_map = {
+            canonicalize_url(r["url"]): r["html"].decode("utf-8")
+            for r in pages.to_pylist()
+        }
+        _, v = _run_streamed(
+            pages, seeds, str(tmp_path / f"x{trial}"), budget, max_rounds=40
+        )
+        oracle = crawl_oracle(
+            page_map, seeds, host_budget_per_round=budget, max_rounds=40
+        )
+        got = list(zip(v["url"], v["fetch_status"]))
+        want = [(w.url, w.fetch_status) for w in oracle.visits]
+        assert got == want, f"trial {trial} seed={seed} budget={budget}"

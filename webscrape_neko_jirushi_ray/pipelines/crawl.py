@@ -910,12 +910,13 @@ def _host_partials(
                 "seq": t["discovery_seq"].to_numpy(zero_copy_only=False),
             }
         )
-        hosts_out, n_out, min_out, samp_out = [], [], [], []
+        hosts_out, n_out, min_out, max_out, samp_out = [], [], [], [], []
         for host, g in df.groupby("host"):
             seqs = np.sort(g["seq"].to_numpy())
             hosts_out.append(host)
             n_out.append(len(seqs))
             min_out.append(int(seqs[0]))
+            max_out.append(int(seqs[-1]))
             k = min(samples_per_block, len(seqs))
             idx = np.unique(np.linspace(0, len(seqs) - 1, k).astype(np.int64))
             samp_out.append(seqs[idx].tolist())
@@ -924,6 +925,7 @@ def _host_partials(
                 "host": pa.array(hosts_out, type=pa.string()),
                 "n": pa.array(n_out, type=pa.int64()),
                 "min_seq": pa.array(min_out, type=pa.int64()),
+                "max_seq": pa.array(max_out, type=pa.int64()),
                 "samples": pa.array(samp_out, type=pa.list_(pa.int64())),
             }
         )
@@ -932,12 +934,15 @@ def _host_partials(
         _partial, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     if not len(parts):
-        return _pd.DataFrame({"host": [], "n": [], "min_seq": [], "samples": []})
+        return _pd.DataFrame(
+            {"host": [], "n": [], "min_seq": [], "max_seq": [], "samples": []}
+        )
     return (
         parts.groupby("host")
         .agg(
             n=("n", "sum"),
             min_seq=("min_seq", "min"),
+            max_seq=("max_seq", "max"),
             samples=("samples", lambda s: sorted({x for lst in s for x in lst})),
         )
         .reset_index()
@@ -1046,6 +1051,133 @@ def _enumerate_visits_by_host(
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
 
 
+
+# Max links per page encoded into the discovery sort key (parent visit
+# rank * 2^20 + link position). 2^20 links on one page would overflow the
+# key — far beyond any real page; asserted at runtime.
+_LINK_POS_BITS = 20
+
+
+def _expand_links_streamed(
+    fetched: "ray.data.Dataset", seen, next_seq: int, cfg: CrawlConfig
+) -> tuple["ray.data.Dataset | None", int]:
+    """Streamed BFS discovery: explode links task-side with the
+    (parent visit rank, link position) key, distribute canonicalize+SHA1
+    keying, within-round keep-first dedup (partition scan, min key), the
+    seen-set anti-join (task-side RPCs), and the DENSE discovery_seq
+    assignment via functions/enumerate.attach_dense_index over the key —
+    the discovery contract of the BFS loop (parent visit order, link
+    position; densely after the current max) with zero driver-side
+    candidate state. Returns (new_frontier_dataset | None, count)."""
+    from ..functions.enumerate import attach_dense_index
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t["fetch_status"], "ok"))
+        empty = pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "parent_url": pa.array([], type=pa.string()),
+                "depth": pa.array([], type=pa.int32()),
+                "_dk": pa.array([], type=pa.int64()),
+            }
+        )
+        if ok.num_rows == 0 or "links" not in ok.column_names:
+            return empty
+        links = pa.chunked_array(
+            ok["links"].chunks or [pa.array([], pa.list_(pa.string()))]
+        )
+        flat = pc.list_flatten(links)
+        if len(flat) == 0:
+            return empty
+        parent_idx = pc.list_parent_indices(links)
+        counts = pc.list_value_length(links).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts.astype(np.float64)).astype(np.int64)
+        assert counts.max() < (1 << _LINK_POS_BITS), "page exceeds link-key bits"
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        pos = np.arange(int(counts.sum()), dtype=np.int64) - starts
+        pvseq = pc.take(ok["_vseq"], parent_idx).to_numpy(zero_copy_only=False)
+        dk = (pvseq.astype(np.int64) << _LINK_POS_BITS) | pos
+        return pa.table(
+            {
+                "url": flat,
+                "parent_url": pc.take(ok["url"], parent_idx),
+                "depth": pc.cast(
+                    pc.add(pc.take(ok["depth"], parent_idx), 1), pa.int32()
+                ),
+                "_dk": pa.array(dk, type=pa.int64()),
+            }
+        )
+
+    cand = fetched.map_batches(_explode, batch_format="pyarrow")
+    keyed = cand.map_batches(add_url_key_columns, batch_format="pyarrow")
+
+    # within-round keep-first by canonical identity, in discovery order
+    # (min _dk) — partition scan, vectorized
+    def _tag_sha(t: pa.Table) -> pa.Table:
+        from ..functions.urlkit import sha1_first_byte
+
+        # partition on the first sha byte spread over 64 buckets via the
+        # full first-8-byte word for balance
+        sh = t["url_sha1"].to_pylist()
+        u = (
+            np.frombuffer(b"".join(x[:8] for x in sh), dtype=">u8").astype(np.uint64)
+            if sh
+            else np.empty(0, dtype=np.uint64)
+        )
+        return t.append_column(
+            "_p", pa.array((u % np.uint64(64)).astype(np.int64))
+        )
+
+    def _keep_first(g: pa.Table) -> pa.Table:
+        sh = np.asarray(g["url_sha1"].to_pylist(), dtype=object)
+        dk = g["_dk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dk, sh))
+        keep_sorted = np.concatenate([[True], sh[order][1:] != sh[order][:-1]])
+        take = np.sort(np.asarray(order)[keep_sorted])
+        return g.take(pa.array(take, type=pa.int64())).drop_columns(["_p"])
+
+    deduped = (
+        keyed.map_batches(_tag_sha, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(_keep_first, batch_format="pyarrow")
+    )
+
+    # frontier-entry seen anti-join (J1), task-side; materialize so the
+    # side effect runs exactly once
+    def _seen_filter(batch: pa.Table) -> pa.Table:
+        fresh = seen.add_if_absent(batch["url_sha1"].to_pylist())
+        return batch.filter(pa.array(fresh, type=pa.bool_()))
+
+    fresh_ds = deduped.map_batches(
+        _seen_filter, batch_format="pyarrow", batch_size=8192
+    ).materialize()
+    k = fresh_ds.count()
+    if k == 0:
+        return None, 0
+
+    ranked = attach_dense_index(
+        fresh_ds, ["_dk"], index_col="_rk",
+        num_ranges=max(8, cfg.fetch_concurrency * 2),
+    )
+    base = next_seq
+
+    def _to_frontier(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["canon_url"],
+                "url_sha1": t["url_sha1"],
+                "host": t["host"],
+                "depth": t["depth"],
+                "discovery_seq": pc.add(
+                    pc.cast(t["_rk"], pa.int64()), base - 1
+                ),
+                "parent_url": t["parent_url"],
+            }
+        )
+
+    return ranked.map_batches(_to_frontier, batch_format="pyarrow"), k
+
+
 def _fetch_list_inner(
     page_store, frontier, out_dir, cfg, resume, seen
 ) -> CrawlResult:
@@ -1066,6 +1198,9 @@ def _fetch_list_inner(
     start_round = 0
     visited_total = 0
     rounds_run = 0
+    # next discovery_seq for streamed link expansion; lazily initialized
+    # from the first round's host partials (max existing seq + 1)
+    next_seq: int | None = None
 
     if resume and (last := ckpt.last_complete_round(out_dir)) >= 0:
         m = ckpt.read_manifest(out_dir, last)
@@ -1091,6 +1226,7 @@ def _fetch_list_inner(
         start_round = last + 1
         visited_total = m["visited_total"]
         rounds_run = last + 1
+        next_seq = m.get("next_seq") or None
         n_pending = m["pending_rows"]
         pend_dir = os.path.join(ckpt.round_dir(out_dir, last), "frontier_next")
         pending_ds = (
@@ -1134,6 +1270,10 @@ def _fetch_list_inner(
         import numpy as np
 
         hosts = _host_partials(pending_ds)
+        if next_seq is None:
+            next_seq = (
+                int(hosts["max_seq"].max()) + 1 if len(hosts) else 0
+            )
         ranked = _enumerate_visits_by_host(
             pending_ds, hosts, cfg.host_budget_per_round
         ).materialize()
@@ -1260,6 +1400,11 @@ def _fetch_list_inner(
                 }
             )
 
+        if cfg.expand_links:
+            # streamed BFS: the fetched control set (incl. links) is needed
+            # twice (visit log + expansion) — pin it in the object store so
+            # the fetch side effects run exactly once
+            fetched = fetched.materialize()
         summaries = fetched.map_batches(
             _write_visits, batch_format="pyarrow"
         ).to_pandas()  # O(#batches) rows
@@ -1273,17 +1418,32 @@ def _fetch_list_inner(
         visits_dirs.append(visits_dir)
         rounds_run = rnd + 1
 
+        # --- streamed link expansion (discovery, J1, distributed seq) -----
+        new_frontier = None
+        k_new = 0
+        if cfg.expand_links:
+            new_frontier, k_new = _expand_links_streamed(
+                fetched, seen, next_seq, cfg
+            )
+            next_seq += k_new
+
         # --- next round's frontier (parquet — the resumable handoff) ------
         if deferred is not None:
             deferred = deferred.map_batches(
                 lambda t: t.select(_FRONTIER_COLS), batch_format="pyarrow"
-            ).materialize()
-            n_pending = deferred.count()
+            )
+        if new_frontier is not None and deferred is not None:
+            pending_next = deferred.union(new_frontier).materialize()
+        elif new_frontier is not None:
+            pending_next = new_frontier.materialize()
+        elif deferred is not None:
+            pending_next = deferred.materialize()
         else:
-            n_pending = 0
+            pending_next = None
+        n_pending = pending_next.count() if pending_next is not None else 0
         fdir = os.path.join(rdir, "frontier_next")
         if n_pending:
-            deferred.write_parquet(fdir)
+            pending_next.write_parquet(fdir)
             pending_ds = ray.data.read_parquet(fdir)
         else:
             pending_ds = None
@@ -1299,7 +1459,7 @@ def _fetch_list_inner(
                 "fetch_ok": n_ok,
                 "fetch_failed": n - n_ok,
                 "hosts_visited": hosts_visited,
-                "next_seq": 0,
+                "next_seq": int(next_seq or 0),
                 "pending_rows": n_pending,
                 "seen_size": seen.size(),
                 "round_wall_sec": round(_time.perf_counter() - round_t0, 3),
