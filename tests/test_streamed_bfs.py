@@ -102,3 +102,62 @@ def test_streamed_bfs_random_sites(ray_session, tmp_path):
         got = list(zip(v["url"], v["fetch_status"]))
         want = [(w.url, w.fetch_status) for w in oracle.visits]
         assert got == want, f"trial {trial} seed={seed} budget={budget}"
+
+
+def test_streamed_bfs_partitioned_store(ray_session, tmp_path):
+    """Streamed BFS over the sha1-bucketed partitioned store (the
+    distributed fetch path) must equal the oracle too."""
+    from webscrape_neko_jirushi_ray.functions.urlkit import add_url_key_columns
+    from webscrape_neko_jirushi_ray.sources.pages import PartitionedPageStore
+
+    pages, seeds = synth_pages(num_listing_pages=3, seed=11)
+    page_map = {
+        canonicalize_url(r["url"]): r["html"].decode("utf-8")
+        for r in pages.to_pylist()
+    }
+    store = PartitionedPageStore.build(
+        add_url_key_columns(pages), str(tmp_path / "ps"), num_buckets=8
+    )
+    cfg = CrawlConfig(
+        host_budget_per_round=12, max_rounds=30, seen_shards=2,
+        expand_links=True, fetch_batch_size=32,
+    )
+    res = crawl_fetch_list(
+        store, seeds_to_frontier(seeds), str(tmp_path / "c"), cfg
+    )
+    v = res.visits_table().to_pandas().sort_values("visit_idx")
+    oracle = crawl_oracle(page_map, seeds, host_budget_per_round=12, max_rounds=30)
+    assert list(zip(v["url"], v["fetch_status"])) == [
+        (w.url, w.fetch_status) for w in oracle.visits
+    ]
+
+
+def test_streamed_bfs_resume(ray_session, tmp_path):
+    """Crash after 2 rounds of streamed BFS, resume with more rounds: the
+    combined visit sequence (and discovery seqs, via next_seq persisted in
+    the manifest) must equal an uninterrupted run."""
+    pages, seeds = synth_pages(num_listing_pages=3, seed=11)
+    full_res, full_v = _run_streamed(
+        pages, seeds, str(tmp_path / "full"), 10, max_rounds=30
+    )
+    part_cfg = CrawlConfig(
+        host_budget_per_round=10, max_rounds=2, seen_shards=2,
+        expand_links=True, fetch_batch_size=32,
+    )
+    crawl_fetch_list(
+        BroadcastPageStore(pages), seeds_to_frontier(seeds),
+        str(tmp_path / "part"), part_cfg,
+    )
+    full_cfg = CrawlConfig(
+        host_budget_per_round=10, max_rounds=30, seen_shards=2,
+        expand_links=True, fetch_batch_size=32,
+    )
+    resumed = crawl_fetch_list(
+        BroadcastPageStore(pages), seeds_to_frontier(seeds),
+        str(tmp_path / "part"), full_cfg, resume=True,
+    )
+    rv = resumed.visits_table().to_pandas().sort_values("visit_idx")
+    assert list(zip(rv["url"], rv["discovery_seq"])) == list(
+        zip(full_v["url"], full_v["discovery_seq"])
+    )
+    assert resumed.visits_count == full_res.visits_count
