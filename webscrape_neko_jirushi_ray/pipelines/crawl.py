@@ -1114,10 +1114,7 @@ def _expand_links_streamed(
     # within-round keep-first by canonical identity, in discovery order
     # (min _dk) — partition scan, vectorized
     def _tag_sha(t: pa.Table) -> pa.Table:
-        from ..functions.urlkit import sha1_first_byte
-
-        # partition on the first sha byte spread over 64 buckets via the
-        # full first-8-byte word for balance
+        # partition on the sha1's first-8-byte word, spread over 64 buckets
         sh = t["url_sha1"].to_pylist()
         u = (
             np.frombuffer(b"".join(x[:8] for x in sh), dtype=">u8").astype(np.uint64)
