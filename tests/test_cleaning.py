@@ -104,6 +104,70 @@ def test_dedup_keeps_exactly_one_per_hash(ray_session, images):
         assert surv[k] == want
 
 
+def test_dedup_bounded_driver(ray_session, monkeypatch):
+    """Scale invariant for D2 (VERDICT r2 #1): dedup_exact_md5 must never
+    pull or broadcast an O(corpus) winner table through the driver. A
+    120k-row corpus with 3x planted duplication runs through the dedup
+    with every driver-side ``pa.concat_tables`` / ``Dataset.to_pandas``
+    instrumented; the largest must stay control-plane sized (the round-2
+    implementation pulled the full 40k-row winner table to the driver)."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as _rd
+    from ray.data.aggregate import Max, Sum
+
+    n = 120_000
+    groups = 40_000  # 3 rows per md5 group; winner is the seq==0 row
+    chunk = 20_000
+    parts = []
+    for c in range(0, n, chunk):
+        idx = np.arange(c, c + chunk)
+        gid = idx % groups
+        md5 = [hashlib.md5(b"g%d" % g).digest() for g in gid]
+        parts.append(
+            pa.table(
+                {
+                    "md5": pa.array(md5, type=pa.binary()),
+                    "cat_id": pa.array([f"cat{int(g) % 97:05d}" for g in gid]),
+                    "seq": pa.array((idx // groups).astype(np.int64)),
+                    "img_url": pa.array(
+                        [f"https://x.test/i/{int(i)}.jpg" for i in idx]
+                    ),
+                }
+            )
+        )
+    ds = _rd.from_arrow(parts)
+
+    seen_sizes = {"concat_rows": 0, "to_pandas_rows": 0}
+    real_concat = pa.concat_tables
+
+    def spy_concat(tables, *a, **kw):
+        out = real_concat(tables, *a, **kw)
+        seen_sizes["concat_rows"] = max(seen_sizes["concat_rows"], out.num_rows)
+        return out
+
+    real_to_pandas = _rd.Dataset.to_pandas
+
+    def spy_to_pandas(self, *a, **kw):
+        out = real_to_pandas(self, *a, **kw)
+        seen_sizes["to_pandas_rows"] = max(seen_sizes["to_pandas_rows"], len(out))
+        return out
+
+    monkeypatch.setattr(pa, "concat_tables", spy_concat)
+    monkeypatch.setattr(_rd.Dataset, "to_pandas", spy_to_pandas)
+
+    out = dedup_exact_md5(ds).materialize()
+    assert out.count() == groups
+    # keep-first correctness without a driver pull: every survivor is its
+    # group's min-(cat_id, seq) row, i.e. seq == 0 across the board
+    agg = out.aggregate(Sum("seq", alias_name="s"), Max("seq", alias_name="m"))
+    assert agg["s"] == 0 and agg["m"] == 0, agg
+    # the scale invariant: nothing corpus-sized crossed the driver
+    assert seen_sizes["concat_rows"] < n // 10, seen_sizes
+    assert seen_sizes["to_pandas_rows"] < n // 10, seen_sizes
+
+
 def test_stats_reconcile(ray_session, images):
     ds = ray.data.from_arrow(images)
     kept, quarantined = advanced_cleaning_pipeline(ds)

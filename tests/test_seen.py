@@ -94,3 +94,69 @@ def test_cuckoo_fingerprint_independent_of_shard_routing():
     fp = CuckooFilter._fingerprint(keys)
     # full 16-bit space: expect ~51k distinct; pre-fix ceiling was 4096
     assert len(np.unique(fp)) > 20_000
+
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo"])
+def test_add_if_absent_epoch_retry_idempotent(ray_session, mode):
+    """ADVICE r2: a Ray task retried after its add_if_absent RPC committed
+    must see its own insertions as fresh (same epoch), while later epochs
+    still see them as seen — no URL loss under fault-tolerance retries, no
+    re-discovery leak across rounds."""
+    seen = ShardedSeenSet(num_shards=3, mode=mode, capacity_per_shard=100_000)
+    try:
+        ks = keys(400, "e")
+        first = seen.add_if_absent(ks, epoch=1)
+        assert first.all()
+        retry = seen.add_if_absent(ks, epoch=1)  # simulated task retry
+        assert retry.all(), "same-epoch retry must re-report fresh"
+        later = seen.add_if_absent(ks, epoch=2)  # next round re-discovery
+        assert not later.any(), "freshness must not leak across epochs"
+        # a stale retry from a finished epoch neither passes nor clobbers
+        stale = seen.add_if_absent(ks[:50], epoch=1)
+        assert not stale.any()
+        fresh2 = seen.add_if_absent(keys(50, "zz-"), epoch=2)
+        assert fresh2.all()
+        retry2 = seen.add_if_absent(keys(50, "zz-"), epoch=2)
+        assert retry2.all(), "stale-epoch call must not clear the live set"
+        # epoch=None keeps the classic exactly-once contract
+        ks3 = keys(50, "qq-")
+        assert seen.add_if_absent(ks3).all()
+        assert not seen.add_if_absent(ks3).any()
+    finally:
+        seen.shutdown()
+
+
+def test_cuckoo_snapshot_fp_scheme_guard(ray_session, tmp_path):
+    """ADVICE r2: restoring a cuckoo snapshot written under a different
+    fingerprint scheme must fail loudly, never silently void membership."""
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    seen = ShardedSeenSet(num_shards=1, mode="cuckoo", capacity_per_shard=10_000)
+    try:
+        seen.add_if_absent(keys(100, "fp"))
+        snap = str(tmp_path / "snap")
+        seen.snapshot(snap)
+    finally:
+        seen.shutdown()
+    path = snap + "/seen_shard_0000.parquet"
+    t = _pq.read_table(path)
+    meta = dict(t.schema.metadata)
+    assert meta[b"fp_scheme"]  # tagged on write
+    # roundtrip under the same scheme works
+    seen2 = ShardedSeenSet(num_shards=1, mode="cuckoo", capacity_per_shard=10_000)
+    try:
+        seen2.restore(snap)
+        assert seen2.contains(keys(100, "fp")).all()
+    finally:
+        seen2.shutdown()
+    # forge an old/other scheme -> restore must raise
+    meta[b"fp_scheme"] = b"legacy-v1"
+    _pq.write_table(t.replace_schema_metadata(meta), path)
+    seen3 = ShardedSeenSet(num_shards=1, mode="cuckoo", capacity_per_shard=10_000)
+    try:
+        with pytest.raises(Exception) as ei:
+            seen3.restore(snap)
+        assert "fingerprint scheme" in str(ei.value)
+    finally:
+        seen3.shutdown()

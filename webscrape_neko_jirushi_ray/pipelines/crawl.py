@@ -1058,8 +1058,44 @@ _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
 _LINK_POS_BITS = 20
 
 
+def _dedup_by_sha1(ds: "ray.data.Dataset", order_col: str) -> "ray.data.Dataset":
+    """Within-set keep-first by canonical identity (min ``order_col`` per
+    url_sha1): 64-bucket partition scan over the sha1's leading word, one
+    vectorized sort + boundary mask per partition. Guarantees each sha1
+    reaches the seen-set anti-join from exactly ONE task — the uniqueness
+    precondition of the epoch-idempotent ``add_if_absent`` (state/seen.py)
+    — and makes dup-seed survival deterministic (min discovery order, not
+    RPC arrival order)."""
+
+    def _tag_sha(t: pa.Table) -> pa.Table:
+        sh = t["url_sha1"].to_pylist()
+        u = (
+            np.frombuffer(b"".join(x[:8] for x in sh), dtype=">u8").astype(np.uint64)
+            if sh
+            else np.empty(0, dtype=np.uint64)
+        )
+        return t.append_column(
+            "_p", pa.array((u % np.uint64(64)).astype(np.int64))
+        )
+
+    def _keep_first(g: pa.Table) -> pa.Table:
+        sh = np.asarray(g["url_sha1"].to_pylist(), dtype=object)
+        k = g[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, sh))
+        keep_sorted = np.concatenate([[True], sh[order][1:] != sh[order][:-1]])
+        take = np.sort(np.asarray(order)[keep_sorted])
+        return g.take(pa.array(take, type=pa.int64())).drop_columns(["_p"])
+
+    return (
+        ds.map_batches(_tag_sha, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(_keep_first, batch_format="pyarrow")
+    )
+
+
 def _expand_links_streamed(
-    fetched: "ray.data.Dataset", seen, next_seq: int, cfg: CrawlConfig
+    fetched: "ray.data.Dataset", seen, next_seq: int, cfg: CrawlConfig,
+    epoch: int | None = None,
 ) -> tuple["ray.data.Dataset | None", int]:
     """Streamed BFS discovery: explode links task-side with the
     (parent visit rank, link position) key, distribute canonicalize+SHA1
@@ -1113,36 +1149,13 @@ def _expand_links_streamed(
 
     # within-round keep-first by canonical identity, in discovery order
     # (min _dk) — partition scan, vectorized
-    def _tag_sha(t: pa.Table) -> pa.Table:
-        # partition on the sha1's first-8-byte word, spread over 64 buckets
-        sh = t["url_sha1"].to_pylist()
-        u = (
-            np.frombuffer(b"".join(x[:8] for x in sh), dtype=">u8").astype(np.uint64)
-            if sh
-            else np.empty(0, dtype=np.uint64)
-        )
-        return t.append_column(
-            "_p", pa.array((u % np.uint64(64)).astype(np.int64))
-        )
-
-    def _keep_first(g: pa.Table) -> pa.Table:
-        sh = np.asarray(g["url_sha1"].to_pylist(), dtype=object)
-        dk = g["_dk"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((dk, sh))
-        keep_sorted = np.concatenate([[True], sh[order][1:] != sh[order][:-1]])
-        take = np.sort(np.asarray(order)[keep_sorted])
-        return g.take(pa.array(take, type=pa.int64())).drop_columns(["_p"])
-
-    deduped = (
-        keyed.map_batches(_tag_sha, batch_format="pyarrow")
-        .groupby("_p")
-        .map_groups(_keep_first, batch_format="pyarrow")
-    )
+    deduped = _dedup_by_sha1(keyed, "_dk")
 
     # frontier-entry seen anti-join (J1), task-side; materialize so the
-    # side effect runs exactly once
+    # side effect runs exactly once per SUCCESSFUL task — the epoch tag
+    # makes a retried task's re-insert report fresh again (ADVICE r2)
     def _seen_filter(batch: pa.Table) -> pa.Table:
-        fresh = seen.add_if_absent(batch["url_sha1"].to_pylist())
+        fresh = seen.add_if_absent(batch["url_sha1"].to_pylist(), epoch=epoch)
         return batch.filter(pa.array(fresh, type=pa.bool_()))
 
     fresh_ds = deduped.map_batches(
@@ -1234,14 +1247,19 @@ def _fetch_list_inner(
             visits_dirs.append(os.path.join(ckpt.round_dir(out_dir, r), "visits"))
     else:
         fds = _frontier_dataset(frontier, cfg.fetch_concurrency * 4)
+        # keep-first dedup BEFORE the seen filter: each sha1 reaches the
+        # anti-join from exactly one task (epoch-idempotence precondition)
+        # and dup seeds resolve deterministically to min discovery_seq
+        fds = _dedup_by_sha1(fds, "discovery_seq")
 
         def _seen_filter(batch: pa.Table) -> pa.Table:
-            fresh = seen.add_if_absent(batch["url_sha1"].to_pylist())
+            fresh = seen.add_if_absent(batch["url_sha1"].to_pylist(), epoch=0)
             return batch.filter(pa.array(fresh))
 
         # frontier-entry anti-join, streamed per batch from the tasks (the
-        # side effect — seen-set insertion — runs exactly once because the
-        # result is materialized, never re-executed)
+        # side effect — seen-set insertion — runs once per successful task;
+        # materialize prevents lazy re-execution and the epoch tag makes
+        # fault-tolerance retries idempotent)
         pending_ds = fds.map_batches(
             _seen_filter, batch_format="pyarrow", batch_size=8192
         ).materialize()
@@ -1420,7 +1438,7 @@ def _fetch_list_inner(
         k_new = 0
         if cfg.expand_links:
             new_frontier, k_new = _expand_links_streamed(
-                fetched, seen, next_seq, cfg
+                fetched, seen, next_seq, cfg, epoch=rnd + 1
             )
             next_seq += k_new
 

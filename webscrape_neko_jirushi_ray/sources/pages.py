@@ -126,6 +126,21 @@ class PartitionedPageStore:
         (ds.write_parquet(partition_cols=['bucket'])); driver-side here
         because fixtures are small.
         """
+        import json
+
+        meta_path = os.path.join(root, PartitionedPageStore.META_NAME)
+        if os.path.exists(meta_path):
+            # appending under a DIFFERENT bucket count would re-route every
+            # lookup by the new modulus, silently orphaning rows written
+            # under the old one — fail loudly instead of overwriting
+            with open(meta_path, encoding="utf-8") as f:
+                existing = int(json.load(f)["num_buckets"])
+            if existing != num_buckets:
+                raise ValueError(
+                    f"store at {root} was built with num_buckets={existing}; "
+                    f"append requested num_buckets={num_buckets} — rebuild "
+                    "the store or pass the original bucket count"
+                )
         sha = pages_with_keys["url_sha1"].to_pylist()
         bucket = pa.array([s[0] % num_buckets for s in sha], type=pa.int32())
         t = pages_with_keys.append_column("bucket", bucket)

@@ -192,50 +192,56 @@ def heuristic_keep(batch: pa.Table, cfg: HeuristicCleanupConfig = DEFAULT_HEURIS
     return out.append_column("keep", keep)
 
 
-def dedup_exact_md5(images: "ray.data.Dataset") -> "ray.data.Dataset":
-    """D2: global exact dedup, keep-first. The reference MD5s every file
-    into one in-memory index (aggressive_cleaning.py:174-183) — here it is
-    a shuffle: per-row selection key (cat_id, seq) encoded sortably, a
-    groupby(md5) Min aggregate picks each hash's winner, and a second pass
-    filters to winners. Two vectorized passes — NOT per-group map_groups,
-    which pays a Python call per tiny group and collapses at scale.
+def dedup_exact_md5(
+    images: "ray.data.Dataset", num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """D2: global exact dedup, keep-first (min (cat_id, seq, img_url) per
+    md5). The reference MD5s every file into one in-memory index
+    (aggressive_cleaning.py:174-183) — here it is ONE hash shuffle of the
+    image rows partitioned by hash(md5) followed by a vectorized
+    per-partition scan: sort by (md5, cat_id, seq, img_url), keep the first
+    row at each md5 group boundary. All rows of a given md5 land in the
+    same partition, so the local keep-first IS the global keep-first.
 
-    The winner map is broadcast (ray.put) — one entry per distinct hash;
-    at 10^10-image scale swap the broadcast for a hash join on md5 (same
-    plan shape, partitioned both sides)."""
-    import ray as _ray
-    from ray.data.aggregate import Min
+    Scale contract: driver state is O(1) — no winner table is ever pulled
+    to or broadcast from the driver (rounds 1-2 used a groupby(md5) Min
+    aggregate ``.to_pandas()`` + ``ray.put`` of the winner set, which is
+    O(distinct hashes) ≈ O(corpus) driver memory at 10^10 images). The
+    payload moves through exactly one sort shuffle, same as any md5-keyed
+    plan (a semi-join against a winner Dataset would shuffle the payload
+    too, plus an extra aggregate); partitions are hash-buckets of the
+    fingerprint, so one partition holds ~corpus/num_partitions rows
+    regardless of duplicate skew — raise ``num_partitions`` with the data.
+    Asserted by tests/test_cleaning.py::test_dedup_bounded_driver."""
+    import numpy as np
+    import pandas.util as pdu
 
-    def _selkey(batch: pa.Table) -> pa.Table:
-        keys = [
-            f"{c}|{s:010d}|{u}"
-            for c, s, u in zip(
-                batch["cat_id"].to_pylist(),
-                batch["seq"].to_pylist(),
-                batch["img_url"].to_pylist(),
-            )
-        ]
+    def _part(batch: pa.Table) -> pa.Table:
+        h = pdu.hash_array(np.asarray(batch["md5"].to_pylist(), dtype=object))
         out = batch
-        if "sel_key" in out.column_names:
-            out = out.drop_columns(["sel_key"])
-        return out.append_column("sel_key", pa.array(keys, type=pa.string()))
+        if "_p" in out.column_names:
+            out = out.drop_columns(["_p"])
+        return out.append_column(
+            "_p", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
 
-    keyed = images.map_batches(_selkey, batch_format="pyarrow", batch_size=2048)
-    winners = (
-        keyed.select_columns(["md5", "sel_key"])
-        .groupby("md5")
-        .aggregate(Min("sel_key", alias_name="win_key"))
-        .to_pandas()
+    def _first_per_md5(g: pa.Table) -> pa.Table:
+        md5s = np.asarray(g["md5"].to_pylist(), dtype=object)
+        cats = np.asarray(g["cat_id"].to_pylist(), dtype=object)
+        seqs = g["seq"].to_numpy(zero_copy_only=False)
+        urls = np.asarray(g["img_url"].to_pylist(), dtype=object)
+        order = np.lexsort((urls, seqs, cats, md5s))
+        keep_sorted = np.concatenate(
+            [[True], md5s[order][1:] != md5s[order][:-1]]
+        )
+        take = np.sort(order[keep_sorted])
+        return g.take(pa.array(take, type=pa.int64())).drop_columns(["_p"])
+
+    return (
+        images.map_batches(_part, batch_format="pyarrow", batch_size=2048)
+        .groupby("_p")
+        .map_groups(_first_per_md5, batch_format="pyarrow")
     )
-    win_arr = pa.array(winners["win_key"], type=pa.string())
-    win_ref = _ray.put(win_arr)
-
-    def _keep(batch: pa.Table) -> pa.Table:
-        wins = _ray.get(win_ref)
-        mask = pc.is_in(batch["sel_key"], value_set=wins)
-        return batch.filter(mask).drop_columns(["sel_key"])
-
-    return keyed.map_batches(_keep, batch_format="pyarrow", batch_size=2048)
 
 
 def split_quarantine(ds_with_reason: "ray.data.Dataset"):

@@ -39,6 +39,11 @@ def backup_dir(src: str, backup_root: str, run_id: str | None = None) -> str:
         raise FileExistsError(f"backup already exists: {dest}")
     os.makedirs(backup_root, exist_ok=True)
     shutil.copytree(src, dest)
+    # copytree copystat's the SOURCE dir's mtime onto the backup; gc_backups
+    # ages by mtime, so a backup of an old layout would be born GC-eligible
+    # and the next GC would delete the fresh safety copy. Stamp creation
+    # time instead.
+    os.utime(dest, None)
     return dest
 
 
@@ -64,6 +69,68 @@ def archive_dir(src: str, dest: str, fmt: str = "tar.gz") -> str:
         raise ValueError(f"unsupported archive format {fmt!r}")
     os.replace(tmp, dest)
     return dest
+
+
+def list_backups(backup_root: str) -> list[dict]:
+    """Inventory of ``backup_*`` entries (dirs or archives) under
+    ``backup_root``, newest first (mtime-desc — the O2 sort of the
+    reference's listing, data_manager.py:148-172, which orders by
+    creation time; backups here are stamped with creation time at write).
+    Each row: name, path, size_bytes, mtime (epoch seconds), is_dir."""
+    if not os.path.isdir(backup_root):
+        return []
+    out: list[dict] = []
+    for name in sorted(os.listdir(backup_root)):
+        if not name.startswith(BACKUP_PREFIX):
+            continue
+        path = os.path.join(backup_root, name)
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dn, fns in os.walk(path)
+                for f in fns
+            )
+        else:
+            size = os.path.getsize(path)
+        out.append(
+            {
+                "name": name,
+                "path": path,
+                "size_bytes": size,
+                "mtime": os.path.getmtime(path),
+                "is_dir": os.path.isdir(path),
+            }
+        )
+    out.sort(key=lambda r: (-r["mtime"], r["name"]))
+    return out
+
+
+def export_summary(
+    stats: dict,
+    out_file: str,
+    *,
+    data_dir: str | None = None,
+    now: float | None = None,
+) -> str:
+    """Write a JSON summary of a dataset layout (data_manager.py:123-146):
+    the stats payload plus the export timestamp and source directory.
+    Atomic tmp+rename; returns the path. ``now`` is injectable for
+    deterministic tests."""
+    import datetime as _dt
+    import json as _json
+
+    ts = now if now is not None else time.time()
+    summary = {
+        "exported_at": _dt.datetime.fromtimestamp(ts).isoformat(),
+        "data_directory": data_dir,
+        "statistics": stats,
+    }
+    os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+    tmp = out_file + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        _json.dump(summary, f, ensure_ascii=False, indent=2)
+    os.replace(tmp, out_file)
+    return out_file
 
 
 def gc_backups(

@@ -28,6 +28,11 @@ import ray
 
 from ..functions.urlkit import shard_of_keys
 
+# Version tag of CuckooFilter._fingerprint's key→fp mapping, persisted in
+# every cuckoo snapshot and checked on restore (a scheme change otherwise
+# silently voids all persisted membership). Bump when _fingerprint changes.
+FP_SCHEME = "mix48-v2"
+
 
 class CuckooFilter:
     """Minimal numpy cuckoo filter: 16-bit fingerprints, 4 slots/bucket.
@@ -124,16 +129,47 @@ class SeenShard:
         self.mode = mode
         self.exact: set[bytes] = set()
         self.cuckoo = CuckooFilter(capacity) if mode == "cuckoo" else None
+        # epoch-tagged fresh set for retry-safe anti-joins: keys inserted
+        # during epoch e stay "fresh" (add_if_absent returns True again for
+        # epoch-e calls), so a Ray task retried after its first attempt's
+        # RPC committed does NOT see its own insertions as already-seen and
+        # silently drop frontier URLs. Freshness is SAME-epoch only — a key
+        # inserted in round r must read as seen from round r+1 on, or
+        # re-discovered URLs would re-enter the frontier. Memory: one
+        # round's insertions; the set is dropped when the epoch advances.
+        # Callers without fault-tolerance needs pass epoch=None and get the
+        # classic exactly-once semantics.
+        self._fresh_epoch: int | None = None
+        self._fresh: set = set()
 
-    def add_if_absent(self, keys: list[bytes]) -> np.ndarray:
-        """Returns a boolean mask: True where the key was NEW (now added)."""
+    def _fresh_set(self, epoch: int) -> set:
+        if self._fresh_epoch is None or epoch > self._fresh_epoch:
+            self._fresh_epoch = epoch
+            self._fresh = set()
+            return self._fresh
+        if epoch == self._fresh_epoch:
+            return self._fresh
+        # stale epoch (a retry arriving after the driver advanced): its
+        # freshness window expired — hand back a throwaway so it cannot
+        # clobber the live epoch's set
+        return set()
+
+    def add_if_absent(self, keys: list[bytes], epoch: int | None = None) -> np.ndarray:
+        """Returns a boolean mask: True where the key was NEW (now added).
+        With ``epoch``, a key this shard already inserted DURING the same
+        epoch also reports True — idempotent under Ray task retries (see
+        __init__). Within-epoch uniqueness of keys is the caller's job
+        (the crawl pre-dedups each round by sha1)."""
         if self.mode == "exact":
+            fresh_set = self._fresh_set(epoch) if epoch is not None else None
             out = np.empty(len(keys), dtype=bool)
             for i, k in enumerate(keys):
                 if k in self.exact:
-                    out[i] = False
+                    out[i] = fresh_set is not None and k in fresh_set
                 else:
                     self.exact.add(k)
+                    if fresh_set is not None:
+                        fresh_set.add(k)
                     out[i] = True
             return out
         u = _keys_to_u64(keys)
@@ -141,6 +177,16 @@ class SeenShard:
         fresh = ~present
         if fresh.any():
             self.cuckoo.add_many(u[fresh])
+        if epoch is not None:
+            fresh_set = self._fresh_set(epoch)
+            if present.any():
+                hit = np.fromiter(
+                    (int(x) in fresh_set for x in u[present]),
+                    dtype=bool,
+                    count=int(present.sum()),
+                )
+                fresh[np.nonzero(present)[0][hit]] = True
+            fresh_set.update(int(x) for x in u[~present])
         return fresh
 
     def contains(self, keys: list[bytes]) -> np.ndarray:
@@ -162,7 +208,10 @@ class SeenShard:
         else:
             tbl = pa.table(
                 {"fp": pa.array(self.cuckoo.table.ravel(), type=pa.uint16())},
-                metadata={b"n_buckets": str(self.cuckoo.n_buckets).encode()},
+                metadata={
+                    b"n_buckets": str(self.cuckoo.n_buckets).encode(),
+                    b"fp_scheme": FP_SCHEME.encode(),
+                },
             )
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
@@ -173,6 +222,20 @@ class SeenShard:
         if self.mode == "exact":
             self.exact = set(tbl["key"].to_pylist())
             return len(self.exact)
+        # fingerprint-scheme guard: a snapshot written under a different
+        # _fingerprint() would reload a table whose stored fp values no
+        # longer match any live key's probe — every prior membership
+        # silently lost and the resumed crawl re-fetches everything. Fail
+        # loudly instead (snapshots before the scheme tag existed raise
+        # too: they predate the round-2 fp remix).
+        scheme = (tbl.schema.metadata or {}).get(b"fp_scheme", b"").decode()
+        if scheme != FP_SCHEME:
+            raise ValueError(
+                f"cuckoo snapshot {path} uses fingerprint scheme "
+                f"{scheme or '<untagged>'!r}, this build uses {FP_SCHEME!r} — "
+                "membership would be silently lost; rebuild the seen set "
+                "from the crawl output instead of restoring"
+            )
         n_buckets = int(tbl.schema.metadata[b"n_buckets"])
         flat = np.asarray(tbl["fp"].to_numpy(zero_copy_only=False), dtype=np.uint16)
         self.cuckoo.n_buckets = n_buckets
@@ -204,14 +267,15 @@ class ShardedSeenSet:
             per_shard_keys.append([keys[i] for i in idx])
         return per_shard_keys, per_shard_pos
 
-    def add_if_absent(self, keys: list[bytes]) -> np.ndarray:
-        """Batched cross-shard membership-and-add; one RPC per shard."""
+    def add_if_absent(self, keys: list[bytes], epoch: int | None = None) -> np.ndarray:
+        """Batched cross-shard membership-and-add; one RPC per shard.
+        ``epoch`` makes the add retry-idempotent (see SeenShard)."""
         out = np.zeros(len(keys), dtype=bool)
         if not keys:
             return out
         per_keys, per_pos = self._route(keys)
         refs = [
-            self.shards[s].add_if_absent.remote(per_keys[s])
+            self.shards[s].add_if_absent.remote(per_keys[s], epoch)
             for s in range(self.num_shards)
             if per_keys[s]
         ]
