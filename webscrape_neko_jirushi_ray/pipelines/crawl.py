@@ -904,29 +904,33 @@ def _host_partials(
     import pandas as _pd
 
     def _partial(t: pa.Table) -> pa.Table:
-        df = _pd.DataFrame(
-            {
-                "host": t["host"].to_pandas(),
-                "seq": t["discovery_seq"].to_numpy(zero_copy_only=False),
-            }
+        host = np.asarray(t["host"].to_pylist(), dtype=object)
+        seq = t["discovery_seq"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, host))
+        h_s, s_s = host[order], seq[order]
+        newgrp = np.concatenate([[True], h_s[1:] != h_s[:-1]])
+        starts = np.nonzero(newgrp)[0]
+        ends = np.concatenate([starts[1:], [len(h_s)]])
+        counts = ends - starts
+        # evenly spaced sample positions per host (ragged, vectorized):
+        # within-host sample j of k lands at floor(j*(n-1)/(k-1))
+        k = np.minimum(samples_per_block, counts)
+        gidx = np.repeat(np.arange(len(k)), k)
+        within = np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k)
+        denom = np.maximum(k[gidx] - 1, 1)
+        pos = starts[gidx] + (within * (counts[gidx] - 1)) // denom
+        offsets = np.concatenate([[0], np.cumsum(k)])
+        samples = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(s_s[pos], type=pa.int64()),
         )
-        hosts_out, n_out, min_out, max_out, samp_out = [], [], [], [], []
-        for host, g in df.groupby("host"):
-            seqs = np.sort(g["seq"].to_numpy())
-            hosts_out.append(host)
-            n_out.append(len(seqs))
-            min_out.append(int(seqs[0]))
-            max_out.append(int(seqs[-1]))
-            k = min(samples_per_block, len(seqs))
-            idx = np.unique(np.linspace(0, len(seqs) - 1, k).astype(np.int64))
-            samp_out.append(seqs[idx].tolist())
         return pa.table(
             {
-                "host": pa.array(hosts_out, type=pa.string()),
-                "n": pa.array(n_out, type=pa.int64()),
-                "min_seq": pa.array(min_out, type=pa.int64()),
-                "max_seq": pa.array(max_out, type=pa.int64()),
-                "samples": pa.array(samp_out, type=pa.list_(pa.int64())),
+                "host": pa.array(h_s[starts], type=pa.string()),
+                "n": pa.array(counts, type=pa.int64()),
+                "min_seq": pa.array(s_s[starts], type=pa.int64()),
+                "max_seq": pa.array(s_s[ends - 1], type=pa.int64()),
+                "samples": samples,
             }
         )
 
@@ -937,15 +941,53 @@ def _host_partials(
         return _pd.DataFrame(
             {"host": [], "n": [], "min_seq": [], "max_seq": [], "samples": []}
         )
-    return (
-        parts.groupby("host")
-        .agg(
-            n=("n", "sum"),
-            min_seq=("min_seq", "min"),
-            max_seq=("max_seq", "max"),
-            samples=("samples", lambda s: sorted({x for lst in s for x in lst})),
-        )
-        .reset_index()
+    # --- driver combine, fully vectorized (no per-host Python) -----------
+    host = parts["host"].to_numpy(dtype=object)
+    order = np.argsort(host, kind="stable")
+    h_s = host[order]
+    newgrp = np.concatenate([[True], h_s[1:] != h_s[:-1]])
+    starts = np.nonzero(newgrp)[0]
+    gid_of_row = np.cumsum(newgrp) - 1  # group id per sorted row
+    n = np.add.reduceat(parts["n"].to_numpy()[order], starts)
+    min_seq = np.minimum.reduceat(parts["min_seq"].to_numpy()[order], starts)
+    max_seq = np.maximum.reduceat(parts["max_seq"].to_numpy()[order], starts)
+    # union of per-block samples: flatten, sort by (host-group, value),
+    # drop adjacent dups, then CAP per host (bounded payload — a host seen
+    # in many blocks would otherwise accumulate blocks x samples values)
+    samp_lists = [np.asarray(x, dtype=np.int64) for x in parts["samples"].to_numpy()]
+    lens = np.array([len(x) for x in samp_lists], dtype=np.int64)[order]
+    flat = (
+        np.concatenate([samp_lists[i] for i in order])
+        if lens.sum()
+        else np.empty(0, dtype=np.int64)
+    )
+    owner = np.repeat(gid_of_row, lens)
+    so = np.lexsort((flat, owner))
+    owner_s, flat_s = owner[so], flat[so]
+    keep = np.concatenate(
+        [[True], (owner_s[1:] != owner_s[:-1]) | (flat_s[1:] != flat_s[:-1])]
+    ) if len(flat_s) else np.empty(0, dtype=bool)
+    owner_u, flat_u = owner_s[keep], flat_s[keep]
+    ulen = np.bincount(owner_u, minlength=len(starts))
+    cap = max(samples_per_block * 4, 8)
+    kk = np.minimum(ulen, cap)
+    g2 = np.repeat(np.arange(len(kk)), kk)
+    within = np.arange(int(kk.sum())) - np.repeat(np.cumsum(kk) - kk, kk)
+    ustart = np.concatenate([[0], np.cumsum(ulen)])[:-1]
+    pos = ustart[g2] + (within * (ulen[g2] - 1)) // np.maximum(kk[g2] - 1, 1)
+    capped = flat_u[pos]
+    bounds = np.concatenate([[0], np.cumsum(kk)])
+    out_samples = [
+        capped[bounds[i] : bounds[i + 1]].tolist() for i in range(len(kk))
+    ]
+    return _pd.DataFrame(
+        {
+            "host": h_s[starts],
+            "n": n,
+            "min_seq": min_seq,
+            "max_seq": max_seq,
+            "samples": out_samples,
+        }
     )
 
 
@@ -965,39 +1007,77 @@ def _enumerate_visits_by_host(
     boundaries, EXACT sizes from a counting pass), so the rank groupby's
     parallelism is hosts x ranges — a low-host-count frontier no longer
     serializes on the host count. Rows past the budget get ``_vseq = -1``
-    (deferred). Driver state: the (host, range) table — bounded by
-    n / target_rows_per_range, never by rows."""
+    (deferred). Driver state: the (host, range) table — bounded by live
+    hosts + n / target_rows_per_range, never by rows; ALL plan math is
+    numpy over host-sorted arrays (no per-host Python — a Common-Crawl
+    frontier has 10^7-10^8 live hosts; see test_fetch_list's 100k-host
+    stress test). Host lookup inside the tag pass is a hash-searchsorted
+    (exact-string fallback on the ~never hash collision)."""
     import pandas as _pd
+    import pandas.util as _pdu
 
     # --- driver: per-host range boundaries from the sampled seqs ---------
+    # (vectorized ragged selection: for host i with sample list s_i and
+    # n_ranges_i ranges, cut j is s_i[(j*len(s_i))//n_ranges_i])
     h = hosts.sort_values("min_seq").reset_index(drop=True)
-    host_cuts: dict[str, np.ndarray] = {}
-    rid_base: dict[str, int] = {}
-    next_rid = 0
-    for _, row in h.iterrows():
-        n_ranges = max(1, min(int(row["n"]) // max(1, target_rows_per_range) + 1, 64))
-        samples = np.asarray(row["samples"], dtype=np.int64)
-        if n_ranges > 1 and len(samples) > n_ranges:
-            cut_idx = np.unique(
-                (np.arange(1, n_ranges) * len(samples)) // n_ranges
-            )
-            cuts = np.unique(samples[cut_idx])
-        else:
-            cuts = np.empty(0, dtype=np.int64)
-        host_cuts[row["host"]] = cuts
-        rid_base[row["host"]] = next_rid
-        next_rid += len(cuts) + 1
-    n_rids = next_rid
-    cuts_ref = ray.put((host_cuts, rid_base))
+    H = len(h)
+    hostnames = h["host"].to_numpy(dtype=object)
+    n_arr = h["n"].to_numpy(dtype=np.int64)
+    n_ranges = np.clip(n_arr // max(1, target_rows_per_range) + 1, 1, 64)
+    samp_lists = [np.asarray(s, dtype=np.int64) for s in h["samples"].to_numpy()]
+    lens = np.array([len(s) for s in samp_lists], dtype=np.int64)
+    flat = np.concatenate(samp_lists) if lens.sum() else np.empty(0, np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    m = np.where((n_ranges > 1) & (lens > n_ranges), n_ranges - 1, 0)
+    gidx = np.repeat(np.arange(H), m)
+    j = np.arange(int(m.sum())) - np.repeat(np.cumsum(m) - m, m) + 1
+    cand = flat[off[gidx] + (j * lens[gidx]) // n_ranges[gidx]]
+    keep = (
+        np.concatenate(
+            [[True], (gidx[1:] != gidx[:-1]) | (cand[1:] != cand[:-1])]
+        )
+        if len(cand)
+        else np.empty(0, dtype=bool)
+    )
+    cuts_vals = cand[keep]
+    ncuts = np.bincount(gidx[keep], minlength=H).astype(np.int64)
+    cuts_start = np.concatenate([[0], np.cumsum(ncuts)])[:-1]
+    ranges_per_host = ncuts + 1
+    rid_base = np.concatenate([[0], np.cumsum(ranges_per_host)])[:-1]
+    n_rids = int(ranges_per_host.sum())
+
+    # --- host lookup table for the tag pass: hash-sorted arrays ----------
+    hh = _pdu.hash_array(hostnames) if H else np.empty(0, np.uint64)
+    use_hash = len(np.unique(hh)) == H
+    keys = hh if use_hash else hostnames
+    hord = np.argsort(keys, kind="stable")
+    plan_ref = ray.put(
+        (
+            keys[hord],
+            rid_base[hord],
+            cuts_start[hord],
+            ncuts[hord],
+            cuts_vals,
+            use_hash,
+        )
+    )
 
     def _tag(t: pa.Table) -> pa.Table:
-        hc, rb = ray.get(cuts_ref)
-        host_col = np.asarray(t["host"].to_pylist(), dtype=object)
+        ks, base_s, cstart_s, ncuts_s, cvals, hashed = ray.get(plan_ref)
+        bh = np.asarray(t["host"].to_pylist(), dtype=object)
+        q = _pdu.hash_array(bh) if hashed else bh
+        pos = np.searchsorted(ks, q)
         seqs = t["discovery_seq"].to_numpy(zero_copy_only=False)
-        rid = np.empty(t.num_rows, dtype=np.int64)
-        for host in np.unique(host_col):
-            m = host_col == host
-            rid[m] = rb[host] + np.searchsorted(hc[host], seqs[m], side="right")
+        rid = base_s[pos].copy()
+        nc = ncuts_s[pos]
+        # rank within host = #cuts <= seq; loop over CUT SLOTS (<=63, most
+        # hosts have few), vectorized over rows — not over hosts. Indices
+        # are clipped because numpy gathers masked lanes too (a no-cut
+        # host after the last cut-bearing one would index past cvals).
+        for jj in range(int(nc.max()) if len(nc) and len(cvals) else 0):
+            has = nc > jj
+            cj = cvals[np.minimum(cstart_s[pos] + jj, len(cvals) - 1)]
+            rid += (has & (cj <= seqs)).astype(np.int64)
         return t.append_column("_rid", pa.array(rid, type=pa.int64()))
 
     # --- counting pass: EXACT range sizes (driver state = ranges) --------
@@ -1009,7 +1089,10 @@ def _enumerate_visits_by_host(
              "cnt": pa.array(cnt, type=pa.int64())}
         )
 
-    tagged = pending_ds.map_batches(_tag, batch_format="pyarrow")
+    # materialize: the tag pass feeds BOTH the counting pass and the rank
+    # groupby — without pinning it would lazily re-execute for each
+    # (measured ~half the control plane's fixed per-round cost)
+    tagged = pending_ds.map_batches(_tag, batch_format="pyarrow").materialize()
     size_parts = tagged.map_batches(
         _sizes, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
@@ -1019,36 +1102,60 @@ def _enumerate_visits_by_host(
         sizes[agg.index.to_numpy()] = agg.to_numpy()
 
     # --- driver: per-range (taken_n, visit offset) in global visit order -
-    taken_per_rid = np.zeros(n_rids, dtype=np.int64)
-    voff_per_rid = np.zeros(n_rids, dtype=np.int64)
-    vnext = 0
-    for _, row in h.iterrows():
-        base = rid_base[row["host"]]
-        r_count = len(host_cuts[row["host"]]) + 1
-        within = 0
-        for j in range(r_count):
-            rid = base + j
-            take = int(np.clip(budget - within, 0, sizes[rid]))
-            taken_per_rid[rid] = take
-            voff_per_rid[rid] = vnext
-            vnext += take
-            within += int(sizes[rid])
-    plan_ref = ray.put((taken_per_rid, voff_per_rid))
+    # rid order IS (host priority, range) order, so the plan is two
+    # segmented cumsums — no Python loop
+    host_of_rid = np.repeat(np.arange(H), ranges_per_host)
+    csum_excl = np.cumsum(sizes) - sizes
+    within_excl = csum_excl - csum_excl[rid_base][host_of_rid]
+    taken_per_rid = np.clip(budget - within_excl, 0, sizes)
+    voff_per_rid = np.cumsum(taken_per_rid) - taken_per_rid
+    plan2_ref = ray.put((taken_per_rid, voff_per_rid))
 
-    def _rank(g: _pd.DataFrame) -> _pd.DataFrame:
-        takes, voffs = ray.get(plan_ref)
-        rid = int(g["_rid"].iloc[0])
-        g = g.sort_values("discovery_seq", kind="mergesort").reset_index(drop=True)
-        pos = np.arange(len(g), dtype=np.int64)
-        g["_vseq"] = np.where(
-            pos < takes[rid], voffs[rid] + pos + 1, -1
+    # --- rank stage: bucket rids, one VECTORIZED multi-rid rank per
+    # bucket. A per-rid map_groups pays Python-call overhead per group —
+    # measured ~90 s at 100k single-range hosts; bucketing bounds the
+    # group count at _RANK_BUCKETS while each group ranks all its rids
+    # with one lexsort + segmented arithmetic.
+    n_buckets = int(min(_RANK_BUCKETS, max(1, n_rids)))
+
+    def _bucket_rid(t: pa.Table) -> pa.Table:
+        rid = t["_rid"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_rb", pa.array((rid % n_buckets).astype(np.int64))
         )
-        return g.drop(columns=["_rid"])
 
-    return tagged.groupby("_rid").map_groups(_rank, batch_format="pandas")
+    def _rank_bucket(g: pa.Table) -> pa.Table:
+        takes, voffs = ray.get(plan2_ref)
+        rid = g["_rid"].to_numpy(zero_copy_only=False)
+        seq = g["discovery_seq"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, rid))
+        rid_s = rid[order]
+        newg = np.concatenate([[True], rid_s[1:] != rid_s[:-1]])
+        seg_starts = np.nonzero(newg)[0]
+        pos_in_rid = np.arange(len(rid_s)) - seg_starts[np.cumsum(newg) - 1]
+        vseq_s = np.where(
+            pos_in_rid < takes[rid_s], voffs[rid_s] + pos_in_rid + 1, -1
+        )
+        vseq = np.empty(len(rid_s), dtype=np.int64)
+        vseq[order] = vseq_s
+        return g.append_column(
+            "_vseq", pa.array(vseq, type=pa.int64())
+        ).drop_columns(["_rid", "_rb"])
+
+    return (
+        tagged.map_batches(_bucket_rid, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(_rank_bucket, batch_format="pyarrow")
+    )
 
 
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
+
+# Shuffle fan-out of the visit-rank stage (_enumerate_visits_by_host):
+# bounds the rank groupby's group count regardless of how many (host,
+# range) ids the plan produced. At cluster scale raise toward the
+# aggregate core count.
+_RANK_BUCKETS = 256
 
 
 
@@ -1458,8 +1565,12 @@ def _fetch_list_inner(
         n_pending = pending_next.count() if pending_next is not None else 0
         fdir = os.path.join(rdir, "frontier_next")
         if n_pending:
+            # parquet write is the RESUME handoff only; the next round runs
+            # off the already-materialized Dataset (saves a write->read
+            # round trip of the whole frontier from the fixed per-round
+            # control-plane cost)
             pending_next.write_parquet(fdir)
-            pending_ds = ray.data.read_parquet(fdir)
+            pending_ds = pending_next
         else:
             pending_ds = None
 
