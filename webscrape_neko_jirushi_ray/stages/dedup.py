@@ -138,24 +138,41 @@ def _part_of(vals: np.ndarray, num_partitions: int) -> np.ndarray:
 def _verify_pairs_cogroup(
     pairs_ds: "ray.data.Dataset",
     blob_ds: "ray.data.Dataset",
-    predicate,
+    predicate=None,
     *,
     id_col: str = "doc_id",
     blob_col: str = "sh",
     num_partitions: int = _JOIN_PARTITIONS,
+    batch_predicate=None,
 ) -> "ray.data.Dataset":
     """Distributed pair verification in TWO co-group shuffles (cheaper and
     empty-block-proof vs the 3-join plan it replaces):
 
     1. key by doc id: each pair emits one row per side; blob rows ride the
-       same shuffle; inside a partition the local id→blob map (bounded by
-       the partition) attaches the blob to each pair-side row.
-    2. key by (a, b): a pair's two attached sides meet; ``predicate(blob_a,
-       blob_b)`` decides. Duplicate candidate pairs (cross-band repeats)
-       collapse here for free.
+       same shuffle; inside a partition a sorted-id ``searchsorted`` against
+       the partition's blob rows attaches the blob to each pair-side row
+       (vectorized — no local dict).
+    2. key by (a, b): a pair's two attached sides meet via one lexsort +
+       boundary masks; the predicate decides. Duplicate candidate pairs
+       (cross-band repeats) collapse here for free.
 
-    The blob dataset streams through shuffle 1 exactly once — same volume
-    as the semi-join plan — and the driver never sees a blob."""
+    ``batch_predicate(blobs_a, blobs_b) -> bool ndarray`` verifies a whole
+    partition's complete pairs in one call (fixed-width blobs can stack to
+    a matrix); a scalar ``predicate(blob_a, blob_b)`` is wrapped in a loop
+    over complete pairs only. The blob dataset streams through shuffle 1
+    exactly once — same volume as the semi-join plan — and the driver
+    never sees a blob."""
+    if batch_predicate is None:
+        if predicate is None:
+            raise ValueError("need predicate or batch_predicate")
+        _scalar = predicate
+
+        def batch_predicate(blobs_a, blobs_b):  # noqa: F811
+            out = np.empty(len(blobs_a), dtype=bool)
+            for i, (ba, bb) in enumerate(zip(blobs_a, blobs_b)):
+                out[i] = bool(_scalar(ba, bb))
+            return out
+
     nulls_bin = lambda n: pa.nulls(n, pa.binary())  # noqa: E731
 
     def _pair_sides(t: pa.Table) -> pa.Table:
@@ -197,22 +214,33 @@ def _verify_pairs_cogroup(
     def _attach(g: pa.Table) -> pa.Table:
         is_blob = pc.is_valid(g["_blob"])
         blobs = g.filter(is_blob)
-        bmap = dict(
-            zip(blobs["_doc"].to_pylist(), blobs["_blob"].to_pylist())
-        )
         sides = g.filter(pc.invert(is_blob))
-        docs = sides["_doc"].to_pylist()
-        found = [bmap.get(d) for d in docs]
-        keep = pa.array([f is not None for f in found], type=pa.bool_())
-        out = pa.table(
+        if sides.num_rows == 0 or blobs.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "_is_a": pa.array([], type=pa.bool_()),
+                    "_blob": pa.array([], type=pa.binary()),
+                }
+            )
+        bdoc = blobs["_doc"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bdoc, kind="stable")
+        bdoc_s = bdoc[order]
+        sdoc = sides["_doc"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(bdoc_s, sdoc), len(bdoc_s) - 1)
+        found = bdoc_s[pos] == sdoc
+        attached = blobs["_blob"].combine_chunks().take(
+            pa.array(order[pos], type=pa.int64())
+        )
+        return pa.table(
             {
                 "a": sides["a"],
                 "b": sides["b"],
                 "_is_a": pc.equal(sides["_doc"], sides["a"]),
-                "_blob": pa.array(found, type=pa.binary()),
+                "_blob": attached,
             }
-        ).filter(keep)
-        return out
+        ).filter(pa.array(found))
 
     attached = combined.groupby("_p").map_groups(_attach, batch_format="pyarrow")
 
@@ -225,23 +253,45 @@ def _verify_pairs_cogroup(
         )
 
     def _decide(g: pa.Table) -> pa.Table:
-        sides: dict[tuple[int, int], list] = {}
-        for a, b, is_a, blob in zip(
-            g["a"].to_pylist(), g["b"].to_pylist(),
-            g["_is_a"].to_pylist(), g["_blob"].to_pylist(),
-        ):
-            slot = sides.setdefault((a, b), [None, None])
-            slot[0 if is_a else 1] = blob
-        a_out, b_out = [], []
-        for (a, b), (blob_a, blob_b) in sides.items():
-            if blob_a is None or blob_b is None:
-                continue
-            if predicate(blob_a, blob_b):
-                a_out.append(a)
-                b_out.append(b)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        is_a = g["_is_a"].to_numpy(zero_copy_only=False)
+        # sort (a, b, side) with the a-side first, drop cross-band repeats
+        # of the same (pair, side), then a COMPLETE pair is exactly an
+        # adjacent (a-side, b-side) run — all boundary masks, no dicts
+        order = np.lexsort((~is_a, b, a))
+        a_s, b_s, ia_s = a[order], b[order], is_a[order]
+        first = np.ones(len(a_s), dtype=bool)
+        if len(a_s) > 1:
+            first[1:] = (
+                (a_s[1:] != a_s[:-1])
+                | (b_s[1:] != b_s[:-1])
+                | (ia_s[1:] != ia_s[:-1])
+            )
+        keep_idx = order[first]
+        a_u, b_u, ia_u = a_s[first], b_s[first], ia_s[first]
+        if len(a_u) < 2:
+            return _EMPTY_PAIRS
+        cand = (
+            (a_u[:-1] == a_u[1:])
+            & (b_u[:-1] == b_u[1:])
+            & ia_u[:-1]
+            & ~ia_u[1:]
+        )
+        ai = np.nonzero(cand)[0]
+        if not len(ai):
+            return _EMPTY_PAIRS
+        blobs_u = g["_blob"].combine_chunks().take(
+            pa.array(keep_idx, type=pa.int64())
+        )
+        ok = batch_predicate(
+            blobs_u.take(pa.array(ai, type=pa.int64())).to_pylist(),
+            blobs_u.take(pa.array(ai + 1, type=pa.int64())).to_pylist(),
+        )
+        ok = np.asarray(ok, dtype=bool)
         return pa.table(
-            {"a": pa.array(a_out, type=pa.int64()),
-             "b": pa.array(b_out, type=pa.int64())}
+            {"a": pa.array(a_u[ai][ok], type=pa.int64()),
+             "b": pa.array(b_u[ai][ok], type=pa.int64())}
         )
 
     return (
@@ -262,13 +312,17 @@ def _verify_pairs_jaccard(
     (sorted unique uint64 arrays serialized as binary — list columns don't
     survive joins/shuffles everywhere). Never touches the driver."""
 
-    def _pred(blob_a: bytes, blob_b: bytes) -> bool:
-        a = np.frombuffer(blob_a, dtype=np.uint64)
-        b = np.frombuffer(blob_b, dtype=np.uint64)
-        return textkit.jaccard_u64(a, b) >= threshold
+    def _pred_batch(blobs_a, blobs_b) -> np.ndarray:
+        out = np.empty(len(blobs_a), dtype=bool)
+        for i, (ba, bb) in enumerate(zip(blobs_a, blobs_b)):
+            a = np.frombuffer(ba, dtype=np.uint64)
+            b = np.frombuffer(bb, dtype=np.uint64)
+            out[i] = textkit.jaccard_u64(a, b) >= threshold
+        return out
 
     return _verify_pairs_cogroup(
-        pairs_ds, sh_ds, _pred, num_partitions=num_partitions
+        pairs_ds, sh_ds, batch_predicate=_pred_batch,
+        num_partitions=num_partitions,
     )
 
 
@@ -713,16 +767,22 @@ def _verify_pairs_cosine(
     num_partitions: int = _JOIN_PARTITIONS,
 ) -> "ray.data.Dataset":
     """Distributed exact-cosine verification over normalized float64
-    vector blobs — same two-shuffle co-group plan as the Jaccard verify."""
+    vector blobs — same two-shuffle co-group plan as the Jaccard verify.
+    Blobs are fixed-width, so a partition's pairs verify as ONE stacked
+    row-wise dot product (einsum), not a per-pair Python loop."""
 
-    def _pred(blob_a: bytes, blob_b: bytes) -> bool:
-        a = np.frombuffer(blob_a, dtype=np.float64)
-        b = np.frombuffer(blob_b, dtype=np.float64)
-        return float(a @ b) >= threshold
+    def _pred_batch(blobs_a, blobs_b) -> np.ndarray:
+        A = np.frombuffer(b"".join(blobs_a), dtype=np.float64).reshape(
+            len(blobs_a), -1
+        )
+        B = np.frombuffer(b"".join(blobs_b), dtype=np.float64).reshape(
+            len(blobs_b), -1
+        )
+        return np.einsum("ij,ij->i", A, B) >= threshold
 
     return _verify_pairs_cogroup(
-        pairs_ds, vec_ds, _pred, id_col="vec_id", blob_col="v",
-        num_partitions=num_partitions,
+        pairs_ds, vec_ds, batch_predicate=_pred_batch,
+        id_col="vec_id", blob_col="v", num_partitions=num_partitions,
     )
 
 
