@@ -224,6 +224,197 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
             ORDER BY doc_id
         """,
+        # Near-dup dedup oracles: SQL computes the EXACT all-pairs result
+        # (shingle/ngram explode + self-join Jaccard, or all-pairs cosine),
+        # transitive closure by recursive CTE, keep-min-id per component.
+        # The Ray side is LSH-candidate-based; equality additionally proves
+        # perfect LSH recall on this corpus (pinned by
+        # tests/test_queries_duckdb.py at sf0.001 too). Thresholds compare
+        # in exact integer arithmetic (5i >= 4(na+nb-i) is jaccard >= 0.8).
+        "minhash_dedup_docs": """
+            WITH RECURSIVE
+            norm AS (
+                SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                    CASE
+                        WHEN t = '' THEN []::VARCHAR[]
+                        WHEN LEN(STRING_SPLIT(t, ' ')) < 5 THEN [t]
+                        ELSE LIST_DISTINCT([
+                            ARRAY_TO_STRING(STRING_SPLIT(t, ' ')[x:x+4], ' ')
+                            FOR x IN RANGE(1, LEN(STRING_SPLIT(t, ' ')) - 3)
+                        ])
+                    END AS shingles
+                FROM norm
+            ),
+            sizes AS (SELECT doc_id, LEN(shingles) AS n FROM sh),
+            ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT d.doc_id
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id
+            )
+            ORDER BY doc_id
+        """,
+        "ngram_dedup_docs": """
+            WITH RECURSIVE
+            norm AS (
+                SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            gr AS (
+                SELECT doc_id,
+                    CASE
+                        WHEN t = '' THEN []::VARCHAR[]
+                        WHEN LENGTH(t) < 3 THEN [t]
+                        ELSE LIST_DISTINCT([SUBSTR(t, x, 3) FOR x IN RANGE(1, LENGTH(t) - 1)])
+                    END AS grams
+                FROM norm
+            ),
+            sizes AS (SELECT doc_id, LEN(grams) AS n FROM gr),
+            ex AS (SELECT doc_id, UNNEST(grams) AS s FROM gr),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE 10 * i >= 9 * (sa.n + sb.n - i)
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT d.doc_id
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id
+            )
+            ORDER BY doc_id
+        """,
+        "embedding_dedup_vecs": """
+            WITH RECURSIVE
+            pairs AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+                WHERE LIST_COSINE_SIMILARITY(
+                          CAST(x.embedding AS DOUBLE[]),
+                          CAST(y.embedding AS DOUBLE[])
+                      ) >= 0.995
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT e.vec_id
+            FROM embeddings e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM reach WHERE reach.src = e.vec_id AND reach.dst < e.vec_id
+            )
+            ORDER BY vec_id
+        """,
+        # The composed flagship pipeline end-to-end: quality gate in exact
+        # integer arithmetic (quality_score >= 0.5 is "at least 2 of 4
+        # indicators"), md5 keep-first exact dedup, then the same exact
+        # near-dup closure over the surviving corpus.
+        "textprep_corpus": """
+            WITH RECURSIVE
+            base AS (
+                SELECT doc_id, text,
+                    CASE WHEN TRIM(text) = '' THEN 0
+                         ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_words,
+                    LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS nospace,
+                    LENGTH(text) AS n_chars,
+                    LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?"''()\\[\\]{}]', '', 'g')) AS n_punct,
+                    CASE WHEN TRIM(text) = '' THEN 0
+                         ELSE LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                                  x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from'], LOWER(x)))) END AS n_stop
+                FROM documents
+            ),
+            kept_q AS (
+                SELECT doc_id, text, n_words
+                FROM base
+                WHERE n_words >= 5
+                  AND (  CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+                       + CASE WHEN n_words > 0 AND 2 * n_words <= nospace AND nospace <= 12 * n_words THEN 1 ELSE 0 END
+                       + CASE WHEN 5 * n_punct <= n_chars THEN 1 ELSE 0 END
+                       + CASE WHEN n_words > 0 AND 20 * n_stop >= n_words AND 10 * n_stop <= 7 * n_words THEN 1 ELSE 0 END
+                      ) >= 2
+            ),
+            kept_e AS (
+                SELECT doc_id, text, n_words FROM kept_q
+                WHERE doc_id IN (
+                    SELECT MIN(doc_id) FROM kept_q
+                    GROUP BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+                )
+            ),
+            norm AS (
+                SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS t FROM kept_e
+            ),
+            sh AS (
+                SELECT doc_id,
+                    CASE
+                        WHEN t = '' THEN []::VARCHAR[]
+                        WHEN LEN(STRING_SPLIT(t, ' ')) < 5 THEN [t]
+                        ELSE LIST_DISTINCT([
+                            ARRAY_TO_STRING(STRING_SPLIT(t, ' ')[x:x+4], ' ')
+                            FOR x IN RANGE(1, LEN(STRING_SPLIT(t, ' ')) - 3)
+                        ])
+                    END AS shingles
+                FROM norm
+            ),
+            sizes AS (SELECT doc_id, LEN(shingles) AS n FROM sh),
+            ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT k.doc_id, CAST(k.n_words AS BIGINT) AS n_tokens
+            FROM kept_e k
+            WHERE NOT EXISTS (
+                SELECT 1 FROM reach WHERE reach.src = k.doc_id AND reach.dst < k.doc_id
+            )
+            ORDER BY doc_id
+        """,
         "knn_cosine_top10": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
                  scored AS (

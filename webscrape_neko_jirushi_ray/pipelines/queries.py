@@ -325,8 +325,10 @@ def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup dedup (no SQL oracle — verified in tests
-    against brute-force Jaccard)."""
+    """MinHash+LSH near-dup dedup. SQL-oracled: the oracle computes the
+    EXACT all-pairs word-shingle Jaccard >= 0.8 closure (explode + self
+    join + recursive CTE), so equality also proves perfect LSH recall on
+    this corpus."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     kept = dedup_stage.minhash_lsh_dedup(ds, threshold=0.8)
     return (
@@ -343,6 +345,8 @@ def simhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def ngram_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Char-3gram Jaccard >= 0.9 near-dup dedup. SQL-oracled against the
+    exact all-pairs gram Jaccard closure."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     kept = dedup_stage.ngram_jaccard_dedup(ds, threshold=0.9)
     return (
@@ -359,7 +363,9 @@ _EMBEDDING_BRUTE_MAX_ROWS = 50_000
 def embedding_dedup_vecs(sf_dir: str) -> pd.DataFrame:
     """Embedding near-dup with automatic plan choice: brute-force broadcast
     cosine for small corpora, hyperplane-LSH bucket shuffle at scale (row
-    count read from Parquet metadata — no data scan)."""
+    count read from Parquet metadata — no data scan). SQL-oracled: the
+    oracle is the exact all-pairs LIST_COSINE_SIMILARITY >= 0.995
+    closure."""
     import pyarrow.parquet as _pq
 
     meta = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
@@ -412,7 +418,9 @@ def knn_lsh_top10(sf_dir: str) -> pd.DataFrame:
     qvec = np.stack(emb.loc[emb.vec_id == 0, "embedding"].to_numpy())
     dim = len(emb["embedding"].iloc[0])
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = simsearch.knn_lsh(ds, qvec, k=10, dim=dim, n_bits=6, multiprobe=1).to_pandas()
+    out = simsearch.knn_lsh(
+        ds, qvec, k=10, dim=dim, n_bits=6, multiprobe=1, exclude_ids={0}
+    ).to_pandas()
     return out[["rank", "vec_id"]].sort_values("rank").reset_index(drop=True)
 
 
@@ -724,15 +732,16 @@ def knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qvec = np.stack(emb.loc[emb.vec_id == 0, "embedding"].to_numpy())
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = knn_ivf(ds, qvec, k=10, n_lists=8, nprobe=4).to_pandas()
+    out = knn_ivf(ds, qvec, k=10, n_lists=8, nprobe=4, exclude_ids={0}).to_pandas()
     return out[["rank", "vec_id"]].sort_values("rank").reset_index(drop=True)
 
 
 def textprep_corpus(sf_dir: str) -> pd.DataFrame:
     """Composed training-data prep pipeline (langid -> quality -> exact
     dedup -> minhash near-dedup -> token counts); returns kept doc_ids +
-    per-doc token counts (rows-only; stage semantics oracled/tested
-    individually)."""
+    per-doc token counts. SQL-oracled END-TO-END: quality gate in exact
+    integer arithmetic, md5 keep-first, then the exact near-dup closure
+    over the surviving corpus."""
     from .textprep import prepare_text_corpus
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

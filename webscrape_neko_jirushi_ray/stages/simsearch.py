@@ -137,6 +137,7 @@ def knn_lsh(
     dim: int,
     n_bits: int = 8,
     multiprobe: int = 1,
+    exclude_ids: set[int] | None = None,
 ) -> pa.Table:
     """Approximate top-k: probe the query's bucket and all buckets within
     ``multiprobe`` bit flips, brute-force only those rows."""
@@ -158,7 +159,7 @@ def knn_lsh(
         return batch.filter(pc.is_in(batch["bucket"], value_set=want_arr))
 
     probe = bucketed.map_batches(_probe, batch_format="pyarrow")
-    return knn_brute_force(probe, query_vecs, k)
+    return knn_brute_force(probe, query_vecs, k, exclude_ids=exclude_ids)
 
 
 class IVFIndex:
@@ -202,6 +203,7 @@ def knn_ivf(
     n_lists: int = 16,
     nprobe: int = 4,
     train_sample: int = 2048,
+    exclude_ids: set[int] | None = None,
 ) -> pa.Table:
     """IVF-bucketed approximate top-k: train the coarse quantizer on a
     driver-side sample (centroids broadcast via closure capture — tiny),
@@ -235,4 +237,4 @@ def knn_ivf(
         embeddings.map_batches(_assign, batch_format="pyarrow", batch_size=4096)
         .map_batches(_probe, batch_format="pyarrow")
     )
-    return knn_brute_force(probed, query_vecs, k)
+    return knn_brute_force(probed, query_vecs, k, exclude_ids=exclude_ids)
