@@ -161,3 +161,51 @@ def test_streamed_bfs_resume(ray_session, tmp_path):
         zip(full_v["url"], full_v["discovery_seq"])
     )
     assert resumed.visits_count == full_res.visits_count
+
+
+def test_crawl_auto_routes_by_frontier_size(ray_session, tmp_path):
+    """crawl(expand_links=True) routing: streamed_bfs=None auto-selects the
+    streamed engine at/above streamed_bfs_threshold seed rows and the
+    classic loop below it; True forces streamed. Manifest 'mode' tags the
+    engine; visit sequences are identical either way."""
+    from webscrape_neko_jirushi_ray.pipelines.crawl import crawl
+    from webscrape_neko_jirushi_ray.state import checkpoint as ckpt
+
+    pages, seeds = synth_pages(num_listing_pages=3, seed=11)
+    store = BroadcastPageStore(pages)
+
+    def _mode(out_dir):
+        return (ckpt.read_manifest(out_dir, 0) or {}).get("mode")
+
+    # forced streamed
+    d1 = str(tmp_path / "forced")
+    cfg = CrawlConfig(
+        host_budget_per_round=1000, max_rounds=10, seen_shards=2,
+        expand_links=True, fetch_batch_size=32, streamed_bfs=True,
+    )
+    r1 = crawl(store, seeds, d1, cfg)
+    assert _mode(d1) == "fetch_list_streamed"
+
+    # auto + tiny seed list -> classic
+    d2 = str(tmp_path / "classic")
+    cfg2 = CrawlConfig(
+        host_budget_per_round=1000, max_rounds=10, seen_shards=2,
+        expand_links=True, fetch_batch_size=32,
+    )
+    r2 = crawl(store, seeds, d2, cfg2)
+    assert _mode(d2) != "fetch_list_streamed"
+
+    # auto + threshold 1 -> streamed, same visits as classic
+    d3 = str(tmp_path / "auto_streamed")
+    cfg3 = CrawlConfig(
+        host_budget_per_round=1000, max_rounds=10, seen_shards=2,
+        expand_links=True, fetch_batch_size=32, streamed_bfs_threshold=1,
+    )
+    r3 = crawl(store, seeds, d3, cfg3)
+    assert _mode(d3) == "fetch_list_streamed"
+
+    v2 = r2.visits_table().to_pandas().sort_values("visit_idx")
+    for r in (r1, r3):
+        v = r.visits_table().to_pandas().sort_values("visit_idx")
+        assert list(v["url"]) == list(v2["url"])
+        assert list(v["fetch_status"]) == list(v2["fetch_status"])

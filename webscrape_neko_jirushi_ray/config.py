@@ -180,6 +180,20 @@ class CrawlConfig:
     # discovered links (a Common-Crawl-style refetch job; the headline
     # throughput benchmark uses it so the measured stage is fetch+extract).
     expand_links: bool = True
+    # BFS engine for expand_links=True. None = AUTO (the default): route
+    # by seed-frontier size — at or above ``streamed_bfs_threshold`` rows
+    # the STREAMED control plane runs (frontier as Dataset/parquet,
+    # task-side seen anti-join and visit shards, driver bounded by
+    # hosts+ranges — the 10^10-scale path); below it the classic
+    # driver-loop BFS runs (control plane bounded by budget x hosts x
+    # rounds, fixed per-round cost ~0, the right engine for small crawls).
+    # True/False force one engine. Both are oracle-equal (tests pin
+    # equality across budgets/robots/targets/random sites).
+    streamed_bfs: bool | None = None
+    # AUTO cutover: a seed frontier at/above this many rows takes the
+    # streamed BFS. Sized where the streamed plane's fixed per-round cost
+    # (a few seconds) amortizes against per-row work.
+    streamed_bfs_threshold: int = 100_000
     # Rounds with fewer work rows than this run fetch+extract inline on the
     # driver (identical code path, same results) instead of paying a
     # per-round Ray Data job. Large rounds — the ones that matter at 10^10

@@ -524,18 +524,35 @@ def crawl(
     read from frontier parquet, the 10^10-scale input) used instead of
     keying ``seed_urls`` on the driver.
 
-    ``expand_links=False`` (fetch-list mode — the Common-Crawl-style
-    refetch job and the 10^10-scale headline) routes to the STREAMED
-    implementation (``crawl_fetch_list``): the frontier lives as a
-    Dataset/parquet, the seen anti-join and visit-log writes happen inside
-    tasks, and the driver never holds frontier- or visit-sized tables."""
+    ``expand_links=False`` always takes the STREAMED implementation
+    (``_fetch_list_inner``): the frontier lives as a Dataset/parquet, the
+    seen anti-join and visit-log writes happen inside tasks, and the
+    driver never holds frontier- or visit-sized tables.
+    ``expand_links=True`` routes by ``cfg.streamed_bfs``: None (default)
+    auto-selects the streamed BFS when the SEED frontier has at least
+    ``cfg.streamed_bfs_threshold`` rows (the 10^10-scale shape) and the
+    classic driver-loop BFS below it (whose control plane is bounded by
+    budget x hosts x rounds and has ~zero fixed per-round cost — the
+    right engine for small crawls); True/False force one engine. Both are
+    oracle-equal (pinned by tests/test_streamed_bfs.py)."""
     os.makedirs(out_dir, exist_ok=True)
     own = seen_set is None
     seen = seen_set or ShardedSeenSet(
         cfg.seen_shards, cfg.seen_mode, cfg.seen_capacity_per_shard
     )
     try:
-        if not cfg.expand_links:
+        use_streamed = not cfg.expand_links
+        if cfg.expand_links:
+            if cfg.streamed_bfs is not None:
+                use_streamed = cfg.streamed_bfs
+            else:
+                n_seed = (
+                    seed_frontier.num_rows
+                    if seed_frontier is not None
+                    else len(seed_urls)
+                )
+                use_streamed = n_seed >= cfg.streamed_bfs_threshold
+        if use_streamed:
             frontier = (
                 seed_frontier
                 if seed_frontier is not None

@@ -745,7 +745,9 @@ def textprep_corpus(sf_dir: str) -> pd.DataFrame:
     from .textprep import prepare_text_corpus
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    kept, report = prepare_text_corpus(ds, min_words=5, min_quality=0.5)
+    kept, report = prepare_text_corpus(
+        ds, min_words=5, min_quality=0.5, collect_report=False
+    )
     out = kept.select_columns(["doc_id", "n_tokens"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
