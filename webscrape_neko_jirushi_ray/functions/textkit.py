@@ -77,11 +77,10 @@ def quality_stats(text: str) -> dict:
     }
 
 
-def quality_score(text: str) -> float:
-    """Scalar quality score in [0,1]: the reference's 4-indicator
-    keep/drop shape (cleanup_dataset.py:75-129) transplanted to text —
-    each indicator contributes 0.25."""
-    s = quality_stats(text)
+def quality_score_from_stats(s: dict) -> float:
+    """Score from an already-computed ``quality_stats`` dict — the batch
+    stage computes stats once per doc and derives the score from them
+    (scoring from raw text would re-scan every character)."""
     score = 0.0
     if 20 <= s["n_words"] <= 100_000:
         score += 0.25
@@ -92,6 +91,13 @@ def quality_score(text: str) -> float:
     if 0.05 <= s["stopword_ratio"] <= 0.7:
         score += 0.25
     return score
+
+
+def quality_score(text: str) -> float:
+    """Scalar quality score in [0,1]: the reference's 4-indicator
+    keep/drop shape (cleanup_dataset.py:75-129) transplanted to text —
+    each indicator contributes 0.25."""
+    return quality_score_from_stats(quality_stats(text))
 
 
 def detect_lang(text: str) -> str:

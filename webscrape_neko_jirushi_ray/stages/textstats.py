@@ -50,7 +50,10 @@ def add_quality(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             out = out.append_column(name, pa.array([s[name] for s in stats], type=typ))
         return out.append_column(
             "quality_score",
-            pa.array([textkit.quality_score(t or "") for t in texts], type=pa.float64()),
+            pa.array(
+                [textkit.quality_score_from_stats(s) for s in stats],
+                type=pa.float64(),
+            ),
         )
 
     return docs.map_batches(_q, batch_format="pyarrow", batch_size=2048)
@@ -74,7 +77,20 @@ class LangIdStage:
         )
 
 
-def add_lang_pred(docs: "ray.data.Dataset", concurrency: int = 2) -> "ray.data.Dataset":
+def add_lang_pred(
+    docs: "ray.data.Dataset", concurrency: int | None = None
+) -> "ray.data.Dataset":
+    """+ ``lang_pred``. Default is a TASK-pool map_batches (the heuristic
+    detector's regexes are module-compiled, so there is no per-actor setup
+    to amortize), which lets Ray fuse this stage with adjacent map/filter
+    stages instead of pinning an actor-pool boundary into the plan. Pass
+    ``concurrency`` to run ``LangIdStage`` as an actor pool — the shape a
+    real model-loading language ID (fasttext-style) needs."""
+    if concurrency is None:
+        stage = LangIdStage()
+        return docs.map_batches(
+            lambda b: stage(b), batch_format="pyarrow", batch_size=2048
+        )
     return docs.map_batches(
         LangIdStage, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
     )
