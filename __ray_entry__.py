@@ -218,6 +218,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        # Language-ID oracle: every branch of textkit.detect_lang re-derived
+        # in SQL over the first 2000 chars, same predicate order and the
+        # same float arithmetic (multiplication where Python multiplies,
+        # division where Python divides).
+        "langid_docs": """
+            WITH s AS (
+                SELECT doc_id, SUBSTR(text, 1, 2000) AS sm,
+                       LENGTH(SUBSTR(text, 1, 2000)) AS n
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, n,
+                    REGEXP_MATCHES(sm, '[぀-ヿ]') AS has_kana,
+                    REGEXP_MATCHES(sm, '[가-힯]') AS has_hangul,
+                    LEN(REGEXP_EXTRACT_ALL(sm, '[一-鿿]')) AS n_cjk,
+                    LEN(REGEXP_EXTRACT_ALL(sm, '[Ѐ-ӿ]')) AS n_cyr,
+                    LEN(REGEXP_EXTRACT_ALL(sm, '[\\x00-\\x7F]')) AS n_ascii,
+                    [LOWER(t) FOR t IN REGEXP_EXTRACT_ALL(sm, '[A-Za-z'']+')] AS toks
+                FROM s
+            )
+            SELECT doc_id,
+                CASE
+                    WHEN n = 0 THEN 'unknown'
+                    WHEN has_kana THEN 'ja'
+                    WHEN has_hangul THEN 'ko'
+                    WHEN n_cjk > 0.05 * n THEN 'zh'
+                    WHEN n_cyr > 0.3 * n THEN 'ru'
+                    WHEN LEN(toks) > 0
+                         AND CAST(LEN(LIST_FILTER(toks, t -> t IN (
+                             'a', 'an', 'and', 'are', 'as', 'at', 'be', 'been',
+                             'by', 'for', 'from', 'in', 'is', 'it', 'of', 'on',
+                             'or', 'that', 'the', 'this', 'to', 'was', 'were',
+                             'with'
+                         ))) AS DOUBLE) / LEN(toks) > 0.03
+                         THEN 'en'
+                    WHEN n_ascii > 0.9 * n THEN 'en'
+                    ELSE 'unknown'
+                END AS lang_pred
+            FROM feats
+            ORDER BY doc_id
+        """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id
             FROM documents
@@ -262,6 +303,55 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sb ON sb.doc_id = b
                 WHERE 5 * i >= 4 * (sa.n + sb.n - i)
             ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT d.doc_id
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id
+            )
+            ORDER BY doc_id
+        """,
+        # SimHash oracle: recompute the EXACT 64-bit signatures in SQL
+        # (md5_number_upper == md5 digest[:8] little-endian, the query's
+        # hash space), per-bit sign sums, all-pairs Hamming via a per-bit
+        # join, distance <= 3 edges, closure, keep-min-id. Equality proves
+        # the band shuffle's pigeonhole recall end-to-end.
+        "simhash_dedup_docs": """
+            WITH RECURSIVE
+            norm AS (
+                SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS tok
+                FROM norm WHERE t <> ''
+            ),
+            bits AS (
+                SELECT t.doc_id, r.b,
+                       CASE WHEN SUM(CASE WHEN (MD5_NUMBER_UPPER(t.tok) >> r.b) & 1 = 1
+                                          THEN 1 ELSE -1 END) > 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM toks t CROSS JOIN RANGE(64) r(b)
+                GROUP BY t.doc_id, r.b
+            ),
+            allbits AS (
+                SELECT * FROM bits
+                UNION ALL
+                SELECT doc_id, r.b, 0 AS bit
+                FROM norm CROSS JOIN RANGE(64) r(b) WHERE t = ''
+            ),
+            ham AS (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS d
+                FROM allbits x JOIN allbits y ON x.b = y.b AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (SELECT a, b FROM ham WHERE d <= 3),
             edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
             reach AS (
                 SELECT a AS src, b AS dst FROM edges

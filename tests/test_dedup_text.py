@@ -76,6 +76,39 @@ def test_simhash_collapses_near_identical(ray_session):
     assert 4 in kept and 5 in kept  # unrelated docs survive
 
 
+def test_simhash_md5_space_matches_scalar():
+    """The oracle hash space: batched md5-space signatures are bit-exact
+    with the scalar ``simhash64`` (which hashes tokens one hashlib call at
+    a time) — including empty/blank/short/unicode docs."""
+    samples = [
+        "hello world the cat sat",
+        "",
+        "   ",
+        "The THE the",
+        "a b c d e f g h i j k",
+        "héllo wörld ünïcode",
+        "one",
+        None,
+    ]
+    got = textkit.simhash64_batch(samples, hash_space="md5")
+    want = [textkit.simhash64(s or "") for s in samples]
+    assert [int(x) for x in got] == want
+
+
+def test_simhash_dedup_md5_space(ray_session):
+    """Same machinery, oracle hash space: survivors must match the fast
+    space on this corpus (the planted dups are exact or heavily
+    overlapping, so both hash spaces agree) and the exact-dup collapse
+    invariants hold."""
+    ds = ray.data.from_arrow(corpus())
+    kept = sorted(
+        r["doc_id"]
+        for r in D.simhash_dedup(ds, max_hamming=3, hash_space="md5").take_all()
+    )
+    assert 0 in kept and 1 not in kept
+    assert 4 in kept and 5 in kept
+
+
 def test_ngram_dedup(ray_session):
     ds = ray.data.from_arrow(corpus())
     kept = sorted(r["doc_id"] for r in D.ngram_jaccard_dedup(ds, threshold=0.95).take_all())

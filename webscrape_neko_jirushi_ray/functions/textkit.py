@@ -297,6 +297,27 @@ def _hash_strings(strs: list[str]) -> np.ndarray:
     return _pd.util.hash_array(np.asarray(strs, dtype=object)).astype(np.uint64)
 
 
+def _md5_low64(strs: list[str]) -> np.ndarray:
+    """string->uint64 via md5 digest[:8] little-endian — the SQL-parity
+    hash space (DuckDB ``md5_number_upper`` computes the identical value).
+    Each DISTINCT string is digested once (np.unique first): token streams
+    repeat heavily, so the hashlib loop runs over the vocabulary, not the
+    corpus."""
+    if not strs:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.asarray(strs, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    hu = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            for s in uniq.tolist()
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hu[inv]
+
+
 def shingle_hashes_batch(texts: list[str | None], k: int = 5) -> list[np.ndarray]:
     """Per-doc SORTED UNIQUE uint64 hashes of the k-token shingles of the
     normalized text (same shingle structure as ``shingles()``: docs shorter
@@ -391,14 +412,20 @@ def lsh_band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
     return _mix64(vals ^ band_salt[None, :])
 
 
-def simhash64_batch(texts: list[str | None]) -> np.ndarray:
-    """Vectorized 64-bit SimHash over whitespace tokens (weight 1 each),
-    in the batch hash space: per-bit sign sums via reduceat. Empty docs
-    hash to 0 (matching ``simhash64``'s structure)."""
+def simhash64_batch(
+    texts: list[str | None], hash_space: str = "fast"
+) -> np.ndarray:
+    """Vectorized 64-bit SimHash over whitespace tokens (weight 1 each):
+    per-bit sign sums via reduceat. Empty docs hash to 0 (matching
+    ``simhash64``'s structure). ``hash_space``: "fast" = the batch siphash
+    space (the scale default); "md5" = md5-low64-LE per token, bit-exact
+    with scalar ``simhash64`` AND reproducible in SQL (DuckDB
+    ``md5_number_upper``) — the oracle space."""
     toks_per_doc = [
         tokens_ws(normalize_for_fingerprint(t or "")) for t in texts
     ]
-    th = _hash_strings([tok for toks in toks_per_doc for tok in toks])
+    hash_fn = _md5_low64 if hash_space == "md5" else _hash_strings
+    th = hash_fn([tok for toks in toks_per_doc for tok in toks])
     lengths = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.uint64)
     nonempty = np.nonzero(lengths > 0)[0]

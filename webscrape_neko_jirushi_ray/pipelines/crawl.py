@@ -1369,7 +1369,9 @@ def _fetch_list_inner(
         for r in range(last + 1):
             docs_paths.append(os.path.join(ckpt.round_dir(out_dir, r), "docs"))
             visits_dirs.append(os.path.join(ckpt.round_dir(out_dir, r), "visits"))
-    else:
+    seed_sec = 0.0
+    if not (resume and start_round > 0):
+        _seed_t0 = _time.perf_counter()
         fds = _frontier_dataset(frontier, cfg.fetch_concurrency * 4)
         # keep-first dedup BEFORE the seen filter: each sha1 reaches the
         # anti-join from exactly one task (epoch-idempotence precondition)
@@ -1388,6 +1390,7 @@ def _fetch_list_inner(
             _seen_filter, batch_format="pyarrow", batch_size=8192
         ).materialize()
         n_pending = pending_ds.count()
+        seed_sec = round(_time.perf_counter() - _seed_t0, 3)
 
     for rnd in range(start_round, cfg.max_rounds):
         if n_pending == 0 or pending_ds is None:
@@ -1395,6 +1398,18 @@ def _fetch_list_inner(
         if cfg.target_urls is not None and visited_total >= cfg.target_urls:
             break
         round_t0 = _time.perf_counter()
+        phase_sec: dict[str, float] = {}
+        _pt = round_t0
+
+        def _phase(name: str) -> None:
+            # wall-clock attribution of the round's serial control-plane
+            # phases (written to the manifest; the scaling criterion's
+            # fixed-cost analysis reads these)
+            nonlocal _pt
+            now = _time.perf_counter()
+            phase_sec[name] = round(now - _pt, 3)
+            _pt = now
+
         rdir = ckpt.round_dir(out_dir, rnd)
         docs_dir = os.path.join(rdir, "docs")
         visits_dir = os.path.join(rdir, "visits")
@@ -1409,6 +1424,7 @@ def _fetch_list_inner(
         import numpy as np
 
         hosts = _host_partials(pending_ds)
+        _phase("partials")
         if next_seq is None:
             next_seq = (
                 int(hosts["max_seq"].max()) + 1 if len(hosts) else 0
@@ -1416,6 +1432,7 @@ def _fetch_list_inner(
         ranked = _enumerate_visits_by_host(
             pending_ds, hosts, cfg.host_budget_per_round
         ).materialize()
+        _phase("enumerate")
         n_taken_total = int(
             np.minimum(hosts["n"].to_numpy(), cfg.host_budget_per_round).sum()
         )
@@ -1547,6 +1564,7 @@ def _fetch_list_inner(
         summaries = fetched.map_batches(
             _write_visits, batch_format="pyarrow"
         ).to_pandas()  # O(#batches) rows
+        _phase("fetch_write")
         n = int(summaries["n"].sum()) if len(summaries) else 0
         n_ok = int(summaries["n_ok"].sum()) if len(summaries) else 0
         hosts_visited = len(
@@ -1565,6 +1583,7 @@ def _fetch_list_inner(
                 fetched, seen, next_seq, cfg, epoch=rnd + 1
             )
             next_seq += k_new
+            _phase("expand")
 
         # --- next round's frontier (parquet — the resumable handoff) ------
         if deferred is not None:
@@ -1590,8 +1609,10 @@ def _fetch_list_inner(
             pending_ds = pending_next
         else:
             pending_ds = None
+        _phase("frontier_handoff")
 
         seen.snapshot(os.path.join(rdir, "seen"))
+        _phase("snapshot")
         ckpt.write_manifest(
             out_dir,
             rnd,
@@ -1606,6 +1627,8 @@ def _fetch_list_inner(
                 "pending_rows": n_pending,
                 "seen_size": seen.size(),
                 "round_wall_sec": round(_time.perf_counter() - round_t0, 3),
+                "phase_sec": phase_sec,
+                "seed_sec": seed_sec if rnd == start_round else 0.0,
                 "config_hash": ckpt.config_hash(cfg),
                 "resume_hash": ckpt.resume_compat_hash(cfg),
                 "mode": "fetch_list_streamed",

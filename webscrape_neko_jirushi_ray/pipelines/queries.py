@@ -337,8 +337,15 @@ def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def simhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """SimHash Hamming<=3 near-dup dedup, run in the md5 token-hash space
+    so the SQL oracle can recompute the EXACT signatures (DuckDB
+    md5_number_upper == md5 digest[:8] little-endian), all-pairs Hamming,
+    closure, keep-min. Equality proves the band shuffle's pigeonhole
+    recall (<=3 bit flips must leave one of four 16-bit bands intact) and
+    the whole verify/components machinery; the "fast" siphash space is
+    the same machinery with a cheaper per-token hash."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    kept = dedup_stage.simhash_dedup(ds, max_hamming=3)
+    kept = dedup_stage.simhash_dedup(ds, max_hamming=3, hash_space="md5")
     return (
         kept.select_columns(["doc_id"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
@@ -386,7 +393,11 @@ def embedding_dedup_vecs(sf_dir: str) -> pd.DataFrame:
 
 
 def langid_docs(sf_dir: str) -> pd.DataFrame:
-    """Language-ID heuristic per doc (no SQL oracle)."""
+    """Language-ID heuristic per doc. SQL-oracled: the oracle re-derives
+    every branch of ``textkit.detect_lang`` (kana/hangul presence, CJK /
+    cyrillic / ascii character-class ratios over the first 2000 chars,
+    stopword fraction of the [A-Za-z']+ tokens) with the same float
+    arithmetic, so equality pins the classifier exactly."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = add_lang_pred(ds).select_columns(["doc_id", "lang_pred"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

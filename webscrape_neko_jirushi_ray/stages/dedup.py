@@ -613,16 +613,25 @@ def simhash_dedup(
     *,
     max_hamming: int = 3,
     num_partitions: int = _JOIN_PARTITIONS,
+    hash_space: str = "fast",
 ) -> "ray.data.Dataset":
     """SimHash near-dup AS A SHUFFLE: vectorized 64-bit signatures, rows
     exploded to one (bucket, doc_id, sig) row per 16-bit band (any pair
     within Hamming<=3 agrees on >=1 of 4 bands by pigeonhole), ONE groupby
     over hash partitions of the bucket key, vectorized Hamming verify per
     bucket inside the partition (the 8-byte sig travels with the row — no
-    driver signature map), → components → keep min doc_id."""
+    driver signature map), → components → keep min doc_id.
+
+    ``hash_space="md5"`` computes signatures in the md5-low64 token-hash
+    space (bit-exact with scalar ``simhash64`` and reproducible in SQL via
+    DuckDB ``md5_number_upper``) — the oracled path; "fast" (default) is
+    the vectorized siphash space for the 10^10-doc run. Identical
+    machinery either way; only the per-token hash differs."""
 
     def _sig_rows(batch: pa.Table) -> pa.Table:
-        sigs = textkit.simhash64_batch(batch["text"].to_pylist())
+        sigs = textkit.simhash64_batch(
+            batch["text"].to_pylist(), hash_space=hash_space
+        )
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         n = len(sigs)
         bucket = np.empty(4 * n, dtype=np.int64)
