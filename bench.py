@@ -320,4 +320,13 @@ if __name__ == "__main__":
         sys.stdout.flush()
         os.dup2(real_stdout, 1)
         os.close(real_stdout)
+        # the synthesized corpora are multi-GB; repeated runs filled /tmp
+        # to the brim before this cleanup existed (set GRAFT_KEEP_TMP=1 to
+        # inspect a run's stores/manifests)
+        if not os.environ.get("GRAFT_KEEP_TMP"):
+            import glob as _glob
+            import shutil as _shutil
+
+            for d in _glob.glob(os.path.join(tempfile.gettempdir(), "bench_store_*")):
+                _shutil.rmtree(d, ignore_errors=True)
     print(json.dumps(payload), flush=True)

@@ -160,3 +160,35 @@ def test_cuckoo_snapshot_fp_scheme_guard(ray_session, tmp_path):
         assert "fingerprint scheme" in str(ei.value)
     finally:
         seen3.shutdown()
+
+
+def test_u64_path_interleaves_with_bytes_path(ray_session):
+    """Cuckoo fast path: sha1_col_to_u64 equals the per-key uint64, the
+    u64 RPC routes identically to the bytes RPC (same shard sees the same
+    key either way), and epoch freshness carries across the two paths."""
+    import pyarrow as pa
+
+    from webscrape_neko_jirushi_ray.functions.urlkit import sha1_col_to_u64
+
+    ks = keys(400, "u64")
+    col = pa.array(ks, type=pa.binary())
+    u = sha1_col_to_u64(col)
+    want = np.array(
+        [int.from_bytes(k[:8], "big") for k in ks], dtype=np.uint64
+    )
+    assert (u == want).all()
+
+    seen = ShardedSeenSet(num_shards=3, mode="cuckoo", capacity_per_shard=100_000)
+    try:
+        fresh = seen.add_if_absent_u64(u[:200], epoch=1)
+        assert fresh.all()
+        # same keys via the BYTES path: already present
+        assert not seen.add_if_absent(ks[:200]).any()
+        # epoch retry-idempotence holds on the u64 path
+        assert seen.add_if_absent_u64(u[:200], epoch=1).all()
+        assert not seen.add_if_absent_u64(u[:200], epoch=2).any()
+        # mixed: bytes-inserted keys read as present via u64
+        assert seen.add_if_absent(ks[200:]).all()
+        assert not seen.add_if_absent_u64(u[200:]).any()
+    finally:
+        seen.shutdown()

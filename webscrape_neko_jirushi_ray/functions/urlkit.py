@@ -122,6 +122,26 @@ def sha1_first_byte(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return data[offsets[:-1]]
 
 
+def sha1_col_to_u64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First 8 bytes of each 20-byte sha1 as big-endian uint64, vectorized
+    over the raw Arrow data buffer (no per-row Python). This is the seen
+    set's key space: ``shard_of_keys`` and the cuckoo filter both consume
+    exactly ``uint64(sha1[:8])``, so a u64 computed here routes and probes
+    identically to the bytes path — it just skips the per-row ``bytes``
+    materialization and ships 8 bytes/key instead of a Python object."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32, count=n + 1)
+    idx = offsets[:-1, None] + np.arange(8, dtype=np.int64)[None, :]
+    return (
+        np.ascontiguousarray(data[idx]).view(">u8").reshape(-1).astype(np.uint64)
+    )
+
+
 def salt_host(hosts: list[str], sha1s: list[bytes], buckets: int) -> list[str]:
     """Skew defusal: append a per-URL sub-bucket to the host key so one
     dominant host spreads over ``buckets`` reducers in the groupby(host)

@@ -65,7 +65,12 @@ import ray
 import ray.data
 
 from ..config import CrawlConfig
-from ..functions.urlkit import add_url_key_columns, canonicalize_url, url_sha1
+from ..functions.urlkit import (
+    add_url_key_columns,
+    canonicalize_url,
+    sha1_col_to_u64,
+    url_sha1,
+)
 from ..sources.pages import BroadcastPageStore, PartitionedPageStore
 from ..stages.extract import extract_batch
 from ..state import checkpoint as ckpt
@@ -1008,12 +1013,48 @@ def _host_partials(
     )
 
 
+@ray.remote(num_cpus=0)
+class _RangeCountAccumulator:
+    """Side-channel for the enumeration tag pass: per-batch (rid, count)
+    partials accumulate here DURING the pass, replacing the separate
+    counting job over the materialized tagged dataset (one fewer serial
+    control-plane stage per round — measured ~0.3-0.4 s of the round's
+    fixed cost). Retry-safe: each batch ships a fingerprint (sha1 of its
+    discovery_seq payload — seqs are globally unique, so the fp identifies
+    the batch across task retries) and duplicate fps are dropped. Epoch =
+    crawl round; one actor serves the whole crawl and per-epoch state is
+    popped when read."""
+
+    def __init__(self):
+        self._seen: dict[int, set] = {}
+        self._counts: dict[int, dict[int, int]] = {}
+
+    def add(self, epoch: int, fp: bytes, rids, cnts) -> None:
+        seen = self._seen.setdefault(epoch, set())
+        if fp in seen:
+            return
+        seen.add(fp)
+        counts = self._counts.setdefault(epoch, {})
+        for r, c in zip(rids.tolist(), cnts.tolist()):
+            counts[r] = counts.get(r, 0) + c
+
+    def totals(self, epoch: int):
+        counts = self._counts.pop(epoch, {})
+        self._seen.pop(epoch, None)
+        n = len(counts)
+        rids = np.fromiter(counts.keys(), np.int64, n)
+        cnts = np.fromiter(counts.values(), np.int64, n)
+        return rids, cnts
+
+
 def _enumerate_visits_by_host(
     pending_ds: "ray.data.Dataset",
     hosts: "pd_DataFrame",
     budget: int,
     *,
     target_rows_per_range: int = 16384,
+    count_acc=None,
+    epoch: int = 0,
 ) -> "ray.data.Dataset":
     """Attach ``_vseq`` (1-based dense visit rank) and apply the per-host
     budget. The host-partitioned instance of the range-partitioned dense
@@ -1079,7 +1120,11 @@ def _enumerate_visits_by_host(
         )
     )
 
+    acc = count_acc if count_acc is not None else _RangeCountAccumulator.remote()
+
     def _tag(t: pa.Table) -> pa.Table:
+        import hashlib as _hashlib
+
         ks, base_s, cstart_s, ncuts_s, cvals, hashed = ray.get(plan_ref)
         bh = np.asarray(t["host"].to_pylist(), dtype=object)
         q = _pdu.hash_array(bh) if hashed else bh
@@ -1095,28 +1140,28 @@ def _enumerate_visits_by_host(
             has = nc > jj
             cj = cvals[np.minimum(cstart_s[pos] + jj, len(cvals) - 1)]
             rid += (has & (cj <= seqs)).astype(np.int64)
+        # EXACT range sizes, fused into this pass: per-batch partials to
+        # the accumulator (was a separate counting job over the
+        # materialized tagged dataset). The fp is the batch's identity
+        # under task retries; the blocking get is the write barrier that
+        # makes materialize() below imply all partials have landed.
+        uniq, cnt = np.unique(rid, return_counts=True)
+        fp = _hashlib.sha1(np.ascontiguousarray(seqs).tobytes()).digest()
+        ray.get(acc.add.remote(epoch, fp, uniq, cnt))
         return t.append_column("_rid", pa.array(rid, type=pa.int64()))
 
-    # --- counting pass: EXACT range sizes (driver state = ranges) --------
-    def _sizes(t: pa.Table) -> pa.Table:
-        rid = t["_rid"].to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(rid, return_counts=True)
-        return pa.table(
-            {"rid": pa.array(uniq, type=pa.int64()),
-             "cnt": pa.array(cnt, type=pa.int64())}
-        )
-
-    # materialize: the tag pass feeds BOTH the counting pass and the rank
-    # groupby — without pinning it would lazily re-execute for each
+    # materialize: the tag pass feeds BOTH the accumulator totals and the
+    # rank groupby — without pinning it would lazily re-execute for each
     # (measured ~half the control plane's fixed per-round cost)
-    tagged = pending_ds.map_batches(_tag, batch_format="pyarrow").materialize()
-    size_parts = tagged.map_batches(
-        _sizes, batch_format="pyarrow", batch_size=65536
-    ).to_pandas()
+    tagged = pending_ds.map_batches(
+        _tag, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+    rids_u, cnts_u = ray.get(acc.totals.remote(epoch))
+    if count_acc is None:
+        ray.kill(acc)
     sizes = np.zeros(n_rids, dtype=np.int64)
-    if len(size_parts):
-        agg = size_parts.groupby("rid")["cnt"].sum()
-        sizes[agg.index.to_numpy()] = agg.to_numpy()
+    if len(rids_u):
+        sizes[rids_u] = cnts_u
 
     # --- driver: per-range (taken_n, visit offset) in global visit order -
     # rid order IS (host priority, range) order, so the plan is two
@@ -1180,6 +1225,16 @@ _RANK_BUCKETS = 256
 # rank * 2^20 + link position). 2^20 links on one page would overflow the
 # key — far beyond any real page; asserted at runtime.
 _LINK_POS_BITS = 20
+
+
+def _seen_anti_join_mask(seen, batch: pa.Table, epoch: int | None):
+    """Fresh-key mask for a batch's url_sha1 column. Cuckoo mode takes the
+    vectorized u64 path (no per-row bytes, 8-byte/key RPC payload — the
+    bytes list was ~1/3 of the anti-join's fixed per-round cost); exact
+    mode keys full sha1 bytes."""
+    if getattr(seen, "mode", None) == "cuckoo":
+        return seen.add_if_absent_u64(sha1_col_to_u64(batch["url_sha1"]), epoch)
+    return seen.add_if_absent(batch["url_sha1"].to_pylist(), epoch=epoch)
 
 
 def _dedup_by_sha1(ds: "ray.data.Dataset", order_col: str) -> "ray.data.Dataset":
@@ -1279,7 +1334,7 @@ def _expand_links_streamed(
     # side effect runs exactly once per SUCCESSFUL task — the epoch tag
     # makes a retried task's re-insert report fresh again (ADVICE r2)
     def _seen_filter(batch: pa.Table) -> pa.Table:
-        fresh = seen.add_if_absent(batch["url_sha1"].to_pylist(), epoch=epoch)
+        fresh = _seen_anti_join_mask(seen, batch, epoch)
         return batch.filter(pa.array(fresh, type=pa.bool_()))
 
     fresh_ds = deduped.map_batches(
@@ -1335,6 +1390,9 @@ def _fetch_list_inner(
     # next discovery_seq for streamed link expansion; lazily initialized
     # from the first round's host partials (max existing seq + 1)
     next_seq: int | None = None
+    # one range-count accumulator serves every round (epoch-keyed); spawned
+    # lazily on the first round that enumerates
+    count_acc = None
 
     if resume and (last := ckpt.last_complete_round(out_dir)) >= 0:
         m = ckpt.read_manifest(out_dir, last)
@@ -1356,12 +1414,16 @@ def _fetch_list_inner(
                     continue
                 if r > last:
                     shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
-        seen.restore(os.path.join(ckpt.round_dir(out_dir, last), "seen"))
         start_round = last + 1
         visited_total = m["visited_total"]
         rounds_run = last + 1
         next_seq = m.get("next_seq") or None
         n_pending = m["pending_rows"]
+        if n_pending:
+            # a completed crawl's final round writes no seen snapshot (the
+            # loop below exits immediately on pending_rows == 0, so the
+            # seen set is never consulted)
+            seen.restore(os.path.join(ckpt.round_dir(out_dir, last), "seen"))
         pend_dir = os.path.join(ckpt.round_dir(out_dir, last), "frontier_next")
         pending_ds = (
             ray.data.read_parquet(pend_dir) if n_pending else None
@@ -1379,7 +1441,7 @@ def _fetch_list_inner(
         fds = _dedup_by_sha1(fds, "discovery_seq")
 
         def _seen_filter(batch: pa.Table) -> pa.Table:
-            fresh = seen.add_if_absent(batch["url_sha1"].to_pylist(), epoch=0)
+            fresh = _seen_anti_join_mask(seen, batch, epoch=0)
             return batch.filter(pa.array(fresh))
 
         # frontier-entry anti-join, streamed per batch from the tasks (the
@@ -1429,8 +1491,11 @@ def _fetch_list_inner(
             next_seq = (
                 int(hosts["max_seq"].max()) + 1 if len(hosts) else 0
             )
+        if count_acc is None:
+            count_acc = _RangeCountAccumulator.remote()
         ranked = _enumerate_visits_by_host(
-            pending_ds, hosts, cfg.host_budget_per_round
+            pending_ds, hosts, cfg.host_budget_per_round,
+            count_acc=count_acc, epoch=rnd,
         ).materialize()
         _phase("enumerate")
         n_taken_total = int(
@@ -1611,7 +1676,13 @@ def _fetch_list_inner(
             pending_ds = None
         _phase("frontier_handoff")
 
-        seen.snapshot(os.path.join(rdir, "seen"))
+        if n_pending:
+            # the snapshot exists to make the NEXT round resumable; when
+            # the frontier is exhausted the crawl is complete and resume
+            # exits before ever touching the seen set (the restore path
+            # checks pending_rows first) — skipping saves the shard-fanout
+            # parquet write from the final round's critical path
+            seen.snapshot(os.path.join(rdir, "seen"))
         _phase("snapshot")
         ckpt.write_manifest(
             out_dir,
@@ -1636,6 +1707,8 @@ def _fetch_list_inner(
             },
         )
 
+    if count_acc is not None:
+        ray.kill(count_acc)
     return CrawlResult(
         out_dir=out_dir,
         rounds=rounds_run,

@@ -172,7 +172,18 @@ class SeenShard:
                         fresh_set.add(k)
                     out[i] = True
             return out
-        u = _keys_to_u64(keys)
+        return self.add_if_absent_u64(_keys_to_u64(keys), epoch)
+
+    def add_if_absent_u64(
+        self, u: np.ndarray, epoch: int | None = None
+    ) -> np.ndarray:
+        """Cuckoo-mode fast path: keys pre-converted to ``uint64(sha1[:8])``
+        (functions/urlkit.sha1_col_to_u64) — the exact value the bytes path
+        derives shard-side, so semantics are identical while the RPC ships
+        an 8-byte-per-key numpy array instead of a Python bytes list."""
+        if self.mode != "cuckoo":
+            raise ValueError("u64 path requires cuckoo mode (exact mode "
+                             "keys full sha1 bytes)")
         present = self.cuckoo.contains_many(u)
         fresh = ~present
         if fresh.any():
@@ -282,6 +293,29 @@ class ShardedSeenSet:
         live = [s for s in range(self.num_shards) if per_keys[s]]
         for s, mask in zip(live, ray.get(refs)):
             out[np.array(per_pos[s], dtype=np.int64)] = mask
+        return out
+
+    def add_if_absent_u64(
+        self, u: np.ndarray, epoch: int | None = None
+    ) -> np.ndarray:
+        """Batched u64 fast path (cuckoo mode only): numpy routing, one
+        numpy-array RPC per shard. Routing is ``u % K`` — the same value
+        ``shard_of_keys`` computes from the sha1 bytes, so bytes-path and
+        u64-path callers interleave safely on one seen set."""
+        out = np.zeros(len(u), dtype=bool)
+        if not len(u):
+            return out
+        shard_ids = (u % np.uint64(self.num_shards)).astype(np.int64)
+        order = np.argsort(shard_ids, kind="stable")
+        bounds = np.searchsorted(shard_ids[order], np.arange(self.num_shards + 1))
+        refs, slices = [], []
+        for s in range(self.num_shards):
+            idx = order[bounds[s] : bounds[s + 1]]
+            if len(idx):
+                refs.append(self.shards[s].add_if_absent_u64.remote(u[idx], epoch))
+                slices.append(idx)
+        for idx, mask in zip(slices, ray.get(refs)):
+            out[idx] = mask
         return out
 
     def contains(self, keys: list[bytes]) -> np.ndarray:
