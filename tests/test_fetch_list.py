@@ -436,3 +436,36 @@ def test_enumerate_mixed_cut_and_cutless_hosts(ray_session):
     )
     assert list(got["discovery_seq"]) == list(taken["discovery_seq"])
     assert list(got["_vseq"]) == list(range(1, len(taken) + 1))
+
+
+def test_range_count_accumulator_retry_dedup(ray_session):
+    """The enumeration count side-channel: duplicate batch fingerprints
+    (a Ray-retried task re-sending its partials) are dropped, epochs are
+    isolated, totals pops the epoch, and cross-shard rid partials sum."""
+    import numpy as np
+    import ray as _ray
+
+    from webscrape_neko_jirushi_ray.pipelines.crawl import RangeCountAccumulator
+
+    acc = RangeCountAccumulator(2)
+    try:
+        rids = np.array([0, 1], dtype=np.int64)
+        cnts = np.array([5, 7], dtype=np.int64)
+        _ray.get(acc.add(3, b"\x00fp1", rids, cnts))
+        _ray.get(acc.add(3, b"\x00fp1", rids, cnts))  # retry: same fp
+        # second batch, routed to the OTHER shard, overlapping rid 1
+        _ray.get(
+            acc.add(3, b"\x01fp2", np.array([1], np.int64), np.array([2], np.int64))
+        )
+        # a different epoch is isolated
+        _ray.get(
+            acc.add(4, b"\x00fp1", np.array([0], np.int64), np.array([9], np.int64))
+        )
+        r, c = acc.totals(3)
+        assert r.tolist() == [0, 1] and c.tolist() == [5, 9]
+        r4, c4 = acc.totals(4)
+        assert r4.tolist() == [0] and c4.tolist() == [9]
+        r2, _ = acc.totals(3)  # popped on read
+        assert len(r2) == 0
+    finally:
+        acc.shutdown()

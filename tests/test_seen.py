@@ -192,3 +192,55 @@ def test_u64_path_interleaves_with_bytes_path(ray_session):
         assert not seen.add_if_absent_u64(u[200:]).any()
     finally:
         seen.shutdown()
+
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo"])
+def test_claim_resolve_min_dedup_antijoin(ray_session, mode):
+    """The claim/resolve protocol fuses keep-first dedup with the seen
+    anti-join: survivor = the min-order row per key NOT seen in a prior
+    epoch; claim is retry-idempotent (commutative min), resolve is pure."""
+    from webscrape_neko_jirushi_ray.functions.urlkit import sha1_col_to_u64
+    import pyarrow as pa
+
+    seen = ShardedSeenSet(num_shards=3, mode=mode, capacity_per_shard=100_000)
+
+    def _claim(ks, seqs, epoch):
+        s = np.asarray(seqs, dtype=np.int64)
+        if mode == "cuckoo":
+            seen.claim_min_u64(sha1_col_to_u64(pa.array(ks, pa.binary())), s, epoch)
+        else:
+            seen.claim_min(ks, s, epoch)
+
+    def _resolve(ks, seqs, epoch):
+        s = np.asarray(seqs, dtype=np.int64)
+        if mode == "cuckoo":
+            return seen.resolve_min_u64(
+                sha1_col_to_u64(pa.array(ks, pa.binary())), s, epoch
+            )
+        return seen.resolve_min(ks, s, epoch)
+
+    try:
+        ks = keys(6, "cr")
+        # pre-seed ks[0] in an earlier epoch: it must NOT survive later
+        assert seen.add_if_absent([ks[0]], epoch=0).all()
+
+        # epoch 1: ks[1] claimed twice (two tasks, orders 10 and 7 — min
+        # wins); ks[0] re-discovered; ks[2..4] singles
+        batch1 = ([ks[0], ks[1], ks[2]], [5, 10, 20])
+        batch2 = ([ks[1], ks[3], ks[4]], [7, 30, 40])
+        _claim(*batch1, 1)
+        _claim(*batch2, 1)
+        _claim(*batch2, 1)  # task retry: same claim, same state
+        m1 = _resolve(*batch1, 1)
+        m2 = _resolve(*batch2, 1)
+        assert m1.tolist() == [False, False, True]  # ks[0] pre-seen; 10 lost to 7
+        assert m2.tolist() == [True, True, True]
+        # resolve retry is pure — same masks
+        assert _resolve(*batch2, 1).tolist() == [True, True, True]
+
+        # epoch 2: everything claimed in epoch 1 is now "seen before"
+        _claim([ks[1], ks[5]], [100, 101], 2)
+        m3 = _resolve([ks[1], ks[5]], [100, 101], 2)
+        assert m3.tolist() == [False, True]
+    finally:
+        seen.shutdown()

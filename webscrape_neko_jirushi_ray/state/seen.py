@@ -141,18 +141,26 @@ class SeenShard:
         # classic exactly-once semantics.
         self._fresh_epoch: int | None = None
         self._fresh: set = set()
+        # claim/resolve side-table: min order-key per key claimed THIS
+        # epoch (see claim_min). Same lifetime as _fresh: one round's
+        # insertions, dropped when the epoch advances.
+        self._minseq: dict = {}
 
-    def _fresh_set(self, epoch: int) -> set:
+    def _epoch_state(self, epoch: int) -> tuple[set, dict]:
         if self._fresh_epoch is None or epoch > self._fresh_epoch:
             self._fresh_epoch = epoch
             self._fresh = set()
-            return self._fresh
+            self._minseq = {}
+            return self._fresh, self._minseq
         if epoch == self._fresh_epoch:
-            return self._fresh
+            return self._fresh, self._minseq
         # stale epoch (a retry arriving after the driver advanced): its
         # freshness window expired — hand back a throwaway so it cannot
-        # clobber the live epoch's set
-        return set()
+        # clobber the live epoch's state
+        return set(), {}
+
+    def _fresh_set(self, epoch: int) -> set:
+        return self._epoch_state(epoch)[0]
 
     def add_if_absent(self, keys: list[bytes], epoch: int | None = None) -> np.ndarray:
         """Returns a boolean mask: True where the key was NEW (now added).
@@ -199,6 +207,73 @@ class SeenShard:
                 fresh[np.nonzero(present)[0][hit]] = True
             fresh_set.update(int(x) for x in u[~present])
         return fresh
+
+    # --- claim/resolve: fused keep-first dedup + anti-join ---------------
+    # Two-phase, shuffle-free alternative to "hash-shuffle keep-first, then
+    # add_if_absent": during a first streaming pass every task CLAIMS its
+    # (key, order) pairs — the shard records the min order per key not seen
+    # before this epoch — and after a barrier a second read-only RESOLVE
+    # pass keeps exactly the row whose order equals the recorded min.
+    # Survivor = min-order row per not-previously-seen key: the same
+    # contract as the shuffle path, with zero shuffle bytes moved.
+    # Retry-safe without fingerprints: claim is commutative+idempotent
+    # (set-add and min), and resolve is a pure read — the winning order
+    # value is unique per key (caller guarantees globally unique order
+    # values, e.g. discovery_seq), so a retried task recomputes the same
+    # mask. Memory: O(one epoch's new keys) on top of the base set, same
+    # order as the _fresh retry window, dropped on epoch advance.
+
+    def claim_min(self, keys: list[bytes], seqs: np.ndarray, epoch: int) -> None:
+        """Exact mode: record min seq per claimable key (new this epoch)."""
+        fresh_set, minseq = self._epoch_state(epoch)
+        for k, s in zip(keys, seqs.tolist()):
+            if k in self.exact and k not in fresh_set:
+                continue  # seen in a prior epoch — resolves False
+            self.exact.add(k)
+            fresh_set.add(k)
+            prev = minseq.get(k)
+            if prev is None or s < prev:
+                minseq[k] = s
+
+    def resolve_min(self, keys: list[bytes], seqs: np.ndarray, epoch: int) -> np.ndarray:
+        _, minseq = self._epoch_state(epoch)
+        return np.fromiter(
+            (minseq.get(k) == s for k, s in zip(keys, seqs.tolist())),
+            dtype=bool,
+            count=len(keys),
+        )
+
+    def claim_min_u64(self, u: np.ndarray, seqs: np.ndarray, epoch: int) -> None:
+        """Cuckoo-mode claim: keys are uint64(sha1[:8]) (the filter's own
+        key space). Vectorized local min per unique key, then dict merge."""
+        fresh_set, minseq = self._epoch_state(epoch)
+        if not len(u):
+            return
+        order = np.lexsort((seqs, u))
+        uu, ss = u[order], seqs[order]
+        first = np.concatenate([[True], uu[1:] != uu[:-1]])
+        uniq, umin = uu[first], ss[first]
+        present = self.cuckoo.contains_many(uniq)
+        ins = []
+        for k, s, p in zip(uniq.tolist(), umin.tolist(), present.tolist()):
+            if p and k not in fresh_set:
+                continue
+            if not p:
+                ins.append(k)
+            fresh_set.add(k)
+            prev = minseq.get(k)
+            if prev is None or s < prev:
+                minseq[k] = s
+        if ins:
+            self.cuckoo.add_many(np.array(ins, dtype=np.uint64))
+
+    def resolve_min_u64(self, u: np.ndarray, seqs: np.ndarray, epoch: int) -> np.ndarray:
+        _, minseq = self._epoch_state(epoch)
+        return np.fromiter(
+            (minseq.get(k) == s for k, s in zip(u.tolist(), seqs.tolist())),
+            dtype=bool,
+            count=len(u),
+        )
 
     def contains(self, keys: list[bytes]) -> np.ndarray:
         if self.mode == "exact":
@@ -313,6 +388,75 @@ class ShardedSeenSet:
             idx = order[bounds[s] : bounds[s + 1]]
             if len(idx):
                 refs.append(self.shards[s].add_if_absent_u64.remote(u[idx], epoch))
+                slices.append(idx)
+        for idx, mask in zip(slices, ray.get(refs)):
+            out[idx] = mask
+        return out
+
+    def _route_u64(self, u: np.ndarray):
+        shard_ids = (u % np.uint64(self.num_shards)).astype(np.int64)
+        order = np.argsort(shard_ids, kind="stable")
+        bounds = np.searchsorted(shard_ids[order], np.arange(self.num_shards + 1))
+        return order, bounds
+
+    def claim_min(self, keys: list[bytes], seqs: np.ndarray, epoch: int) -> None:
+        """Batched claim pass (see SeenShard.claim_min) — blocks until every
+        shard has committed (the caller's task-completion barrier)."""
+        if not keys:
+            return
+        per_keys, per_pos = self._route(keys)
+        refs = [
+            self.shards[s].claim_min.remote(
+                per_keys[s], seqs[np.array(per_pos[s], dtype=np.int64)], epoch
+            )
+            for s in range(self.num_shards)
+            if per_keys[s]
+        ]
+        ray.get(refs)
+
+    def resolve_min(self, keys: list[bytes], seqs: np.ndarray, epoch: int) -> np.ndarray:
+        out = np.zeros(len(keys), dtype=bool)
+        if not keys:
+            return out
+        per_keys, per_pos = self._route(keys)
+        refs, live = [], []
+        for s in range(self.num_shards):
+            if per_keys[s]:
+                refs.append(
+                    self.shards[s].resolve_min.remote(
+                        per_keys[s], seqs[np.array(per_pos[s], dtype=np.int64)], epoch
+                    )
+                )
+                live.append(s)
+        for s, mask in zip(live, ray.get(refs)):
+            out[np.array(per_pos[s], dtype=np.int64)] = mask
+        return out
+
+    def claim_min_u64(self, u: np.ndarray, seqs: np.ndarray, epoch: int) -> None:
+        if not len(u):
+            return
+        order, bounds = self._route_u64(u)
+        refs = []
+        for s in range(self.num_shards):
+            idx = order[bounds[s] : bounds[s + 1]]
+            if len(idx):
+                refs.append(
+                    self.shards[s].claim_min_u64.remote(u[idx], seqs[idx], epoch)
+                )
+        ray.get(refs)
+
+    def resolve_min_u64(self, u: np.ndarray, seqs: np.ndarray, epoch: int) -> np.ndarray:
+        out = np.zeros(len(u), dtype=bool)
+        if not len(u):
+            return out
+        order, bounds = self._route_u64(u)
+        refs, slices = [], []
+        for s in range(self.num_shards):
+            idx = order[bounds[s] : bounds[s + 1]]
+            if len(idx):
+                refs.append(
+                    self.shards[s].resolve_min_u64.remote(u[idx], seqs[idx], epoch)
+                )
                 slices.append(idx)
         for idx, mask in zip(slices, ray.get(refs)):
             out[idx] = mask
