@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": q.simhash_dedup_docs,
         "ngram_dedup_docs": q.ngram_dedup_docs,
         "embedding_dedup_vecs": q.embedding_dedup_vecs,
+        "line_dedup_docs": q.line_dedup_docs,
+        "doc_repetition": q.doc_repetition,
         # similarity search
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_lsh_top10": q.knn_lsh_top10,
@@ -364,6 +366,53 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id
             )
             ORDER BY doc_id
+        """,
+        # C4-style line dedup: 8-word chunks are the "line" unit (this
+        # corpus has no newlines); keep-first by (doc_id, cid), reassemble
+        # in order, docs losing every line drop out. NOTE (pos-1)//8 —
+        # DuckDB `/` is float division and CAST rounds-to-nearest.
+        "line_dedup_docs": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, (pos-1)//8 AS cid,
+                       string_agg(w, ' ' ORDER BY pos) AS line
+                FROM words GROUP BY doc_id, (pos-1)//8
+            ), ranked AS (
+                SELECT doc_id, cid, line,
+                       ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, cid) AS rn
+                FROM chunks
+            )
+            SELECT doc_id, string_agg(line, ' ' ORDER BY cid) AS text
+            FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
+        # Gopher-style repetition signals — all BIGINT so hashes compare
+        # with no float-rounding policy
+        "doc_repetition": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, (pos-1)//8 AS cid,
+                       string_agg(w, ' ' ORDER BY pos) AS line
+                FROM words GROUP BY doc_id, (pos-1)//8
+            ), wstats AS (
+                SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                       CAST(MAX(cnt) AS BIGINT) AS top_word_count
+                FROM (SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w)
+                GROUP BY doc_id
+            ), cstats AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                       CAST(COUNT(*) - COUNT(DISTINCT line) AS BIGINT) AS n_dup_chunks
+                FROM chunks GROUP BY doc_id
+            )
+            SELECT doc_id, n_words, n_distinct_words, top_word_count,
+                   n_chunks, n_dup_chunks
+            FROM wstats JOIN cstats USING (doc_id) ORDER BY doc_id
         """,
         "ngram_dedup_docs": """
             WITH RECURSIVE

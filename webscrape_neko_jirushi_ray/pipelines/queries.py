@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..stages import dedup as dedup_stage
+from ..stages import linededup
 from ..stages import simsearch
 from ..stages.extract import explode_images, extract_docs
 from ..stages.textstats import add_lang_pred, add_quality, add_token_counts
@@ -349,6 +350,26 @@ def simhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return (
         kept.select_columns(["doc_id"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def line_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """C4-style corpus-wide LINE dedup (8-word chunks as the line unit on
+    this newline-free corpus): each chunk survives only at its first
+    occurrence by (doc_id, position); docs are reassembled from surviving
+    chunks, docs losing every chunk drop out. SQL-oracled exactly
+    (string_split explode + keep-first window + string_agg reassembly)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linededup.line_dedup(ds, width=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style within-doc repetition signals (all-int64, shuffle-free
+    single pass): words, distinct words, top-word multiplicity, 8-word
+    chunk count, within-doc duplicate chunks."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linededup.add_repetition_stats(ds, width=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def ngram_dedup_docs(sf_dir: str) -> pd.DataFrame:

@@ -1,0 +1,262 @@
+"""Line/chunk-level corpus dedup + within-doc repetition stats.
+
+C4/RefinedWeb-style exact substring dedup at line granularity: every
+document is split into fixed-width token "lines" (WIDTH words each — the
+stand-in for newline-delimited lines on corpora without newlines, exactly
+the C4 three-sentence-span trick), each line is kept only at its FIRST
+corpus occurrence (min (doc_id, position)), and surviving lines are
+reassembled per document in original order. Documents that lose every
+line drop out. Generalizes the reference's exact-duplicate removal
+(aggressive_cleaning.py:170-200) from whole-file MD5 to within-document
+spans — the form that moves the needle on web-crawl training data, where
+boilerplate repeats across pages that are not full duplicates.
+
+Gopher-style repetition stats (Rae et al. 2021 quality signals) ride the
+same tokenization: words-per-doc, distinct words, top-word multiplicity,
+chunk count and within-doc duplicate-chunk count — all row-local
+(NO shuffle; one map_batches pass).
+
+Scale design:
+- chunking is Arrow-vectorized end-to-end: ``pc.split_pattern`` → flat
+  word values + numpy offset math → ``pa.ListArray.from_arrays`` →
+  ``pc.binary_join``. No Python loop touches a word.
+- grouping/uniqueness runs on ``dictionary_encode`` integer codes
+  (Arrow C kernel), never on Python strings.
+- keep-first is the hash-partition + partition-scan pattern of
+  stages/dedup.exact_dedup: lines shuffle ONCE keyed by a 64-bit line
+  hash partition; within a partition one lexsort + boundary mask — not a
+  per-distinct-line group call. Only UNIQUE lines are md5'd for routing.
+- reassembly co-partitions surviving lines by doc_id hash and rebuilds
+  each partition's docs with one lexsort + list-offset join.
+Nothing materializes O(corpus) state on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+# fibonacci-mix for partition assignment (same constant as stages/dedup)
+_PMIX = np.uint64(0x9E3779B97F4A7C15)
+
+_LINE_PARTITIONS = 64
+
+
+def _split_words(batch: pa.Table, text_col: str) -> tuple[pa.Array, np.ndarray]:
+    """(flat word values aligned to offset 0, per-doc word counts).
+    DuckDB-string_split-equal: trailing/double separators yield empty
+    words; '' yields one empty word."""
+    words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    base, end = int(offsets[0]), int(offsets[-1])
+    flat = words.values.slice(base, end - base)
+    return flat, counts
+
+
+def _chunk_lines(
+    flat_words: pa.Array, counts: np.ndarray, width: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Group each doc's words into WIDTH-word lines.
+
+    Returns (line strings, doc index per line, cid per line). Lines tile
+    each doc contiguously and docs tile the flat word array contiguously,
+    so the list offsets are just every line's start word plus a terminal
+    total — one ListArray build + one binary_join kernel.
+    """
+    n_lines = (counts + width - 1) // width  # ceil; every doc has >=1 word
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), n_lines)
+    line_cum = np.concatenate([[0], np.cumsum(n_lines)]).astype(np.int64)
+    cid = np.arange(int(line_cum[-1]), dtype=np.int64) - line_cum[:-1][doc_idx]
+    doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    line_start = doc_starts[doc_idx] + cid * width
+    total = int(counts.sum())
+    offsets = np.concatenate([line_start, [total]]).astype(np.int32)
+    lines_list = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), flat_words
+    )
+    lines = pc.binary_join(lines_list, " ")
+    return lines, doc_idx, cid
+
+
+def explode_lines(
+    docs: "ray.data.Dataset",
+    *,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """documents → one row per WIDTH-word line: (doc_id, cid, line)."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        flat, counts = _split_words(batch, text_col)
+        lines, doc_idx, cid = _chunk_lines(flat, counts, width)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "cid": pa.array(cid, type=pa.int64()),
+                "line": lines,
+            }
+        )
+
+    return docs.map_batches(_explode, batch_format="pyarrow", batch_size=1024)
+
+
+def _dict_codes(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Array]:
+    """(int codes per row, unique values) via the Arrow C kernel."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, enc.dictionary
+
+
+def line_dedup(
+    docs: "ray.data.Dataset",
+    *,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Corpus-wide keep-first line dedup → (doc_id, text) of reassembled
+    survivors. A line survives only at its first occurrence ordered by
+    (doc_id, cid); docs whose every line is removed drop out."""
+
+    lines_ds = explode_lines(docs, width=width, id_col=id_col, text_col=text_col)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        # route by md5-of-line partition; hash only UNIQUE lines, then
+        # scatter through the dictionary codes (collisions merely
+        # co-locate — keep-first compares line strings via codes)
+        codes, uniq = _dict_codes(batch["line"])
+        h_uniq = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                for s in uniq.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        p_uniq = ((h_uniq * _PMIX) >> np.uint64(33)) % np.uint64(_LINE_PARTITIONS)
+        return batch.append_column(
+            "_p", pa.array(p_uniq[codes].astype(np.int64))
+        )
+
+    def _first_per_line(g: pa.Table) -> pa.Table:
+        codes, _ = _dict_codes(g["line"])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        cids = g["cid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cids, ids, codes))
+        cs = codes[order]
+        keep_sorted = np.concatenate([[True], cs[1:] != cs[:-1]])
+        take = np.sort(np.asarray(order)[keep_sorted])
+        return g.take(pa.array(take, type=pa.int64())).drop_columns(["_p"])
+
+    survivors = (
+        lines_ds.map_batches(_part, batch_format="pyarrow", batch_size=4096)
+        .groupby("_p")
+        .map_groups(_first_per_line, batch_format="pyarrow")
+    )
+
+    # reassemble: co-partition surviving lines by doc id, then one
+    # lexsort + list-offset binary_join per partition
+    def _docpart(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = ((ids * _PMIX) >> np.uint64(33)) % np.uint64(_LINE_PARTITIONS)
+        return batch.append_column("_dp", pa.array(p.astype(np.int64)))
+
+    def _reassemble(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_dp"])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        cids = g["cid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cids, ids))
+        ids_s = ids[order]
+        lines_s = g["line"].take(pa.array(order, type=pa.int64()))
+        if isinstance(lines_s, pa.ChunkedArray):
+            lines_s = lines_s.combine_chunks()
+        boundaries = np.concatenate(
+            [[0], np.nonzero(ids_s[1:] != ids_s[:-1])[0] + 1, [len(ids_s)]]
+        ).astype(np.int32)
+        doc_lists = pa.ListArray.from_arrays(
+            pa.array(boundaries, type=pa.int32()), lines_s
+        )
+        texts = pc.binary_join(doc_lists, " ")
+        return pa.table(
+            {
+                id_col: pa.array(ids_s[boundaries[:-1]], type=pa.int64()),
+                text_col: texts,
+            }
+        )
+
+    return (
+        survivors.map_batches(_docpart, batch_format="pyarrow", batch_size=4096)
+        .groupby("_dp")
+        .map_groups(_reassemble, batch_format="pyarrow")
+    )
+
+
+def add_repetition_stats(
+    docs: "ray.data.Dataset",
+    *,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Gopher-style within-doc repetition signals, one shuffle-free pass:
+    (doc_id, n_words, n_distinct_words, top_word_count, n_chunks,
+    n_dup_chunks). All int64 so DuckDB-side value hashes compare cleanly
+    (no float-rounding policy needed)."""
+
+    def _run_stats(group_of: np.ndarray, codes: np.ndarray, n_docs: int):
+        """distinct-count and max-run-length per doc over (doc, code)
+        pairs — one lexsort + reduceat, no per-doc Python. Every doc has
+        >=1 row, so reduceat output aligns with docs 0..n-1."""
+        if n_docs == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty
+        order = np.lexsort((codes, group_of))
+        d_s, c_s = group_of[order], codes[order]
+        new_run = np.concatenate(
+            [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        )
+        run_starts = np.nonzero(new_run)[0]
+        run_lens = np.diff(np.concatenate([run_starts, [len(codes)]]))
+        run_doc = d_s[run_starts]
+        n_distinct = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+        doc_run_starts = np.nonzero(
+            np.concatenate([[True], run_doc[1:] != run_doc[:-1]])
+        )[0]
+        max_run = np.maximum.reduceat(run_lens, doc_run_starts).astype(np.int64)
+        return n_distinct, max_run
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        flat, counts = _split_words(batch, text_col)
+        n_docs = len(counts)
+        word_codes, _ = _dict_codes(flat)
+        doc_of_word = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        n_distinct, top_count = _run_stats(doc_of_word, word_codes, n_docs)
+        lines, doc_idx, _cid = _chunk_lines(flat, counts, width)
+        line_codes, _ = _dict_codes(lines)
+        n_chunks = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        n_distinct_chunks, _ = _run_stats(doc_idx, line_codes, n_docs)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(counts.astype(np.int64)),
+                "n_distinct_words": pa.array(n_distinct),
+                "top_word_count": pa.array(top_count),
+                "n_chunks": pa.array(n_chunks),
+                "n_dup_chunks": pa.array(n_chunks - n_distinct_chunks),
+            }
+        )
+
+    return docs.map_batches(_stats, batch_format="pyarrow", batch_size=1024)
