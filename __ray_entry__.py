@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_vecs": q.embedding_dedup_vecs,
         "line_dedup_docs": q.line_dedup_docs,
         "doc_repetition": q.doc_repetition,
+        "pii_redact_docs": q.pii_redact_docs,
+        "gopher_quality_filter": q.gopher_quality_filter,
         # similarity search
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_lsh_top10": q.knn_lsh_top10,
@@ -413,6 +415,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, n_distinct_words, top_word_count,
                    n_chunks, n_dup_chunks
             FROM wstats JOIN cstats USING (doc_id) ORDER BY doc_id
+        """,
+        # PII scrub: deterministic doc_id-derived PII suffix injected by
+        # concat on both sides, then the same three RE2 patterns (DuckDB
+        # regexp_* is RE2, same engine as pyarrow) — raw string because
+        # \b in a plain Python literal is backspace.
+        "pii_redact_docs": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' user' || doc_id || '@mail.example.org ip 10.0.'
+                            || (doc_id % 256) || '.' || (doc_id % 100)
+                            || ' tel 555-010-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+            FROM injected ORDER BY doc_id
+        """,
+        # Gopher repetition gate over the same chunk stats as
+        # doc_repetition; all-integer thresholds
+        "gopher_quality_filter": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, (pos-1)//8 AS cid,
+                       string_agg(w, ' ' ORDER BY pos) AS line
+                FROM words GROUP BY doc_id, (pos-1)//8
+            ), wstats AS (
+                SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                       CAST(MAX(cnt) AS BIGINT) AS top_word_count
+                FROM (SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w)
+                GROUP BY doc_id
+            ), cstats AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                       CAST(COUNT(*) - COUNT(DISTINCT line) AS BIGINT) AS n_dup_chunks
+                FROM chunks GROUP BY doc_id
+            )
+            SELECT doc_id, n_words, n_distinct_words, top_word_count,
+                   n_chunks, n_dup_chunks
+            FROM wstats JOIN cstats USING (doc_id)
+            WHERE n_words BETWEEN 20 AND 100000
+              AND top_word_count * 8 <= n_words
+              AND n_dup_chunks * 10 <= n_chunks
+            ORDER BY doc_id
         """,
         "ngram_dedup_docs": """
             WITH RECURSIVE

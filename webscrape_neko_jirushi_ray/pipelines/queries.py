@@ -372,6 +372,48 @@ def doc_repetition(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def pii_redact_docs(sf_dir: str) -> pd.DataFrame:
+    """PII scrub over documents. The synthetic corpus carries no natural
+    PII, so each doc first gets a deterministic doc_id-derived suffix
+    (email + IPv4 + phone) — injected IDENTICALLY by the SQL oracle via
+    string concat — then the RE2 redaction runs on both sides and the
+    full redacted text plus per-kind match counts hash-compare exactly."""
+    from ..stages.redact import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        dnp = did.to_numpy(zero_copy_only=False)
+        dstr = pc.cast(did, pa.string())
+        ip3 = pc.cast(pa.array(dnp % 256), pa.string())
+        ip4 = pc.cast(pa.array(dnp % 100), pa.string())
+        tel = pc.utf8_lpad(pc.cast(pa.array(dnp % 10000), pa.string()), 4, "0")
+        text = pc.binary_join_element_wise(
+            pc.cast(batch["text"], pa.string()),
+            " user", dstr, "@mail.example.org ip 10.0.", ip3, ".", ip4,
+            " tel 555-010-", tel,
+            "",
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text
+        )
+
+    out = redact_pii(
+        ds.map_batches(_inject, batch_format="pyarrow"), counts=True
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def gopher_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition gate over documents (all-int thresholds:
+    20 <= words, top-word multiplicity <= words/8, dup chunks <=
+    chunks/10). Returns survivors with their signal columns."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linededup.gopher_filter(ds, width=8, min_words=20).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def ngram_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """Char-3gram Jaccard >= 0.9 near-dup dedup. SQL-oracled against the
     exact all-pairs gram Jaccard closure."""

@@ -260,3 +260,49 @@ def add_repetition_stats(
         )
 
     return docs.map_batches(_stats, batch_format="pyarrow", batch_size=1024)
+
+
+def gopher_filter(
+    docs: "ray.data.Dataset",
+    *,
+    width: int = 8,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    top_word_max_x8: bool = True,
+    dup_chunk_max_x10: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Gopher-style repetition quality gate (Rae et al. 2021 §A1.1),
+    shuffle-free: keep docs with ``min_words <= n_words <= max_words``,
+    top-word multiplicity ≤ 1/8 of words (``top_word_count*8 <=
+    n_words``), and within-doc duplicate chunks ≤ 1/10 of chunks
+    (``n_dup_chunks*10 <= n_chunks``). All-integer comparisons so the
+    DuckDB oracle hash-compares with no float policy. Returns the signal
+    columns alongside ``id_col`` for audit sinks."""
+
+    stats = add_repetition_stats(
+        docs, width=width, id_col=id_col, text_col=text_col
+    )
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        nw = batch["n_words"]
+        keep = pc.and_(
+            pc.greater_equal(nw, pa.scalar(min_words, pa.int64())),
+            pc.less_equal(nw, pa.scalar(max_words, pa.int64())),
+        )
+        if top_word_max_x8:
+            keep = pc.and_(
+                keep,
+                pc.less_equal(pc.multiply(batch["top_word_count"], 8), nw),
+            )
+        if dup_chunk_max_x10:
+            keep = pc.and_(
+                keep,
+                pc.less_equal(
+                    pc.multiply(batch["n_dup_chunks"], 10), batch["n_chunks"]
+                ),
+            )
+        return batch.filter(keep)
+
+    return stats.map_batches(_gate, batch_format="pyarrow", batch_size=4096)
