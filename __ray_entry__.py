@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q.doc_repetition,
         "pii_redact_docs": q.pii_redact_docs,
         "gopher_quality_filter": q.gopher_quality_filter,
+        "pack_training_shards": q.pack_training_shards,
+        "hash_sample_docs": q.hash_sample_docs,
         # similarity search
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_lsh_top10": q.knn_lsh_top10,
@@ -444,6 +446,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                        '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
             FROM injected ORDER BY doc_id
+        """,
+        # token-budget shard packing: exclusive running word count // 2000
+        # in doc_id order (distributed prefix scan on the Ray side)
+        "pack_training_shards": """
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
+            FROM (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       CAST(SUM(len(string_split(text, ' ')))
+                            OVER (ORDER BY doc_id) AS BIGINT) AS cum
+                FROM documents
+            ) ORDER BY doc_id
+        """,
+        # deterministic 10% downsample in the md5-low64 space
+        # (md5_number_upper == md5 digest[:8] little-endian)
+        "hash_sample_docs": """
+            SELECT doc_id, text FROM documents
+            WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 = 0
+            ORDER BY doc_id
         """,
         # Gopher repetition gate over the same chunk stats as
         # doc_repetition; all-integer thresholds

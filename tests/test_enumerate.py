@@ -97,3 +97,51 @@ def test_dense_index_on_key_clustered_input(ray_session):
     out = attach_dense_index(ds, ["k"], index_col="r", num_ranges=8).to_pandas()
     out = out.sort_values("k").reset_index(drop=True)
     assert (out["r"].to_numpy() == np.arange(1, len(vals) + 1)).all()
+
+
+# --- distributed running sum (prefix scan) ---------------------------------
+
+
+def test_running_sum_matches_pandas_cumsum(ray_session):
+    rng = np.random.default_rng(3)
+    n = 5000
+    keys = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(1, 500, size=n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": keys, "v": vals})
+    ).repartition(9)
+    from webscrape_neko_jirushi_ray.functions.enumerate import attach_running_sum
+
+    out = (
+        attach_running_sum(ds, ["k"], "v", sum_col="cum", num_ranges=7)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want["cum"] = want["v"].cumsum()
+    assert (out["cum"].values == want["cum"].values).all()
+    assert out["cum"].iloc[-1] == vals.sum()
+
+
+def test_running_sum_key_clustered_input(ray_session):
+    # input already sorted by key: sampled boundaries must still split it
+    vals = np.arange(1, 1001, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": np.arange(1000, dtype=np.int64), "v": vals})
+    ).repartition(5)
+    from webscrape_neko_jirushi_ray.functions.enumerate import attach_running_sum
+
+    out = (
+        attach_running_sum(ds, ["k"], "v", sum_col="cum", num_ranges=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (out["cum"].values == np.cumsum(vals)).all()

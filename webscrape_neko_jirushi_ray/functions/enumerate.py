@@ -118,3 +118,79 @@ def attach_dense_index(
         return g.drop(columns=["_range_id"])
 
     return tagged.groupby("_range_id").map_groups(_rank, batch_format="pandas")
+
+
+def attach_running_sum(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    value_col: str,
+    *,
+    sum_col: str = "running_sum",
+    num_ranges: int = 32,
+    sample_size: int = 10_000,
+) -> "ray.data.Dataset":
+    """+ ``sum_col`` = INCLUSIVE running sum of ``value_col`` over the
+    ascending ``key_cols`` order — the distributed prefix-scan sibling of
+    :func:`attach_dense_index` (same plan: sampled range boundaries →
+    per-range SUM → driver exclusive scan over <= R partials → per-range
+    local cumsum + offset). Keys must be unique; driver state is O(R)."""
+    asc = [True] * len(key_cols)
+    per_block = max(8, sample_size // 256)
+
+    def _block_sample(t: pa.Table) -> pa.Table:
+        t = t.select(key_cols)
+        if t.num_rows <= per_block:
+            return t
+        idx = np.unique(
+            np.linspace(0, t.num_rows - 1, per_block).astype(np.int64)
+        )
+        return t.take(pa.array(idx, type=pa.int64()))
+
+    sample = ds.map_batches(
+        _block_sample, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()[key_cols]
+    if len(sample) == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(
+                sum_col, pa.nulls(t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    keys_sorted = sorted(_key_tuples(sample, key_cols, asc))
+    r = min(num_ranges, len(keys_sorted))
+    bounds = [keys_sorted[int(i * len(keys_sorted) / r)] for i in range(1, r)]
+    bounds_ref = ray.put(bounds)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bounds_ref)
+        df = batch.select(key_cols).to_pandas()
+        rid = [bisect.bisect_right(bl, t) for t in _key_tuples(df, key_cols, asc)]
+        return batch.append_column("_range_id", pa.array(rid, type=pa.int64()))
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    partials = (
+        tagged.groupby("_range_id")
+        .aggregate(Sum(value_col, alias_name="_s"))
+        .to_pandas()
+        .sort_values("_range_id")
+    )
+    offsets = dict(
+        zip(
+            partials["_range_id"].astype(int),
+            np.concatenate([[0], np.cumsum(partials["_s"].to_numpy())[:-1]])
+            .astype(np.int64),
+        )
+    )
+    offsets_ref = ray.put(offsets)
+
+    def _scan(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        rid = int(group["_range_id"].iloc[0])
+        g = group.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
+        g[sum_col] = g[value_col].cumsum().astype(np.int64) + offs[rid]
+        return g.drop(columns=["_range_id"])
+
+    return tagged.groupby("_range_id").map_groups(_scan, batch_format="pandas")

@@ -414,6 +414,66 @@ def gopher_quality_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def pack_training_shards(sf_dir: str) -> pd.DataFrame:
+    """Token-budget shard packing (training-data sharding): docs in doc_id
+    order are streamed into ~2000-token shards; a doc's shard is its
+    EXCLUSIVE running token count // budget (shards straddle budgets, no
+    doc is split). The running sum is the distributed range-partitioned
+    prefix scan (functions/enumerate.attach_running_sum) — O(ranges)
+    driver state, never O(docs)."""
+    from ..functions.enumerate import attach_running_sum
+
+    budget = 2000
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.list_value_length(
+                pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
+            ),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    counts = ds.map_batches(_count, batch_format="pyarrow")
+    scanned = attach_running_sum(
+        counts, ["doc_id"], "n_tokens", sum_col="_cum", num_ranges=8
+    )
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        excl = pc.subtract(batch["_cum"], batch["n_tokens"])
+        # int64 trunc-division == floor here (excl >= 0)
+        shard = pc.divide(excl, pa.scalar(budget, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "shard_id": shard,
+            }
+        )
+
+    out = scanned.map_batches(_shard, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def hash_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ~10% corpus downsample: keep docs whose
+    md5-low64(str(doc_id)) % 10 == 0 — the reproducible, cluster-stable
+    sampling idiom (no RNG state to coordinate; the same doc survives on
+    every node / every rerun). SQL-parity via DuckDB md5_number_upper."""
+    from ..functions import textkit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = textkit._md5_low64([str(int(i)) for i in ids])
+        return batch.filter(pa.array(h % np.uint64(10) == 0))
+
+    out = ds.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def ngram_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """Char-3gram Jaccard >= 0.9 near-dup dedup. SQL-oracled against the
     exact all-pairs gram Jaccard closure."""
