@@ -224,6 +224,9 @@ def run_bench() -> dict:
         ("minhash_dedup_docs", lambda: q.minhash_dedup_docs(SF_DIR)),
         ("knn_cosine_top10", lambda: q.knn_cosine_top10(SF_DIR)),
         ("textprep_corpus", lambda: q.textprep_corpus(SF_DIR)),
+        ("line_dedup_docs", lambda: q.line_dedup_docs(SF_DIR)),
+        ("pii_redact_docs", lambda: q.pii_redact_docs(SF_DIR)),
+        ("gopher_quality_filter", lambda: q.gopher_quality_filter(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)
