@@ -25,15 +25,15 @@ Scale design:
 - keep-first is the hash-partition + partition-scan pattern of
   stages/dedup.exact_dedup: lines shuffle ONCE keyed by a 64-bit line
   hash partition; within a partition one lexsort + boundary mask — not a
-  per-distinct-line group call. Only UNIQUE lines are md5'd for routing.
+  per-distinct-line group call. The routing hash itself is vectorized
+  (vocabulary-hash + segmented polynomial — no per-line Python; lines
+  are near-all-distinct so hashing "only unique lines" wouldn't help).
 - reassembly co-partitions surviving lines by doc_id hash and rebuilds
   each partition's docs with one lexsort + list-offset join.
 Nothing materializes O(corpus) state on the driver.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -62,6 +62,44 @@ def _split_words(batch: pa.Table, text_col: str) -> tuple[pa.Array, np.ndarray]:
     return flat, counts
 
 
+def _line_pows(width: int) -> np.ndarray:
+    """Per-position odd multipliers for the order-sensitive line hash."""
+    rng = np.random.default_rng(0x11EDED)
+    return (
+        rng.integers(0, np.iinfo(np.int64).max, size=width, dtype=np.int64)
+        .astype(np.uint64)
+        | np.uint64(1)
+    )
+
+
+def _line_hashes(
+    flat_words: pa.Array, offsets: np.ndarray, width: int
+) -> np.ndarray:
+    """uint64 routing hash per line, fully vectorized: hash the VOCABULARY
+    once (dictionary_encode C kernel → one hash per distinct word), then
+    an order-sensitive segmented polynomial (per-position odd multiplier,
+    np.add.reduceat over line starts). Collisions only co-locate lines —
+    keep-first still compares actual strings — so a 64-bit mix is plenty
+    and NO per-line Python runs (8-word chunks are near-all-distinct, so
+    a hash-each-unique-line loop would be O(corpus))."""
+    from ..functions.textkit import _hash_strings
+
+    enc = flat_words.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab_h = _hash_strings(enc.dictionary.to_pylist())
+    wh = vocab_h[codes]
+    total = len(codes)
+    line_lens = np.diff(np.append(offsets, total))
+    word_line = np.repeat(np.arange(len(offsets), dtype=np.int64), line_lens)
+    pos_in_line = np.arange(total, dtype=np.int64) - offsets[word_line]
+    vals = wh * _line_pows(width)[pos_in_line]
+    h = np.add.reduceat(vals, offsets) if total else np.empty(0, np.uint64)
+    # mix in the line length so 'a' and 'a a' (same word, same multiplier
+    # prefix sums by coincidence) can't alias trivially
+    h = (h ^ (line_lens.astype(np.uint64) * _PMIX)) * _PMIX
+    return h ^ (h >> np.uint64(29))
+
+
 def _chunk_lines(
     flat_words: pa.Array, counts: np.ndarray, width: int
 ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
@@ -77,14 +115,14 @@ def _chunk_lines(
     line_cum = np.concatenate([[0], np.cumsum(n_lines)]).astype(np.int64)
     cid = np.arange(int(line_cum[-1]), dtype=np.int64) - line_cum[:-1][doc_idx]
     doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    line_start = doc_starts[doc_idx] + cid * width
+    line_start = (doc_starts[doc_idx] + cid * width).astype(np.int64)
     total = int(counts.sum())
     offsets = np.concatenate([line_start, [total]]).astype(np.int32)
     lines_list = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), flat_words
     )
     lines = pc.binary_join(lines_list, " ")
-    return lines, doc_idx, cid
+    return lines, doc_idx, cid, line_start
 
 
 def explode_lines(
@@ -93,20 +131,26 @@ def explode_lines(
     width: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    include_hash: bool = False,
 ) -> "ray.data.Dataset":
-    """documents → one row per WIDTH-word line: (doc_id, cid, line)."""
+    """documents → one row per WIDTH-word line: (doc_id, cid, line[, _lh]).
+    ``include_hash`` adds the vectorized uint64 routing hash (computed in
+    the same pass from the word dictionary — see :func:`_line_hashes`)."""
 
     def _explode(batch: pa.Table) -> pa.Table:
         flat, counts = _split_words(batch, text_col)
-        lines, doc_idx, cid = _chunk_lines(flat, counts, width)
+        lines, doc_idx, cid, line_start = _chunk_lines(flat, counts, width)
         ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
-        return pa.table(
-            {
-                id_col: pa.array(ids, type=pa.int64()),
-                "cid": pa.array(cid, type=pa.int64()),
-                "line": lines,
-            }
-        )
+        cols = {
+            id_col: pa.array(ids, type=pa.int64()),
+            "cid": pa.array(cid, type=pa.int64()),
+            "line": lines,
+        }
+        if include_hash:
+            cols["_lh"] = pa.array(
+                _line_hashes(flat, line_start, width), type=pa.uint64()
+            )
+        return pa.table(cols)
 
     return docs.map_batches(_explode, batch_format="pyarrow", batch_size=1024)
 
@@ -131,24 +175,17 @@ def line_dedup(
     survivors. A line survives only at its first occurrence ordered by
     (doc_id, cid); docs whose every line is removed drop out."""
 
-    lines_ds = explode_lines(docs, width=width, id_col=id_col, text_col=text_col)
+    lines_ds = explode_lines(
+        docs, width=width, id_col=id_col, text_col=text_col, include_hash=True
+    )
 
     def _part(batch: pa.Table) -> pa.Table:
-        # route by md5-of-line partition; hash only UNIQUE lines, then
-        # scatter through the dictionary codes (collisions merely
-        # co-locate — keep-first compares line strings via codes)
-        codes, uniq = _dict_codes(batch["line"])
-        h_uniq = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                for s in uniq.to_pylist()
-            ),
-            dtype=np.uint64,
-            count=len(uniq),
-        )
-        p_uniq = ((h_uniq * _PMIX) >> np.uint64(33)) % np.uint64(_LINE_PARTITIONS)
-        return batch.append_column(
-            "_p", pa.array(p_uniq[codes].astype(np.int64))
+        # route by the precomputed vectorized line hash (collisions merely
+        # co-locate — keep-first compares line strings via dict codes)
+        h = batch["_lh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = ((h * _PMIX) >> np.uint64(33)) % np.uint64(_LINE_PARTITIONS)
+        return batch.drop_columns(["_lh"]).append_column(
+            "_p", pa.array(p.astype(np.int64))
         )
 
     def _first_per_line(g: pa.Table) -> pa.Table:
@@ -244,7 +281,7 @@ def add_repetition_stats(
         word_codes, _ = _dict_codes(flat)
         doc_of_word = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
         n_distinct, top_count = _run_stats(doc_of_word, word_codes, n_docs)
-        lines, doc_idx, _cid = _chunk_lines(flat, counts, width)
+        lines, doc_idx, _cid, _ls = _chunk_lines(flat, counts, width)
         line_codes, _ = _dict_codes(lines)
         n_chunks = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
         n_distinct_chunks, _ = _run_stats(doc_idx, line_codes, n_docs)
