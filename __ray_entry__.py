@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q.doc_repetition,
         "pii_redact_docs": q.pii_redact_docs,
         "gopher_quality_filter": q.gopher_quality_filter,
+        "dup_span_removal_docs": q.dup_span_removal_docs,
         "pack_training_shards": q.pack_training_shards,
         "hash_sample_docs": q.hash_sample_docs,
         # similarity search
@@ -446,6 +447,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                        '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
             FROM injected ORDER BY doc_id
+        """,
+        # ExactSubstr span dedup: words covered by any corpus-duplicated
+        # 5-word window are removed (all occurrences), docs reassembled
+        "dup_span_removal_docs": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, pos,
+                       string_agg(w, ' ') OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS g,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS nw
+                FROM words
+            ), valid AS (
+                SELECT doc_id, pos, g FROM grams WHERE pos + 4 <= nw
+            ), dup AS (
+                SELECT g FROM valid GROUP BY g HAVING COUNT(*) > 1
+            ), covered AS (
+                SELECT DISTINCT v.doc_id, v.pos + offs.o AS cpos
+                FROM valid v
+                CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) offs
+                WHERE v.g IN (SELECT g FROM dup)
+            ), kept AS (
+                SELECT w.doc_id, w.pos, w.w
+                FROM words w
+                LEFT JOIN covered c
+                  ON w.doc_id = c.doc_id AND w.pos = c.cpos
+                WHERE c.cpos IS NULL
+            )
+            SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
         # token-budget shard packing: exclusive running word count // 2000
         # in doc_id order (distributed prefix scan on the Ray side)

@@ -414,6 +414,18 @@ def gopher_quality_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dup_span_removal_docs(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style span dedup (Lee et al. 2021): every word covered
+    by a corpus-duplicated 5-word window is removed (all occurrences),
+    docs reassembled, empty docs drop. SQL-oracled against the windowed
+    string_agg + HAVING>1 + coverage-join closure."""
+    from ..stages.spandedup import dup_span_removal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_span_removal(ds, n=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def pack_training_shards(sf_dir: str) -> pd.DataFrame:
     """Token-budget shard packing (training-data sharding): docs in doc_id
     order are streamed into ~2000-token shards; a doc's shard is its

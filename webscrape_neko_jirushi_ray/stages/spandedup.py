@@ -1,0 +1,257 @@
+"""ExactSubstr-style duplicate-span removal (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better").
+
+Semantics (pinned by the SQL oracle and the Python-oracle tests): a
+window = N consecutive words inside one document. A window CONTENT is
+duplicated if it occurs >= 2 times corpus-wide (within or across docs).
+Every word covered by at least one duplicated window is removed — ALL
+occurrences, first included (the conservative variant: duplicated
+boilerplate contributes nothing to training, so no occurrence is
+privileged). Documents are reassembled from surviving words in order;
+documents losing every word drop out.
+
+The reference engine removes whole duplicate FILES by md5
+(aggressive_cleaning.py:170-200); this is the span-granular analog the
+paper shows matters for web text, sharing the tokenize/explode/partition
+machinery of stages/linededup.
+
+Scale design (no suffix array — fixed-N windows):
+- window hashes are vectorized: vocabulary hashed once per batch
+  (dictionary_encode C kernel), then TWO independent order-sensitive
+  polynomials over each sliding window (N vectorized adds each, no
+  per-window Python). Grouping compares the (h1, h2) pair == effective
+  128-bit key, so hash collisions need a simultaneous 2^-128 event to
+  produce a false span removal (the paper's suffix array is exact; at
+  10^10 windows a single 64-bit key would see real birthday collisions).
+- ONE shuffle keyed by h1-hash partition finds multi-occurrence windows
+  (lexsort + run-length >= 2 over the partition — not a per-group call).
+- covered window STARTS (only docs containing dups — a small fraction of
+  the corpus) aggregate into one int64 blob per doc, inner-join back to
+  those docs; untouched docs bypass via the anti-join leg and are never
+  re-tokenized. Coverage expansion is a vectorized +1/-1 delta cumsum.
+Nothing materializes O(corpus) driver state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.textkit import _hash_strings
+from .joins import hash_join
+from .linededup import _PMIX, _split_words
+
+_SPAN_PARTITIONS = 64
+
+
+def _window_mults(n: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(0, np.iinfo(np.int64).max, size=n, dtype=np.int64)
+        .astype(np.uint64)
+        | np.uint64(1)
+    )
+
+
+def _window_rows_fn(n: int, id_col: str, text_col: str):
+    """docs batch → (h1, h2, doc_id, pos, _p) for every valid N-word
+    window (pos = 0-based start within the doc)."""
+    p1 = _window_mults(n, 0x5BA11)
+    p2 = _window_mults(n, 0xD0C5)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        flat, counts = _split_words(batch, text_col)
+        total = int(counts.sum())
+        if total < n:
+            return pa.table(
+                {
+                    "h1": pa.array([], type=pa.uint64()),
+                    "h2": pa.array([], type=pa.uint64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "_p": pa.array([], type=pa.int64()),
+                }
+            )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wh = _hash_strings(enc.dictionary.to_pylist())[codes]
+        m = total - n + 1  # candidate window starts in flat space
+        h1 = np.zeros(m, dtype=np.uint64)
+        h2 = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            w = wh[j : j + m]
+            h1 += w * p1[j]
+            h2 += w * p2[j]
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        starts = np.arange(m, dtype=np.int64)
+        valid = doc_of[starts] == doc_of[starts + n - 1]
+        sv = starts[valid]
+        doc_idx = doc_of[sv]
+        doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        part = ((h1[sv] * _PMIX) >> np.uint64(33)) % np.uint64(_SPAN_PARTITIONS)
+        return pa.table(
+            {
+                "h1": pa.array(h1[sv]),
+                "h2": pa.array(h2[sv]),
+                id_col: pa.array(ids, type=pa.int64()),
+                "pos": pa.array(sv - doc_starts[doc_idx], type=pa.int64()),
+                "_p": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    return _fn
+
+
+def _dup_starts_fn(id_col: str):
+    """partition of window rows → (doc_id, pos) of every occurrence of a
+    window content seen >= 2 times (within this h1-partition == globally,
+    since equal windows share h1)."""
+
+    def _fn(g: pa.Table) -> pa.Table:
+        h1 = g["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h2 = g["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        new_run = np.concatenate(
+            [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        )
+        run_id = np.cumsum(new_run) - 1
+        run_sizes = np.bincount(run_id)
+        dup_sorted = run_sizes[run_id] >= 2
+        take = order[dup_sorted]
+        return pa.table(
+            {
+                id_col: g[id_col].take(pa.array(take, type=pa.int64())),
+                "pos": g["pos"].take(pa.array(take, type=pa.int64())),
+            }
+        )
+
+    return _fn
+
+
+def dup_span_removal(
+    docs: "ray.data.Dataset",
+    *,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = _SPAN_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Remove every word covered by a corpus-duplicated N-word window;
+    returns (id_col, text_col) of reassembled survivors."""
+
+    window_rows = docs.map_batches(
+        _window_rows_fn(n, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    dup_starts = window_rows.groupby("_p").map_groups(
+        _dup_starts_fn(id_col), batch_format="pyarrow"
+    )
+
+    # one int64-blob of sorted window starts per affected doc
+    def _blob(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        ids_s, pos_s = ids[order], pos[order]
+        bounds = np.nonzero(np.concatenate([[True], ids_s[1:] != ids_s[:-1]]))[0]
+        ends = np.append(bounds[1:], len(ids_s))
+        return pa.table(
+            {
+                id_col: pa.array(ids_s[bounds], type=pa.int64()),
+                "starts": pa.array(
+                    [
+                        pos_s[lo:hi].astype(np.int64).tobytes()
+                        for lo, hi in zip(bounds, ends)
+                    ],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    start_blobs = (
+        dup_starts.map_batches(
+            lambda t: t.append_column(
+                "_dp",
+                pa.array(
+                    (
+                        (
+                            t[id_col]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.uint64)
+                            * _PMIX
+                        )
+                        >> np.uint64(33)
+                    ).astype(np.int64)
+                    % num_partitions
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_dp")
+        .map_groups(
+            lambda g: _blob(g.drop_columns(["_dp"])), batch_format="pyarrow"
+        )
+    ).materialize()  # bounded: one row per AFFECTED doc
+
+    if start_blobs.count() == 0:  # no duplicated window anywhere
+        return docs.select_columns([id_col, text_col])
+
+    untouched = hash_join(
+        docs, start_blobs, key=id_col, how="left_anti",
+        num_partitions=num_partitions,
+    )
+    affected = hash_join(
+        docs, start_blobs, key=id_col, how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def _cut(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    text_col: pa.array([], type=pa.string()),
+                }
+            )
+        flat, counts = _split_words(batch, text_col)
+        total = int(counts.sum())
+        doc_starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        delta = np.zeros(total + 1, dtype=np.int64)
+        for i, blob in enumerate(batch["starts"].to_pylist()):
+            starts = np.frombuffer(blob, dtype=np.int64) + doc_starts[i]
+            np.add.at(delta, starts, 1)
+            np.add.at(
+                delta, np.minimum(starts + n, doc_starts[i + 1]), -1
+            )
+        covered = np.cumsum(delta[:-1]) > 0
+        keep = ~covered
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        kept_doc = doc_of[keep]
+        kept_words = flat.filter(pa.array(keep))
+        kept_counts = np.bincount(kept_doc, minlength=len(counts))
+        nonempty = kept_counts > 0
+        offsets = np.concatenate(
+            [[0], np.cumsum(kept_counts[nonempty])]
+        ).astype(np.int32)
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_words),
+            " ",
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[nonempty]
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                text_col: texts,
+            }
+        )
+
+    rebuilt = affected.map_batches(
+        _cut, batch_format="pyarrow", batch_size=1024
+    )
+    return untouched.select_columns([id_col, text_col]).union(rebuilt)
