@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": q.pii_redact_docs,
         "gopher_quality_filter": q.gopher_quality_filter,
         "dup_span_removal_docs": q.dup_span_removal_docs,
+        "decontaminate_docs": q.decontaminate_docs,
         "pack_training_shards": q.pack_training_shards,
         "hash_sample_docs": q.hash_sample_docs,
         # similarity search
@@ -459,11 +460,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, pos,
                        string_agg(w, ' ') OVER (
                            PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS g,
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS g,
                        COUNT(*) OVER (PARTITION BY doc_id) AS nw
                 FROM words
             ), valid AS (
-                SELECT doc_id, pos, g FROM grams WHERE pos + 4 <= nw
+                SELECT doc_id, pos, g FROM grams WHERE pos + 3 <= nw
             ), dup AS (
                 SELECT g FROM valid GROUP BY g HAVING COUNT(*) > 1
             ), covered AS (
@@ -480,6 +481,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
             FROM kept GROUP BY doc_id ORDER BY doc_id
+        """,
+        # benchmark decontamination: train docs sharing any 4-word window
+        # with the doc_id%50==0 "benchmark" set are dropped
+        "decontaminate_docs": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, pos,
+                       string_agg(w, ' ') OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS g,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS nw
+                FROM words
+            ), valid AS (
+                SELECT doc_id, g FROM grams WHERE pos + 3 <= nw
+            ), bgrams AS (
+                SELECT DISTINCT g FROM valid WHERE doc_id % 50 = 0
+            ), hit AS (
+                SELECT DISTINCT doc_id FROM valid
+                WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bgrams)
+            )
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 50 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM hit)
+            ORDER BY doc_id
         """,
         # token-budget shard packing: exclusive running word count // 2000
         # in doc_id order (distributed prefix scan on the Ray side)

@@ -104,3 +104,35 @@ def test_overlapping_coverage_and_multiblock_random():
             .itertuples(index=False)
         )
         assert got == _py_oracle(texts, n), f"n={n}"
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+
+def test_decontaminate_drops_overlapping_docs():
+    from webscrape_neko_jirushi_ray.stages.spandedup import decontaminate
+
+    bench = _ds({100: "secret eval question one two", 101: "another probe q r s"})
+    train = _ds(
+        {
+            1: "clean doc with no overlap at all",
+            2: "prefix secret eval question one two suffix",  # contains bench 5-gram
+            3: "another probe q r s",                         # exact bench text
+            4: "secret eval question one",                    # only 4 shared words
+        }
+    )
+    got = dict(
+        decontaminate(train, bench, n=5).to_pandas().itertuples(index=False)
+    )
+    assert sorted(got) == [1, 4]
+
+
+def test_decontaminate_empty_benchmark_is_identity():
+    from webscrape_neko_jirushi_ray.stages.spandedup import decontaminate
+
+    bench = _ds({9: "tiny"})  # no 5-word window
+    train = _ds({1: "a b c d e f", 2: "g h i j k l"}, n_blocks=2)
+    got = dict(
+        decontaminate(train, bench, n=5).to_pandas().itertuples(index=False)
+    )
+    assert sorted(got) == [1, 2]

@@ -426,6 +426,29 @@ def dup_span_removal_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 stand in for
+    the eval suite; every other doc sharing ANY 4-word window with them
+    is dropped. Broadcast-small-side probe (ray.put once, np.isin per
+    batch), zero corpus shuffle. SQL-oracled via the windowed-gram IN."""
+    from ..stages.spandedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(keep_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 50 == 0) if keep_bench else (ids % 50 != 0)
+            return t.filter(pa.array(m))
+
+        return _f
+
+    bench = ds.map_batches(_split(True), batch_format="pyarrow")
+    train = ds.map_batches(_split(False), batch_format="pyarrow")
+    out = decontaminate(train, bench, n=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def pack_training_shards(sf_dir: str) -> pd.DataFrame:
     """Token-budget shard packing (training-data sharding): docs in doc_id
     order are streamed into ~2000-token shards; a doc's shard is its

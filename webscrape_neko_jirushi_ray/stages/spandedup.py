@@ -255,3 +255,82 @@ def dup_span_removal(
         _cut, batch_format="pyarrow", batch_size=1024
     )
     return untouched.select_columns([id_col, text_col]).union(rebuilt)
+
+
+def _batch_window_hashes(
+    batch: pa.Table, n: int, text_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h1 per valid window, h2 per valid window, doc index per window)
+    — the same double polynomial as :func:`dup_span_removal`."""
+    p1 = _window_mults(n, 0x5BA11)
+    p2 = _window_mults(n, 0xD0C5)
+    flat, counts = _split_words(batch, text_col)
+    total = int(counts.sum())
+    if total < n:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e, np.empty(0, dtype=np.int64)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    wh = _hash_strings(enc.dictionary.to_pylist())[codes]
+    m = total - n + 1
+    h1 = np.zeros(m, dtype=np.uint64)
+    h2 = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        w = wh[j : j + m]
+        h1 += w * p1[j]
+        h2 += w * p2[j]
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.arange(m, dtype=np.int64)
+    valid = doc_of[starts] == doc_of[starts + n - 1]
+    sv = starts[valid]
+    return h1[sv], h2[sv], doc_of[sv]
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Benchmark decontamination (the GPT-3/PaLM training-data hygiene
+    step): drop every training doc sharing ANY N-word window with the
+    benchmark set. The benchmark is SMALL by definition (eval suites are
+    kilobytes against a 100-TB corpus), so its window-hash set is built
+    once, shipped once via ``ray.put``, and probed per batch with one
+    vectorized ``np.isin`` — the broadcast-small-side pattern, zero
+    shuffle over the corpus. Hash space: the same (h1, h2) 128-bit
+    double polynomial as :func:`dup_span_removal` (here combined into
+    one 64-bit mixed key per window; a benchmark of 10^6 windows makes
+    a false drop a ~10^-13/window event — acceptable for a filter that
+    errs toward dropping)."""
+
+    def _mix(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        x = (h1 * _PMIX) ^ h2
+        return x ^ (x >> np.uint64(31))
+
+    bench_keys: list[np.ndarray] = []
+    for b in benchmark.map_batches(
+        lambda t, _n=n, _tc=text_col: pa.table(
+            {"k": pa.array(_mix(*_batch_window_hashes(t, _n, _tc)[:2]))}
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        bench_keys.append(b["k"].to_numpy(zero_copy_only=False))
+    keys = np.unique(np.concatenate(bench_keys)) if bench_keys else np.empty(
+        0, dtype=np.uint64
+    )
+    keys_ref = ray.put(keys)
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        if len(ks) == 0:
+            return batch
+        h1, h2, doc_of = _batch_window_hashes(batch, n, text_col)
+        hit_docs = np.unique(doc_of[np.isin(_mix(h1, h2), ks)])
+        keep = np.ones(batch.num_rows, dtype=bool)
+        keep[hit_docs] = False
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(_clean, batch_format="pyarrow", batch_size=1024)
