@@ -460,11 +460,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, pos,
                        string_agg(w, ' ') OVER (
                            PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS g,
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS g,
                        COUNT(*) OVER (PARTITION BY doc_id) AS nw
                 FROM words
             ), valid AS (
-                SELECT doc_id, pos, g FROM grams WHERE pos + 3 <= nw
+                SELECT doc_id, pos, g FROM grams WHERE pos + 4 <= nw
             ), dup AS (
                 SELECT g FROM valid GROUP BY g HAVING COUNT(*) > 1
             ), covered AS (
