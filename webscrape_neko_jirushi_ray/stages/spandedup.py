@@ -223,12 +223,18 @@ def dup_span_removal(
         total = int(counts.sum())
         doc_starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         delta = np.zeros(total + 1, dtype=np.int64)
-        for i, blob in enumerate(batch["starts"].to_pylist()):
-            starts = np.frombuffer(blob, dtype=np.int64) + doc_starts[i]
-            np.add.at(delta, starts, 1)
-            np.add.at(
-                delta, np.minimum(starts + n, doc_starts[i + 1]), -1
-            )
+        blobs = batch["starts"].to_pylist()
+        blob_lens = np.fromiter(
+            (len(b) // 8 for b in blobs), dtype=np.int64, count=len(blobs)
+        )
+        all_starts = np.frombuffer(b"".join(blobs), dtype=np.int64)
+        doc_of_start = np.repeat(
+            np.arange(len(blobs), dtype=np.int64), blob_lens
+        )
+        g_starts = all_starts + doc_starts[doc_of_start]
+        g_ends = np.minimum(g_starts + n, doc_starts[doc_of_start + 1])
+        np.add.at(delta, g_starts, 1)
+        np.add.at(delta, g_ends, -1)
         covered = np.cumsum(delta[:-1]) > 0
         keep = ~covered
         doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
