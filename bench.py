@@ -226,6 +226,7 @@ def run_bench() -> dict:
         ("textprep_corpus", lambda: q.textprep_corpus(SF_DIR)),
         ("line_dedup_docs", lambda: q.line_dedup_docs(SF_DIR)),
         ("dup_span_removal_docs", lambda: q.dup_span_removal_docs(SF_DIR)),
+        ("webtext_pipeline", lambda: q.webtext_pipeline(SF_DIR)),
         ("pii_redact_docs", lambda: q.pii_redact_docs(SF_DIR)),
         ("gopher_quality_filter", lambda: q.gopher_quality_filter(SF_DIR)),
     ]:

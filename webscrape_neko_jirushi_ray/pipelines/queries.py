@@ -449,6 +449,57 @@ def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def webtext_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Flagship END-TO-END training-data pipeline, hash-checked through
+    all four stages by ONE nested SQL oracle: benchmark decontamination
+    (4-gram overlap vs the doc_id%50==0 eval set) → corpus-wide line
+    dedup (8-word chunks keep-first) → Gopher repetition gate → token-
+    budget shard packing (2000-token shards, distributed prefix scan).
+    Returns (doc_id, text, n_tokens, shard_id) of the packed corpus."""
+    from ..functions.enumerate import attach_running_sum
+    from ..stages.joins import hash_join
+    from ..stages.spandedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(keep_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 50 == 0) if keep_bench else (ids % 50 != 0)
+            return t.filter(pa.array(m))
+
+        return _f
+
+    bench = ds.map_batches(_split(True), batch_format="pyarrow")
+    train = ds.map_batches(_split(False), batch_format="pyarrow")
+    clean = decontaminate(train, bench, n=4)
+    ld = linededup.line_dedup(clean, width=8).materialize()  # 2 consumers
+    gate = linededup.gopher_filter(ld, width=8, min_words=20).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": t["n_words"]}
+        ),
+        batch_format="pyarrow",
+    )
+    survivors = hash_join(ld, gate, key="doc_id", how="inner")
+    scanned = attach_running_sum(
+        survivors, ["doc_id"], "n_tokens", sum_col="_cum", num_ranges=8
+    )
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        excl = pc.subtract(batch["_cum"], batch["n_tokens"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "n_tokens": batch["n_tokens"],
+                "shard_id": pc.divide(excl, pa.scalar(2000, pa.int64())),
+            }
+        )
+
+    out = scanned.map_batches(_shard, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def pack_training_shards(sf_dir: str) -> pd.DataFrame:
     """Token-budget shard packing (training-data sharding): docs in doc_id
     order are streamed into ~2000-token shards; a doc's shard is its
