@@ -130,3 +130,31 @@ def test_repetition_stats_random_vs_python():
         assert row["top_word_count"] == max(words.count(w) for w in set(words))
         assert row["n_chunks"] == len(chunks)
         assert row["n_dup_chunks"] == len(chunks) - len(set(chunks))
+
+
+# --- hypothesis: any corpus matches the Python oracle -----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    vocab_size=st.integers(min_value=2, max_value=30),
+    width=st.sampled_from([1, 3, 8]),
+)
+def test_any_corpus_line_dedup_matches_oracle(ray_session, seed, vocab_size, width):
+    rng = np.random.default_rng(seed)
+    vocab = [f"v{i}" for i in range(vocab_size)]
+    texts = {
+        d: " ".join(rng.choice(vocab, size=int(rng.integers(1, 30))))
+        for d in range(int(rng.integers(2, 35)))
+    }
+    got = line_dedup(_docs_ds(texts, n_blocks=4), width=width).to_pandas()
+    assert dict(zip(got["doc_id"], got["text"])) == _py_line_dedup(texts, width)

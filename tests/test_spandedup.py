@@ -136,3 +136,35 @@ def test_decontaminate_empty_benchmark_is_identity():
         decontaminate(train, bench, n=5).to_pandas().itertuples(index=False)
     )
     assert sorted(got) == [1, 2]
+
+
+# --- hypothesis: any corpus matches the Python oracle -----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    vocab_size=st.integers(min_value=3, max_value=40),
+    n=st.sampled_from([2, 4, 7]),
+)
+def test_any_corpus_matches_python_oracle(ray_session, seed, vocab_size, n):
+    rng = np.random.default_rng(seed)
+    vocab = [f"v{i}" for i in range(vocab_size)]
+    texts = {
+        d: " ".join(rng.choice(vocab, size=int(rng.integers(1, 25))))
+        for d in range(int(rng.integers(2, 40)))
+    }
+    got = dict(
+        dup_span_removal(_ds(texts, n_blocks=3), n=n)
+        .to_pandas()
+        .itertuples(index=False)
+    )
+    assert got == _py_oracle(texts, n)
