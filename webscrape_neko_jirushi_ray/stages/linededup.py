@@ -170,10 +170,17 @@ def line_dedup(
     width: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_partitions: int = _LINE_PARTITIONS,
 ) -> "ray.data.Dataset":
     """Corpus-wide keep-first line dedup → (doc_id, text) of reassembled
     survivors. A line survives only at its first occurrence ordered by
-    (doc_id, cid); docs whose every line is removed drop out."""
+    (doc_id, cid); docs whose every line is removed drop out.
+
+    ``num_partitions`` sizes BOTH shuffles (line keep-first, doc
+    reassembly): each partition is one ``map_groups`` task holding
+    ~corpus/num_partitions bytes of exploded lines, so size it to
+    ≈ corpus_bytes / 256 MB at scale (the default 64 fits the ≤ 10 GB
+    bench corpora; a 100-TB run wants ~4×10^5)."""
 
     lines_ds = explode_lines(
         docs, width=width, id_col=id_col, text_col=text_col, include_hash=True
@@ -183,7 +190,7 @@ def line_dedup(
         # route by the precomputed vectorized line hash (collisions merely
         # co-locate — keep-first compares line strings via dict codes)
         h = batch["_lh"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = ((h * _PMIX) >> np.uint64(33)) % np.uint64(_LINE_PARTITIONS)
+        p = ((h * _PMIX) >> np.uint64(33)) % np.uint64(num_partitions)
         return batch.drop_columns(["_lh"]).append_column(
             "_p", pa.array(p.astype(np.int64))
         )
@@ -208,7 +215,7 @@ def line_dedup(
     # lexsort + list-offset binary_join per partition
     def _docpart(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = ((ids * _PMIX) >> np.uint64(33)) % np.uint64(_LINE_PARTITIONS)
+        p = ((ids * _PMIX) >> np.uint64(33)) % np.uint64(num_partitions)
         return batch.append_column("_dp", pa.array(p.astype(np.int64)))
 
     def _reassemble(g: pa.Table) -> pa.Table:

@@ -56,7 +56,9 @@ def _window_mults(n: int, seed: int) -> np.ndarray:
     )
 
 
-def _window_rows_fn(n: int, id_col: str, text_col: str):
+def _window_rows_fn(
+    n: int, id_col: str, text_col: str, num_partitions: int = _SPAN_PARTITIONS
+):
     """docs batch → (h1, h2, doc_id, pos, _p) for every valid N-word
     window (pos = 0-based start within the doc)."""
     p1 = _window_mults(n, 0x5BA11)
@@ -92,7 +94,7 @@ def _window_rows_fn(n: int, id_col: str, text_col: str):
         doc_idx = doc_of[sv]
         doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
         ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
-        part = ((h1[sv] * _PMIX) >> np.uint64(33)) % np.uint64(_SPAN_PARTITIONS)
+        part = ((h1[sv] * _PMIX) >> np.uint64(33)) % np.uint64(num_partitions)
         return pa.table(
             {
                 "h1": pa.array(h1[sv]),
@@ -142,10 +144,15 @@ def dup_span_removal(
     num_partitions: int = _SPAN_PARTITIONS,
 ) -> "ray.data.Dataset":
     """Remove every word covered by a corpus-duplicated N-word window;
-    returns (id_col, text_col) of reassembled survivors."""
+    returns (id_col, text_col) of reassembled survivors.
+
+    ``num_partitions`` sizes the dup-scan shuffle (each partition is one
+    map_groups task holding ~windows/num_partitions rows) and the two
+    doc joins; size it to ≈ corpus_bytes / 256 MB at scale (default 64
+    fits bench corpora)."""
 
     window_rows = docs.map_batches(
-        _window_rows_fn(n, id_col, text_col),
+        _window_rows_fn(n, id_col, text_col, num_partitions),
         batch_format="pyarrow",
         batch_size=1024,
     )
