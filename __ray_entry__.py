@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_docs": q.ngram_dedup_docs,
         "embedding_dedup_vecs": q.embedding_dedup_vecs,
         "line_dedup_docs": q.line_dedup_docs,
+        "within_doc_line_dedup": q.within_doc_line_dedup_docs,
         "doc_repetition": q.doc_repetition,
         "pii_redact_docs": q.pii_redact_docs,
         "gopher_quality_filter": q.gopher_quality_filter,
@@ -390,6 +391,26 @@ def oracle_sql() -> dict[str, str]:
             ), ranked AS (
                 SELECT doc_id, cid, line,
                        ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, cid) AS rn
+                FROM chunks
+            )
+            SELECT doc_id, string_agg(line, ' ' ORDER BY cid) AS text
+            FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
+        # Dolma-style WITHIN-doc repeated-span removal: keep-first window
+        # partitioned by (doc_id, line) instead of line alone
+        "within_doc_line_dedup": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, (pos-1)//8 AS cid,
+                       string_agg(w, ' ' ORDER BY pos) AS line
+                FROM words GROUP BY doc_id, (pos-1)//8
+            ), ranked AS (
+                SELECT doc_id, cid, line,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, line
+                                          ORDER BY cid) AS rn
                 FROM chunks
             )
             SELECT doc_id, string_agg(line, ' ' ORDER BY cid) AS text

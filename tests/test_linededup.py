@@ -158,3 +158,60 @@ def test_any_corpus_line_dedup_matches_oracle(ray_session, seed, vocab_size, wid
     }
     got = line_dedup(_docs_ds(texts, n_blocks=4), width=width).to_pandas()
     assert dict(zip(got["doc_id"], got["text"])) == _py_line_dedup(texts, width)
+
+
+# --- within-doc variant ------------------------------------------------------
+
+
+def _py_within_doc_dedup(texts: dict[int, str], width: int) -> dict[int, str]:
+    out: dict[int, str] = {}
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        seen: set[str] = set()
+        kept = []
+        for i in range(0, len(words), width):
+            line = " ".join(words[i : i + width])
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        out[doc_id] = " ".join(kept)
+    return out
+
+
+def test_within_doc_dedup_keeps_cross_doc_repeats():
+    from webscrape_neko_jirushi_ray.stages.linededup import within_doc_line_dedup
+
+    texts = {
+        1: "x y x y q r",   # chunk "x y" repeated within doc → second dies
+        2: "x y a b",       # "x y" appears in doc 1 too but survives here
+    }
+    got = within_doc_line_dedup(_docs_ds(texts), width=2).to_pandas()
+    got = dict(zip(got["doc_id"], got["text"]))
+    assert got == {1: "x y q r", 2: "x y a b"}
+    assert got == _py_within_doc_dedup(texts, 2)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    vocab_size=st.integers(min_value=1, max_value=20),
+    width=st.sampled_from([1, 2, 8]),
+)
+def test_any_corpus_within_doc_dedup_matches_oracle(
+    ray_session, seed, vocab_size, width
+):
+    from webscrape_neko_jirushi_ray.stages.linededup import within_doc_line_dedup
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"v{i}" for i in range(vocab_size)]
+    texts = {
+        d: " ".join(rng.choice(vocab, size=int(rng.integers(1, 30))))
+        for d in range(int(rng.integers(2, 30)))
+    }
+    got = within_doc_line_dedup(_docs_ds(texts, n_blocks=4), width=width).to_pandas()
+    assert dict(zip(got["doc_id"], got["text"])) == _py_within_doc_dedup(texts, width)

@@ -363,6 +363,16 @@ def line_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def within_doc_line_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Dolma-style WITHIN-document repeated-span removal: each doc keeps
+    the first occurrence of every distinct 8-word chunk within itself
+    (cross-doc repeats untouched). Shuffle-free single map_batches pass;
+    SQL-oracled exactly (per-doc keep-first window + string_agg)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linededup.within_doc_line_dedup(ds, width=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_repetition(sf_dir: str) -> pd.DataFrame:
     """Gopher-style within-doc repetition signals (all-int64, shuffle-free
     single pass): words, distinct words, top-word multiplicity, 8-word

@@ -248,6 +248,54 @@ def line_dedup(
     )
 
 
+def within_doc_line_dedup(
+    docs: "ray.data.Dataset",
+    *,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Within-document repeated-span removal (the Dolma/RefinedWeb
+    paragraph-dedup variant of :func:`line_dedup`): each doc keeps only
+    the FIRST occurrence of every distinct WIDTH-word line *within
+    itself*; cross-document repeats are untouched. Generalizes the
+    reference's within-page keep-first dedup (comprehensive_scraper.py:185,
+    198) from image URLs to text spans.
+
+    Scale design: completely SHUFFLE-FREE — a doc's chunks never leave
+    the row's own batch, so this is one vectorized ``map_batches`` pass
+    (chunk explode → dict-encode → lexsort keep-first mask → list-offset
+    reassembly) with zero cross-task state. Safe at any corpus size.
+    """
+
+    def _dedup(batch: pa.Table) -> pa.Table:
+        flat, counts = _split_words(batch, text_col)
+        lines, doc_idx, cid, _ls = _chunk_lines(flat, counts, width)
+        line_codes, _ = _dict_codes(lines)
+        # first occurrence of each (doc, line), order pinned by cid
+        order = np.lexsort((cid, line_codes, doc_idx))
+        d_s, c_s = doc_idx[order], line_codes[order]
+        first = np.concatenate(
+            [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        )
+        keep = np.sort(np.asarray(order)[first])  # back to (doc, cid) order
+        kept_doc = doc_idx[keep]
+        lines_kept = lines.take(pa.array(keep, type=pa.int64()))
+        if isinstance(lines_kept, pa.ChunkedArray):
+            lines_kept = lines_kept.combine_chunks()
+        # every doc keeps its cid=0 line, so bincount aligns with the batch
+        per_doc = np.bincount(kept_doc, minlength=len(counts)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(per_doc)]).astype(np.int32)
+        doc_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), lines_kept
+        )
+        return pa.table(
+            {id_col: batch[id_col], text_col: pc.binary_join(doc_lists, " ")}
+        )
+
+    return docs.map_batches(_dedup, batch_format="pyarrow", batch_size=1024)
+
+
 def add_repetition_stats(
     docs: "ray.data.Dataset",
     *,
