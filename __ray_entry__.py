@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_training_shards": q.pack_training_shards,
         "hash_sample_docs": q.hash_sample_docs,
         "webtext_pipeline": q.webtext_pipeline,
+        "c4_line_filter_docs": q.c4_line_filter_docs,
+        "doc_length_quantiles": q.doc_length_quantiles,
+        "stratified_sample_docs": q.stratified_sample_docs,
+        "inverted_index_terms": q.inverted_index_terms,
         # similarity search
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_lsh_top10": q.knn_lsh_top10,
@@ -621,6 +625,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 = 0
             ORDER BY doc_id
+        """,
+        # C4-style line-quality gate: full 8-word chunks only, chunk
+        # blacklist ('spark'/'vector' substrings), >=3 surviving chunks
+        "c4_line_filter_docs": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, (pos-1)//8 AS cid,
+                       string_agg(w, ' ' ORDER BY pos) AS line,
+                       COUNT(*) AS nw
+                FROM words GROUP BY doc_id, (pos-1)//8
+            ), kept AS (
+                SELECT doc_id, cid, line FROM chunks
+                WHERE nw >= 8
+                  AND NOT contains(line, 'spark')
+                  AND NOT contains(line, 'vector')
+            )
+            SELECT doc_id, string_agg(line, ' ' ORDER BY cid) AS text
+            FROM kept GROUP BY doc_id HAVING COUNT(*) >= 3
+            ORDER BY doc_id
+        """,
+        # exact nearest-rank percentiles of per-doc word count; the
+        # 0-based index floor((n-1)*q_pct/100) in pure integer math
+        "doc_length_quantiles": """
+            WITH lens AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                FROM documents
+            ), ordered AS (
+                SELECT n_words,
+                       ROW_NUMBER() OVER (ORDER BY n_words) - 1 AS rn
+                FROM lens
+            ), n AS (SELECT COUNT(*) AS c FROM lens)
+            SELECT CAST(qs.q_pct AS INTEGER) AS q_pct, o.n_words
+            FROM (VALUES (25), (50), (75), (95), (99)) qs(q_pct)
+            CROSS JOIN n
+            JOIN ordered o ON o.rn = ((n.c - 1) * qs.q_pct) // 100
+            ORDER BY q_pct
+        """,
+        # per-language deterministic stratified sample in the md5-low64
+        # space: 50% of 'en', 10% of the rest
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100
+                  < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+            ORDER BY doc_id
+        """,
+        # inverted index: term -> df + ascending comma-joined postings
+        "inverted_index_terms": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), dw AS (SELECT DISTINCT doc_id, w FROM words)
+            SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM dw GROUP BY w ORDER BY term
         """,
         # Gopher repetition gate over the same chunk stats as
         # doc_repetition; all-integer thresholds

@@ -1,0 +1,174 @@
+"""Round-3 text operators: C4 line-quality filter, exact distributed
+length quantiles, inverted-index build, stratified sampling.
+
+Semantics pinned here independent of the DuckDB oracle the driver runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from webscrape_neko_jirushi_ray.stages.linededup import c4_line_filter
+from webscrape_neko_jirushi_ray.stages.textstats import (
+    inverted_index,
+    length_quantiles,
+)
+
+
+def _docs_ds(texts: dict[int, str], *, n_blocks: int = 1) -> ray.data.Dataset:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+def _py_c4(
+    texts: dict[int, str],
+    width: int,
+    line_blacklist: tuple[str, ...],
+    doc_blacklist: tuple[str, ...],
+    min_lines: int,
+    min_line_words: int | None = None,
+) -> dict[int, str]:
+    min_w = width if min_line_words is None else min_line_words
+    out: dict[int, str] = {}
+    for doc_id in sorted(texts):
+        text = texts[doc_id]
+        if any(s in text for s in doc_blacklist):
+            continue
+        words = text.split(" ")
+        kept = []
+        for i in range(0, len(words), width):
+            chunk = words[i : i + width]
+            line = " ".join(chunk)
+            if len(chunk) < min_w:
+                continue
+            if any(s in line for s in line_blacklist):
+                continue
+            kept.append(line)
+        if len(kept) >= min_lines:
+            out[doc_id] = " ".join(kept)
+    return out
+
+
+def test_c4_drops_partial_and_blacklisted_chunks(ray_session):
+    texts = {
+        1: "a b bad d e f g h i",  # chunk0 blacklisted, chunk1 partial -> doc drops
+        2: "a b c d e f g h " * 3 + "x",  # 3 full chunks + partial tail
+        3: "p q r s t u v w",  # 1 full chunk < min_lines
+    }
+    texts = {k: v.strip() for k, v in texts.items()}
+    got = (
+        c4_line_filter(
+            _docs_ds(texts), width=8, line_blacklist=("bad",), min_lines=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    want = _py_c4(texts, 8, ("bad",), (), 2)
+    assert dict(zip(got["doc_id"], got["text"])) == want
+    assert set(got["doc_id"]) == {2}
+
+
+def test_c4_doc_blacklist_drops_whole_doc(ray_session):
+    texts = {
+        1: "a b c d e f g h i j k l m n o p q r s t u v w x",
+        2: "a b c d e f g h i j k l m n o p q r s t u v w lorem",
+    }
+    got = (
+        c4_line_filter(
+            _docs_ds(texts, n_blocks=2),
+            width=8,
+            doc_blacklist=("lorem",),
+            min_lines=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(got["doc_id"]) == [1]
+    assert got["text"].iloc[0] == texts[1]
+
+
+def test_c4_all_docs_drop_yields_empty_with_schema(ray_session):
+    texts = {1: "a b", 2: "c d"}
+    got = c4_line_filter(_docs_ds(texts), width=8, min_lines=1)
+    # Ray's to_pandas() drops columns at zero rows; the Dataset schema is
+    # the contract downstream stages consume
+    assert got.schema().names == ["doc_id", "text"]
+    assert got.count() == 0
+
+
+def test_c4_matches_python_oracle_random(ray_session):
+    rng = np.random.default_rng(42)
+    vocab = ["a", "b", "c", "bad", "x", "y"]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+        for i in range(60)
+    }
+    got = (
+        c4_line_filter(
+            _docs_ds(texts, n_blocks=4),
+            width=4,
+            line_blacklist=("bad",),
+            doc_blacklist=("x y x",),
+            min_lines=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    want = _py_c4(texts, 4, ("bad",), ("x y x",), 2)
+    assert dict(zip(got["doc_id"], got["text"])) == want
+
+
+def test_length_quantiles_nearest_rank(ray_session):
+    # 10 docs with word counts 1..10; floor((n-1)*q/100) indices
+    texts = {i: " ".join(["w"] * i) for i in range(1, 11)}
+    got = length_quantiles(_docs_ds(texts, n_blocks=3))
+    lens = np.arange(1, 11)
+    want = {qp: int(lens[((len(lens) - 1) * qp) // 100] ) for qp in (25, 50, 75, 95, 99)}
+    assert dict(zip(got["q_pct"], got["n_words"])) == want
+    assert got["n_words"].dtype == np.int64
+
+
+def test_length_quantiles_single_doc(ray_session):
+    got = length_quantiles(_docs_ds({5: "a b c"}))
+    assert set(got["n_words"]) == {3}
+
+
+def test_inverted_index_basic(ray_session):
+    texts = {1: "a b a", 2: "b c", 3: "c c c"}
+    got = (
+        inverted_index(_docs_ds(texts, n_blocks=3))
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    rows = {r["term"]: (r["df"], r["postings"]) for _, r in got.iterrows()}
+    assert rows == {"a": (1, "1"), "b": (2, "1,2"), "c": (2, "2,3")}
+
+
+def test_inverted_index_min_df(ray_session):
+    texts = {1: "a b", 2: "b c"}
+    got = inverted_index(_docs_ds(texts), min_df=2).to_pandas()
+    assert list(got["term"]) == ["b"]
+    assert list(got["postings"]) == ["1,2"]
+
+
+def test_inverted_index_cross_batch_doc_dedup(ray_session):
+    # the same (term, doc) arriving from different batches collapses
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 7], type=pa.int64()),
+            "text": pa.array(["a b", "a c"]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = inverted_index(ds).to_pandas().sort_values("term")
+    rows = {r["term"]: (r["df"], r["postings"]) for _, r in got.iterrows()}
+    assert rows == {"a": (1, "7"), "b": (1, "7"), "c": (1, "7")}

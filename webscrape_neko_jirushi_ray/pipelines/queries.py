@@ -29,6 +29,7 @@ import ray.data
 
 from ..stages import dedup as dedup_stage
 from ..stages import linededup
+from ..stages import textstats
 from ..stages import simsearch
 from ..stages.extract import explode_images, extract_docs
 from ..stages.textstats import add_lang_pred, add_quality, add_token_counts
@@ -422,6 +423,65 @@ def gopher_quality_filter(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = linededup.gopher_filter(ds, width=8, min_words=20).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def c4_line_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """C4-style line-quality gate (8-word chunks as the line unit):
+    partial trailing chunks drop (the >=3-words rule analog), chunks
+    containing the boilerplate tokens 'spark' or 'vector' drop (the
+    javascript/cookie blacklist, instantiated with in-vocab tokens so
+    the gate actually fires on this corpus), and docs keeping fewer
+    than 3 chunks drop entirely. Shuffle-free single pass; SQL-oracled
+    (list-split + contains + count + string_agg reassembly)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linededup.c4_line_filter(
+        ds, width=8, line_blacklist=("spark", "vector"), min_lines=3
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus length percentiles (p25/50/75/95/99 of per-doc word
+    counts) via distributed histogram combine — only the merged
+    (length → count) histogram reaches the driver, never O(corpus).
+    Nearest-rank convention floor((n-1)*q) so the SQL oracle reproduces
+    it with integer math."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.length_quantiles(ds)
+
+
+def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-language deterministic stratified sampling (the multilingual
+    temperature-resampling idiom, XLM-R style): keep 50% of 'en' docs and
+    10% of every other language, selected by md5-low64(doc_id) % 100 —
+    cluster-stable, no RNG state, the same doc survives on every node
+    and rerun. SQL-parity via DuckDB md5_number_upper."""
+    from ..functions import textkit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = textkit._md5_low64([str(int(i)) for i in ids]) % np.uint64(100)
+        rate = np.where(
+            pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False),
+            50,
+            10,
+        ).astype(np.uint64)
+        return batch.filter(pa.array(h < rate))
+
+    out = ds.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def inverted_index_terms(sf_dir: str) -> pd.DataFrame:
+    """Distributed inverted-index build: term → document frequency +
+    comma-joined ascending posting list. Batch-local (doc, term) dedup,
+    one term-hash shuffle, per-partition vectorized assembly. SQL-oracled
+    against DISTINCT + string_agg ORDER BY."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textstats.inverted_index(ds, min_df=1).to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
 
 
 def dup_span_removal_docs(sf_dir: str) -> pd.DataFrame:

@@ -296,6 +296,92 @@ def within_doc_line_dedup(
     return docs.map_batches(_dedup, batch_format="pyarrow", batch_size=1024)
 
 
+def c4_line_filter(
+    docs: "ray.data.Dataset",
+    *,
+    width: int = 8,
+    min_line_words: int | None = None,
+    line_blacklist: tuple[str, ...] = (),
+    doc_blacklist: tuple[str, ...] = (),
+    min_lines: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """C4-style line-level quality gate (Raffel et al. 2020 §2.2),
+    adapted to this newline-free corpus where WIDTH-word chunks stand in
+    for lines (same convention as :func:`line_dedup`):
+
+    - drop lines shorter than ``min_line_words`` words (default: WIDTH,
+      i.e. trailing partial chunks — C4's ">= 3 words" rule analog),
+    - drop lines containing any ``line_blacklist`` substring (C4's
+      "javascript"/"cookie" boilerplate rule),
+    - drop the WHOLE doc if its text contains any ``doc_blacklist``
+      substring (C4's curly-brace / lorem-ipsum rule),
+    - drop docs with fewer than ``min_lines`` surviving lines (C4's
+      ">= 3 sentences" rule), reassembling the rest in order.
+
+    Scale design: completely SHUFFLE-FREE — every rule is row-local, so
+    this is one vectorized ``map_batches`` pass (``pc.match_substring``
+    per blacklist entry, word-count mask from the chunk offsets, bincount
+    + list-offset reassembly). Safe at any corpus size; compose BEFORE
+    the shuffling dedup stages so they see less data.
+    """
+    min_w = width if min_line_words is None else min_line_words
+
+    def _any_substring(arr: pa.Array, needles: tuple[str, ...]):
+        mask = None
+        for s in needles:
+            m = pc.match_substring(arr, s)
+            mask = m if mask is None else pc.or_(mask, m)
+        return mask
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        if doc_blacklist:
+            bad = _any_substring(
+                pc.cast(batch[text_col], pa.string()), doc_blacklist
+            )
+            batch = batch.filter(pc.invert(bad))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    text_col: pa.array([], type=pa.string()),
+                }
+            )
+        flat, counts = _split_words(batch, text_col)
+        lines, doc_idx, _cid, line_start = _chunk_lines(flat, counts, width)
+        total = int(counts.sum())
+        line_words = np.diff(np.append(line_start, total))
+        keep = line_words >= min_w
+        if line_blacklist:
+            bad_line = _any_substring(lines, line_blacklist)
+            keep &= np.invert(bad_line.to_numpy(zero_copy_only=False))
+        kept_idx = np.nonzero(keep)[0]
+        kept_doc = doc_idx[kept_idx]
+        per_doc = np.bincount(kept_doc, minlength=len(counts)).astype(np.int64)
+        doc_keep = per_doc >= min_lines
+        # drop lines of dropped docs, then reassemble survivors in order
+        kept_idx = kept_idx[doc_keep[kept_doc]]
+        lines_kept = lines.take(pa.array(kept_idx, type=pa.int64()))
+        if isinstance(lines_kept, pa.ChunkedArray):
+            lines_kept = lines_kept.combine_chunks()
+        offsets = np.concatenate(
+            [[0], np.cumsum(per_doc[doc_keep])]
+        ).astype(np.int32)
+        doc_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), lines_kept
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                text_col: pc.binary_join(doc_lists, " "),
+            }
+        )
+
+    return docs.map_batches(_gate, batch_format="pyarrow", batch_size=1024)
+
+
 def add_repetition_stats(
     docs: "ray.data.Dataset",
     *,

@@ -7,7 +7,10 @@ SQL-parity ones oracled through DuckDB in ``pipelines/queries.py``).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -93,6 +96,164 @@ def add_lang_pred(
         )
     return docs.map_batches(
         LangIdStage, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
+    )
+
+
+def length_quantiles(
+    docs: "ray.data.Dataset",
+    *,
+    q_pcts: tuple[int, ...] = (25, 50, 75, 95, 99),
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """EXACT distributed quantiles of per-doc word counts via histogram
+    combine — the canonical "exact percentile over an integer-valued
+    signal" shape for corpus audits (length cutoffs for Gopher-style
+    gates are picked from exactly these numbers).
+
+    Scale design: each batch collapses to a partial (n_words → count)
+    histogram (``np.unique``), a single small ``groupby(n_words).sum``
+    merges the partials, and ONLY the merged histogram — O(distinct
+    lengths), thousands of rows at 100 TB, never O(corpus) — reaches the
+    driver, where a cumsum + searchsorted picks the nearest-rank values.
+    No sort shuffle, no corpus materialization. Quantile convention is
+    the 0-based nearest-rank index ``floor((n-1) * q)`` so the SQL
+    oracle reproduces it with pure integer math (``((n-1)*q_pct)//100``).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(lens.astype(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "n_words": pa.array(vals, type=pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("n_words")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("n_words")
+    )
+    counts = hist["sum(cnt)"].to_numpy(dtype=np.int64)
+    values = hist["n_words"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for qp in q_pcts:
+        idx = ((n - 1) * qp) // 100  # 0-based nearest-rank
+        pos = int(np.searchsorted(cum, idx + 1))
+        rows.append((np.int32(qp), values[pos]))
+    return pd.DataFrame(rows, columns=["q_pct", "n_words"]).astype(
+        {"q_pct": "int32", "n_words": "int64"}
+    )
+
+
+_PMIX = np.uint64(0x9E3779B97F4A7C15)  # same fibonacci mix as stages/dedup
+
+
+def inverted_index(
+    docs: "ray.data.Dataset",
+    *,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed inverted-index build: term → (df, comma-joined sorted
+    posting list of doc ids). The search-index construction shape: explode
+    per-doc DISTINCT terms (batch-local dedup first, so a term occurring
+    1000× in a doc ships once), ONE shuffle keyed by term-hash partition,
+    then per-partition vectorized assembly (dict-encode + lexsort +
+    boundary mask + list-offset ``binary_join``) — never a per-term group
+    call, never Python over tokens.
+
+    Scale design: the shuffle payload is O(distinct (doc, term)) not
+    O(tokens); ``num_partitions`` sizes the per-task slice (≈ payload /
+    256 MB at scale). Hot terms (stopwords) make long posting lists —
+    df still computes in one pass, and a production sink would shard the
+    posting list per partition file; here it stays one row per term,
+    matching the SQL ``string_agg`` oracle.
+    """
+    from ..functions.textkit import _hash_strings
+
+    def _explode_distinct(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        base, end = int(offsets[0]), int(offsets[-1])
+        flat = words.values.slice(base, end - base)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s = doc_idx[order], codes[order]
+        first = np.concatenate(
+            [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        ) if len(order) else np.empty(0, bool)
+        d_u, c_u = d_s[first], c_s[first]
+        vocab_h = _hash_strings(enc.dictionary.to_pylist())
+        part = ((vocab_h[c_u] * _PMIX) >> np.uint64(33)) % np.uint64(
+            num_partitions
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(c_u, type=pa.int64())),
+                id_col: pa.array(ids[d_u], type=pa.int64()),
+                "_p": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    def _assemble(g: pa.Table) -> pa.Table:
+        terms = g["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        enc = terms.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        c_s, i_s = codes[order], ids[order]
+        # cross-batch duplicates of the same (term, doc) collapse here
+        uniq = np.concatenate(
+            [[True], (c_s[1:] != c_s[:-1]) | (i_s[1:] != i_s[:-1])]
+        )
+        c_s, i_s = c_s[uniq], i_s[uniq]
+        bnd = np.concatenate(
+            [[0], np.nonzero(c_s[1:] != c_s[:-1])[0] + 1, [len(c_s)]]
+        ).astype(np.int64)
+        df = np.diff(bnd)
+        keep = df >= min_df
+        id_strs = pc.cast(pa.array(i_s, type=pa.int64()), pa.string())
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(bnd.astype(np.int32), type=pa.int32()), id_strs
+            ),
+            ",",
+        )
+        term_vals = enc.dictionary.take(
+            pa.array(c_s[bnd[:-1]], type=pa.int64())
+        )
+        out = pa.table(
+            {
+                "term": term_vals,
+                "df": pa.array(df.astype(np.int64)),
+                "postings": postings,
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return (
+        docs.map_batches(
+            _explode_distinct, batch_format="pyarrow", batch_size=1024
+        )
+        .groupby("_p")
+        .map_groups(_assemble, batch_format="pyarrow")
     )
 
 
