@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": q.doc_length_quantiles,
         "stratified_sample_docs": q.stratified_sample_docs,
         "inverted_index_terms": q.inverted_index_terms,
+        "lang_length_quantiles": q.lang_length_quantiles,
+        "per_lang_head_sample": q.per_lang_head_sample,
         # similarity search
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_lsh_top10": q.knn_lsh_top10,
@@ -672,6 +674,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100
                   < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
             ORDER BY doc_id
+        """,
+        # per-language exact nearest-rank percentiles, integer math
+        "lang_length_quantiles": """
+            WITH lens AS (
+                SELECT lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                FROM documents
+            ), ordered AS (
+                SELECT lang, n_words,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_words) - 1 AS rn
+                FROM lens
+            ), n AS (SELECT lang, COUNT(*) AS c FROM lens GROUP BY lang)
+            SELECT o.lang, CAST(qs.q_pct AS INTEGER) AS q_pct, o.n_words
+            FROM (VALUES (50), (90)) qs(q_pct)
+            JOIN n ON TRUE
+            JOIN ordered o ON o.lang = n.lang
+                          AND o.rn = ((n.c - 1) * qs.q_pct) // 100
+            ORDER BY o.lang, q_pct
+        """,
+        # deterministic 20-per-language sample in the md5-low64 space
+        "per_lang_head_sample": """
+            WITH ranked AS (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang FROM ranked WHERE rn <= 20
+            ORDER BY lang, doc_id
         """,
         # inverted index: term -> df + ascending comma-joined postings
         "inverted_index_terms": """

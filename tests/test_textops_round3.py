@@ -172,3 +172,87 @@ def test_inverted_index_cross_batch_doc_dedup(ray_session):
     got = inverted_index(ds).to_pandas().sort_values("term")
     rows = {r["term"]: (r["df"], r["postings"]) for _, r in got.iterrows()}
     assert rows == {"a": (1, "7"), "b": (1, "7"), "c": (1, "7")}
+
+
+def test_grouped_topk_matches_sorted_head(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_topk
+
+    rng = np.random.default_rng(7)
+    n = 500
+    tbl = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], size=n)),
+            "v": pa.array(rng.integers(0, 50, size=n), type=pa.int64()),
+            "id": pa.array(np.arange(n), type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got = (
+        grouped_topk(ds, group_col="g", order_cols=["v", "id"], k=5)
+        .to_pandas()
+        .sort_values(["g", "v", "id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    want = (
+        df.sort_values(["g", "v", "id"])
+        .groupby("g", sort=True)
+        .head(5)
+        .sort_values(["g", "v", "id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
+
+
+def test_grouped_topk_k_exceeds_group_size(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_topk
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["x", "x", "y"]),
+            "v": pa.array([2, 1, 9], type=pa.int64()),
+        }
+    )
+    got = (
+        grouped_topk(
+            ray.data.from_arrow(tbl), group_col="g", order_cols=["v"], k=10
+        )
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == [
+        {"g": "x", "v": 1},
+        {"g": "x", "v": 2},
+        {"g": "y", "v": 9},
+    ]
+
+
+def test_grouped_length_quantiles_per_group_nearest_rank(ray_session):
+    from webscrape_neko_jirushi_ray.stages.textstats import (
+        grouped_length_quantiles,
+    )
+
+    texts, langs = {}, {}
+    # lang a: lengths 1..5 ; lang b: lengths 10,20,30
+    for i, ln in enumerate([1, 2, 3, 4, 5]):
+        texts[i] = " ".join(["w"] * ln)
+        langs[i] = "a"
+    for i, ln in zip([10, 11, 12], [10, 20, 30]):
+        texts[i] = " ".join(["w"] * ln)
+        langs[i] = "b"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+            "lang": pa.array([langs[k] for k in sorted(texts)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = grouped_length_quantiles(ds, group_col="lang", q_pcts=(50, 90))
+    rows = {(r["lang"], r["q_pct"]): r["n_words"] for _, r in got.iterrows()}
+    # a: n=5 -> p50 idx (4*50)//100=2 -> 3 ; p90 idx (4*90)//100=3 -> 4
+    # b: n=3 -> p50 idx (2*50)//100=1 -> 20 ; p90 idx (2*90)//100=1 -> 20
+    assert rows == {("a", 50): 3, ("a", 90): 4, ("b", 50): 20, ("b", 90): 20}

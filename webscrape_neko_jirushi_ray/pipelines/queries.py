@@ -474,6 +474,39 @@ def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def lang_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language p50/p90 of doc word counts via the grouped
+    histogram combine — driver sees only the merged (lang, length)
+    histogram. Same integer nearest-rank convention as
+    doc_length_quantiles, reproduced per-group by the SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = textstats.grouped_length_quantiles(ds, group_col="lang")
+    return out.sort_values(["lang", "q_pct"]).reset_index(drop=True)
+
+
+def per_lang_head_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 20-docs-per-language sample: top-20 per lang ordered
+    by (md5-low64(doc_id), doc_id) — the group-wise reservoir idiom with
+    a cluster-stable hash in place of RNG. Batch-local top-k prune before
+    the single group merge, so the shuffle moves <= k x groups x blocks
+    rows. SQL-parity via md5_number_upper ROW_NUMBER."""
+    from ..functions import textkit
+    from ..stages.relops import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = textkit._md5_low64([str(int(i)) for i in ids])
+        return batch.append_column("_h", pa.array(h, type=pa.uint64()))
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow")
+    out = grouped_topk(
+        hashed, group_col="lang", order_cols=["_h", "doc_id"], k=20
+    ).drop_columns(["_h"]).to_pandas()
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def inverted_index_terms(sf_dir: str) -> pd.DataFrame:
     """Distributed inverted-index build: term → document frequency +
     comma-joined ascending posting list. Batch-local (doc, term) dedup,

@@ -130,3 +130,62 @@ def range_join_broadcast(
         return kept
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    k: int,
+) -> "ray.data.Dataset":
+    """Top-k rows per group ordered ascending by ``order_cols`` (the
+    group-wise sampling / per-key head shape: reservoir-style "N docs per
+    language" picks, per-host politeness quotas).
+
+    Scale design — pre-aggregate before the shuffle: each batch first
+    prunes to its LOCAL top-k per group (one lexsort + rank mask), so at
+    most ``k × groups_in_batch`` rows enter the single
+    ``groupby(group_col)`` merge, never the corpus. The final per-group
+    merge is the same vectorized mask over ≤ k × num_blocks rows. One
+    key's pruned rows must fit in a worker (k × blocks — metadata-sized).
+    """
+
+    def _rank_mask(codes: np.ndarray, keys: list[np.ndarray]) -> np.ndarray:
+        # rows surviving = rank-within-group < k under ascending order_cols
+        order = np.lexsort(tuple(reversed([codes, *keys])))
+        c_s = codes[order]
+        starts = np.concatenate([[0], np.nonzero(c_s[1:] != c_s[:-1])[0] + 1])
+        group_of = np.cumsum(
+            np.concatenate([[0], (c_s[1:] != c_s[:-1]).astype(np.int64)])
+        )
+        rank = np.arange(len(c_s), dtype=np.int64) - starts[group_of]
+        keep = np.zeros(len(c_s), dtype=bool)
+        keep[order[rank < k]] = True
+        return keep
+
+    def _keys_of(t: pa.Table) -> list[np.ndarray]:
+        return [
+            np.asarray(t[c].to_numpy(zero_copy_only=False)) for c in order_cols
+        ]
+
+    def _local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = g.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return batch.filter(pa.array(_rank_mask(codes, _keys_of(batch))))
+
+    def _final(g: pa.Table) -> pa.Table:
+        codes = np.zeros(g.num_rows, dtype=np.int64)  # one group per call
+        return g.filter(pa.array(_rank_mask(codes, _keys_of(g))))
+
+    return (
+        ds.map_batches(_local, batch_format="pyarrow", batch_size=4096)
+        .groupby(group_col)
+        .map_groups(_final, batch_format="pyarrow")
+    )

@@ -152,6 +152,61 @@ def length_quantiles(
     )
 
 
+def grouped_length_quantiles(
+    docs: "ray.data.Dataset",
+    *,
+    group_col: str = "lang",
+    q_pcts: tuple[int, ...] = (50, 90),
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Exact per-group nearest-rank percentiles of per-doc word counts —
+    same histogram-combine shape as :func:`length_quantiles` but keyed by
+    ``(group, n_words)``: each batch collapses to partial counts, one
+    small groupby-sum merges them, and only the merged histogram
+    (O(groups × distinct lengths)) reaches the driver where a per-group
+    cumsum picks ``floor((n_g - 1) * q)``. No sort shuffle, no corpus
+    materialization; group count is assumed small (languages, sources)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.stack([codes, lens.astype(np.int64)], axis=1)
+        uniq, cnts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                group_col: enc.dictionary.take(
+                    pa.array(uniq[:, 0], type=pa.int64())
+                ),
+                "n_words": pa.array(uniq[:, 1], type=pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby([group_col, "n_words"])
+        .sum("cnt")
+        .to_pandas()
+        .sort_values([group_col, "n_words"])
+    )
+    rows = []
+    for gval, sub in hist.groupby(group_col, sort=True):
+        cum = sub["sum(cnt)"].to_numpy(dtype=np.int64).cumsum()
+        vals = sub["n_words"].to_numpy(dtype=np.int64)
+        n = int(cum[-1])
+        for qp in q_pcts:
+            idx = ((n - 1) * qp) // 100
+            rows.append((gval, np.int32(qp), vals[int(np.searchsorted(cum, idx + 1))]))
+    return pd.DataFrame(rows, columns=[group_col, "q_pct", "n_words"]).astype(
+        {"q_pct": "int32", "n_words": "int64"}
+    )
+
+
 _PMIX = np.uint64(0x9E3779B97F4A7C15)  # same fibonacci mix as stages/dedup
 
 
