@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_terms": q.inverted_index_terms,
         "lang_length_quantiles": q.lang_length_quantiles,
         "per_lang_head_sample": q.per_lang_head_sample,
+        "kmeans_embeddings": q.kmeans_embeddings,
         # similarity search
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_lsh_top10": q.knn_lsh_top10,

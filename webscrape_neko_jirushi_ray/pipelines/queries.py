@@ -507,6 +507,20 @@ def per_lang_head_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means (k=8, 5 iterations) over the embeddings
+    table: centroids broadcast once per iteration, per-batch combiner
+    partials (k rows each), O(k x dim) driver state. Deterministic init
+    (k lowest vec_ids). Iterative algorithm — rows-only for the driver;
+    exact-equality vs a numpy Lloyd oracle is pinned in tests."""
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=8, iters=5, dim=64)
+    out = kmeans_assign(ds, cent).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def inverted_index_terms(sf_dir: str) -> pd.DataFrame:
     """Distributed inverted-index build: term → document frequency +
     comma-joined ascending posting list. Batch-local (doc, term) dedup,
