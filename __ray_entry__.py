@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles": q.lang_length_quantiles,
         "per_lang_head_sample": q.per_lang_head_sample,
         "kmeans_embeddings": q.kmeans_embeddings,
+        "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
         # similarity search
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_lsh_top10": q.knn_lsh_top10,
@@ -708,6 +709,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM ranked WHERE rn <= 20
             ORDER BY lang, doc_id
+        """,
+        # top-3 distinctive terms per doc by integer tf-idf surrogate
+        # tf * 1e9 // df, term-ascending tie-break
+        "tfidf_top_terms_docs": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM words GROUP BY doc_id, w
+            ), df AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+            ), scored AS (
+                SELECT t.doc_id, t.w AS term,
+                       CAST((t.tf * 1000000000) // d.df AS BIGINT) AS score
+                FROM tf t JOIN df d ON t.w = d.w
+            ), ranked AS (
+                SELECT doc_id, term, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS rn
+                FROM scored
+            )
+            SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+            ORDER BY doc_id, term
         """,
         # inverted index: term -> df + ascending comma-joined postings
         "inverted_index_terms": """

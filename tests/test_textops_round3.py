@@ -256,3 +256,46 @@ def test_grouped_length_quantiles_per_group_nearest_rank(ray_session):
     # a: n=5 -> p50 idx (4*50)//100=2 -> 3 ; p90 idx (4*90)//100=3 -> 4
     # b: n=3 -> p50 idx (2*50)//100=1 -> 20 ; p90 idx (2*90)//100=1 -> 20
     assert rows == {("a", 50): 3, ("a", 90): 4, ("b", 50): 20, ("b", 90): 20}
+
+
+def test_tfidf_top_terms_small(ray_session):
+    from webscrape_neko_jirushi_ray.stages.textstats import tfidf_top_terms
+
+    # doc 1: 'a' tf=2 df=2 -> 1e9 ; 'b' tf=1 df=1 -> 1e9 (tie -> 'a','b')
+    # doc 2: 'a' tf=1 df=2 -> 5e8 ; 'c' tf=1 df=1 -> 1e9
+    texts = {1: "a a b", 2: "a c"}
+    got = (
+        tfidf_top_terms(_docs_ds(texts, n_blocks=2), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    rows = [(r["doc_id"], r["term"], r["score"]) for _, r in got.iterrows()]
+    assert rows == [
+        (1, "a", 1_000_000_000),
+        (1, "b", 1_000_000_000),
+        (2, "a", 500_000_000),
+        (2, "c", 1_000_000_000),
+    ]
+
+
+def test_grouped_topk_string_order_key(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_topk
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["x"] * 4),
+            "s": pa.array(["delta", "alpha", "charlie", "bravo"]),
+        }
+    )
+    got = (
+        grouped_topk(
+            ray.data.from_arrow(tbl).repartition(2),
+            group_col="g",
+            order_cols=["s"],
+            k=2,
+        )
+        .to_pandas()
+        .sort_values("s")
+    )
+    assert list(got["s"]) == ["alpha", "bravo"]

@@ -165,9 +165,16 @@ def grouped_topk(
         return keep
 
     def _keys_of(t: pa.Table) -> list[np.ndarray]:
-        return [
-            np.asarray(t[c].to_numpy(zero_copy_only=False)) for c in order_cols
-        ]
+        keys = []
+        for c in order_cols:
+            arr = np.asarray(t[c].to_numpy(zero_copy_only=False))
+            if arr.dtype.kind not in "iufb":
+                # strings → lexicographic RANK codes (np.unique sorts, so
+                # return_inverse is order-preserving) — np.lexsort needs
+                # numeric keys
+                _, arr = np.unique(arr, return_inverse=True)
+            keys.append(arr)
+        return keys
 
     def _local(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -312,6 +312,106 @@ def inverted_index(
     )
 
 
+_TFIDF_SCALE = 1_000_000_000
+
+
+def tfidf_top_terms(
+    docs: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Top-k most DISTINCTIVE terms per document by an all-integer
+    tf-idf surrogate ``score = tf * 1e9 // df`` (ties broken by term
+    ascending) — the corpus-characterization op behind keyword sinks and
+    topic routing, and exactly reproducible by SQL integer math (no
+    float log policy).
+
+    Scale design, two shuffles total:
+    1. batch-local (doc, term, tf) aggregation (lexsort + boundary
+       reduceat — each doc lives in one batch, so a (doc, term) pair is
+       global), routed by term hash: every term's rows co-locate, so df
+       is a partition-local boundary count attached by np.repeat;
+    2. the scored rows route by doc via :func:`grouped_topk`'s
+       batch-local prune, so the second shuffle carries ≤ k × docs rows.
+    """
+    from ..functions.textkit import _hash_strings
+    from .relops import grouped_topk
+
+    def _tf_explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        base, end = int(offsets[0]), int(offsets[-1])
+        flat = words.values.slice(base, end - base)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s = doc_idx[order], codes[order]
+        bnd = np.concatenate(
+            [
+                [0],
+                np.nonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))[0]
+                + 1,
+                [len(d_s)],
+            ]
+        ).astype(np.int64)
+        tf = np.diff(bnd)
+        d_u, c_u = d_s[bnd[:-1]], c_s[bnd[:-1]]
+        vocab_h = _hash_strings(enc.dictionary.to_pylist())
+        part = ((vocab_h[c_u] * _PMIX) >> np.uint64(33)) % np.uint64(
+            num_partitions
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(c_u, type=pa.int64())),
+                id_col: pa.array(ids[d_u], type=pa.int64()),
+                "tf": pa.array(tf),
+                "_p": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    def _score(g: pa.Table) -> pa.Table:
+        terms = g["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        enc = terms.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes,))
+        c_s = codes[order]
+        bnd = np.concatenate(
+            [[0], np.nonzero(c_s[1:] != c_s[:-1])[0] + 1, [len(c_s)]]
+        ).astype(np.int64)
+        df_per_run = np.diff(bnd)  # each row is a distinct doc
+        df = np.empty(len(codes), dtype=np.int64)
+        df[order] = np.repeat(df_per_run, df_per_run)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        score = (tf * _TFIDF_SCALE) // df
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "term": terms,
+                "score": pa.array(score.astype(np.int64)),
+                "_neg": pa.array((-score).astype(np.int64)),
+            }
+        )
+
+    scored = (
+        docs.map_batches(_tf_explode, batch_format="pyarrow", batch_size=1024)
+        .groupby("_p")
+        .map_groups(_score, batch_format="pyarrow")
+    )
+    return grouped_topk(
+        scored, group_col=id_col, order_cols=["_neg", "term"], k=k
+    ).drop_columns(["_neg"])
+
+
 def add_fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """+ fp_md5 (SQL-parity md5 of normalized text) and fp_rolling
     (Rabin-Karp min-window signature)."""
