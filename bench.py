@@ -227,8 +227,13 @@ def run_bench() -> dict:
         ("line_dedup_docs", lambda: q.line_dedup_docs(SF_DIR)),
         ("dup_span_removal_docs", lambda: q.dup_span_removal_docs(SF_DIR)),
         ("webtext_pipeline", lambda: q.webtext_pipeline(SF_DIR)),
+        ("webtext_pipeline_v2", lambda: q.webtext_pipeline_v2(SF_DIR)),
         ("pii_redact_docs", lambda: q.pii_redact_docs(SF_DIR)),
         ("gopher_quality_filter", lambda: q.gopher_quality_filter(SF_DIR)),
+        ("c4_line_filter_docs", lambda: q.c4_line_filter_docs(SF_DIR)),
+        ("inverted_index_terms", lambda: q.inverted_index_terms(SF_DIR)),
+        ("tfidf_top_terms_docs", lambda: q.tfidf_top_terms_docs(SF_DIR)),
+        ("kmeans_embeddings", lambda: q.kmeans_embeddings(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

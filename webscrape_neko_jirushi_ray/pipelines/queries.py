@@ -583,8 +583,6 @@ def webtext_pipeline(sf_dir: str) -> pd.DataFrame:
     dedup (8-word chunks keep-first) → Gopher repetition gate → token-
     budget shard packing (2000-token shards, distributed prefix scan).
     Returns (doc_id, text, n_tokens, shard_id) of the packed corpus."""
-    from ..functions.enumerate import attach_running_sum
-    from ..stages.joins import hash_join
     from ..stages.spandedup import decontaminate
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -600,6 +598,15 @@ def webtext_pipeline(sf_dir: str) -> pd.DataFrame:
     bench = ds.map_batches(_split(True), batch_format="pyarrow")
     train = ds.map_batches(_split(False), batch_format="pyarrow")
     clean = decontaminate(train, bench, n=4)
+    return _webtext_tail(clean)
+
+
+def _webtext_tail(clean: "ray.data.Dataset") -> pd.DataFrame:
+    """Shared tail of the webtext flagship: line dedup → Gopher gate →
+    2000-token shard packing (distributed prefix scan)."""
+    from ..functions.enumerate import attach_running_sum
+    from ..stages.joins import hash_join
+
     ld = linededup.line_dedup(clean, width=8).materialize()  # 2 consumers
     gate = linededup.gopher_filter(ld, width=8, min_words=20).map_batches(
         lambda t: pa.table(
@@ -625,6 +632,33 @@ def webtext_pipeline(sf_dir: str) -> pd.DataFrame:
 
     out = scanned.map_batches(_shard, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def webtext_pipeline_v2(sf_dir: str) -> pd.DataFrame:
+    """The flagship chain with the C4 line-quality gate inserted after
+    decontamination (decontaminate → C4 gate → line dedup → Gopher gate →
+    shard packing) — five stages hash-checked by ONE nested SQL oracle.
+    The C4 gate runs BEFORE the shuffling dedup so the shuffle sees only
+    surviving lines."""
+    from ..stages.spandedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(keep_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 50 == 0) if keep_bench else (ids % 50 != 0)
+            return t.filter(pa.array(m))
+
+        return _f
+
+    bench = ds.map_batches(_split(True), batch_format="pyarrow")
+    train = ds.map_batches(_split(False), batch_format="pyarrow")
+    clean = decontaminate(train, bench, n=4)
+    gated = linededup.c4_line_filter(
+        clean, width=8, line_blacklist=("spark", "vector"), min_lines=3
+    )
+    return _webtext_tail(gated)
 
 
 def pack_training_shards(sf_dir: str) -> pd.DataFrame:
