@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q.kmeans_embeddings,
         "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
         "webtext_pipeline_v2": q.webtext_pipeline_v2,
+        "distinct_token_estimate": q.distinct_token_estimate,
         # similarity search
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_lsh_top10": q.knn_lsh_top10,

@@ -517,6 +517,19 @@ def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
+def distinct_token_estimate(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog (p=12) estimate of COUNT(DISTINCT token) over the
+    documents corpus — per-batch register partials merged by one tiny
+    groupby-max; driver state O(2^p). Approximate by construction, so
+    rows-only for the driver; tests pin relative error <= 5% vs exact
+    and bit-for-bit determinism."""
+    from ..stages.sketch import hll_distinct_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    est = hll_distinct_tokens(ds, p=12)
+    return pd.DataFrame({"estimate_tokens": pd.array([est], dtype="int64")})
+
+
 def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd's k-means (k=8, 5 iterations) over the embeddings
     table: centroids broadcast once per iteration, per-batch combiner

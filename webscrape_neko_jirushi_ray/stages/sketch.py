@@ -1,0 +1,100 @@
+"""Mergeable cardinality sketch: HyperLogLog distinct-token counting
+(Flajolet et al. 2007) — the approximate-count class a 100-TB corpus
+audit needs when the exact ``groupby token`` shuffle is not worth it
+(vocabulary estimates, per-shard distinct URL counts, join-size hints).
+
+Scale design: each batch collapses to its 2^p-register partial (one
+``np.maximum.reduceat`` over sorted register hits — no Python per
+token), partials merge associatively via ``groupby(register).max``, and
+ONLY the merged register table (2^p rows, 4096 at p=12) reaches the
+driver for the harmonic-mean estimate. Driver state is O(2^p) at any
+corpus size; standard error is 1.04/sqrt(2^p) ≈ 1.6% at p=12, with the
+linear-counting small-range correction below 2.5·m.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _register_partial(
+    hashes: np.ndarray, p: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, max rho) pairs for one batch, vectorized."""
+    m_bits = np.uint64(64 - p)
+    reg = (hashes >> m_bits).astype(np.int64)
+    rest = hashes << np.uint64(p)  # low bits shifted up; zeros fill
+    # rho = leading zeros of `rest` + 1, capped at 64-p+1 when rest == 0
+    lz = np.full(len(rest), 64 - p, dtype=np.int64)
+    nz = rest != 0
+    if nz.any():
+        # exact vectorized count-leading-zeros: binary-search by shifts
+        cur = rest[nz].copy()
+        exact = np.zeros(cur.shape, dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+            exact[mask] += shift
+            cur[mask] = cur[mask] << np.uint64(shift)
+        lz[nz] = exact
+    rho = np.minimum(lz + 1, 64 - p + 1).astype(np.int64)
+    order = np.argsort(reg, kind="stable")
+    r_s, rho_s = reg[order], rho[order]
+    starts = np.concatenate(
+        [[0], np.nonzero(r_s[1:] != r_s[:-1])[0] + 1]
+    ).astype(np.int64)
+    if len(r_s) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return r_s[starts], np.maximum.reduceat(rho_s, starts)
+
+
+def hll_estimate(registers: np.ndarray, p: int) -> float:
+    """Standard HLL estimate over a dense 2^p register array."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def hll_distinct_tokens(
+    docs: "ray.data.Dataset",
+    *,
+    p: int = 12,
+    text_col: str = "text",
+) -> int:
+    """Approximate COUNT(DISTINCT token) over the corpus."""
+    from ..functions.textkit import _hash_strings
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values
+        enc = flat.dictionary_encode()
+        # one hash per DISTINCT token in the batch (vocab, not stream)
+        h = _hash_strings(enc.dictionary.to_pylist())
+        reg, rho = _register_partial(h.astype(np.uint64), p)
+        return pa.table(
+            {
+                "reg": pa.array(reg, type=pa.int64()),
+                "rho": pa.array(rho, type=pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("reg")
+        .max("rho")
+        .to_pandas()
+    )
+    registers = np.zeros(1 << p, dtype=np.int64)
+    registers[merged["reg"].to_numpy(dtype=np.int64)] = merged[
+        "max(rho)"
+    ].to_numpy(dtype=np.int64)
+    return int(round(hll_estimate(registers, p)))
