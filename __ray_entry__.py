@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
         "webtext_pipeline_v2": q.webtext_pipeline_v2,
         "distinct_token_estimate": q.distinct_token_estimate,
+        "normalize_docs": q.normalize_docs,
+        "doc_commonness_scores": q.doc_commonness_scores,
         # similarity search
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_lsh_top10": q.knn_lsh_top10,
@@ -799,6 +801,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM ranked WHERE rn <= 20
             ORDER BY lang, doc_id
+        """,
+        # normalization parity: inject doc_id-derived mixed case + ragged
+        # whitespace on BOTH sides, then identical RE2 lower/collapse/trim
+        "normalize_docs": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       lower(text || '  MiXeD' || CAST(doc_id AS VARCHAR)
+                             || '  TaIl '),
+                       '\\s+', ' ', 'g')) AS text
+            FROM documents ORDER BY doc_id
+        """,
+        # per-doc integer commonness: every token occurrence contributes
+        # its token's document frequency
+        "doc_commonness_scores": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), df AS (
+                SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM words GROUP BY w
+            )
+            SELECT t.doc_id, CAST(SUM(d.df) AS BIGINT) AS commonness
+            FROM words t JOIN df d ON t.w = d.w
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         # top-3 distinctive terms per doc by integer tf-idf surrogate
         # tf * 1e9 // df, term-ascending tie-break

@@ -299,3 +299,17 @@ def test_grouped_topk_string_order_key(ray_session):
         .sort_values("s")
     )
     assert list(got["s"]) == ["alpha", "bravo"]
+
+
+def test_doc_commonness_small(ray_session):
+    from webscrape_neko_jirushi_ray.stages.textstats import doc_commonness
+
+    # df: a->2, b->1, c->2 ; doc1 = a a b -> 2+2+1 = 5 ; doc2 = a c c -> 2+2+2=6
+    texts = {1: "a a b", 2: "a c c", 3: "c"}
+    got = (
+        doc_commonness(_docs_ds(texts, n_blocks=3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(got["doc_id"], got["commonness"])) == {1: 5, 2: 6, 3: 2}

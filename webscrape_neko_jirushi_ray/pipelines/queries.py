@@ -517,6 +517,42 @@ def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
+def normalize_docs(sf_dir: str) -> pd.DataFrame:
+    """Unicode-light text normalization (lowercase + whitespace collapse
+    + trim) — the canonicalization step ahead of hashing/dedup. The
+    corpus is already clean, so a deterministic doc_id-derived mixed-case
+    + ragged-whitespace suffix is injected IDENTICALLY by the SQL oracle
+    (the pii_redact pattern), then both engines run the same RE2
+    normalization and hash-compare the result."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        dstr = pc.cast(batch["doc_id"], pa.string())
+        injected = pc.binary_join_element_wise(
+            pc.cast(batch["text"], pa.string()),
+            "  MiXeD", dstr, "  TaIl ",
+            "",
+        )
+        t = pc.utf8_lower(injected)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    out = ds.map_batches(_norm, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_commonness_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-doc all-integer unigram 'commonness' (sum over token
+    occurrences of the token's document frequency) — the perplexity-style
+    quality-scoring surrogate, computed with a two-level pre-aggregated
+    reduction (term-hash co-location for df, per-partition per-doc
+    partials) and NO vocabulary broadcast."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textstats.doc_commonness(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def distinct_token_estimate(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog (p=12) estimate of COUNT(DISTINCT token) over the
     documents corpus — per-batch register partials merged by one tiny

@@ -412,6 +412,110 @@ def tfidf_top_terms(
     ).drop_columns(["_neg"])
 
 
+def doc_commonness(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-doc "commonness" score = Σ over token OCCURRENCES of the
+    token's document frequency (≡ Σ_t tf_t × df_t) — the all-integer
+    unigram-model surrogate for perplexity-style quality scoring (rare-
+    token-heavy docs score low), exactly reproducible in SQL.
+
+    Scale design — two-level pre-aggregated reduction, no broadcast of
+    the (web-scale) vocabulary: the same term-hash shuffle as
+    :func:`tfidf_top_terms` co-locates each term's rows so df is a
+    partition-local boundary count; each partition then collapses to
+    per-doc PARTIALS (Σ tf×df over the partition's terms), so the final
+    ``groupby(doc).sum`` sees ≤ docs × partitions rows, never the token
+    stream."""
+    from ..functions.textkit import _hash_strings
+
+    def _tf_explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        base, end = int(offsets[0]), int(offsets[-1])
+        flat = words.values.slice(base, end - base)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s = doc_idx[order], codes[order]
+        bnd = np.concatenate(
+            [
+                [0],
+                np.nonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))[0]
+                + 1,
+                [len(d_s)],
+            ]
+        ).astype(np.int64)
+        tf = np.diff(bnd)
+        d_u, c_u = d_s[bnd[:-1]], c_s[bnd[:-1]]
+        vocab_h = _hash_strings(enc.dictionary.to_pylist())
+        part = ((vocab_h[c_u] * _PMIX) >> np.uint64(33)) % np.uint64(
+            num_partitions
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(c_u, type=pa.int64())),
+                id_col: pa.array(ids[d_u], type=pa.int64()),
+                "tf": pa.array(tf),
+                "_p": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    def _partial(g: pa.Table) -> pa.Table:
+        terms = g["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        codes = terms.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort((codes,))
+        c_s = codes[order]
+        bnd = np.concatenate(
+            [[0], np.nonzero(c_s[1:] != c_s[:-1])[0] + 1, [len(c_s)]]
+        ).astype(np.int64)
+        df_per_run = np.diff(bnd)
+        df = np.empty(len(codes), dtype=np.int64)
+        df[order] = np.repeat(df_per_run, df_per_run)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        contrib = tf * df
+        # collapse to one partial per doc in this partition
+        o2 = np.argsort(ids, kind="stable")
+        i_s, v_s = ids[o2], contrib[o2]
+        starts = np.concatenate(
+            [[0], np.nonzero(i_s[1:] != i_s[:-1])[0] + 1]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(i_s[starts], type=pa.int64()),
+                "part_sum": pa.array(
+                    np.add.reduceat(v_s, starts).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = (
+        docs.map_batches(_tf_explode, batch_format="pyarrow", batch_size=1024)
+        .groupby("_p")
+        .map_groups(_partial, batch_format="pyarrow")
+    )
+    summed = partials.groupby(id_col).sum("part_sum")
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([id_col, "commonness"])
+
+    return summed.map_batches(_rename, batch_format="pyarrow")
+
+
 def add_fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """+ fp_md5 (SQL-parity md5 of normalized text) and fp_rolling
     (Rabin-Karp min-window signature)."""
