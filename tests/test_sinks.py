@@ -1,0 +1,70 @@
+"""Resumable partitioned-Parquet sink (state/sinks): stamped partitions
+are skipped byte-for-byte on re-run; unstamped partials are rewritten."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from webscrape_neko_jirushi_ray.state.sinks import (
+    finished_partitions,
+    write_partitioned_resumable,
+)
+
+
+def _ds(rows: list[tuple[int, str, str]]) -> ray.data.Dataset:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "lang": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    return ray.data.from_arrow(tbl).repartition(2)
+
+
+def _read_lang(out: str, lang: str) -> set[str]:
+    d = os.path.join(out, f"lang={lang}")
+    tbl = pq.read_table(d)
+    return set(tbl["text"].to_pylist())
+
+
+def test_fresh_write_stamps_all(ray_session, tmp_path):
+    out = str(tmp_path / "corpus")
+    rows = [(1, "en", "one"), (2, "en", "two"), (3, "fr", "trois")]
+    res = write_partitioned_resumable(_ds(rows), out, partition_col="lang")
+    assert res == {"written": ["en", "fr"], "skipped": []}
+    assert finished_partitions(out, "lang") == {"en", "fr"}
+    assert _read_lang(out, "en") == {"one", "two"}
+
+
+def test_resume_skips_stamped_and_rewrites_partial(ray_session, tmp_path):
+    out = str(tmp_path / "corpus")
+    rows = [(1, "en", "one"), (3, "fr", "trois"), (4, "de", "vier")]
+    write_partitioned_resumable(_ds(rows), out, partition_col="lang")
+    # simulate a crash on 'fr': drop its stamp (partial dir remains)
+    os.remove(os.path.join(out, "lang=fr", "_SUCCESS"))
+    # second run ships DIFFERENT rows for every lang; stamped partitions
+    # must keep their original bytes, the unstamped one must be rewritten
+    rows2 = [(1, "en", "POISON"), (3, "fr", "trois-v2"), (4, "de", "POISON")]
+    res = write_partitioned_resumable(_ds(rows2), out, partition_col="lang")
+    assert res["skipped"] == ["de", "en"]
+    assert res["written"] == ["fr"]
+    assert _read_lang(out, "en") == {"one"}  # untouched
+    assert _read_lang(out, "de") == {"vier"}  # untouched
+    assert _read_lang(out, "fr") == {"trois-v2"}  # rewritten from run 2
+
+
+def test_resume_noop_when_everything_stamped(ray_session, tmp_path):
+    out = str(tmp_path / "corpus")
+    rows = [(1, "en", "one")]
+    write_partitioned_resumable(_ds(rows), out, partition_col="lang")
+    res = write_partitioned_resumable(
+        _ds([(1, "en", "POISON")]), out, partition_col="lang"
+    )
+    assert res == {"written": [], "skipped": ["en"]}
+    assert _read_lang(out, "en") == {"one"}
