@@ -313,3 +313,35 @@ def test_doc_commonness_small(ray_session):
         .reset_index(drop=True)
     )
     assert dict(zip(got["doc_id"], got["commonness"])) == {1: 5, 2: 6, 3: 2}
+
+
+def test_shuffle_ops_partition_count_invariant(ray_session):
+    """The term-hash shuffles must produce identical results whatever the
+    partition count or block split — the correctness claim behind scaling
+    num_partitions to corpus size."""
+    from webscrape_neko_jirushi_ray.stages.textstats import (
+        doc_commonness,
+        inverted_index,
+        tfidf_top_terms,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(50)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+        for i in range(120)
+    }
+
+    def run(fn, **kw):
+        frames = []
+        for blocks, parts in ((1, 2), (6, 16), (12, 64)):
+            df = fn(_docs_ds(texts, n_blocks=blocks), num_partitions=parts)
+            df = df.to_pandas()
+            frames.append(
+                df.sort_values(list(df.columns)).reset_index(drop=True)
+            )
+        assert frames[0].equals(frames[1]) and frames[1].equals(frames[2])
+
+    run(inverted_index)
+    run(lambda ds, **kw: tfidf_top_terms(ds, k=2, **kw))
+    run(doc_commonness)
