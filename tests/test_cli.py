@@ -76,3 +76,61 @@ def test_cli_crawl_fetchlist_and_config_rejection(tmp_path):
     payloads = [json.loads(ln) for ln in lines if ln.startswith("{")]
     assert payloads[0]["visited"] > 0 and payloads[0]["fetched_ok"] > 0
     assert payloads[1]["visited"] > 0
+
+
+def test_cli_corpus_resumable(tmp_path):
+    script = textwrap.dedent(
+        f"""
+        import io, json, os, sys
+        os.chdir("/root/repo")
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from webscrape_neko_jirushi_ray.__main__ import main
+
+        out = {repr(str(tmp_path))}
+        rng = np.random.default_rng(5)
+        vocab = [f"w{{i}}" for i in range(60)] + ["bad"]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(100, 300)))
+                 for _ in range(200)]
+        docs = os.path.join(out, "docs"); os.makedirs(docs)
+        pq.write_table(pa.table({{"doc_id": pa.array(range(200), type=pa.int64()),
+                                  "text": pa.array(texts)}}),
+                       os.path.join(docs, "d.parquet"))
+
+        corpus = os.path.join(out, "corpus")
+        argv = ["--num-cpus", "4", "corpus", "--docs", docs, "--out", corpus,
+                "--blacklist", "bad", "--min-lines", "2",
+                "--min-words", "8", "--shards", "4"]
+        buf = io.StringIO(); real = sys.stdout
+        sys.stdout = buf
+        rc = main(list(argv))
+        sys.stdout = real
+        assert rc == 0
+        rep1 = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert rep1["written_shards"] >= 1 and rep1["skipped_shards"] == 0
+
+        first = pq.read_table(corpus).to_pandas().sort_values("doc_id")
+
+        # second run must skip every stamped shard and change nothing
+        buf = io.StringIO(); sys.stdout = buf
+        rc = main(list(argv))
+        sys.stdout = real
+        assert rc == 0
+        rep2 = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert rep2["written_shards"] == 0
+        assert rep2["skipped_shards"] == rep1["written_shards"]
+        second = pq.read_table(corpus).to_pandas().sort_values("doc_id")
+        assert first.reset_index(drop=True).equals(second.reset_index(drop=True))
+        print("CORPUS_CLI_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "CORPUS_CLI_OK" in proc.stdout

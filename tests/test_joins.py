@@ -100,3 +100,21 @@ def test_inner_join_empty_right(ray_session):
     # Ray normalizes all-empty map outputs to schema-less blocks, so a
     # fully-empty result may surface with no columns — both are acceptable
     assert sorted(out.columns) in ([], ["k", "v", "w"])
+
+
+def test_inner_join_schema_less_empty_right(ray_session):
+    """A fully-filtered (schema-less) right side must yield an empty
+    inner join, not an AttributeError — the gate-kills-everything case."""
+    import pyarrow as pa
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.joins import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["x", "y"])})
+    )
+    empty = left.filter(lambda r: False)
+    assert empty.schema() is None  # precondition: Ray drops the schema
+    out = hash_join(left, empty, key="doc_id", how="inner")
+    assert out.count() == 0

@@ -232,6 +232,58 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """Webtext corpus build: C4 line-quality gate → corpus line dedup →
+    Gopher repetition gate, written as RESUMABLE hive-partitioned parquet
+    (shard = doc_id % n_shards; finished shards are skipped on re-run)."""
+    ray = _ray_session(args.num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .stages import linededup
+    from .stages.joins import hash_join
+    from .state.sinks import write_partitioned_resumable
+
+    ds = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+    blacklist = tuple(args.blacklist.split(",")) if args.blacklist else ()
+    ds = linededup.c4_line_filter(
+        ds, width=args.width, line_blacklist=blacklist,
+        min_lines=args.min_lines,
+    )
+    ds = linededup.line_dedup(ds, width=args.width).materialize()
+    gate = linededup.gopher_filter(
+        ds, width=args.width, min_words=args.min_words
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_words"]}),
+        batch_format="pyarrow",
+    )
+    kept = hash_join(ds, gate, key="doc_id", how="inner")
+
+    n_shards = args.shards
+
+    def _shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array((ids % n_shards).astype(np.int64))
+        )
+
+    sharded = kept.map_batches(_shard, batch_format="pyarrow")
+    report = write_partitioned_resumable(
+        sharded, args.out, partition_col="shard"
+    )
+    print(
+        json.dumps(
+            {
+                "written_shards": len(report["written"]),
+                "skipped_shards": len(report["skipped"]),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_archive(args) -> int:
     """S8 sinks: backup (copytree), archive (tar.gz/zip), age-GC — no Ray
     session needed (driver-side ops on final layouts)."""
@@ -306,6 +358,20 @@ def main(argv=None) -> int:
     stt = sub.add_parser("stats", help="dataset totals (data_manager analog)")
     stt.add_argument("--data", required=True, help="parquet dir (e.g. final layout)")
     stt.set_defaults(fn=cmd_stats)
+
+    co = sub.add_parser(
+        "corpus",
+        help="webtext corpus build (C4 gate + line dedup + Gopher gate) "
+        "into a resumable partitioned layout",
+    )
+    co.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    co.add_argument("--out", required=True)
+    co.add_argument("--width", type=int, default=8, help="words per chunk/'line'")
+    co.add_argument("--blacklist", help="comma-separated line blacklist substrings")
+    co.add_argument("--min-lines", type=int, default=3)
+    co.add_argument("--min-words", type=int, default=20)
+    co.add_argument("--shards", type=int, default=16, help="output partitions")
+    co.set_defaults(fn=cmd_corpus)
 
     ar = sub.add_parser("archive", help="backup/archive/GC sinks (data_manager analog)")
     ar.add_argument("--src", required=True, help="layout dir to preserve")

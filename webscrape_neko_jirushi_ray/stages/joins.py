@@ -67,6 +67,11 @@ def hash_join(
 
     lschema = left.schema()
     rschema = right.schema()
+    if lschema is None or rschema is None:
+        # Ray reports a None schema only for datasets with zero rows in
+        # every block — an inner join against one is empty. Keep the left
+        # schema (when it exists) so downstream column refs still resolve.
+        return left.limit(0)
     lnames = list(lschema.names)
     ltypes = list(lschema.types)
     rnames_in = list(rschema.names)
