@@ -132,7 +132,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_clicks_views": q.asof_join_clicks_views,
         "range_join_quantity_buckets": q.range_join_quantity_buckets,
         "top_tokens": q.top_tokens,
+        # keyed windows / frequent items / graph / outer joins
+        "user_event_gaps": q.user_event_gaps,
+        "heavy_hitter_tokens": q.heavy_hitter_tokens,
+        "pagerank_customers": q.pagerank_customers,
+        "outer_join_balances": q.outer_join_balances,
     }
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled integer power iteration matching
+    stages/graph.pagerank_int over the order-derived customer graph:
+    r_{i+1}(v) = 150000000000 + SUM((85 * r_i(u)) // (100 * outdeg(u)))
+    over in-edges; all-BIGINT so the sums are order-independent."""
+    parts = [
+        """WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),
+        edges AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT) AS dst
+            FROM orders
+            WHERE o_custkey <> (o_orderkey % (SELECT m FROM maxc)) + 1
+        ),
+        outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        r0 AS (
+            SELECT CAST(c_custkey AS BIGINT) AS node,
+                   CAST(1000000000000 AS BIGINT) AS pr
+            FROM customer
+        )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        c{i} AS (
+            SELECT e.dst AS node,
+                   SUM((85 * r.pr) // (100 * o.d)) AS c
+            FROM edges e
+            JOIN r{i - 1} r ON r.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ),
+        r{i} AS (
+            SELECT r{i - 1}.node,
+                   CAST(150000000000 + COALESCE(c{i}.c, 0) AS BIGINT) AS pr
+            FROM r{i - 1} LEFT JOIN c{i} ON c{i}.node = r{i - 1}.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, pr AS pr_scaled FROM r{iterations} ORDER BY node"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1186,6 +1235,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token
             LIMIT 20
+        """,
+        "user_event_gaps": """
+            SELECT event_id, user_id, CAST(gap_us AS BIGINT) AS gap_us
+            FROM (
+                SELECT event_id, user_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS gap_us
+                FROM events
+            )
+            WHERE gap_us IS NOT NULL
+            ORDER BY event_id
+        """,
+        "heavy_hitter_tokens": """
+            WITH words AS (
+                SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS token
+                FROM documents WHERE TRIM(text) <> ''
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM words
+            GROUP BY token
+            HAVING COUNT(*) * 50 > (SELECT COUNT(*) FROM words)
+            ORDER BY token
+        """,
+        "pagerank_customers": _pagerank_oracle_sql(iterations=5),
+        "outer_join_balances": """
+            WITH l AS (
+                SELECT c_custkey, c_name FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            ),
+            r AS (
+                SELECT c_custkey,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey,
+                   COALESCE(l.c_name, '<none>') AS c_name,
+                   CAST(COALESCE(r.bal_cents, -1) AS BIGINT) AS bal_cents
+            FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
+            ORDER BY c_custkey
         """,
         # minhash/simhash/ngram/embedding dedup, langid, knn_lsh, the
         # crawl-engine queries and the image-pipeline stats are

@@ -1,0 +1,104 @@
+"""Round-3 operator units: grouped_lag window vs pandas shift, two-pass
+heavy hitters vs exact Counter (incl. the cross-batch pigeonhole
+guarantee), integer PageRank vs a numpy power iteration."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from webscrape_neko_jirushi_ray.stages.graph import pagerank_int
+from webscrape_neko_jirushi_ray.stages.heavyhitters import heavy_hitter_tokens
+from webscrape_neko_jirushi_ray.stages.relops import grouped_lag
+
+
+def test_grouped_lag_matches_pandas(ray_session):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 12, 300).astype(np.int64),
+            "o": rng.permutation(300).astype(np.int64),
+            "v": rng.integers(0, 1000, 300).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        grouped_lag(ds, group_col="g", order_cols=["o"], value_col="v",
+                    out_col="prev")
+        .to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+    )
+    want = df.sort_values(["g", "o"]).reset_index(drop=True)
+    want["prev"] = want.groupby("g")["v"].shift(1)
+    assert (out["prev"].isna() == want["prev"].isna()).all()
+    mask = want["prev"].notna()
+    assert (out.loc[mask, "prev"].astype("int64")
+            == want.loc[mask, "prev"].astype("int64")).all()
+
+
+def test_heavy_hitters_exact_across_batches(ray_session):
+    # one token globally heavy but locally light in every batch except
+    # one would break a naive single-pass top-k; the pigeonhole candidate
+    # union + exact recount must still find exactly the > N/k set
+    rng = np.random.default_rng(3)
+    k = 10
+    docs = []
+    for i in range(40):
+        toks = ["w%d" % t for t in rng.integers(0, 500, 50)]
+        if i % 2 == 0:
+            toks += ["hot"] * 30  # globally heavy, spread across batches
+        docs.append(" ".join(toks))
+    ds = ray.data.from_items([{"text": d} for d in docs])
+    out = heavy_hitter_tokens(ds, text_col="text", k=k, batch_size=4)
+    got = dict(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
+
+    from collections import Counter
+
+    c = Counter()
+    for d in docs:
+        c.update(d.split())
+    n = sum(c.values())
+    want = {t: v for t, v in c.items() if v * k > n}
+    assert got == want
+    assert "hot" in got
+
+
+def test_pagerank_matches_numpy_power_iteration(ray_session):
+    rng = np.random.default_rng(5)
+    n = 40
+    edges = {(int(a), int(b)) for a, b in
+             zip(rng.integers(0, n, 150), rng.integers(0, n, 150))
+             if a != b}
+    e = np.array(sorted(edges), dtype=np.int64)
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+    )
+    edges_ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    )
+    iters, scale = 3, 10**9
+    out = (
+        pagerank_int(nodes_ds, edges_ds, iterations=iters, scale=scale,
+                     num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+
+    # integer reference
+    outdeg = np.bincount(e[:, 0], minlength=n)
+    r = np.full(n, scale, dtype=np.int64)
+    base = (scale * 15) // 100
+    for _ in range(iters):
+        nxt = np.full(n, base, dtype=np.int64)
+        contrib = (85 * r[e[:, 0]]) // (100 * outdeg[e[:, 0]])
+        np.add.at(nxt, e[:, 1], contrib)
+        r = nxt
+    assert (out["pr_scaled"].to_numpy() == r).all()
+
+
+def test_heavy_hitters_empty_when_nothing_heavy(ray_session):
+    rng = np.random.default_rng(9)
+    docs = [" ".join("w%d" % t for t in rng.integers(0, 500, 50))
+            for _ in range(20)]
+    ds = ray.data.from_items([{"text": d} for d in docs])
+    out = heavy_hitter_tokens(ds, text_col="text", k=10, batch_size=4)
+    assert out.num_rows == 0

@@ -118,3 +118,43 @@ def test_inner_join_schema_less_empty_right(ray_session):
     assert empty.schema() is None  # precondition: Ray drops the schema
     out = hash_join(left, empty, key="doc_id", how="inner")
     assert out.count() == 0
+
+
+def test_outer_joins_match_pandas(ray_session):
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 30, 80).astype(np.int64),
+         "lval": np.arange(80, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(15, 45, 50).astype(np.int64),
+         "rval": np.arange(50, dtype=np.int64) * 3}
+    )
+
+    def _canon(df):
+        df = df.copy()
+        df["lval"] = df["lval"].fillna(-1).astype("int64")
+        df["rval"] = df["rval"].fillna(-1).astype("int64")
+        return df.sort_values(["k", "lval", "rval"]).reset_index(drop=True)
+
+    for how, pd_how in [("left_outer", "left"), ("full_outer", "outer")]:
+        out = _canon(
+            hash_join(_mk(left), _mk(right), key="k", how=how,
+                      num_partitions=8).to_pandas()
+        )
+        want = _canon(left.merge(right, on="k", how=pd_how))
+        pd.testing.assert_frame_equal(out, want)
+
+
+def test_full_outer_one_side_empty(ray_session):
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                         "lval": np.array([10, 20], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([], dtype=np.int64),
+                          "rval": np.array([], dtype=np.int64)})
+    out = (
+        hash_join(_mk(left), _mk(right), key="k", how="full_outer",
+                  num_partitions=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 2]
+    assert out["rval"].isna().all()

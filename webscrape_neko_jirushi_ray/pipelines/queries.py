@@ -1356,3 +1356,128 @@ def fetch_list_visits(sf_dir: str) -> pd.DataFrame:
         out = res.visits_table().to_pandas()
     out["url_sha1"] = out["url_sha1"].map(lambda b: b.hex())
     return out.sort_values("visit_idx").reset_index(drop=True)
+
+
+# --- round-3 window / frequent-items / graph / outer-join operators -------
+
+
+def user_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Keyed LAG window (custom operator — Ray Data has no window
+    functions): per-user inter-event gap in microseconds, ordered by
+    (ts, event_id). One groupby(user_id) shuffle, per-group vectorized
+    sort + shift (stages/relops.grouped_lag); first-event rows (null lag)
+    drop on both sides."""
+    from ..stages.relops import grouped_lag
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    lagged = grouped_lag(
+        ds.map_batches(_us, batch_format="pyarrow"),
+        group_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="ts_us",
+        out_col="prev_us",
+    )
+
+    def _gap(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["prev_us"]))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "gap_us": pc.subtract(t["ts_us"], t["prev_us"]),
+            }
+        )
+
+    out = lagged.map_batches(_gap, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def heavy_hitter_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact phi=1/50 frequent tokens by two-pass sketch-prune + verify
+    (stages/heavyhitters): per-batch locally-heavy candidates (pigeonhole
+    superset guarantee), broadcast, exact recount. Output is exact, so
+    SQL-checkable — unlike a raw SpaceSaving sketch."""
+    from ..stages.heavyhitters import heavy_hitter_tokens as _hh
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return _hh(ds, text_col="text", k=50).to_pandas()
+
+
+def pagerank_customers(sf_dir: str) -> pd.DataFrame:
+    """Integer PageRank (stages/graph.pagerank_int), 5 rounds, over a
+    deterministic order-derived graph: node set = customers, edges =
+    DISTINCT (o_custkey -> 1 + o_orderkey % max(c_custkey)), self-loops
+    dropped. All-integer message passing makes the ranks bit-reproducible
+    and oracle-checkable by an unrolled SQL power iteration."""
+    from ray.data.aggregate import Count, Max
+
+    from ..stages.graph import pagerank_int
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    maxc = int(cust.aggregate(Max("c_custkey", alias_name="m"))["m"])
+    nodes = cust.map_batches(
+        lambda t: pa.table({"node": t["c_custkey"]}), batch_format="pyarrow"
+    )
+
+    def _edges(t: pa.Table) -> pa.Table:
+        src = pc.cast(t["o_custkey"], pa.int64())
+        okey = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        dst = pa.array((okey % maxc) + 1, type=pa.int64())
+        tbl = pa.table({"src": src, "dst": dst})
+        return tbl.filter(pc.not_equal(tbl["src"], tbl["dst"]))
+
+    edges = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+        .map_batches(_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+    )
+    out = pagerank_int(nodes, edges, iterations=5).to_pandas()
+    out["pr_scaled"] = out["pr_scaled"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def outer_join_balances(sf_dir: str) -> pd.DataFrame:
+    """Distributed FULL OUTER hash join (stages/joins.hash_join,
+    partition-bucketed acero stitch, key coalesced per-partition):
+    BUILDING-segment customers vs positive-balance customers on custkey —
+    genuine unmatched rows on both sides; nulls coalesced to sentinels so
+    the driver hash is type-stable."""
+    from ..stages.joins import hash_join
+
+    ds = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    )
+
+    def _left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        return pa.table({"c_custkey": t["c_custkey"], "c_name": t["c_name"]})
+
+    def _right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "bal_cents": _to_scaled_int(t["c_acctbal"], 100),
+            }
+        )
+
+    left = ds.map_batches(_left, batch_format="pyarrow")
+    right = ds.map_batches(_right, batch_format="pyarrow")
+    out = hash_join(
+        left, right, key="c_custkey", how="full_outer"
+    ).to_pandas()
+    out["c_name"] = out["c_name"].fillna("<none>")
+    out["bal_cents"] = out["bal_cents"].fillna(-1).astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -49,12 +49,15 @@ def hash_join(
 ) -> "ray.data.Dataset":
     """Distributed equi-join on int64 keys.
 
-    how: 'inner' | 'left_semi' | 'left_anti'. For 'inner', the right key
-    column is dropped from the output and conflicting right column names
-    get ``right_suffix``; acero does the per-partition stitch, so non-key
-    payloads must be acero-joinable types (ints/floats/strings/binary —
-    NOT lists; blob-encode those). Semi/anti use is_in masks and carry any
-    left payload type untouched.
+    how: 'inner' | 'left_outer' | 'full_outer' | 'left_semi' |
+    'left_anti'. For inner/outer, the right key column is dropped from
+    the output (full outer COALESCES it into the left-named key column,
+    since each key lives in exactly one hash partition) and conflicting
+    right column names get ``right_suffix``; acero does the per-partition
+    stitch, so non-key payloads must be acero-joinable types
+    (ints/floats/strings/binary — NOT lists; blob-encode those).
+    Unmatched rows carry nulls in the other side's columns. Semi/anti use
+    is_in masks and carry any left payload type untouched.
     """
     rk = right_key or key
     if how in ("left_semi", "left_anti"):
@@ -62,7 +65,12 @@ def hash_join(
             left, right, key=key, right_key=rk, anti=(how == "left_anti"),
             num_partitions=num_partitions,
         )
-    if how != "inner":
+    acero_how = {
+        "inner": "inner",
+        "left_outer": "left outer",
+        "full_outer": "full outer",
+    }.get(how)
+    if acero_how is None:
         raise ValueError(f"unsupported join type {how!r}")
 
     lschema = left.schema()
@@ -71,6 +79,12 @@ def hash_join(
         # Ray reports a None schema only for datasets with zero rows in
         # every block — an inner join against one is empty. Keep the left
         # schema (when it exists) so downstream column refs still resolve.
+        if how != "inner":
+            raise ValueError(
+                "outer hash_join against a schema-less (all-empty) side: "
+                "give the empty side a schema (e.g. limit(0) on a typed "
+                "source) so null padding is typeable"
+            )
         return left.limit(0)
     lnames = list(lschema.names)
     ltypes = list(lschema.types)
@@ -121,13 +135,15 @@ def hash_join(
         side = g[_SIDE]
         lt = g.filter(pc.equal(side, 0)).select(lnames)
         rt = g.filter(pc.equal(side, 1)).select(rnames)
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if how == "inner" and (lt.num_rows == 0 or rt.num_rows == 0):
             return pa.table(
                 {n: pa.array([], type=all_types[n]) for n in out_names}
             )
         joined = lt.join(
-            rt, keys=[key], right_keys=[rk_out], join_type="inner"
+            rt, keys=[key], right_keys=[rk_out], join_type=acero_how
         )
+        # full outer coalesces the key into the left-named column; right-
+        # only rows otherwise surface with a null key
         return joined.select(out_names)
 
     return combined.groupby(_PART).map_groups(_stitch, batch_format="pyarrow")

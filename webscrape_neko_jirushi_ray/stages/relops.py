@@ -196,3 +196,40 @@ def grouped_topk(
         .groupby(group_col)
         .map_groups(_final, batch_format="pyarrow")
     )
+
+
+def grouped_lag(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    periods: int = 1,
+) -> "ray.data.Dataset":
+    """``LAG(value_col, periods) OVER (PARTITION BY group_col ORDER BY
+    order_cols)`` — the keyed-window shape (inter-event gaps, per-host
+    deltas, sessionization features).
+
+    Scale design: ONE ``groupby(group_col)`` shuffle co-locates each key,
+    then the window is a per-group vectorized sort + shift (no driver
+    state, no global sort). Partitioning assumption (per the build brief):
+    one key's rows fit in a worker — the standard keyed-window contract;
+    for skewed keys pre-split by a secondary range key upstream.
+    """
+
+    def _window(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(
+                out_col, pa.nulls(0, g.schema.field(value_col).type)
+            )
+        g = g.sort_by([(c, "ascending") for c in order_cols])
+        v = g[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        lag = pa.concat_arrays(
+            [pa.nulls(min(periods, len(v)), v.type), v[: max(len(v) - periods, 0)]]
+        )
+        return g.append_column(out_col, lag)
+
+    return ds.groupby(group_col).map_groups(_window, batch_format="pyarrow")
