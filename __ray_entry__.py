@@ -137,6 +137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": q.heavy_hitter_tokens,
         "pagerank_customers": q.pagerank_customers,
         "outer_join_balances": q.outer_join_balances,
+        # multi-level / argmax aggregates + per-group sketch
+        "rollup_order_stats": q.rollup_order_stats,
+        "top_event_type_per_user": q.top_event_type_per_user,
+        "distinct_tokens_per_lang": q.distinct_tokens_per_lang,
     }
 
 
@@ -1277,9 +1281,32 @@ def oracle_sql() -> dict[str, str]:
             FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
             ORDER BY c_custkey
         """,
-        # minhash/simhash/ngram/embedding dedup, langid, knn_lsh, the
-        # crawl-engine queries and the image-pipeline stats are
-        # intentionally oracle-less (stateful / model-scoring /
+        "rollup_order_stats": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "top_event_type_per_user": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+            FROM c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY n DESC, event_type
+            ) = 1
+            ORDER BY user_id
+        """,
+        # minhash/simhash/ngram/embedding dedup, langid, knn_lsh,
+        # distinct_tokens_per_lang (approximate HLL), the crawl-engine
+        # queries and the image-pipeline stats are intentionally
+        # oracle-less (stateful / model-scoring / approximate /
         # non-SQL-expressible); the driver records the weaker rows-only
         # check and tests pin their semantics instead.
     }

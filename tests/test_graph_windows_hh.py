@@ -102,3 +102,33 @@ def test_heavy_hitters_empty_when_nothing_heavy(ray_session):
     ds = ray.data.from_items([{"text": d} for d in docs])
     out = heavy_hitter_tokens(ds, text_col="text", k=10, batch_size=4)
     assert out.num_rows == 0
+
+
+def test_hll_per_group_error_band(ray_session):
+    import ray
+
+    from webscrape_neko_jirushi_ray.stages.sketch import hll_distinct_tokens_by
+
+    rng = np.random.default_rng(13)
+    rows = []
+    vocab = {"en": 3000, "ja": 800, "de": 50}
+    for lang, v in vocab.items():
+        for _ in range(200):
+            toks = ["t%d" % t for t in rng.integers(0, v, 40)]
+            rows.append({"lang": lang, "text": " ".join(toks)})
+    ds = ray.data.from_items(rows)
+    out = hll_distinct_tokens_by(ds, group_col="lang", p=12).to_pandas()
+    est = dict(zip(out["lang"], out["est_distinct_tokens"]))
+
+    exact = {}
+    for lang in vocab:
+        toks = set()
+        for r in rows:
+            if r["lang"] == lang:
+                toks.update(r["text"].split())
+        exact[lang] = len(toks)
+    for lang in vocab:
+        # p=12 => 1.6% std err; allow 5% (and the small-range linear
+        # counting regime is near-exact)
+        assert abs(est[lang] - exact[lang]) <= max(3, 0.05 * exact[lang]), (
+            lang, est[lang], exact[lang])

@@ -1481,3 +1481,102 @@ def outer_join_balances(sf_dir: str) -> pd.DataFrame:
     out["c_name"] = out["c_name"].fillna("<none>")
     out["bal_cents"] = out["bal_cents"].fillna(-1).astype("int64")
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def rollup_order_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP analog (multi-level aggregate). Scale shape: ONE
+    corpus-sized groupby at the finest grain, then the coarser levels
+    RE-AGGREGATE the already-tiny result (status x priority rows) instead
+    of re-shuffling the corpus per level."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": t["o_orderstatus"],
+                "priority": t["o_orderpriority"],
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+
+    fine = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["status", "priority"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
+        .materialize()  # |status| x |priority| rows — metadata-sized
+    )
+    lvl1 = (
+        fine.groupby("status")
+        .aggregate(Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
+        .map_batches(
+            lambda t: t.append_column(
+                "priority", pa.array(["ALL"] * t.num_rows, type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    grand = fine.aggregate(
+        Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents")
+    )  # driver scalar — two ints
+    lvl0 = pd.DataFrame(
+        {
+            "status": ["ALL"],
+            "priority": ["ALL"],
+            "n": [int(grand["n"])],
+            "total_cents": [int(grand["total_cents"])],
+        }
+    )
+    cols = ["status", "priority", "n", "total_cents"]
+    out = pd.concat(
+        [fine.to_pandas()[cols], lvl1.to_pandas()[cols], lvl0[cols]],
+        ignore_index=True,
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out.sort_values(["status", "priority"]).reset_index(drop=True)
+
+
+def top_event_type_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped argmax / mode (per-key most frequent value): corpus groupby
+    to (user, type) counts, then relops.grouped_topk k=1 with a
+    batch-local prune — the distributed DISTINCT ON / QUALIFY shape."""
+    from ray.data.aggregate import Count
+
+    from ..stages.relops import grouped_topk
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = (
+        ds.groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.append_column(
+                "neg_n", pc.multiply(t["n"], pa.scalar(-1, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = grouped_topk(
+        counts, group_col="user_id", order_cols=["neg_n", "event_type"], k=1
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["user_id", "event_type", "n"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def distinct_tokens_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-group HLL cardinality sketch (stages/sketch
+    hll_distinct_tokens_by): approximate distinct-token count per
+    language; driver sees O(langs x 4096) register rows. Rows-only by
+    necessity (approximate); tests pin the error band vs exact."""
+    from ..stages.sketch import hll_distinct_tokens_by
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = hll_distinct_tokens_by(ds, group_col="lang", p=12).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)

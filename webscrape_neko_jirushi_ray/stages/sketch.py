@@ -98,3 +98,77 @@ def hll_distinct_tokens(
         "max(rho)"
     ].to_numpy(dtype=np.int64)
     return int(round(hll_estimate(registers, p)))
+
+
+def hll_distinct_tokens_by(
+    docs: "ray.data.Dataset",
+    *,
+    group_col: str,
+    p: int = 12,
+    text_col: str = "text",
+) -> "pa.Table":
+    """Approximate COUNT(DISTINCT token) PER GROUP (per-language vocabulary
+    audit). Same mergeable-register design as the global sketch, keyed:
+    each batch emits (group, reg, rho) partials over its per-group batch
+    VOCABULARY, ``groupby(group, reg).max`` merges associatively, and the
+    driver sees O(groups x 2^p) register rows — never tokens. The
+    per-batch loop is over GROUPS present in the batch (a handful of
+    languages), not rows."""
+    from ..functions.textkit import _hash_strings
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        groups = np.asarray(batch[group_col].to_numpy(zero_copy_only=False))
+        texts = batch[text_col].to_pylist()
+        out_g: list = []
+        out_reg: list[np.ndarray] = []
+        out_rho: list[np.ndarray] = []
+        for g in np.unique(groups):
+            toks: set[str] = set()
+            for i in np.nonzero(groups == g)[0]:
+                t = texts[i]
+                if t:
+                    toks.update(t.split(" "))
+            toks.discard("")
+            h = _hash_strings(sorted(toks))
+            reg, rho = _register_partial(h.astype(np.uint64), p)
+            out_g.append(np.full(len(reg), g, dtype=object))
+            out_reg.append(reg)
+            out_rho.append(rho)
+        if not out_g:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "reg": pa.array([], type=pa.int64()),
+                    "rho": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                group_col: pa.array(
+                    np.concatenate(out_g), type=pa.string()
+                ),
+                "reg": pa.array(np.concatenate(out_reg), type=pa.int64()),
+                "rho": pa.array(np.concatenate(out_rho), type=pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby([group_col, "reg"])
+        .max("rho")
+        .to_pandas()  # O(groups x 2^p) rows
+    )
+    rows_g, rows_n = [], []
+    for g, sub in merged.groupby(group_col):
+        registers = np.zeros(1 << p, dtype=np.int64)
+        registers[sub["reg"].to_numpy(dtype=np.int64)] = sub[
+            "max(rho)"
+        ].to_numpy(dtype=np.int64)
+        rows_g.append(g)
+        rows_n.append(int(round(hll_estimate(registers, p))))
+    return pa.table(
+        {
+            group_col: pa.array(rows_g, type=pa.string()),
+            "est_distinct_tokens": pa.array(rows_n, type=pa.int64()),
+        }
+    )
