@@ -1436,12 +1436,10 @@ def pagerank_customers(sf_dir: str) -> pd.DataFrame:
         tbl = pa.table({"src": src, "dst": dst})
         return tbl.filter(pc.not_equal(tbl["src"], tbl["dst"]))
 
-    edges = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
-        .map_batches(_edges, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
+    # no pre-dedup shuffle here: pagerank_int's src-keyed degree pass
+    # dedups (src, dst) locally inside each co-located group
+    edges = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        _edges, batch_format="pyarrow"
     )
     out = pagerank_int(nodes, edges, iterations=5).to_pandas()
     out["pr_scaled"] = out["pr_scaled"].astype("int64")

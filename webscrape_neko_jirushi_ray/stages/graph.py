@@ -50,8 +50,9 @@ def pagerank_int(
     num_partitions: int = 32,
 ) -> "ray.data.Dataset":
     """PageRank over ``nodes`` (column ``node``: int64) and directed
-    ``edges`` (columns ``src``, ``dst``: int64, pre-deduplicated, no
-    self-loops required but tolerated). Returns (node, pr_scaled) where
+    ``edges`` (columns ``src``, ``dst``: int64; duplicate (src, dst)
+    pairs are deduplicated internally, self-loops tolerated). Returns
+    (node, pr_scaled) where
     pr_scaled is the integer rank after ``iterations`` rounds from a
     uniform start of ``scale`` per node. Contributions to a dst that is
     not in ``nodes`` are dropped (dangling targets), matching the SQL
@@ -60,10 +61,38 @@ def pagerank_int(
     base = (scale * (damp_den - damp_num)) // damp_den
 
     nodes = nodes.materialize()  # O(node set), reused every round
-    outdeg = edges.groupby("src").aggregate(Count(alias_name="d"))
-    edges_deg = hash_join(
-        edges, outdeg, key="src", num_partitions=num_partitions
-    ).materialize()
+    # ONE src-keyed shuffle builds the degree-annotated edge list:
+    # within each co-located src group, dedup dst locally and attach
+    # d = outdegree. This replaces the naive three-shuffle plan
+    # (distinct groupby + outdeg groupby + src hash_join) — at web
+    # scale that is two fewer all-to-all passes over the edge list.
+    def _dedup_deg(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                }
+            )
+        dst = np.unique(np.asarray(g["dst"].to_numpy(zero_copy_only=False)))
+        src = np.asarray(g["src"].to_numpy(zero_copy_only=False))[:1]
+        return pa.table(
+            {
+                "src": pa.array(np.broadcast_to(src, dst.shape).copy()),
+                "dst": pa.array(dst),
+                "d": pa.array(np.full(dst.shape, len(dst), dtype=np.int64)),
+            }
+        )
+
+    edges_deg = (
+        edges.groupby("src")
+        .map_groups(_dedup_deg, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
 
     def _init(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -134,8 +163,16 @@ def pagerank_int(
                 Sum("c", alias_name="c"), Sum("_isn", alias_name="_isn")
             )
         )
-        ranks = merged.map_batches(
-            _apply, batch_format="pyarrow"
-        ).materialize()
+        # coalesce before the round boundary: the sort-groupby and the
+        # join's map_groups both EMIT blocks proportional to their input
+        # block count, so without this the rank vector's block count grows
+        # every round (64 -> 256 -> 448 -> ...) and per-block scheduling
+        # overhead makes iteration i cost O(i) — measured 6.5/20/41 s for
+        # rounds 0/1/2 at sf0.1 before the fix, flat ~6 s after.
+        ranks = (
+            merged.map_batches(_apply, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
 
     return ranks
