@@ -141,6 +141,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_order_stats": q.rollup_order_stats,
         "top_event_type_per_user": q.top_event_type_per_user,
         "distinct_tokens_per_lang": q.distinct_tokens_per_lang,
+        # pivot / cube / ntile / intersect / bounded moving window
+        "pivot_priority_status": q.pivot_priority_status,
+        "cube_order_stats": q.cube_order_stats,
+        "ntile_customers": q.ntile_customers,
+        "intersect_rich_building": q.intersect_rich_building,
+        "events_moving_sum": q.events_moving_sum,
     }
 
 
@@ -1303,10 +1309,60 @@ def oracle_sql() -> dict[str, str]:
             ) = 1
             ORDER BY user_id
         """,
-        # minhash/simhash/ngram/embedding dedup, langid, knn_lsh,
-        # distinct_tokens_per_lang (approximate HLL), the crawl-engine
-        # queries and the image-pipeline stats are intentionally
-        # oracle-less (stateful / model-scoring / approximate /
-        # non-SQL-expressible); the driver records the weaker rows-only
-        # check and tests pin their semantics instead.
+        "pivot_priority_status": """
+            SELECT o_orderpriority AS priority,
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+                   CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS cents_f,
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+                   CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS cents_o,
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+                   CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS cents_p
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY priority
+        """,
+        "cube_order_stats": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "ntile_customers": """
+            SELECT c_custkey,
+                   CAST(NTILE(4) OVER (
+                       ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC,
+                                c_custkey
+                   ) AS BIGINT) AS bucket
+            FROM customer
+            ORDER BY c_custkey
+        """,
+        "intersect_rich_building": """
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ORDER BY c_custkey
+        """,
+        "events_moving_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS win_sum_u
+            FROM events
+            ORDER BY event_id
+        """,
+        # knn_lsh/knn_ivf (approximate ANN), kmeans,
+        # distinct_token_estimate + distinct_tokens_per_lang (HLL), the
+        # crawl-engine queries and the image-pipeline stats are
+        # intentionally oracle-less (stateful / model-scoring /
+        # approximate / non-SQL-expressible); the driver records the
+        # weaker rows-only check and tests pin their semantics instead.
     }

@@ -132,3 +132,60 @@ def test_hll_per_group_error_band(ray_session):
         # counting regime is near-exact)
         assert abs(est[lang] - exact[lang]) <= max(3, 0.05 * exact[lang]), (
             lang, est[lang], exact[lang])
+
+
+def test_grouped_rolling_sum_matches_pandas(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_rolling_sum
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 9, 400).astype(np.int64),
+            "o": rng.permutation(400).astype(np.int64),
+            "v": rng.integers(-50, 1000, 400).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        grouped_rolling_sum(
+            ds, group_col="g", order_cols=["o"], value_col="v",
+            out_col="ws", preceding=2,
+        )
+        .to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+    )
+    want = df.sort_values(["g", "o"]).reset_index(drop=True)
+    want["ws"] = (
+        want.groupby("g")["v"]
+        .rolling(window=3, min_periods=1).sum()
+        .reset_index(level=0, drop=True)
+    )
+    assert (out["ws"].astype("int64") == want["ws"].astype("int64")).all()
+
+
+def test_ntile_matches_sql_semantics(ray_session, tmp_path):
+    # NTILE(k): first n%k buckets get ceil(n/k) rows — pin the Ray
+    # formula against DuckDB's window implementation on an uneven n
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from webscrape_neko_jirushi_ray.pipelines.queries import ntile_customers
+
+    rng = np.random.default_rng(5)
+    n = 1003  # deliberately not divisible by 4
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-999, 9999, n), 2)
+            ),
+        }
+    )
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    got = ntile_customers(str(tmp_path))
+    want = duckdb.sql(
+        f"""SELECT c_custkey, CAST(NTILE(4) OVER (
+              ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC, c_custkey
+            ) AS BIGINT) AS bucket
+            FROM '{tmp_path}/customer.parquet' ORDER BY c_custkey"""
+    ).df()
+    assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all()

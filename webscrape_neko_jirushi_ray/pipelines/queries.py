@@ -1578,3 +1578,210 @@ def distinct_tokens_per_lang(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["lang", "text"])
     out = hll_distinct_tokens_by(ds, group_col="lang", p=12).to_pandas()
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def pivot_priority_status(sf_dir: str) -> pd.DataFrame:
+    """PIVOT (long -> wide): order counts and total cents per priority,
+    one column group per order status. Scale shape: ONE corpus groupby at
+    the (priority, status) grain — the wide reshape runs on the
+    metadata-sized result, never on the corpus."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "priority": t["o_orderpriority"],
+                "status": t["o_orderstatus"],
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+
+    fine = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["priority", "status"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()  # |priority| x |status| rows
+    )
+    statuses = ["F", "O", "P"]
+    out = pd.DataFrame({"priority": sorted(fine["priority"].unique())})
+    for s in statuses:
+        sub = fine[fine["status"] == s].set_index("priority")
+        out[f"n_{s.lower()}"] = (
+            out["priority"].map(sub["n"]).fillna(0).astype("int64")
+        )
+        out[f"cents_{s.lower()}"] = (
+            out["priority"].map(sub["cents"]).fillna(0).astype("int64")
+        )
+    return out.sort_values("priority").reset_index(drop=True)
+
+
+def cube_order_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE analog: all four aggregation levels over (status,
+    priority). Like rollup_order_stats, the corpus is shuffled ONCE at
+    the finest grain; the three coarser levels re-aggregate the tiny
+    result (the priority-only level is what CUBE adds over ROLLUP)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": t["o_orderstatus"],
+                "priority": t["o_orderpriority"],
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+
+    fine = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["status", "priority"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
+        .materialize()
+    )
+
+    def _const(col: str, val: str):
+        return lambda t: t.append_column(
+            col, pa.array([val] * t.num_rows, type=pa.string())
+        )
+
+    by_status = (
+        fine.groupby("status")
+        .aggregate(Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
+        .map_batches(_const("priority", "ALL"), batch_format="pyarrow")
+    )
+    by_priority = (
+        fine.groupby("priority")
+        .aggregate(Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
+        .map_batches(_const("status", "ALL"), batch_format="pyarrow")
+    )
+    grand = fine.aggregate(
+        Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents")
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "status": ["ALL"],
+            "priority": ["ALL"],
+            "n": [int(grand["n"])],
+            "total_cents": [int(grand["total_cents"])],
+        }
+    )
+    cols = ["status", "priority", "n", "total_cents"]
+    out = pd.concat(
+        [
+            fine.to_pandas()[cols],
+            by_status.to_pandas()[cols],
+            by_priority.to_pandas()[cols],
+            lvl0[cols],
+        ],
+        ignore_index=True,
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out.sort_values(["status", "priority"]).reset_index(drop=True)
+
+
+def ntile_customers(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey): global rank
+    via the distributed range-partitioned enumeration
+    (functions/enumerate.attach_dense_index — O(ranges) driver state),
+    then the SQL NTILE bucket is a pure vectorized formula of (rank, n):
+    the first n%k buckets get ceil(n/k) rows, the rest floor(n/k)."""
+    from ..functions.enumerate import attach_dense_index
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "bal_cents": _to_scaled_int(t["c_acctbal"], 100),
+            }
+        )
+
+    ranked = attach_dense_index(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        ["bal_cents", "c_custkey"],
+        ascending=[False, True],
+        index_col="rank",
+    )
+    n = ranked.count()
+    k = 4
+    q, r = divmod(n, k)
+    boundary = r * (q + 1)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        rank = np.asarray(t["rank"].to_numpy(zero_copy_only=False))
+        big = (rank - 1) // (q + 1) + 1 if q + 1 > 0 else np.ones_like(rank)
+        small = r + (rank - 1 - boundary) // q + 1 if q > 0 else np.ones_like(rank)
+        bucket = np.where(rank <= boundary, big, small)
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "bucket": pa.array(bucket, pa.int64())}
+        )
+
+    out = ranked.map_batches(_bucket, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def intersect_rich_building(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT: custkeys with acctbal > 5000 AND in the BUILDING
+    segment — two pruned reads, distributed left-semi hash join (keys
+    co-partitioned, is_in mask per partition; both sides stay Datasets)."""
+    from ..stages.joins import hash_join
+
+    rich = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 5000.0)),
+        batch_format="pyarrow",
+    )
+    bldg = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        rich.select_columns(["c_custkey"]),
+        bldg.select_columns(["c_custkey"]),
+        key="c_custkey",
+        how="left_semi",
+        num_partitions=32,
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def events_moving_sum(sf_dir: str) -> pd.DataFrame:
+    """Bounded moving-window aggregate: per-user rolling sum of the last
+    3 event values (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) via
+    stages/relops.grouped_rolling_sum — one keyed shuffle, per-group
+    vectorized cumsum difference, integer units for oracle exactness."""
+    from ..stages.relops import grouped_rolling_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "value_u": _to_scaled_int(t["value"], 1_000_000),
+            }
+        )
+
+    rolled = grouped_rolling_sum(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        group_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="value_u",
+        out_col="win_sum_u",
+        preceding=2,
+    )
+    out = rolled.select_columns(
+        ["event_id", "user_id", "win_sum_u"]
+    ).to_pandas()
+    out["win_sum_u"] = out["win_sum_u"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)

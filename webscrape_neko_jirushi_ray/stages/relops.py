@@ -233,3 +233,39 @@ def grouped_lag(
         return g.append_column(out_col, lag)
 
     return ds.groupby(group_col).map_groups(_window, batch_format="pyarrow")
+
+
+def grouped_rolling_sum(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    preceding: int,
+) -> "ray.data.Dataset":
+    """``SUM(value_col) OVER (PARTITION BY group_col ORDER BY order_cols
+    ROWS BETWEEN preceding PRECEDING AND CURRENT ROW)`` — the bounded
+    moving-window aggregate (rolling activity totals, smoothed rates).
+
+    Same scale shape as :func:`grouped_lag`: ONE groupby shuffle
+    co-locates each key, then the window is a per-group vectorized sort +
+    cumsum difference (cs[i] - cs[i - w]) — no driver state, no global
+    sort. ``value_col`` must be int64 (scaled units) so the sums are
+    order-independent and oracle-exact. Partitioning assumption: one
+    key's rows fit in a worker.
+    """
+
+    def _window(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.nulls(0, pa.int64()))
+        g = g.sort_by([(c, "ascending") for c in order_cols])
+        v = np.asarray(g[value_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cs = np.cumsum(v)
+        out = cs.copy()
+        w = preceding + 1
+        if len(v) > w:
+            out[w:] = cs[w:] - cs[:-w]
+        return g.append_column(out_col, pa.array(out))
+
+    return ds.groupby(group_col).map_groups(_window, batch_format="pyarrow")
