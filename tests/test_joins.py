@@ -158,3 +158,51 @@ def test_full_outer_one_side_empty(ray_session):
     )
     assert list(out["k"]) == [1, 2]
     assert out["rval"].isna().all()
+
+
+def test_broadcast_join_matches_pandas(ray_session):
+    from webscrape_neko_jirushi_ray.stages.joins import broadcast_join
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, 500).astype(np.int64),
+            "lval": rng.integers(0, 1000, 500).astype(np.int64),
+        }
+    )
+    # dimension table covering only part of the key space
+    dim = pd.DataFrame(
+        {
+            "dk": np.arange(0, 30, dtype=np.int64),
+            "name": [f"d{i}" for i in range(30)],
+        }
+    )
+    dim_t = pa.Table.from_pandas(dim, preserve_index=False)
+    for how, pd_how in [("inner", "inner"), ("left_outer", "left")]:
+        out = (
+            broadcast_join(_mk(left), dim_t, key="k", right_key="dk", how=how)
+            .to_pandas()
+            .sort_values(["k", "lval"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(dim, left_on="k", right_on="dk", how=pd_how)
+            .drop(columns=["dk"])
+            .sort_values(["k", "lval"])
+            .reset_index(drop=True)
+        )
+        assert list(out.columns.sort_values()) == list(want.columns.sort_values())
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)], want[sorted(want.columns)]
+        )
+
+
+def test_broadcast_join_rejects_dup_keys(ray_session):
+    import pytest
+
+    from webscrape_neko_jirushi_ray.stages.joins import broadcast_join
+
+    left = pd.DataFrame({"k": np.array([1], dtype=np.int64)})
+    dim = pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array([2, 3], pa.int64())})
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_join(_mk(left), dim, key="k")

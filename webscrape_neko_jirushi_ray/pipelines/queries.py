@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 
@@ -162,11 +163,15 @@ def top_event_types(sf_dir: str) -> pd.DataFrame:
 
 
 def nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Hash join chain (J2/J3 analog): orders⋈customer broadcast-joined,
-    then nation lookup; small sides are broadcast (ray.put-equivalent via
-    driver merge of aggregated partials — the orders side is aggregated
-    per custkey BEFORE joining, so no row-level shuffle join is needed)."""
+    """Hash join chain (J2/J3 analog), fully distributed: orders are
+    pre-aggregated per custkey (combiner before the join), the
+    customer⋈per-cust step is a partitioned hash_join (BOTH sides are
+    O(customers) — never driver-materialized), and the 25-row nation
+    lookup is a zero-shuffle broadcast_join. Driver sees only the 25-row
+    result."""
     from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_join, hash_join
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     orders = orders.map_batches(
@@ -175,21 +180,37 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    per_cust = (
-        orders.groupby("o_custkey")
-        .aggregate(Sum("price_c", alias_name="cust_total_c"),
-                   Count(alias_name="cust_orders"))
-        .to_pandas()
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("price_c", alias_name="cust_total_c"),
+        Count(alias_name="cust_orders"),
     )
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = hash_join(
+        per_cust, cust, key="o_custkey", right_key="c_custkey",
+        num_partitions=32,
     )
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    m = per_cust.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    m = m.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    named = broadcast_join(
+        joined.map_batches(
+            lambda t: t.append_column(
+                "n_nationkey", pc.cast(t["c_nationkey"], pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        nation.set_column(
+            0, "n_nationkey", pc.cast(nation["n_nationkey"], pa.int64())
+        ),
+        key="n_nationkey",
+    )
     out = (
-        m.groupby("n_name", as_index=False)
-        .agg(revenue_c=("cust_total_c", "sum"), n_orders=("cust_orders", "sum"))
+        named.groupby("n_name")
+        .aggregate(
+            Sum("cust_total_c", alias_name="revenue_c"),
+            Sum("cust_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
     )
     out["n_orders"] = out["n_orders"].astype("int64")
     out["revenue_c"] = out["revenue_c"].astype("int64")
@@ -197,23 +218,21 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti-join (J1/J4/D5 analog): broadcast the key set, filter inside
-    map_batches."""
-    import ray as _ray
+    """Anti-join (J1/J4/D5 analog), distributed: partitioned left_anti
+    hash_join — both sides co-partition on custkey and the per-partition
+    decision is one vectorized is_in, so the distinct-orderer key set
+    never materializes on the driver (at TPC-H scale it is O(customers)).
+    The crawl engine's streamed frontier uses the same shape task-side;
+    broadcast-key filtering remains the right plan only when the key set
+    is provably small (see stages/spandedup.decontaminate)."""
+    from ..stages.joins import hash_join
 
-    okeys = pa.array(
-        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
-            "o_custkey"
-        ].unique()
-    )
-    okeys_ref = _ray.put(okeys)
     cust = _read(sf_dir, "customer", ["c_custkey"])
-
-    def _anti(t: pa.Table) -> pa.Table:
-        keys = _ray.get(okeys_ref)
-        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys)))
-
-    out = cust.map_batches(_anti, batch_format="pyarrow").to_pandas()
+    okeys = _read(sf_dir, "orders", ["o_custkey"])
+    out = hash_join(
+        cust, okeys, key="c_custkey", right_key="o_custkey",
+        how="left_anti", num_partitions=32,
+    ).to_pandas()
     if "c_custkey" not in out.columns:  # fully-matched: empty result block
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
     return out.sort_values("c_custkey").reset_index(drop=True)

@@ -224,3 +224,72 @@ def _semi_anti_join(
         .union(right_t.map_batches(_pad_right, batch_format="pyarrow"))
     )
     return combined.groupby(_PART).map_groups(_decide, batch_format="pyarrow")
+
+
+def broadcast_join(
+    left: "ray.data.Dataset",
+    right_table: pa.Table,
+    *,
+    key: str,
+    right_key: str | None = None,
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Zero-shuffle join against a SMALL dimension table (the brief's
+    "broadcast small sides with ray.put + lookup inside map_batches"):
+    ``right_table`` is sorted by key and put in the object store ONCE;
+    every task reads it zero-copy and resolves matches with a vectorized
+    ``np.searchsorted`` — the corpus side never moves.
+
+    how: 'inner' | 'left_outer'. Right keys must be unique (dimension
+    contract; raises otherwise). Use :func:`hash_join` when the right
+    side doesn't comfortably fit in one worker's memory.
+    """
+    import ray as _ray
+
+    rk = right_key or key
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported broadcast join type {how!r}")
+    rt = right_table.sort_by(rk)
+    rkeys = np.asarray(rt[rk].to_numpy(zero_copy_only=False))
+    if len(np.unique(rkeys)) != len(rkeys):
+        raise ValueError("broadcast_join right side has duplicate keys")
+    lnames = list(left.schema().names)
+    payload_names = [n for n in rt.column_names if n != rk]
+    out_names = {
+        n: (n + right_suffix) if n in lnames else n for n in payload_names
+    }
+    rt_ref = _ray.put((rkeys, rt.select(payload_names)))
+
+    def _lookup(t: pa.Table) -> pa.Table:
+        keys_sorted, payload = _ray.get(rt_ref)
+        lk = np.asarray(t[key].to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(keys_sorted, lk)
+        idx_c = np.clip(idx, 0, max(len(keys_sorted) - 1, 0))
+        hit = (
+            (keys_sorted[idx_c] == lk)
+            if len(keys_sorted)
+            else np.zeros(len(lk), dtype=bool)
+        )
+        if how == "inner":
+            t = t.filter(pa.array(hit))
+            idx_c = idx_c[hit]
+            for n in payload_names:
+                t = t.append_column(
+                    out_names[n],
+                    payload[n].combine_chunks().take(pa.array(idx_c, pa.int64())),
+                )
+            return t
+        # left_outer: attach values where hit, null otherwise
+        take_idx = np.where(hit, idx_c, -1)
+        mask = pa.array(take_idx >= 0)
+        for n in payload_names:
+            col = payload[n].combine_chunks().take(
+                pa.array(np.maximum(take_idx, 0), pa.int64())
+            )
+            t = t.append_column(
+                out_names[n], pc.if_else(mask, col, pa.nulls(len(lk), col.type))
+            )
+        return t
+
+    return left.map_batches(_lookup, batch_format="pyarrow")
