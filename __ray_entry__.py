@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_lineitems": q.filtered_lineitems,
         "top_event_types": q.top_event_types,
         "nation_revenue": q.nation_revenue,
+        "nation_revenue_distributed": q.nation_revenue_distributed,
         "customers_without_orders": q.customers_without_orders,
         "distinct_mktsegments": q.distinct_mktsegments,
         "part_size_histogram": q.part_size_histogram,
@@ -147,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_customers": q.ntile_customers,
         "intersect_rich_building": q.intersect_rich_building,
         "events_moving_sum": q.events_moving_sum,
+        "range_join_price_bands": q.range_join_price_bands,
     }
 
 
@@ -229,6 +231,16 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 5
         """,
         "nation_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                   COUNT(*)                                       AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "nation_revenue_distributed": """
             SELECT n_name,
                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
                    COUNT(*)                                       AS n_orders
@@ -1358,6 +1370,25 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS win_sum_u
             FROM events
             ORDER BY event_id
+        """,
+        "range_join_price_bands": """
+            WITH vals AS (
+                SELECT c_custkey,
+                       ABS(CAST(ROUND(c_acctbal * 100) AS BIGINT)) % 38500 AS v
+                FROM customer
+            ),
+            rng AS (
+                SELECT p_partkey,
+                       CAST((p_partkey % 500) * 77 AS BIGINT) AS lo,
+                       CAST((p_partkey % 500) * 77 + 300 AS BIGINT) AS hi
+                FROM part
+            )
+            SELECT r.p_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v.v) AS BIGINT) AS sum_v
+            FROM rng r JOIN vals v ON v.v >= r.lo AND v.v < r.hi
+            GROUP BY r.p_partkey
+            ORDER BY r.p_partkey
         """,
         # knn_lsh/knn_ivf (approximate ANN), kmeans,
         # distinct_token_estimate + distinct_tokens_per_lang (HLL), the

@@ -234,6 +234,10 @@ def run_bench() -> dict:
         ("inverted_index_terms", lambda: q.inverted_index_terms(SF_DIR)),
         ("tfidf_top_terms_docs", lambda: q.tfidf_top_terms_docs(SF_DIR)),
         ("kmeans_embeddings", lambda: q.kmeans_embeddings(SF_DIR)),
+        ("heavy_hitter_tokens", lambda: q.heavy_hitter_tokens(SF_DIR)),
+        ("rollup_order_stats", lambda: q.rollup_order_stats(SF_DIR)),
+        ("outer_join_balances", lambda: q.outer_join_balances(SF_DIR)),
+        ("pagerank_customers", lambda: q.pagerank_customers(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

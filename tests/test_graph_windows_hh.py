@@ -189,3 +189,37 @@ def test_ntile_matches_sql_semantics(ray_session, tmp_path):
             FROM '{tmp_path}/customer.parquet' ORDER BY c_custkey"""
     ).df()
     assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all()
+
+
+def test_range_join_bucketed_matches_bruteforce(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import range_join_bucketed
+
+    rng = np.random.default_rng(17)
+    vals = pd.DataFrame(
+        {
+            "vid": np.arange(300, dtype=np.int64),
+            "v": rng.integers(0, 5000, 300).astype(np.int64),
+        }
+    )
+    # overlapping ranges, varied spans, some empty (hi <= lo), some
+    # spanning many buckets
+    lo = rng.integers(-100, 5000, 120).astype(np.int64)
+    span = rng.integers(-50, 900, 120).astype(np.int64)
+    ranges = pd.DataFrame({"rid": np.arange(120, dtype=np.int64),
+                           "lo": lo, "hi": lo + span})
+    out = (
+        range_join_bucketed(
+            ray.data.from_arrow(pa.Table.from_pandas(vals, preserve_index=False)),
+            ray.data.from_arrow(pa.Table.from_pandas(ranges, preserve_index=False)),
+            value_col="v", lo_col="lo", hi_col="hi", bucket_width=256,
+        )
+        .to_pandas()[["vid", "rid"]]
+        .sort_values(["vid", "rid"]).reset_index(drop=True)
+    )
+    cross = vals.merge(ranges, how="cross")
+    want = (
+        cross[(cross["v"] >= cross["lo"]) & (cross["v"] < cross["hi"])][
+            ["vid", "rid"]
+        ].sort_values(["vid", "rid"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want)

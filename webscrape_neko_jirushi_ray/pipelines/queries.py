@@ -162,13 +162,57 @@ def top_event_types(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_NATION_REVENUE_ROUTE_ROWS = 2_000_000
+
+
 def nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Hash join chain (J2/J3 analog), fully distributed: orders are
-    pre-aggregated per custkey (combiner before the join), the
-    customer⋈per-cust step is a partitioned hash_join (BOTH sides are
-    O(customers) — never driver-materialized), and the 25-row nation
-    lookup is a zero-shuffle broadcast_join. Driver sees only the 25-row
-    result."""
+    """Hash join chain (J2/J3 analog), size-routed like
+    embedding_dedup: below _NATION_REVENUE_ROUTE_ROWS customers (parquet
+    metadata row count — no scan) the per-cust aggregate is merged on the
+    driver (~tens of MB, and two fewer all-to-all latencies); above it the
+    plan is the fully distributed :func:`nation_revenue_distributed`.
+    Both plans are oracle-checked — the distributed one via its own
+    queries() entry."""
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust > _NATION_REVENUE_ROUTE_ROWS:
+        return nation_revenue_distributed(sf_dir)
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["o_custkey"], "price_c": _to_scaled_int(t["o_totalprice"], 100)}
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("price_c", alias_name="cust_total_c"),
+                   Count(alias_name="cust_orders"))
+        .to_pandas()
+    )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    m = per_cust.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    m = m.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = (
+        m.groupby("n_name", as_index=False)
+        .agg(revenue_c=("cust_total_c", "sum"), n_orders=("cust_orders", "sum"))
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_c"] = out["revenue_c"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def nation_revenue_distributed(sf_dir: str) -> pd.DataFrame:
+    """The 100-TB-safe nation_revenue plan, pinned by its own oracle:
+    orders pre-aggregate per custkey (combiner BEFORE the join), the
+    per-cust⋈customer step is a partitioned hash_join (both sides
+    O(customers) — never driver-materialized), the 25-row nation lookup
+    is a zero-shuffle broadcast_join, and the driver sees only the
+    25-row result."""
     from ray.data.aggregate import Count, Sum
 
     from ..stages.joins import broadcast_join, hash_join
@@ -1804,3 +1848,55 @@ def events_moving_sum(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["win_sum_u"] = out["win_sum_u"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
+    """Distributed interval join with BOTH sides large and OVERLAPPING
+    ranges (stages/relops.range_join_bucketed): customers' balance values
+    vs part-derived price bands. Values route to one domain bucket each,
+    ranges replicate only to buckets they overlap, one groupby(bucket)
+    shuffle, vectorized per-bucket cross+mask — then the pair stream is
+    aggregated per band WITHOUT materializing it."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.relops import range_join_bucketed
+
+    def _vals(t: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            _to_scaled_int(t["c_acctbal"], 100).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "v": pa.array(np.abs(cents) % 38500, pa.int64()),
+            }
+        )
+
+    def _rng(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t["p_partkey"].to_numpy(zero_copy_only=False))
+        lo = (pk % 500) * 77
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(lo + 300, pa.int64()),
+            }
+        )
+
+    vals = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        _vals, batch_format="pyarrow"
+    )
+    rng = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _rng, batch_format="pyarrow"
+    )
+    pairs = range_join_bucketed(
+        vals, rng, value_col="v", lo_col="lo", hi_col="hi", bucket_width=256
+    )
+    out = (
+        pairs.groupby("p_partkey")
+        .aggregate(Count(alias_name="n"), Sum("v", alias_name="sum_v"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_v"] = out["sum_v"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)

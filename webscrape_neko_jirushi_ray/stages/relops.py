@@ -269,3 +269,97 @@ def grouped_rolling_sum(
         return g.append_column(out_col, pa.array(out))
 
     return ds.groupby(group_col).map_groups(_window, batch_format="pyarrow")
+
+
+def range_join_bucketed(
+    values: "ray.data.Dataset",
+    ranges: "ray.data.Dataset",
+    *,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> "ray.data.Dataset":
+    """Distributed interval join for the case :func:`range_join_broadcast`
+    cannot handle: BOTH sides large and ranges possibly OVERLAPPING.
+    Emits one output row per (value row, containing range) pair —
+    ``v >= lo AND v < hi`` — with both sides' payload columns.
+
+    Scale design: the int64 value domain is cut into fixed-width buckets;
+    each value row routes to exactly ONE bucket (v // width), each range
+    REPLICATES to every bucket it overlaps (amplification = mean range
+    span / width — pick ``bucket_width`` near the typical span so it
+    stays O(1)). ONE groupby(bucket) shuffle co-locates them; the
+    per-bucket match is a vectorized repeat/tile cross-product + mask.
+
+    Partitioning assumptions (per the build brief): one bucket's values x
+    ranges cross-product fits in a worker (bound it by choosing width so
+    per-bucket counts stay modest); for a skewed value distribution,
+    pre-split hot buckets by a secondary hash upstream. Column names must
+    be disjoint between the two sides.
+    """
+    _B = "_rbucket"
+    vschema = values.schema()
+    rschema = ranges.schema()
+    vnames = list(vschema.names)
+    rnames = list(rschema.names)
+    overlap = set(vnames) & set(rnames)
+    if overlap:
+        raise ValueError(f"overlapping column names: {sorted(overlap)}")
+    all_names = [_B] + vnames + rnames
+    all_types = {_B: pa.int64()}
+    all_types.update({n: t for n, t in zip(vschema.names, vschema.types)})
+    all_types.update({n: t for n, t in zip(rschema.names, rschema.types)})
+
+    def _pad(t: pa.Table, bucket: np.ndarray, here: set) -> pa.Table:
+        cols = {_B: pa.array(bucket, pa.int64())}
+        for n in all_names[1:]:
+            cols[n] = t[n] if n in here else pa.nulls(t.num_rows, all_types[n])
+        return pa.table({nm: cols[nm] for nm in all_names})
+
+    def _route_values(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[value_col].to_numpy(zero_copy_only=False))
+        return _pad(t, v // bucket_width, set(vnames))
+
+    def _route_ranges(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t[lo_col].to_numpy(zero_copy_only=False))
+        hi = np.asarray(t[hi_col].to_numpy(zero_copy_only=False))
+        b0 = lo // bucket_width
+        # hi is exclusive: the last covered bucket is (hi-1) // width;
+        # empty ranges (hi <= lo) replicate nowhere
+        b1 = np.maximum(hi - 1, lo) // bucket_width
+        span = np.where(hi > lo, b1 - b0 + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), span)
+        # bucket id for each replica: b0[row] + position-within-row
+        offs = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(span)[:-1])), span
+        )
+        rep = t.take(pa.array(idx))
+        return _pad(rep, np.repeat(b0, span) + offs, set(rnames))
+
+    def _match(g: pa.Table) -> pa.Table:
+        is_val = pc.is_valid(g[value_col])
+        vt = g.filter(is_val).select(vnames)
+        rt = g.filter(pc.invert(is_val)).select(rnames)
+        nv, nr = vt.num_rows, rt.num_rows
+        out_names = vnames + rnames
+        if nv == 0 or nr == 0:
+            return pa.table(
+                {n: pa.array([], type=all_types[n]) for n in out_names}
+            )
+        v = np.asarray(vt[value_col].to_numpy(zero_copy_only=False))
+        lo = np.asarray(rt[lo_col].to_numpy(zero_copy_only=False))
+        hi = np.asarray(rt[hi_col].to_numpy(zero_copy_only=False))
+        vi = np.repeat(np.arange(nv, dtype=np.int64), nr)
+        ri = np.tile(np.arange(nr, dtype=np.int64), nv)
+        mask = (v[vi] >= lo[ri]) & (v[vi] < hi[ri])
+        vt_out = vt.take(pa.array(vi[mask]))
+        rt_out = rt.take(pa.array(ri[mask]))
+        cols = {n: vt_out[n] for n in vnames}
+        cols.update({n: rt_out[n] for n in rnames})
+        return pa.table({nm: cols[nm] for nm in out_names})
+
+    combined = values.map_batches(
+        _route_values, batch_format="pyarrow"
+    ).union(ranges.map_batches(_route_ranges, batch_format="pyarrow"))
+    return combined.groupby(_B).map_groups(_match, batch_format="pyarrow")
