@@ -206,3 +206,26 @@ def test_broadcast_join_rejects_dup_keys(ray_session):
     dim = pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array([2, 3], pa.int64())})
     with pytest.raises(ValueError, match="duplicate"):
         broadcast_join(_mk(left), dim, key="k")
+
+
+def test_inner_join_hot_key_skew(ray_session):
+    # one key carries half of both sides (the "one dominant domain"
+    # shape from the build brief): the hot partition must still join
+    # correctly and the output must match pandas exactly
+    rng = np.random.default_rng(41)
+    n = 20_000
+    lk = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 2_000, n)).astype(np.int64)
+    rk = np.where(rng.random(2_000) < 0.5, 7, rng.integers(0, 2_000, 2_000)).astype(np.int64)
+    # dedup right side so the expected cardinality stays bounded
+    rk = np.unique(rk)
+    left = pd.DataFrame({"k": lk, "lval": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": rk, "rval": rk * 3})
+    out = (
+        hash_join(_mk(left), _mk(right), key="k", num_partitions=16)
+        .to_pandas().sort_values(["k", "lval"]).reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "lval"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[sorted(out.columns)], want[sorted(want.columns)])
