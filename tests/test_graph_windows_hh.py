@@ -223,3 +223,26 @@ def test_range_join_bucketed_matches_bruteforce(ray_session):
         ].sort_values(["vid", "rid"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_grouped_lead_matches_pandas(ray_session):
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 8, 200).astype(np.int64),
+            "o": rng.permutation(200).astype(np.int64),
+            "v": rng.integers(0, 1000, 200).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        grouped_lag(ds, group_col="g", order_cols=["o"], value_col="v",
+                    out_col="nxt", periods=-1)
+        .to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+    )
+    want = df.sort_values(["g", "o"]).reset_index(drop=True)
+    want["nxt"] = want.groupby("g")["v"].shift(-1)
+    assert (out["nxt"].isna() == want["nxt"].isna()).all()
+    mask = want["nxt"].notna()
+    assert (out.loc[mask, "nxt"].astype("int64")
+            == want.loc[mask, "nxt"].astype("int64")).all()

@@ -209,7 +209,8 @@ def grouped_lag(
 ) -> "ray.data.Dataset":
     """``LAG(value_col, periods) OVER (PARTITION BY group_col ORDER BY
     order_cols)`` — the keyed-window shape (inter-event gaps, per-host
-    deltas, sessionization features).
+    deltas, sessionization features). Negative ``periods`` is ``LEAD``
+    (look-ahead): the last ``|periods|`` rows of each group get null.
 
     Scale design: ONE ``groupby(group_col)`` shuffle co-locates each key,
     then the window is a per-group vectorized sort + shift (no driver
@@ -227,9 +228,15 @@ def grouped_lag(
         v = g[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        lag = pa.concat_arrays(
-            [pa.nulls(min(periods, len(v)), v.type), v[: max(len(v) - periods, 0)]]
-        )
+        if periods >= 0:
+            lag = pa.concat_arrays(
+                [pa.nulls(min(periods, len(v)), v.type), v[: max(len(v) - periods, 0)]]
+            )
+        else:
+            lead = -periods
+            lag = pa.concat_arrays(
+                [v[min(lead, len(v)):], pa.nulls(min(lead, len(v)), v.type)]
+            )
         return g.append_column(out_col, lag)
 
     return ds.groupby(group_col).map_groups(_window, batch_format="pyarrow")
