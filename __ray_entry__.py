@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_rich_building": q.intersect_rich_building,
         "events_moving_sum": q.events_moving_sum,
         "range_join_price_bands": q.range_join_price_bands,
+        "events_preceding_hour_counts": q.events_preceding_hour_counts,
     }
 
 
@@ -1389,6 +1390,17 @@ def oracle_sql() -> dict[str, str]:
             FROM rng r JOIN vals v ON v.v >= r.lo AND v.v < r.hi
             GROUP BY r.p_partkey
             ORDER BY r.p_partkey
+        """,
+        "events_preceding_hour_counts": """
+            SELECT e1.event_id, e1.user_id,
+                   CAST(COUNT(e2.event_id) AS BIGINT) AS n_prev_hour
+            FROM events e1
+            LEFT JOIN events e2
+              ON e1.user_id = e2.user_id
+             AND e2.ts >= e1.ts - INTERVAL 1 HOUR
+             AND e2.ts < e1.ts
+            GROUP BY e1.event_id, e1.user_id
+            ORDER BY e1.event_id
         """,
         # knn_lsh/knn_ivf (approximate ANN), kmeans,
         # distinct_token_estimate + distinct_tokens_per_lang (HLL), the

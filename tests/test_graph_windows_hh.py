@@ -246,3 +246,35 @@ def test_grouped_lead_matches_pandas(ray_session):
     mask = want["nxt"].notna()
     assert (out.loc[mask, "nxt"].astype("int64")
             == want.loc[mask, "nxt"].astype("int64")).all()
+
+
+def test_grouped_interval_count_matches_bruteforce(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_interval_count
+
+    rng = np.random.default_rng(29)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 6, n).astype(np.int64),
+            # duplicate timestamps included on purpose
+            "ts": rng.integers(0, 300, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        grouped_interval_count(
+            ds, group_col="g", ts_col="ts", lo_offset=-50, hi_offset=0,
+            out_col="cnt",
+        )
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    want = []
+    for _, row in df.iterrows():
+        sub = df[df["g"] == row["g"]]
+        want.append(
+            ((sub["ts"] >= row["ts"] - 50) & (sub["ts"] < row["ts"])).sum()
+        )
+    want_df = df.copy(); want_df["cnt"] = np.asarray(want, dtype=np.int64)
+    want_df = want_df.sort_values("rid").reset_index(drop=True)
+    assert (out["cnt"].astype("int64") == want_df["cnt"]).all()

@@ -1900,3 +1900,38 @@ def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     out["sum_v"] = out["sum_v"].astype("int64")
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def events_preceding_hour_counts(sf_dir: str) -> pd.DataFrame:
+    """Event-time interval SELF-JOIN (stream-stream windowed-join shape,
+    stages/relops.grouped_interval_count): per event, how many same-user
+    events landed in the preceding hour [ts-1h, ts). One user-keyed
+    shuffle; per group two vectorized searchsorted probes — the
+    O(rows x window) pair list is never materialized."""
+    from ..stages.relops import grouped_interval_count
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    out = (
+        grouped_interval_count(
+            ds.map_batches(_us, batch_format="pyarrow"),
+            group_col="user_id",
+            ts_col="ts_us",
+            lo_offset=-3_600_000_000,
+            hi_offset=0,
+            out_col="n_prev_hour",
+        )
+        .select_columns(["event_id", "user_id", "n_prev_hour"])
+        .to_pandas()
+    )
+    out["n_prev_hour"] = out["n_prev_hour"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)

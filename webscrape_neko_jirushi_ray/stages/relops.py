@@ -370,3 +370,41 @@ def range_join_bucketed(
         _route_values, batch_format="pyarrow"
     ).union(ranges.map_batches(_route_ranges, batch_format="pyarrow"))
     return combined.groupby(_B).map_groups(_match, batch_format="pyarrow")
+
+
+def grouped_interval_count(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    ts_col: str,
+    lo_offset: int,
+    hi_offset: int,
+    out_col: str,
+) -> "ray.data.Dataset":
+    """Event-time interval SELF-JOIN count — for every row, the number of
+    same-group rows whose ``ts_col`` falls in ``[ts + lo_offset,
+    ts + hi_offset)`` (the row itself is excluded when the interval
+    excludes its own timestamp, e.g. lo=-3600s, hi=0 = "events in the
+    preceding hour"). The stream-stream windowed-join shape (burst
+    detection, per-host request-rate features) without materializing the
+    O(rows x window) pair list.
+
+    Scale design: ONE groupby shuffle co-locates each key; per group the
+    count is two vectorized ``searchsorted`` probes against the sorted
+    timestamp array — O(n log n) per key, no pair blowup. Partitioning
+    assumption: one key's rows fit in a worker.
+    """
+
+    def _count(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        ts = np.asarray(g[ts_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(ts, kind="stable")
+        sorted_ts = ts[order]
+        n = (
+            np.searchsorted(sorted_ts, ts + hi_offset, side="left")
+            - np.searchsorted(sorted_ts, ts + lo_offset, side="left")
+        ).astype(np.int64)
+        return g.append_column(out_col, pa.array(n))
+
+    return ds.groupby(group_col).map_groups(_count, batch_format="pyarrow")
