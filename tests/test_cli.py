@@ -134,3 +134,31 @@ def test_cli_corpus_resumable(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "CORPUS_CLI_OK" in proc.stdout
+
+
+def test_cli_query_subcommand(tmp_path):
+    # --list needs no Ray; the run writes parquet and prints one JSON line
+    r = subprocess.run(
+        [sys.executable, "-m", "webscrape_neko_jirushi_ray", "query", "--list"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "nation_revenue" in names and "minhash_dedup_docs" in names
+
+    out = str(tmp_path / "res.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "webscrape_neko_jirushi_ray", "query",
+         "distinct_mktsegments", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out, "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["rows"] == 5
+
+    r = subprocess.run(
+        [sys.executable, "-m", "webscrape_neko_jirushi_ray", "query", "nope"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2

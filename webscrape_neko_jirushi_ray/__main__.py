@@ -284,6 +284,38 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered analytics pipeline (pipelines/queries.py) over a
+    testdata-shaped parquet dir; write the result as parquet or print it.
+    ``--list`` enumerates the available names."""
+    from .pipelines import queries as q
+
+    names = sorted(
+        n
+        for n in dir(q)
+        if not n.startswith("_") and callable(getattr(q, n))
+        and getattr(getattr(q, n), "__module__", "") == q.__name__
+    )
+    if args.list:
+        print("\n".join(names))
+        return 0
+    if args.name not in names:
+        print(f"unknown query {args.name!r}; --list shows choices", file=sys.stderr)
+        return 2
+    ray = _ray_session(args.num_cpus)
+    res = getattr(q, args.name)(args.sf_dir)
+    import pandas as pd
+
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if args.out:
+        df.to_parquet(args.out, index=False)
+        print(json.dumps({"query": args.name, "rows": len(df), "out": args.out}))
+    else:
+        print(df.to_string(max_rows=50))
+    ray.shutdown()
+    return 0
+
+
 def cmd_archive(args) -> int:
     """S8 sinks: backup (copytree), archive (tar.gz/zip), age-GC — no Ray
     session needed (driver-side ops on final layouts)."""
@@ -372,6 +404,16 @@ def main(argv=None) -> int:
     co.add_argument("--min-words", type=int, default=20)
     co.add_argument("--shards", type=int, default=16, help="output partitions")
     co.set_defaults(fn=cmd_corpus)
+
+    qy = sub.add_parser(
+        "query", help="run a registered analytics pipeline over a parquet dir"
+    )
+    qy.add_argument("name", nargs="?", default="")
+    qy.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qy.add_argument("--out", default="")
+    qy.add_argument("--list", action="store_true")
+    qy.add_argument("--num-cpus", type=int, default=8)
+    qy.set_defaults(fn=cmd_query)
 
     ar = sub.add_parser("archive", help="backup/archive/GC sinks (data_manager analog)")
     ar.add_argument("--src", required=True, help="layout dir to preserve")
