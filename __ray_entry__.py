@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": q.events_moving_sum,
         "range_join_price_bands": q.range_join_price_bands,
         "events_preceding_hour_counts": q.events_preceding_hour_counts,
+        "events_range_hour_sum": q.events_range_hour_sum,
     }
 
 
@@ -1401,6 +1402,16 @@ def oracle_sql() -> dict[str, str]:
              AND e2.ts < e1.ts
             GROUP BY e1.event_id, e1.user_id
             ORDER BY e1.event_id
+        """,
+        "events_range_hour_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP)
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS hour_sum_u
+            FROM events
+            ORDER BY event_id
         """,
         # knn_lsh/knn_ivf (approximate ANN), kmeans,
         # distinct_token_estimate + distinct_tokens_per_lang (HLL), the

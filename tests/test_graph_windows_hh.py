@@ -278,3 +278,36 @@ def test_grouped_interval_count_matches_bruteforce(ray_session):
     want_df = df.copy(); want_df["cnt"] = np.asarray(want, dtype=np.int64)
     want_df = want_df.sort_values("rid").reset_index(drop=True)
     assert (out["cnt"].astype("int64") == want_df["cnt"]).all()
+
+
+def test_grouped_range_sum_matches_bruteforce(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_range_sum
+
+    rng = np.random.default_rng(31)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 5, n).astype(np.int64),
+            "ts": rng.integers(0, 200, n).astype(np.int64),  # many ties
+            "v": rng.integers(-20, 100, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        grouped_range_sum(
+            ds, group_col="g", ts_col="ts", value_col="v",
+            preceding=30, out_col="s",
+        )
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    want = []
+    for _, row in df.iterrows():
+        sub = df[df["g"] == row["g"]]
+        want.append(
+            sub.loc[
+                (sub["ts"] >= row["ts"] - 30) & (sub["ts"] <= row["ts"]), "v"
+            ].sum()
+        )
+    assert (out["s"].astype("int64").to_numpy()
+            == np.asarray(want, dtype=np.int64)).all()

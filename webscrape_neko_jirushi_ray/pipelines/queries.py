@@ -1935,3 +1935,38 @@ def events_preceding_hour_counts(sf_dir: str) -> pd.DataFrame:
     )
     out["n_prev_hour"] = out["n_prev_hour"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_range_hour_sum(sf_dir: str) -> pd.DataFrame:
+    """TIME-based moving aggregate (SQL RANGE frame,
+    stages/relops.grouped_range_sum): per event, the sum of same-user
+    event values over the trailing hour INCLUSIVE of ties — one keyed
+    shuffle, per-group prefix sum + two searchsorted probes."""
+    from ..stages.relops import grouped_range_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "value_u": _to_scaled_int(t["value"], 1_000_000),
+            }
+        )
+
+    out = (
+        grouped_range_sum(
+            ds.map_batches(_prep, batch_format="pyarrow"),
+            group_col="user_id",
+            ts_col="ts_us",
+            value_col="value_u",
+            preceding=3_600_000_000,
+            out_col="hour_sum_u",
+        )
+        .select_columns(["event_id", "user_id", "hour_sum_u"])
+        .to_pandas()
+    )
+    out["hour_sum_u"] = out["hour_sum_u"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -408,3 +408,41 @@ def grouped_interval_count(
         return g.append_column(out_col, pa.array(n))
 
     return ds.groupby(group_col).map_groups(_count, batch_format="pyarrow")
+
+
+def grouped_range_sum(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    preceding: int,
+    out_col: str,
+) -> "ray.data.Dataset":
+    """``SUM(value_col) OVER (PARTITION BY group_col ORDER BY ts_col
+    RANGE BETWEEN preceding PRECEDING AND CURRENT ROW)`` — the TIME-based
+    moving aggregate (vs the ROWS-based :func:`grouped_rolling_sum`):
+    every row sums the group's values with ``ts in [ts_i - preceding,
+    ts_i]``, ties on ts included on both ends exactly as SQL RANGE frames
+    do.
+
+    Same scale shape as the other keyed windows: ONE groupby shuffle,
+    then per group a ts-sort + prefix sum + two searchsorted probes —
+    never an O(rows x window) expansion. ``value_col`` must be int64
+    (scaled units). Partitioning assumption: one key's rows fit in a
+    worker.
+    """
+
+    def _win(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        ts = np.asarray(g[ts_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        v = np.asarray(g[value_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(ts, kind="stable")
+        sorted_ts = ts[order]
+        cs = np.concatenate(([0], np.cumsum(v[order])))
+        lo = np.searchsorted(sorted_ts, ts - preceding, side="left")
+        hi = np.searchsorted(sorted_ts, ts, side="right")
+        return g.append_column(out_col, pa.array(cs[hi] - cs[lo]))
+
+    return ds.groupby(group_col).map_groups(_win, batch_format="pyarrow")
