@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_price_bands": q.range_join_price_bands,
         "events_preceding_hour_counts": q.events_preceding_hour_counts,
         "events_range_hour_sum": q.events_range_hour_sum,
+        "user_funnel_stages": q.user_funnel_stages,
     }
 
 
@@ -1412,6 +1413,36 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS hour_sum_u
             FROM events
             ORDER BY event_id
+        """,
+        "user_funnel_stages": """
+            WITH f AS (
+                SELECT user_id, event_type, ts FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            t1 AS (
+                SELECT user_id, MIN(ts) AS ts1 FROM f
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+                SELECT f.user_id, MIN(f.ts) AS ts2 FROM f
+                JOIN t1 ON f.user_id = t1.user_id AND f.ts > t1.ts1
+                WHERE f.event_type = 'click' GROUP BY f.user_id
+            ),
+            t3 AS (
+                SELECT f.user_id, MIN(f.ts) AS ts3 FROM f
+                JOIN t2 ON f.user_id = t2.user_id AND f.ts > t2.ts2
+                WHERE f.event_type = 'purchase' GROUP BY f.user_id
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                             WHEN t2.user_id IS NOT NULL THEN 2
+                             WHEN t1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM (SELECT DISTINCT user_id FROM f) u
+            LEFT JOIN t1 USING (user_id)
+            LEFT JOIN t2 USING (user_id)
+            LEFT JOIN t3 USING (user_id)
+            ORDER BY u.user_id
         """,
         # knn_lsh/knn_ivf (approximate ANN), kmeans,
         # distinct_token_estimate + distinct_tokens_per_lang (HLL), the

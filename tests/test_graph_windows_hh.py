@@ -311,3 +311,59 @@ def test_grouped_range_sum_matches_bruteforce(ray_session):
         )
     assert (out["s"].astype("int64").to_numpy()
             == np.asarray(want, dtype=np.int64)).all()
+
+
+def test_grouped_funnel_stage_matches_bruteforce(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_funnel_stage
+
+    stages = ["A", "B", "C"]
+    rng = np.random.default_rng(37)
+    rows = []
+    # adversarial hand cases: chain only out of order; missing middle;
+    # ties on ts (strict > required); exact chain; stage-0 only
+    hand = [
+        (0, [("C", 1), ("B", 2), ("A", 3)]),          # out of order -> 1
+        (1, [("A", 1), ("C", 2)]),                     # missing B -> 1
+        (2, [("A", 5), ("B", 5), ("C", 6)]),           # tie A/B -> 1 (B not > 5)
+        (3, [("A", 1), ("B", 2), ("C", 3)]),           # full chain -> 3
+        (4, [("B", 1), ("C", 2)]),                     # no A -> 0
+        (5, [("A", 1), ("B", 2), ("B", 9), ("C", 5)]), # greedy B@2 -> C@5 -> 3
+        (6, [("A", 9), ("X", 1)]),                     # off-funnel type -> 1
+    ]
+    for g, evs in hand:
+        for t, ts in evs:
+            rows.append((g, t, ts))
+    for g in range(7, 40):
+        for _ in range(rng.integers(1, 12)):
+            rows.append(
+                (g, rng.choice(["A", "B", "C", "X"]), int(rng.integers(0, 50)))
+            )
+    df = pd.DataFrame(rows, columns=["g", "ty", "ts"]).astype(
+        {"g": np.int64, "ts": np.int64}
+    )
+
+    def brute(sub):
+        cur, depth = None, 0
+        for i, st in enumerate(stages):
+            cand = sorted(sub[sub["ty"] == st]["ts"])
+            cand = [c for c in cand if cur is None or c > cur]
+            if not cand:
+                break
+            cur, depth = cand[0], i + 1
+        return depth
+
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        grouped_funnel_stage(
+            ds, group_col="g", type_col="ty", ts_col="ts", stages=stages
+        )
+        .to_pandas().set_index("g")["funnel_stage"]
+    )
+    for g in df["g"].unique():
+        sub = df[df["g"] == g]
+        if not sub["ty"].isin(stages).any():
+            assert g not in out.index
+            continue
+        assert out[g] == brute(sub), f"group {g}: {out[g]} vs {brute(sub)}"
+    assert out[0] == 1 and out[1] == 1 and out[2] == 1
+    assert out[3] == 3 and out[5] == 3 and out[6] == 1 and out[4] == 0

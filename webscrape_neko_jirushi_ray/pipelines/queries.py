@@ -1970,3 +1970,33 @@ def events_range_hour_sum(sf_dir: str) -> pd.DataFrame:
     )
     out["hour_sum_u"] = out["hour_sum_u"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def user_funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel (view → click → purchase) per user
+    (stages/relops.grouped_funnel_stage): deepest stage reachable by a
+    strictly-increasing-ts chain. The shuffle carries only deduplicated
+    funnel-relevant (user, stage, ts) observations; users with no
+    funnel-type events are absent by construction."""
+    from ..stages.relops import grouped_funnel_stage
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    out = grouped_funnel_stage(
+        ds.map_batches(_us, batch_format="pyarrow"),
+        group_col="user_id",
+        type_col="event_type",
+        ts_col="ts_us",
+        stages=["view", "click", "purchase"],
+    ).to_pandas()
+    out["funnel_stage"] = out["funnel_stage"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

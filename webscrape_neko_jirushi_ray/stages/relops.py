@@ -446,3 +446,89 @@ def grouped_range_sum(
         return g.append_column(out_col, pa.array(cs[hi] - cs[lo]))
 
     return ds.groupby(group_col).map_groups(_win, batch_format="pyarrow")
+
+
+def grouped_funnel_stage(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: list[str],
+    out_col: str = "funnel_stage",
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis: per group, the deepest stage index
+    (1-based; 0 = none) reachable by a strictly-increasing-timestamp
+    chain through ``stages`` — stage k needs an event of type
+    stages[k-1] with ts > the chosen ts of stage k-1. The greedy
+    earliest-choice walk is optimal for chain reachability. Returns one
+    row (group, out_col).
+
+    Scale shape: the stream is FILTERED to the stage types and projected
+    to (group, stage_idx, ts) before the single groupby shuffle, with a
+    batch-local (group, stage, ts) dedup — so the shuffle carries only
+    distinct funnel-relevant observations, never payloads or off-funnel
+    events. No deeper prune is sound: the chain's stage-k candidate
+    depends on a threshold decided by other partitions' data (keeping
+    per-batch minima is the classic wrong answer — a pruned later ts can
+    be the only one above the eventual threshold). Per-group finish is a
+    |stages|-step walk over per-stage sorted ts arrays (searchsorted).
+    Partitioning assumption: one group's funnel-relevant rows fit in a
+    worker.
+    """
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def _partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[type_col], value_set=pa.array(stages))
+        t = t.filter(mask)
+        gtype = t.schema.field(group_col).type
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], gtype),
+                    "_sidx": pa.array([], pa.int64()),
+                    "_ts": pa.array([], pa.int64()),
+                }
+            )
+        g = np.asarray(t[group_col].to_numpy(zero_copy_only=False))
+        si = np.asarray(
+            [stage_idx[x] for x in t[type_col].to_pylist()], dtype=np.int64
+        )
+        ts = np.asarray(t[ts_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        trip = np.stack([g, si, ts], axis=1)
+        trip = np.unique(trip, axis=0)  # batch-local observation dedup
+        return pa.table(
+            {
+                group_col: pa.array(trip[:, 0]).cast(gtype),
+                "_sidx": pa.array(trip[:, 1]),
+                "_ts": pa.array(trip[:, 2]),
+            }
+        )
+
+    def _finish(g: pa.Table) -> pa.Table:
+        si = np.asarray(g["_sidx"].to_numpy(zero_copy_only=False))
+        ts = np.asarray(g["_ts"].to_numpy(zero_copy_only=False))
+        cur = None
+        depth = 0
+        for i in range(len(stages)):
+            cand = np.sort(ts[si == i])
+            if cur is None:
+                pos = 0
+            else:
+                pos = np.searchsorted(cand, cur, side="right")
+            if pos >= len(cand):
+                break
+            cur = cand[pos]
+            depth = i + 1
+        return pa.table(
+            {
+                group_col: g[group_col][0:1],
+                out_col: pa.array([depth], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(_finish, batch_format="pyarrow")
+    )
