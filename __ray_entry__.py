@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_preceding_hour_counts": q.events_preceding_hour_counts,
         "events_range_hour_sum": q.events_range_hour_sum,
         "user_funnel_stages": q.user_funnel_stages,
+        "triangle_count_customers": q.triangle_count_customers,
     }
 
 
@@ -1443,6 +1444,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t2 USING (user_id)
             LEFT JOIN t3 USING (user_id)
             ORDER BY u.user_id
+        """,
+        "triangle_count_customers": """
+            WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT DISTINCT
+                       LEAST(CAST(o_custkey AS BIGINT),
+                             CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS a,
+                       GREATEST(CAST(o_custkey AS BIGINT),
+                                CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS b
+                FROM orders
+                WHERE o_custkey <> (o_orderkey % (SELECT m FROM maxc)) + 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         # knn_lsh/knn_ivf (approximate ANN), kmeans,
         # distinct_token_estimate + distinct_tokens_per_lang (HLL), the

@@ -367,3 +367,40 @@ def test_grouped_funnel_stage_matches_bruteforce(ray_session):
         assert out[g] == brute(sub), f"group {g}: {out[g]} vs {brute(sub)}"
     assert out[0] == 1 and out[1] == 1 and out[2] == 1
     assert out[3] == 3 and out[5] == 3 and out[6] == 1 and out[4] == 0
+
+
+def test_triangle_count_matches_bruteforce(ray_session, tmp_path):
+    # synthesize a tiny customer/orders pair whose derived graph has a
+    # known random structure; compare against an O(n^3) itertools count
+    import itertools
+
+    import pyarrow.parquet as pq_
+
+    from webscrape_neko_jirushi_ray.pipelines.queries import (
+        triangle_count_customers,
+    )
+
+    rng = np.random.default_rng(43)
+    n_nodes, n_orders = 30, 400
+    pq_.write_table(
+        pa.table({"c_custkey": pa.array(np.arange(1, n_nodes + 1, dtype=np.int64))}),
+        str(tmp_path / "customer.parquet"),
+    )
+    custkeys = rng.integers(1, n_nodes + 1, n_orders).astype(np.int64)
+    orderkeys = rng.integers(0, 10_000, n_orders).astype(np.int64)
+    pq_.write_table(
+        pa.table({"o_orderkey": pa.array(orderkeys), "o_custkey": pa.array(custkeys)}),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = int(triangle_count_customers(str(tmp_path)).iloc[0, 0])
+    edges = set()
+    for ck, ok in zip(custkeys, orderkeys):
+        dst = (ok % n_nodes) + 1
+        if ck != dst:
+            edges.add((min(ck, dst), max(ck, dst)))
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(range(1, n_nodes + 1), 3)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    )
+    assert got == want and want > 0

@@ -2000,3 +2000,66 @@ def user_funnel_stages(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["funnel_stage"] = out["funnel_stage"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def triangle_count_customers(sf_dir: str) -> pd.DataFrame:
+    """Multi-way distributed self-join: triangle count of the undirected
+    order-derived customer graph (same derivation as pagerank_customers).
+    Plan: canonicalize edges (a < b) + distinct (one shuffle), wedge join
+    E⋈E on the shared LOW endpoint (each triangle a<b<c is generated
+    exactly once as the wedge (a,b)-(a,c)), then a LEFT SEMI hash join of
+    the wedge's closing pair (b,c) against the edge set on a composite
+    int64 key, and a scalar count. Wedge volume is sum-of-squares of
+    "higher-neighbor" degrees — the canonical a<b orientation is the
+    standard bound that keeps hub fan-out quadratic only in FORWARD
+    degree. Composite key b*(M+1)+c needs M < ~3e9 (int64); shard the
+    key at larger node-id domains."""
+    from ray.data.aggregate import Count, Max
+
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    maxc = int(cust.aggregate(Max("c_custkey", alias_name="m"))["m"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        src = np.asarray(pc.cast(t["o_custkey"], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        okey = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        dst = (okey % maxc) + 1
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    edges = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+        .map_batches(_edges, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()  # reused three times below
+    )
+    wedges = hash_join(edges, edges, key="a", num_partitions=32)
+
+    def _closing(t: pa.Table) -> pa.Table:
+        b1 = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+        b2 = np.asarray(t["b_r"].to_numpy(zero_copy_only=False))
+        keep = b1 < b2
+        key = b1[keep] * (maxc + 1) + b2[keep]
+        return pa.table({"key": pa.array(key, pa.int64())})
+
+    def _ekey(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"ekey": pa.array(a * (maxc + 1) + b, pa.int64())})
+
+    closed = hash_join(
+        wedges.map_batches(_closing, batch_format="pyarrow"),
+        edges.map_batches(_ekey, batch_format="pyarrow"),
+        key="key",
+        right_key="ekey",
+        how="left_semi",
+        num_partitions=32,
+    )
+    n = closed.count()
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
