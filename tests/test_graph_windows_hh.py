@@ -404,3 +404,29 @@ def test_triangle_count_matches_bruteforce(ray_session, tmp_path):
         if (a, b) in edges and (a, c) in edges and (b, c) in edges
     )
     assert got == want and want > 0
+
+
+def test_grouped_funnel_stage_string_groups(ray_session):
+    # regression: np.stack over mixed dtypes used to coerce stage/ts to
+    # strings for string group columns -> every depth silently 0
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_funnel_stage
+
+    df = pd.DataFrame(
+        {
+            "host": ["a.example", "a.example", "a.example", "b.example",
+                      "b.example", "c.example"],
+            "ty": ["A", "B", "C", "A", "C", "B"],
+            "ts": np.array([1, 2, 10, 5, 4, 1], dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_funnel_stage(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            group_col="host", type_col="ty", ts_col="ts",
+            stages=["A", "B", "C"],
+        )
+        .to_pandas().set_index("host")["funnel_stage"]
+    )
+    assert out["a.example"] == 3    # full chain 1<2<10
+    assert out["b.example"] == 1    # C before A -> depth 1
+    assert out["c.example"] == 0    # no A

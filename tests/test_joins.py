@@ -229,3 +229,16 @@ def test_inner_join_hot_key_skew(ray_session):
         .sort_values(["k", "lval"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out[sorted(out.columns)], want[sorted(want.columns)])
+
+
+def test_broadcast_join_empty_dimension(ray_session):
+    # regression: left_outer against a 0-row dim used to raise
+    # ArrowIndexError from take() on the empty payload
+    from webscrape_neko_jirushi_ray.stages.joins import broadcast_join
+
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64)})
+    dim = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    out = broadcast_join(_mk(left), dim, key="k", how="left_outer").to_pandas()
+    assert len(out) == 2 and out["v"].isna().all()
+    inner = broadcast_join(_mk(left), dim, key="k", how="inner").to_pandas()
+    assert len(inner) == 0

@@ -1544,11 +1544,11 @@ def outer_join_balances(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
-def rollup_order_stats(sf_dir: str) -> pd.DataFrame:
-    """GROUP BY ROLLUP analog (multi-level aggregate). Scale shape: ONE
-    corpus-sized groupby at the finest grain, then the coarser levels
-    RE-AGGREGATE the already-tiny result (status x priority rows) instead
-    of re-shuffling the corpus per level."""
+def _order_stats_multilevel(sf_dir: str, include_priority_level: bool) -> pd.DataFrame:
+    """Shared ROLLUP/CUBE engine: ONE corpus-sized groupby at the
+    (status, priority) grain, then every coarser level RE-AGGREGATES the
+    metadata-sized result instead of re-shuffling the corpus; the grand
+    total is a driver scalar. CUBE = ROLLUP + the priority-only level."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read(
@@ -1570,16 +1570,25 @@ def rollup_order_stats(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
         .materialize()  # |status| x |priority| rows — metadata-sized
     )
-    lvl1 = (
-        fine.groupby("status")
-        .aggregate(Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
-        .map_batches(
-            lambda t: t.append_column(
-                "priority", pa.array(["ALL"] * t.num_rows, type=pa.string())
-            ),
-            batch_format="pyarrow",
+
+    def _const(col: str, val: str):
+        return lambda t: t.append_column(
+            col, pa.array([val] * t.num_rows, type=pa.string())
         )
-    )
+
+    def _level(group_col: str, const_col: str):
+        return (
+            fine.groupby(group_col)
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Sum("total_cents", alias_name="total_cents"),
+            )
+            .map_batches(_const(const_col, "ALL"), batch_format="pyarrow")
+        )
+
+    levels = [_level("status", "priority")]
+    if include_priority_level:
+        levels.append(_level("priority", "status"))
     grand = fine.aggregate(
         Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents")
     )  # driver scalar — two ints
@@ -1593,12 +1602,20 @@ def rollup_order_stats(sf_dir: str) -> pd.DataFrame:
     )
     cols = ["status", "priority", "n", "total_cents"]
     out = pd.concat(
-        [fine.to_pandas()[cols], lvl1.to_pandas()[cols], lvl0[cols]],
+        [fine.to_pandas()[cols]]
+        + [lv.to_pandas()[cols] for lv in levels]
+        + [lvl0[cols]],
         ignore_index=True,
     )
     out["n"] = out["n"].astype("int64")
     out["total_cents"] = out["total_cents"].astype("int64")
     return out.sort_values(["status", "priority"]).reset_index(drop=True)
+
+
+def rollup_order_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP analog (multi-level aggregate) — see
+    :func:`_order_stats_multilevel` for the one-corpus-shuffle shape."""
+    return _order_stats_multilevel(sf_dir, include_priority_level=False)
 
 
 def top_event_type_per_user(sf_dir: str) -> pd.DataFrame:
@@ -1673,81 +1690,22 @@ def pivot_priority_status(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({"priority": sorted(fine["priority"].unique())})
     for s in statuses:
         sub = fine[fine["status"] == s].set_index("priority")
+        # reindex with an int fill keeps the columns int64 end-to-end
+        # (a map + fillna round-trip through float64 would lose exactness
+        # for cent sums beyond 2^53)
         out[f"n_{s.lower()}"] = (
-            out["priority"].map(sub["n"]).fillna(0).astype("int64")
+            sub["n"].reindex(out["priority"], fill_value=0).to_numpy()
         )
         out[f"cents_{s.lower()}"] = (
-            out["priority"].map(sub["cents"]).fillna(0).astype("int64")
+            sub["cents"].reindex(out["priority"], fill_value=0).to_numpy()
         )
     return out.sort_values("priority").reset_index(drop=True)
 
 
 def cube_order_stats(sf_dir: str) -> pd.DataFrame:
-    """GROUP BY CUBE analog: all four aggregation levels over (status,
-    priority). Like rollup_order_stats, the corpus is shuffled ONCE at
-    the finest grain; the three coarser levels re-aggregate the tiny
-    result (the priority-only level is what CUBE adds over ROLLUP)."""
-    from ray.data.aggregate import Count, Sum
-
-    ds = _read(
-        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
-    )
-
-    def _prep(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "status": t["o_orderstatus"],
-                "priority": t["o_orderpriority"],
-                "cents": _to_scaled_int(t["o_totalprice"], 100),
-            }
-        )
-
-    fine = (
-        ds.map_batches(_prep, batch_format="pyarrow")
-        .groupby(["status", "priority"])
-        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
-        .materialize()
-    )
-
-    def _const(col: str, val: str):
-        return lambda t: t.append_column(
-            col, pa.array([val] * t.num_rows, type=pa.string())
-        )
-
-    by_status = (
-        fine.groupby("status")
-        .aggregate(Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
-        .map_batches(_const("priority", "ALL"), batch_format="pyarrow")
-    )
-    by_priority = (
-        fine.groupby("priority")
-        .aggregate(Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
-        .map_batches(_const("status", "ALL"), batch_format="pyarrow")
-    )
-    grand = fine.aggregate(
-        Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents")
-    )
-    lvl0 = pd.DataFrame(
-        {
-            "status": ["ALL"],
-            "priority": ["ALL"],
-            "n": [int(grand["n"])],
-            "total_cents": [int(grand["total_cents"])],
-        }
-    )
-    cols = ["status", "priority", "n", "total_cents"]
-    out = pd.concat(
-        [
-            fine.to_pandas()[cols],
-            by_status.to_pandas()[cols],
-            by_priority.to_pandas()[cols],
-            lvl0[cols],
-        ],
-        ignore_index=True,
-    )
-    out["n"] = out["n"].astype("int64")
-    out["total_cents"] = out["total_cents"].astype("int64")
-    return out.sort_values(["status", "priority"]).reset_index(drop=True)
+    """GROUP BY CUBE analog: ROLLUP plus the priority-only level — see
+    :func:`_order_stats_multilevel`."""
+    return _order_stats_multilevel(sf_dir, include_priority_level=True)
 
 
 def ntile_customers(sf_dir: str) -> pd.DataFrame:
@@ -1773,7 +1731,7 @@ def ntile_customers(sf_dir: str) -> pd.DataFrame:
         ["bal_cents", "c_custkey"],
         ascending=[False, True],
         index_col="rank",
-    )
+    ).materialize()  # consumed twice below (count + bucket map)
     n = ranked.count()
     k = 4
     q, r = divmod(n, k)

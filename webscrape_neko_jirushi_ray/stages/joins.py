@@ -254,7 +254,19 @@ def broadcast_join(
     rkeys = np.asarray(rt[rk].to_numpy(zero_copy_only=False))
     if len(np.unique(rkeys)) != len(rkeys):
         raise ValueError("broadcast_join right side has duplicate keys")
-    lnames = list(left.schema().names)
+    lschema = left.schema()
+    if lschema is None:
+        # all blocks empty and schema-less (a fully-filtering upstream
+        # map_batches) — same guard hash_join carries: inner against an
+        # empty side is empty; outer null-padding is untypeable
+        if how != "inner":
+            raise ValueError(
+                "broadcast_join left_outer against a schema-less "
+                "(all-empty) left side: give it a schema (e.g. limit(0) "
+                "on a typed source) so null padding is typeable"
+            )
+        return left.limit(0)
+    lnames = list(lschema.names)
     payload_names = [n for n in rt.column_names if n != rk]
     out_names = {
         n: (n + right_suffix) if n in lnames else n for n in payload_names
@@ -281,6 +293,15 @@ def broadcast_join(
                 )
             return t
         # left_outer: attach values where hit, null otherwise
+        if len(keys_sorted) == 0:
+            # empty dimension: every payload column is all-null (take on
+            # a 0-length array would raise)
+            for n in payload_names:
+                t = t.append_column(
+                    out_names[n],
+                    pa.nulls(len(lk), payload.schema.field(n).type),
+                )
+            return t
         take_idx = np.where(hit, idx_c, -1)
         mask = pa.array(take_idx >= 0)
         for n in payload_names:

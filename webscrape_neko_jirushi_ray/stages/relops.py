@@ -329,6 +329,10 @@ def range_join_bucketed(
         return _pad(t, v // bucket_width, set(vnames))
 
     def _route_ranges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # np.repeat's offset seed can't broadcast against an empty
+            # span array — emit the padded empty block directly
+            return _pad(t, np.zeros(0, dtype=np.int64), set(rnames))
         lo = np.asarray(t[lo_col].to_numpy(zero_copy_only=False))
         hi = np.asarray(t[hi_col].to_numpy(zero_copy_only=False))
         b0 = lo // bucket_width
@@ -476,10 +480,11 @@ def grouped_funnel_stage(
     Partitioning assumption: one group's funnel-relevant rows fit in a
     worker.
     """
-    stage_idx = {s: i for i, s in enumerate(stages)}
-
     def _partial(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[type_col], value_set=pa.array(stages))
+        # vectorized stage mapping: index_in gives the position of each
+        # type inside `stages` (null = off-funnel) — no per-row Python
+        si_all = pc.index_in(t[type_col], value_set=pa.array(stages))
+        mask = pc.is_valid(si_all)
         t = t.filter(mask)
         gtype = t.schema.field(group_col).type
         if t.num_rows == 0:
@@ -490,18 +495,38 @@ def grouped_funnel_stage(
                     "_ts": pa.array([], pa.int64()),
                 }
             )
-        g = np.asarray(t[group_col].to_numpy(zero_copy_only=False))
         si = np.asarray(
-            [stage_idx[x] for x in t[type_col].to_pylist()], dtype=np.int64
+            pc.cast(si_all.filter(mask), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
         )
         ts = np.asarray(t[ts_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        trip = np.stack([g, si, ts], axis=1)
-        trip = np.unique(trip, axis=0)  # batch-local observation dedup
+        # batch-local observation dedup on (group, stage, ts) WITHOUT
+        # stacking heterogeneous dtypes (np.stack would coerce int ts to
+        # strings for string groups and break ordering/comparisons):
+        # dictionary-encode the group to int codes, lexsort, boundary mask
+        gcol = t[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = gcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort((ts, si, codes))
+        c_s, s_s, t_s = codes[order], si[order], ts[order]
+        first = np.concatenate(
+            (
+                [True],
+                (c_s[1:] != c_s[:-1])
+                | (s_s[1:] != s_s[:-1])
+                | (t_s[1:] != t_s[:-1]),
+            )
+        )
+        keep_idx = order[first]
         return pa.table(
             {
-                group_col: pa.array(trip[:, 0]).cast(gtype),
-                "_sidx": pa.array(trip[:, 1]),
-                "_ts": pa.array(trip[:, 2]),
+                group_col: gcol.take(pa.array(keep_idx, pa.int64())),
+                "_sidx": pa.array(si[keep_idx]),
+                "_ts": pa.array(ts[keep_idx]),
             }
         )
 
