@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_hour_sum": q.events_range_hour_sum,
         "user_funnel_stages": q.user_funnel_stages,
         "triangle_count_customers": q.triangle_count_customers,
+        "profile_orders_table": q.profile_orders_table,
     }
 
 
@@ -1460,6 +1461,30 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
             JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "profile_orders_table": """
+            SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS nulls,
+                   CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+                   CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+                   CAST(MIN(o_orderkey) AS VARCHAR),
+                   CAST(MAX(o_orderkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+                   MIN(o_orderpriority), MAX(o_orderpriority)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM orders
+            ORDER BY col
         """,
         # knn_lsh/knn_ivf (approximate ANN), kmeans,
         # distinct_token_estimate + distinct_tokens_per_lang (HLL), the

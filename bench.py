@@ -238,6 +238,11 @@ def run_bench() -> dict:
         ("rollup_order_stats", lambda: q.rollup_order_stats(SF_DIR)),
         ("outer_join_balances", lambda: q.outer_join_balances(SF_DIR)),
         ("pagerank_customers", lambda: q.pagerank_customers(SF_DIR)),
+        ("user_funnel_stages", lambda: q.user_funnel_stages(SF_DIR)),
+        ("events_preceding_hour_counts",
+         lambda: q.events_preceding_hour_counts(SF_DIR)),
+        ("triangle_count_customers",
+         lambda: q.triangle_count_customers(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -2021,3 +2021,22 @@ def triangle_count_customers(sf_dir: str) -> pd.DataFrame:
     )
     n = closed.count()
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+def profile_orders_table(sf_dir: str) -> pd.DataFrame:
+    """Single-pass data-quality profile of the orders table
+    (stages/profile.profile_columns): per column n / nulls / min / max —
+    one streaming pass, O(columns x blocks) combine rows, O(columns)
+    driver state."""
+    from ..stages.profile import profile_columns
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    return profile_columns(
+        ds,
+        int_cols=["o_orderkey", "o_custkey"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+    )
