@@ -22,6 +22,8 @@ import sys
 import tempfile
 import time
 
+_TMP_ROOTS: list[str] = []  # stores created by this process, for cleanup
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -78,6 +80,7 @@ def run_bench() -> dict:
         num_listing_pages=n_listing, seed=42, texts=texts, minor_host_pages=20
     )
     tmp_root = tempfile.mkdtemp(prefix="bench_store_")
+    _TMP_ROOTS.append(tmp_root)  # cleaned up by __main__'s finally
     store = PartitionedPageStore.build(
         add_url_key_columns(pages), os.path.join(tmp_root, "pstore"), num_buckets=32
     )
@@ -343,9 +346,11 @@ if __name__ == "__main__":
         # to the brim before this cleanup existed (set GRAFT_KEEP_TMP=1 to
         # inspect a run's stores/manifests)
         if not os.environ.get("GRAFT_KEEP_TMP"):
-            import glob as _glob
             import shutil as _shutil
 
-            for d in _glob.glob(os.path.join(tempfile.gettempdir(), "bench_store_*")):
+            # remove only THIS process's stores — a glob over
+            # bench_store_* would delete a concurrently running bench's
+            # live corpus (scaling-mode subprocesses clean their own)
+            for d in _TMP_ROOTS:
                 _shutil.rmtree(d, ignore_errors=True)
     print(json.dumps(payload), flush=True)

@@ -111,13 +111,20 @@ def test_add_if_absent_epoch_retry_idempotent(ray_session, mode):
         assert retry.all(), "same-epoch retry must re-report fresh"
         later = seen.add_if_absent(ks, epoch=2)  # next round re-discovery
         assert not later.any(), "freshness must not leak across epochs"
-        # a stale retry from a finished epoch neither passes nor clobbers
+        # a ONE-round-old replay (Ray lineage reconstruction of the prior
+        # round's blocks) must reproduce its original answers exactly —
+        # the previous epoch's state is retained
         stale = seen.add_if_absent(ks[:50], epoch=1)
-        assert not stale.any()
+        assert stale.all(), "one-round-old replay must reproduce answers"
         fresh2 = seen.add_if_absent(keys(50, "zz-"), epoch=2)
         assert fresh2.all()
         retry2 = seen.add_if_absent(keys(50, "zz-"), epoch=2)
-        assert retry2.all(), "stale-epoch call must not clear the live set"
+        assert retry2.all(), "prior-epoch replay must not clear the live set"
+        # two-or-more rounds back the window is gone: loud failure, not
+        # silent row loss
+        seen.add_if_absent(keys(5, "e3-"), epoch=3)
+        with pytest.raises(Exception, match="expired"):
+            seen.add_if_absent(ks[:5], epoch=1)
         # epoch=None keeps the classic exactly-once contract
         ks3 = keys(50, "qq-")
         assert seen.add_if_absent(ks3).all()

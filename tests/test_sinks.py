@@ -68,3 +68,32 @@ def test_resume_noop_when_everything_stamped(ray_session, tmp_path):
     )
     assert res == {"written": [], "skipped": ["en"]}
     assert _read_lang(out, "en") == {"one"}
+
+
+def test_resumable_sink_rejects_null_and_unsafe_partition_values(
+    ray_session, tmp_path
+):
+    import pytest
+
+    import pyarrow as pa
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.state.sinks import (
+        write_partitioned_resumable,
+    )
+
+    with_null = ray.data.from_arrow(
+        pa.table({"p": pa.array(["a", None]), "v": pa.array([1, 2], pa.int64())})
+    )
+    with pytest.raises(Exception, match="null.*not resumable"):
+        write_partitioned_resumable(
+            with_null, str(tmp_path / "o1"), partition_col="p"
+        )
+
+    with_slash = ray.data.from_arrow(
+        pa.table({"p": pa.array(["a/b"]), "v": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(Exception, match="hive-encodes"):
+        write_partitioned_resumable(
+            with_slash, str(tmp_path / "o2"), partition_col="p"
+        )

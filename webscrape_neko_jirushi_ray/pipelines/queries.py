@@ -665,6 +665,26 @@ def dup_span_removal_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _bench_train_split(ds):
+    """The benchmark/train split used by every decontamination query and
+    its SQL oracles: doc_id % 50 == 0 is the held-out eval set. ONE
+    definition — the rule also appears verbatim in the oracle SQL, so
+    change both together."""
+
+    def _side(keep_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 50 == 0) if keep_bench else (ids % 50 != 0)
+            return t.filter(pa.array(m))
+
+        return _f
+
+    return (
+        ds.map_batches(_side(True), batch_format="pyarrow"),
+        ds.map_batches(_side(False), batch_format="pyarrow"),
+    )
+
+
 def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: docs with doc_id % 50 == 0 stand in for
     the eval suite; every other doc sharing ANY 4-word window with them
@@ -674,16 +694,7 @@ def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _split(keep_bench: bool):
-        def _f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            m = (ids % 50 == 0) if keep_bench else (ids % 50 != 0)
-            return t.filter(pa.array(m))
-
-        return _f
-
-    bench = ds.map_batches(_split(True), batch_format="pyarrow")
-    train = ds.map_batches(_split(False), batch_format="pyarrow")
+    bench, train = _bench_train_split(ds)
     out = decontaminate(train, bench, n=4).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -699,16 +710,7 @@ def webtext_pipeline(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _split(keep_bench: bool):
-        def _f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            m = (ids % 50 == 0) if keep_bench else (ids % 50 != 0)
-            return t.filter(pa.array(m))
-
-        return _f
-
-    bench = ds.map_batches(_split(True), batch_format="pyarrow")
-    train = ds.map_batches(_split(False), batch_format="pyarrow")
+    bench, train = _bench_train_split(ds)
     clean = decontaminate(train, bench, n=4)
     return _webtext_tail(clean)
 
@@ -756,16 +758,7 @@ def webtext_pipeline_v2(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _split(keep_bench: bool):
-        def _f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            m = (ids % 50 == 0) if keep_bench else (ids % 50 != 0)
-            return t.filter(pa.array(m))
-
-        return _f
-
-    bench = ds.map_batches(_split(True), batch_format="pyarrow")
-    train = ds.map_batches(_split(False), batch_format="pyarrow")
+    bench, train = _bench_train_split(ds)
     clean = decontaminate(train, bench, n=4)
     gated = linededup.c4_line_filter(
         clean, width=8, line_blacklist=("spark", "vector"), min_lines=3

@@ -56,7 +56,13 @@ def _init_centroids(
         _local, batch_format="pyarrow", batch_size=4096
     ).to_arrow_refs()
     tables = [t for t in ray.get(pruned) if t.num_rows]
+    if not tables:
+        raise ValueError("kmeans_fit: dataset is empty")
     merged = pa.concat_tables(tables)
+    if merged.num_rows < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} exceeds the dataset's {merged.num_rows} rows"
+        )
     ids = merged[id_col].to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")[:k]
     mat = _batch_matrix(merged, vec_col, dim)

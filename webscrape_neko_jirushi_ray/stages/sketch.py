@@ -117,21 +117,56 @@ def hll_distinct_tokens_by(
     from ..functions.textkit import _hash_strings
 
     def _partial(batch: pa.Table) -> pa.Table:
-        groups = np.asarray(batch[group_col].to_numpy(zero_copy_only=False))
-        texts = batch[text_col].to_pylist()
+        # fully vectorized (mirrors the global sketch): ONE Arrow split,
+        # ONE dictionary encode per side, ONE hash of the batch's token
+        # VOCABULARY, distinct (group, token) pairs via np.unique over
+        # packed int codes — the only Python loop is over the handful of
+        # groups present, never rows or tokens
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        genc = gcol.dictionary_encode()
+        gcodes = np.asarray(
+            genc.indices.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = np.asarray(
+            pc.list_value_length(words).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        tenc = words.values.dictionary_encode()
+        tcodes = np.asarray(
+            tenc.indices.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        tdict = tenc.dictionary.to_pylist()
+        if not tdict:  # empty batch / no tokens: nothing to sketch
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "reg": pa.array([], type=pa.int64()),
+                    "rho": pa.array([], type=pa.int64()),
+                }
+            )
+        h_dict = _hash_strings(tdict)
+        row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        g_of_tok = gcodes[row_of]
+        if "" in tdict:  # empty tokens are not vocabulary
+            keep = tcodes != tdict.index("")
+            g_of_tok, tcodes_k = g_of_tok[keep], tcodes[keep]
+        else:
+            tcodes_k = tcodes
+        pair = np.unique(g_of_tok * len(tdict) + tcodes_k)
+        g_u, t_u = pair // len(tdict), pair % len(tdict)
         out_g: list = []
         out_reg: list[np.ndarray] = []
         out_rho: list[np.ndarray] = []
-        for g in np.unique(groups):
-            toks: set[str] = set()
-            for i in np.nonzero(groups == g)[0]:
-                t = texts[i]
-                if t:
-                    toks.update(t.split(" "))
-            toks.discard("")
-            h = _hash_strings(sorted(toks))
+        gdict = genc.dictionary.to_pylist()
+        for gi in np.unique(g_u):
+            h = h_dict[t_u[g_u == gi]]
             reg, rho = _register_partial(h.astype(np.uint64), p)
-            out_g.append(np.full(len(reg), g, dtype=object))
+            out_g.append(np.full(len(reg), gdict[gi], dtype=object))
             out_reg.append(reg)
             out_rho.append(rho)
         if not out_g:

@@ -142,6 +142,10 @@ def length_quantiles(
     values = hist["n_words"].to_numpy(dtype=np.int64)
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:  # empty corpus: no ranks to pick — empty result, not IndexError
+        return pd.DataFrame(columns=["q_pct", "n_words"]).astype(
+            {"q_pct": "int32", "n_words": "int64"}
+        )
     rows = []
     for qp in q_pcts:
         idx = ((n - 1) * qp) // 100  # 0-based nearest-rank
@@ -210,6 +214,56 @@ def grouped_length_quantiles(
 _PMIX = np.uint64(0x9E3779B97F4A7C15)  # same fibonacci mix as stages/dedup
 
 
+def _doc_term_explode(
+    batch: "pa.Table",
+    *,
+    id_col: str,
+    text_col: str,
+    num_partitions: int,
+    with_tf: bool,
+) -> "pa.Table":
+    """Shared (doc, term) explode for the term-hash-shuffle family
+    (inverted index / tf-idf / commonness): ONE Arrow split + dictionary
+    encode, per-(doc, term) dedup via lexsort + boundary mask (with the
+    in-doc term frequency when ``with_tf``), and the partition-routing
+    hash over the batch's VOCABULARY (one hash per distinct term, not
+    per occurrence)."""
+    from ..functions.textkit import _hash_strings
+
+    words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    base, end = int(offsets[0]), int(offsets[-1])
+    flat = words.values.slice(base, end - base)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    order = np.lexsort((codes, doc_idx))
+    d_s, c_s = doc_idx[order], codes[order]
+    bnd = np.concatenate(
+        [
+            [0],
+            np.nonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))[0] + 1,
+            [len(d_s)],
+        ]
+    ).astype(np.int64)
+    d_u, c_u = d_s[bnd[:-1]], c_s[bnd[:-1]]
+    vocab_h = _hash_strings(enc.dictionary.to_pylist())
+    part = ((vocab_h[c_u] * _PMIX) >> np.uint64(33)) % np.uint64(num_partitions)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    cols = {
+        "term": enc.dictionary.take(pa.array(c_u, type=pa.int64())),
+        id_col: pa.array(ids[d_u], type=pa.int64()),
+    }
+    if with_tf:
+        cols["tf"] = pa.array(np.diff(bnd))
+    cols["_p"] = pa.array(part.astype(np.int64))
+    return pa.table(cols)
+
+
+
 def inverted_index(
     docs: "ray.data.Dataset",
     *,
@@ -236,33 +290,9 @@ def inverted_index(
     from ..functions.textkit import _hash_strings
 
     def _explode_distinct(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = np.diff(offsets)
-        base, end = int(offsets[0]), int(offsets[-1])
-        flat = words.values.slice(base, end - base)
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        order = np.lexsort((codes, doc_idx))
-        d_s, c_s = doc_idx[order], codes[order]
-        first = np.concatenate(
-            [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
-        ) if len(order) else np.empty(0, bool)
-        d_u, c_u = d_s[first], c_s[first]
-        vocab_h = _hash_strings(enc.dictionary.to_pylist())
-        part = ((vocab_h[c_u] * _PMIX) >> np.uint64(33)) % np.uint64(
-            num_partitions
-        )
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "term": enc.dictionary.take(pa.array(c_u, type=pa.int64())),
-                id_col: pa.array(ids[d_u], type=pa.int64()),
-                "_p": pa.array(part.astype(np.int64)),
-            }
+        return _doc_term_explode(
+            batch, id_col=id_col, text_col=text_col,
+            num_partitions=num_partitions, with_tf=False,
         )
 
     def _assemble(g: pa.Table) -> pa.Table:
@@ -341,40 +371,9 @@ def tfidf_top_terms(
     from .relops import grouped_topk
 
     def _tf_explode(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = np.diff(offsets)
-        base, end = int(offsets[0]), int(offsets[-1])
-        flat = words.values.slice(base, end - base)
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        order = np.lexsort((codes, doc_idx))
-        d_s, c_s = doc_idx[order], codes[order]
-        bnd = np.concatenate(
-            [
-                [0],
-                np.nonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))[0]
-                + 1,
-                [len(d_s)],
-            ]
-        ).astype(np.int64)
-        tf = np.diff(bnd)
-        d_u, c_u = d_s[bnd[:-1]], c_s[bnd[:-1]]
-        vocab_h = _hash_strings(enc.dictionary.to_pylist())
-        part = ((vocab_h[c_u] * _PMIX) >> np.uint64(33)) % np.uint64(
-            num_partitions
-        )
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "term": enc.dictionary.take(pa.array(c_u, type=pa.int64())),
-                id_col: pa.array(ids[d_u], type=pa.int64()),
-                "tf": pa.array(tf),
-                "_p": pa.array(part.astype(np.int64)),
-            }
+        return _doc_term_explode(
+            batch, id_col=id_col, text_col=text_col,
+            num_partitions=num_partitions, with_tf=True,
         )
 
     def _score(g: pa.Table) -> pa.Table:
@@ -434,40 +433,9 @@ def doc_commonness(
     from ..functions.textkit import _hash_strings
 
     def _tf_explode(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = np.diff(offsets)
-        base, end = int(offsets[0]), int(offsets[-1])
-        flat = words.values.slice(base, end - base)
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        order = np.lexsort((codes, doc_idx))
-        d_s, c_s = doc_idx[order], codes[order]
-        bnd = np.concatenate(
-            [
-                [0],
-                np.nonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))[0]
-                + 1,
-                [len(d_s)],
-            ]
-        ).astype(np.int64)
-        tf = np.diff(bnd)
-        d_u, c_u = d_s[bnd[:-1]], c_s[bnd[:-1]]
-        vocab_h = _hash_strings(enc.dictionary.to_pylist())
-        part = ((vocab_h[c_u] * _PMIX) >> np.uint64(33)) % np.uint64(
-            num_partitions
-        )
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "term": enc.dictionary.take(pa.array(c_u, type=pa.int64())),
-                id_col: pa.array(ids[d_u], type=pa.int64()),
-                "tf": pa.array(tf),
-                "_p": pa.array(part.astype(np.int64)),
-            }
+        return _doc_term_explode(
+            batch, id_col=id_col, text_col=text_col,
+            num_partitions=num_partitions, with_tf=True,
         )
 
     def _partial(g: pa.Table) -> pa.Table:

@@ -136,28 +136,52 @@ class SeenShard:
         # silently drop frontier URLs. Freshness is SAME-epoch only — a key
         # inserted in round r must read as seen from round r+1 on, or
         # re-discovered URLs would re-enter the frontier. Memory: one
-        # round's insertions; the set is dropped when the epoch advances.
-        # Callers without fault-tolerance needs pass epoch=None and get the
-        # classic exactly-once semantics.
+        # round's insertions; the PREVIOUS epoch's state is RETAINED so a
+        # Ray lineage reconstruction of round r's blocks while round r+1
+        # is live still replays exactly (materialize() survives worker
+        # loss only through re-execution — answering a one-round-old
+        # epoch with empty state would silently drop frontier rows).
+        # Two-or-more rounds back the window is gone: fail LOUDLY rather
+        # than lose data (resume from the round checkpoint instead).
+        # Callers without fault-tolerance needs pass epoch=None and get
+        # the classic exactly-once semantics.
         self._fresh_epoch: int | None = None
         self._fresh: set = set()
+        self._prev_epoch: int | None = None
+        self._prev_fresh: set = set()
         # claim/resolve side-table: min order-key per key claimed THIS
-        # epoch (see claim_min). Same lifetime as _fresh: one round's
-        # insertions, dropped when the epoch advances.
+        # epoch (see claim_min). Same lifetime/retention as _fresh.
         self._minseq: dict = {}
+        self._prev_minseq: dict = {}
 
     def _epoch_state(self, epoch: int) -> tuple[set, dict]:
         if self._fresh_epoch is None or epoch > self._fresh_epoch:
+            if self._fresh_epoch is not None and epoch == self._fresh_epoch + 1:
+                # consecutive advance: current state becomes the retained
+                # previous round
+                self._prev_epoch = self._fresh_epoch
+                self._prev_fresh = self._fresh
+                self._prev_minseq = self._minseq
+            else:
+                self._prev_epoch = None
+                self._prev_fresh = set()
+                self._prev_minseq = {}
             self._fresh_epoch = epoch
             self._fresh = set()
             self._minseq = {}
             return self._fresh, self._minseq
         if epoch == self._fresh_epoch:
             return self._fresh, self._minseq
-        # stale epoch (a retry arriving after the driver advanced): its
-        # freshness window expired — hand back a throwaway so it cannot
-        # clobber the live epoch's state
-        return set(), {}
+        if epoch == self._prev_epoch:
+            # one-round-old replay (lineage reconstruction of the prior
+            # round's blocks): answer from the retained state
+            return self._prev_fresh, self._prev_minseq
+        raise RuntimeError(
+            f"seen-set epoch {epoch} expired (live epoch "
+            f"{self._fresh_epoch}): a task replayed across more than one "
+            "round boundary — its answers can no longer be reconstructed "
+            "exactly; resume the crawl from the round checkpoint"
+        )
 
     def _fresh_set(self, epoch: int) -> set:
         return self._epoch_state(epoch)[0]

@@ -71,18 +71,38 @@ def write_partitioned_resumable(
         if v not in done:
             shutil.rmtree(d)
 
-    if done:
-        done_list = sorted(done)
+    done_list = sorted(done)
 
-        def _prune(batch: pa.Table) -> pa.Table:
-            vals = pc.cast(batch[partition_col], pa.string())
-            return batch.filter(
-                pc.invert(pc.is_in(vals, value_set=pa.array(done_list)))
+    def _prune(batch: pa.Table) -> pa.Table:
+        # contract guard: the skip set compares cast(value) against hive
+        # DIRECTORY names, so values must round-trip through the dir
+        # encoding verbatim. Nulls (__HIVE_DEFAULT_PARTITION__) and
+        # hive-escaped characters would silently break the stamped-
+        # partition invariant — fail loudly instead.
+        col = batch[partition_col]
+        if col.null_count:
+            raise ValueError(
+                f"write_partitioned_resumable: null {partition_col!r} "
+                "partition values are not resumable (hive encodes them as "
+                "__HIVE_DEFAULT_PARTITION__, which the skip set cannot "
+                "match); fill or drop nulls upstream"
             )
+        vals = pc.cast(col, pa.string())
+        safe = pc.match_substring_regex(vals, r"^[A-Za-z0-9._\-]+$")
+        if not pc.all(safe).as_py():
+            bad = vals.filter(pc.invert(safe))[0].as_py()
+            raise ValueError(
+                f"write_partitioned_resumable: partition value {bad!r} "
+                "contains characters hive-encodes in directory names; "
+                "sanitize the partition column upstream"
+            )
+        if not done_list:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(vals, value_set=pa.array(done_list)))
+        )
 
-        pending = ds.map_batches(_prune, batch_format="pyarrow")
-    else:
-        pending = ds
+    pending = ds.map_batches(_prune, batch_format="pyarrow")
 
     pending.write_parquet(out_dir, partition_cols=[partition_col])
 
