@@ -430,3 +430,44 @@ def test_grouped_funnel_stage_string_groups(ray_session):
     assert out["a.example"] == 3    # full chain 1<2<10
     assert out["b.example"] == 1    # C before A -> depth 1
     assert out["c.example"] == 0    # no A
+
+
+def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    import os
+
+    from webscrape_neko_jirushi_ray.stages.graph import pagerank_int
+
+    rng = np.random.default_rng(47)
+    nodes_t = pa.table({"node": pa.array(np.arange(1, 40, dtype=np.int64))})
+    src = rng.integers(1, 40, 300).astype(np.int64)
+    dst = rng.integers(1, 40, 300).astype(np.int64)
+    edges_t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def mk():
+        return (ray.data.from_arrow(nodes_t), ray.data.from_arrow(edges_t))
+
+    n1, e1 = mk()
+    want = (
+        pagerank_int(n1, e1, iterations=5, num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+
+    ck = str(tmp_path / "pr_ck")
+    n2, e2 = mk()
+    partial = (
+        pagerank_int(n2, e2, iterations=2, num_partitions=4,
+                     checkpoint_dir=ck)
+        .to_pandas()
+    )
+    assert os.path.exists(os.path.join(ck, "round=2", "_DONE"))
+    # an unstamped (crashed) later round must be ignored on resume
+    os.makedirs(os.path.join(ck, "round=3"), exist_ok=True)
+
+    n3, e3 = mk()
+    got = (
+        pagerank_int(n3, e3, iterations=5, num_partitions=4,
+                     checkpoint_dir=ck)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert (got["pr_scaled"].to_numpy() == want["pr_scaled"].to_numpy()).all()
+    assert os.path.exists(os.path.join(ck, "round=5", "_DONE"))
