@@ -471,3 +471,49 @@ def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
     )
     assert (got["pr_scaled"].to_numpy() == want["pr_scaled"].to_numpy()).all()
     assert os.path.exists(os.path.join(ck, "round=5", "_DONE"))
+
+
+def test_pagerank_checkpoint_guards(ray_session, tmp_path):
+    import os
+
+    import pytest
+
+    from webscrape_neko_jirushi_ray.stages.graph import pagerank_int
+
+    nodes_t = pa.table({"node": pa.array(np.arange(1, 20, dtype=np.int64))})
+    edges_t = pa.table(
+        {
+            "src": pa.array(np.arange(1, 19, dtype=np.int64)),
+            "dst": pa.array(np.arange(2, 20, dtype=np.int64)),
+        }
+    )
+    ck = str(tmp_path / "ck")
+    want = (
+        pagerank_int(
+            ray.data.from_arrow(nodes_t), ray.data.from_arrow(edges_t),
+            iterations=3, num_partitions=4, checkpoint_dir=ck,
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    # crashed attempt: unstamped round dir holding a STALE parquet must
+    # be wiped, not merged with the recomputed round
+    import shutil
+
+    shutil.rmtree(os.path.join(ck, "round=3"))
+    os.rename(os.path.join(ck, "round=2"), os.path.join(ck, "round=2.bak"))
+    shutil.copytree(os.path.join(ck, "round=1"), os.path.join(ck, "round=2"))
+    os.remove(os.path.join(ck, "round=2", "_DONE"))  # simulate no stamp
+    got = (
+        pagerank_int(
+            ray.data.from_arrow(nodes_t), ray.data.from_arrow(edges_t),
+            iterations=3, num_partitions=4, checkpoint_dir=ck,
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert (got["pr_scaled"].to_numpy() == want["pr_scaled"].to_numpy()).all()
+    # different parameters against the same checkpoint: loud failure
+    with pytest.raises(ValueError, match="different graph"):
+        pagerank_int(
+            ray.data.from_arrow(nodes_t), ray.data.from_arrow(edges_t),
+            iterations=3, num_partitions=4, checkpoint_dir=ck, damp_num=80,
+        )

@@ -38,3 +38,18 @@ def test_profile_columns_all_null_column(ray_session):
     ).set_index("col")
     assert out.loc["a", "nulls"] == 2
     assert out.loc["a", "min_v"] is None or pd.isna(out.loc["a", "min_v"])
+
+
+def test_profile_columns_int64_exact_past_2_53(ray_session):
+    big = 9007199254740993  # 2^53 + 1: float64 cannot represent it
+    t = pa.table(
+        {
+            "a": pa.array([big, big + 2], pa.int64()),
+            "s": pa.array(["x", "y"]),
+        }
+    )
+    out = profile_columns(
+        ray.data.from_arrow(t), int_cols=["a"], str_cols=["s"]
+    ).set_index("col")
+    assert out.loc["a", "min_v"] == str(big)
+    assert out.loc["a", "max_v"] == str(big + 2)

@@ -97,3 +97,18 @@ def test_resumable_sink_rejects_null_and_unsafe_partition_values(
         write_partitioned_resumable(
             with_slash, str(tmp_path / "o2"), partition_col="p"
         )
+
+
+def test_resumable_sink_tolerates_empty_blocks(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.state.sinks import (
+        write_partitioned_resumable,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table({"p": pa.array(["a", "b"]), "v": pa.array([1, 2], pa.int64())})
+    ).repartition(6)  # more blocks than rows -> empty blocks in the stream
+    res = write_partitioned_resumable(ds, str(tmp_path / "o"), partition_col="p")
+    assert sorted(res["written"]) == ["a", "b"]

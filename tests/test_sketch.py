@@ -65,3 +65,25 @@ def test_hll_small_range_linear_counting():
 def test_register_partial_empty():
     reg, rho = _register_partial(np.empty(0, dtype=np.uint64), 12)
     assert len(reg) == 0 and len(rho) == 0
+
+
+def test_hll_per_group_null_tolerance(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import hll_distinct_tokens_by
+
+    t = pa.table(
+        {
+            "lang": pa.array(["en", "en", None, "de"]),
+            "text": pa.array(["a b c", None, "x y", "z"]),
+        }
+    )
+    out = hll_distinct_tokens_by(
+        ray.data.from_arrow(t), group_col="lang", p=12
+    ).to_pandas().set_index("lang")
+    # null-text row contributes zero tokens; null-group row is dropped
+    assert out.loc["en", "est_distinct_tokens"] == 3
+    assert out.loc["de", "est_distinct_tokens"] == 1
+    assert len(out) == 2

@@ -345,3 +345,17 @@ def test_shuffle_ops_partition_count_invariant(ray_session):
     run(inverted_index)
     run(lambda ds, **kw: tfidf_top_terms(ds, k=2, **kw))
     run(doc_commonness)
+
+
+def test_doc_term_explode_empty_batch(ray_session):
+    import pyarrow as pa
+
+    from webscrape_neko_jirushi_ray.stages.textstats import _doc_term_explode
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    out = _doc_term_explode(
+        empty, id_col="doc_id", text_col="text", num_partitions=8, with_tf=True
+    )
+    assert out.num_rows == 0 and "tf" in out.column_names

@@ -117,9 +117,47 @@ def pagerank_int(
     # BIT-IDENTICAL to an uninterrupted one.
     start_round = 0
     if checkpoint_dir is not None:
+        import json
         import os
+        import shutil
 
         os.makedirs(checkpoint_dir, exist_ok=True)
+        # identity guard (the seen.py FP_SCHEME pattern): resuming a
+        # checkpoint written for a different graph or parameterization
+        # must fail loudly, not silently continue from stale ranks
+        meta = {
+            "n_nodes": nodes.count(),
+            "n_edges": edges_deg.count(),
+            "scale": scale,
+            "damp_num": damp_num,
+            "damp_den": damp_den,
+            "num_partitions": num_partitions,
+        }
+        meta_path = os.path.join(checkpoint_dir, "_META.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev = json.load(f)
+            if prev != meta:
+                raise ValueError(
+                    f"pagerank checkpoint at {checkpoint_dir!r} was written "
+                    f"for a different graph/parameters ({prev} != {meta}); "
+                    "use a fresh checkpoint_dir"
+                )
+        else:
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        # a crashed attempt leaves unstamped round dirs with partial
+        # parquet — remove them BEFORE scanning (write_parquet emits
+        # uniquely-named files, so rewriting into a dirty dir would merge
+        # stale and fresh rows on the next resume)
+        for name in os.listdir(checkpoint_dir):
+            d = os.path.join(checkpoint_dir, name)
+            if (
+                name.startswith("round=")
+                and os.path.isdir(d)
+                and not os.path.exists(os.path.join(d, "_DONE"))
+            ):
+                shutil.rmtree(d)
         for r in range(iterations, 0, -1):
             d = os.path.join(checkpoint_dir, f"round={r}")
             if os.path.exists(os.path.join(d, "_DONE")):

@@ -37,6 +37,13 @@ def profile_columns(
     def _partial(t: pa.Table) -> pa.Table:
         names, ns, nulls = [], [], []
         min_i, max_i, min_s, max_s = [], [], [], []
+        # integer extrema ride NEUTRAL SENTINELS (INT64_MAX / INT64_MIN)
+        # instead of nulls: a nullable int64 column downcasts to float64
+        # in to_pandas and str(int(float)) is wrong past 2^53 — the
+        # exact trap the module docstring promises to avoid. Presence is
+        # decided by nulls == n at format time, so sentinel collisions
+        # with real INT64_MAX values still render correctly.
+        I_MAX, I_MIN = (1 << 63) - 1, -(1 << 63)
         for c in int_cols:
             arr = t[c]
             names.append(c)
@@ -46,14 +53,14 @@ def profile_columns(
                 mm = pc.min_max(arr).as_py()
                 min_i.append(mm["min"]); max_i.append(mm["max"])
             else:
-                min_i.append(None); max_i.append(None)
+                min_i.append(I_MAX); max_i.append(I_MIN)
             min_s.append(None); max_s.append(None)
         for c in str_cols:
             arr = t[c]
             names.append(c)
             ns.append(t.num_rows)
             nulls.append(arr.null_count)
-            min_i.append(None); max_i.append(None)
+            min_i.append(I_MAX); max_i.append(I_MIN)
             if t.num_rows > arr.null_count:
                 mm = pc.min_max(arr).as_py()
                 min_s.append(mm["min"]); max_s.append(mm["max"])
@@ -88,8 +95,9 @@ def profile_columns(
 
     def _fmt(row, lo: bool) -> str | None:
         if row["col"] in int_set:
-            v = row["_min_i" if lo else "_max_i"]
-            return None if pd.isna(v) else str(int(v))
+            if row["nulls"] == row["n"]:  # all-null column: no extrema
+                return None
+            return str(int(row["_min_i" if lo else "_max_i"]))
         return row["_min_s" if lo else "_max_s"]
 
     merged["min_v"] = merged.apply(lambda r: _fmt(r, True), axis=1)

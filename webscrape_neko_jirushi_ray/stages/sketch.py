@@ -122,6 +122,19 @@ def hll_distinct_tokens_by(
         # VOCABULARY, distinct (group, token) pairs via np.unique over
         # packed int codes — the only Python loop is over the handful of
         # groups present, never rows or tokens
+        # null tolerance (the replaced per-row path skipped None text via
+        # `if t:`): null texts become "" (zero tokens after the ''
+        # filter); rows with a null GROUP are dropped — they belong to no
+        # per-group vocabulary
+        batch = batch.filter(pc.is_valid(batch[group_col]))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "reg": pa.array([], type=pa.int64()),
+                    "rho": pa.array([], type=pa.int64()),
+                }
+            )
         gcol = batch[group_col]
         if isinstance(gcol, pa.ChunkedArray):
             gcol = gcol.combine_chunks()
@@ -129,7 +142,9 @@ def hll_distinct_tokens_by(
         gcodes = np.asarray(
             genc.indices.to_numpy(zero_copy_only=False), dtype=np.int64
         )
-        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        words = pc.split_pattern(
+            pc.fill_null(pc.cast(batch[text_col], pa.string()), ""), " "
+        )
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         counts = np.asarray(

@@ -240,6 +240,15 @@ def _doc_term_explode(
     enc = flat.dictionary_encode()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if len(doc_idx) == 0:  # empty batch: bnd would be [0, 0] and index it
+        cols = {
+            "term": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+        }
+        if with_tf:
+            cols["tf"] = pa.array([], pa.int64())
+        cols["_p"] = pa.array([], pa.int64())
+        return pa.table(cols)
     order = np.lexsort((codes, doc_idx))
     d_s, c_s = doc_idx[order], codes[order]
     bnd = np.concatenate(

@@ -79,6 +79,10 @@ def write_partitioned_resumable(
         # encoding verbatim. Nulls (__HIVE_DEFAULT_PARTITION__) and
         # hive-escaped characters would silently break the stamped-
         # partition invariant — fail loudly instead.
+        if batch.num_rows == 0:
+            # pc.all of an empty array is null (min_count=1) — an empty
+            # block would otherwise trip the unsafe-value branch
+            return batch
         col = batch[partition_col]
         if col.null_count:
             raise ValueError(
