@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_stages": q.user_funnel_stages,
         "triangle_count_customers": q.triangle_count_customers,
         "profile_orders_table": q.profile_orders_table,
+        "except_all_parts": q.except_all_parts,
+        "intersect_all_parts": q.intersect_all_parts,
     }
 
 
@@ -1485,6 +1487,18 @@ def oracle_sql() -> dict[str, str]:
                    MIN(o_orderstatus), MAX(o_orderstatus)
             FROM orders
             ORDER BY col
+        """,
+        "except_all_parts": """
+            SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+            EXCEPT ALL
+            SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+            ORDER BY l_partkey
+        """,
+        "intersect_all_parts": """
+            SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+            INTERSECT ALL
+            SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+            ORDER BY l_partkey
         """,
         # knn_lsh/knn_ivf (approximate ANN), kmeans,
         # distinct_token_estimate + distinct_tokens_per_lang (HLL), the

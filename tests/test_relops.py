@@ -113,3 +113,30 @@ def test_top_tokens_matches_counter(ray_session):
         c.update(textkit.tokens_ws(t or ""))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert list(zip(got["token"], got["n"])) == want
+
+
+def test_bag_difference_matches_counter(ray_session):
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import bag_difference
+
+    rng = np.random.default_rng(53)
+    a = rng.integers(0, 30, 500).astype(np.int64)
+    b = rng.integers(0, 30, 400).astype(np.int64)
+    dsa = ray.data.from_arrow(pa.table({"k": pa.array(a)}))
+    dsb = ray.data.from_arrow(pa.table({"k": pa.array(b)}))
+    ca, cb = Counter(a.tolist()), Counter(b.tolist())
+    for how, expect in [
+        ("except_all", {k: max(ca[k] - cb.get(k, 0), 0) for k in ca}),
+        ("intersect_all", {k: min(ca[k], cb.get(k, 0)) for k in ca}),
+    ]:
+        out = bag_difference(dsa, dsb, key="k", how=how).to_pandas()
+        got = Counter(out["k"].tolist())
+        want = {k: v for k, v in expect.items() if v > 0}
+        assert got == Counter(want), how

@@ -2033,3 +2033,46 @@ def profile_orders_table(sf_dir: str) -> pd.DataFrame:
         int_cols=["o_orderkey", "o_custkey"],
         str_cols=["o_orderstatus", "o_orderpriority"],
     )
+
+
+def _partkey_bags(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_discount"])
+    heavy = ds.map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.filter(pc.greater(t["l_quantity"], 25.0))["l_partkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    discounted = ds.map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.filter(pc.greater(t["l_discount"], 0.05))["l_partkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return heavy, discounted
+
+
+def except_all_parts(sf_dir: str) -> pd.DataFrame:
+    """SQL EXCEPT ALL (bag difference) via stages/relops.bag_difference:
+    per-key counts collapse BOTH sides before anything shuffles, one
+    count-level left-outer hash join, vectorized row re-expansion to the
+    result multiplicity."""
+    from ..stages.relops import bag_difference
+
+    heavy, discounted = _partkey_bags(sf_dir)
+    out = bag_difference(
+        heavy, discounted, key="l_partkey", how="except_all"
+    ).to_pandas()
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+def intersect_all_parts(sf_dir: str) -> pd.DataFrame:
+    """SQL INTERSECT ALL (bag intersection) — min of the per-key counts,
+    same count-collapse-first shape as except_all_parts."""
+    from ..stages.relops import bag_difference
+
+    heavy, discounted = _partkey_bags(sf_dir)
+    out = bag_difference(
+        heavy, discounted, key="l_partkey", how="intersect_all"
+    ).to_pandas()
+    return out.sort_values("l_partkey").reset_index(drop=True)

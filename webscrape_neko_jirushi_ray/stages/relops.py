@@ -557,3 +557,55 @@ def grouped_funnel_stage(
         .groupby(group_col)
         .map_groups(_finish, batch_format="pyarrow")
     )
+
+
+def bag_difference(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key: str,
+    right_key: str | None = None,
+    how: str = "except_all",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Multiset (bag) set-operations on int64 keys — SQL ``EXCEPT ALL``
+    (multiplicity = max(count_l - count_r, 0)) and ``INTERSECT ALL``
+    (multiplicity = min(count_l, count_r)). Returns rows of ``key``
+    repeated to their result multiplicity, matching the SQL operators'
+    row-stream output.
+
+    Scale shape: both sides collapse to per-key COUNTS before anything
+    moves (two partial-aggregated groupbys — the combiner-first rule), a
+    partitioned left-outer hash join pairs the counts, and the row
+    expansion is a vectorized np.repeat per batch. Nothing corpus-sized
+    reaches the driver and the join carries one row per DISTINCT key.
+    """
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+
+    if how not in ("except_all", "intersect_all"):
+        raise ValueError(f"unsupported bag operation {how!r}")
+    rk = right_key or key
+    lc = left.groupby(key).aggregate(Count(alias_name="_cl"))
+    rc = right.groupby(rk).aggregate(Count(alias_name="_cr"))
+    joined = hash_join(
+        lc, rc, key=key, right_key=rk,
+        how="left_outer" if how == "except_all" else "inner",
+        num_partitions=num_partitions,
+    )
+
+    def _expand(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cl = np.asarray(t["_cl"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cr = np.nan_to_num(
+            np.asarray(t["_cr"].to_numpy(zero_copy_only=False), dtype=np.float64),
+            nan=0.0,
+        ).astype(np.int64)
+        if how == "except_all":
+            mult = np.maximum(cl - cr, 0)
+        else:
+            mult = np.minimum(cl, cr)
+        return pa.table({key: pa.array(np.repeat(k, mult))})
+
+    return joined.map_batches(_expand, batch_format="pyarrow")
