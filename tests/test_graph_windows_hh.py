@@ -517,3 +517,61 @@ def test_pagerank_checkpoint_guards(ray_session, tmp_path):
             ray.data.from_arrow(nodes_t), ray.data.from_arrow(edges_t),
             iterations=3, num_partitions=4, checkpoint_dir=ck, damp_num=80,
         )
+
+
+def test_pagerank_checkpoint_content_fingerprint(ray_session, tmp_path):
+    """Same node/edge COUNTS but a different graph must not resume from
+    the other graph's checkpoint (ADVICE r3: counts-only identity guard)."""
+    import pytest
+
+    from webscrape_neko_jirushi_ray.stages.graph import pagerank_int
+
+    nodes_t = pa.table({"node": pa.array(np.arange(1, 10, dtype=np.int64))})
+    chain = pa.table(
+        {
+            "src": pa.array(np.arange(1, 9, dtype=np.int64)),
+            "dst": pa.array(np.arange(2, 10, dtype=np.int64)),
+        }
+    )
+    # same 8 edges, same 9 nodes — but reversed direction
+    rev = pa.table({"src": chain["dst"], "dst": chain["src"]})
+    ck = str(tmp_path / "ckfp")
+    pagerank_int(
+        ray.data.from_arrow(nodes_t), ray.data.from_arrow(chain),
+        iterations=2, num_partitions=4, checkpoint_dir=ck,
+    ).materialize()
+    with pytest.raises(ValueError, match="different graph"):
+        pagerank_int(
+            ray.data.from_arrow(nodes_t), ray.data.from_arrow(rev),
+            iterations=2, num_partitions=4, checkpoint_dir=ck,
+        )
+
+
+def test_pagerank_overflow_guard_and_autoscale(ray_session):
+    """n_nodes x scale >= 2**62 must raise (silent int64 overflow would be
+    a wrong answer at exactly the target graph sizes); scale=None derives
+    a safe scale and runs."""
+    import pytest
+
+    from webscrape_neko_jirushi_ray.stages.graph import pagerank_int
+
+    n = 10_000
+    nodes_t = pa.table({"node": pa.array(np.arange(1, n + 1, dtype=np.int64))})
+    edges_t = pa.table(
+        {
+            "src": pa.array(np.arange(1, n, dtype=np.int64)),
+            "dst": pa.array(np.arange(2, n + 1, dtype=np.int64)),
+        }
+    )
+    with pytest.raises(ValueError, match="int64 headroom"):
+        pagerank_int(
+            ray.data.from_arrow(nodes_t), ray.data.from_arrow(edges_t),
+            iterations=1, scale=10**15, num_partitions=4,
+        )
+    out = pagerank_int(
+        ray.data.from_arrow(nodes_t), ray.data.from_arrow(edges_t),
+        iterations=1, scale=None, num_partitions=4,
+    ).to_pandas()
+    assert len(out) == n
+    # auto-derived scale keeps resolution: ranks are strictly positive
+    assert (out["pr_scaled"] > 0).all()

@@ -242,3 +242,46 @@ def test_broadcast_join_empty_dimension(ray_session):
     assert len(out) == 2 and out["v"].isna().all()
     inner = broadcast_join(_mk(left), dim, key="k", how="inner").to_pandas()
     assert len(inner) == 0
+
+
+def test_broadcast_join_null_left_keys(ray_session):
+    """Null left keys are SQL non-matches: filtered for inner, null-padded
+    for left_outer — never a searchsorted TypeError (ADVICE r3)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.joins import broadcast_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", None, "b", None]),
+                "v": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    dim = pa.table({"k": pa.array(["a", "b"]), "name": pa.array(["A", "B"])})
+    inner = broadcast_join(left, dim, key="k", how="inner").to_pandas()
+    assert sorted(inner["v"].tolist()) == [1, 3]
+    outer = (
+        broadcast_join(left, dim, key="k", how="left_outer")
+        .to_pandas()
+        .sort_values("v")
+    )
+    assert outer["name"].tolist() == ["A", None, "B", None]
+    # int keys with nulls: same semantics (NaN probe would only
+    # accidentally miss)
+    left_i = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([10, None, 20], type=pa.int64()),
+                "v": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    dim_i = pa.table(
+        {"k": pa.array([10, 20], pa.int64()), "name": pa.array(["X", "Y"])}
+    )
+    got = broadcast_join(left_i, dim_i, key="k", how="inner").to_pandas()
+    assert sorted(got["v"].tolist()) == [1, 3]

@@ -82,3 +82,24 @@ def test_entry_smoke(ray_session):
     df = _to_df(out)
     assert len(df) > 0
     assert "url" in df.columns
+
+
+def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
+    """A directory-shaped customer table (the multi-file large-scale case)
+    must route to the distributed plan instead of raising from
+    pq.read_metadata (ADVICE r3)."""
+    import os
+    import shutil
+
+    from webscrape_neko_jirushi_ray.pipelines import queries as q
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ("orders", "nation"):
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    os.makedirs(d / "customer.parquet")
+    shutil.copy(f"{src}/customer.parquet", d / "customer.parquet" / "part0.parquet")
+    want = q.nation_revenue(src).reset_index(drop=True)
+    got = q.nation_revenue(str(d)).reset_index(drop=True)
+    assert got.equals(want)

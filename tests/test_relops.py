@@ -140,3 +140,43 @@ def test_bag_difference_matches_counter(ray_session):
         got = Counter(out["k"].tolist())
         want = {k: v for k, v in expect.items() if v > 0}
         assert got == Counter(want), how
+
+
+def test_window_kernels_reject_null_inputs(ray_session):
+    """Null ts/value in a window kernel must raise, not silently corrupt
+    the int64 arithmetic through a NaN float cast (ADVICE r3)."""
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import (
+        grouped_interval_count,
+        grouped_range_sum,
+        grouped_rolling_sum,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([1, 1, 1], pa.int64()),
+                "ts": pa.array([10, None, 30], pa.int64()),
+                "v": pa.array([1, 2, None], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="null"):
+        grouped_interval_count(
+            ds, group_col="g", ts_col="ts", lo_offset=-5, hi_offset=0,
+            out_col="n",
+        ).materialize()
+    with pytest.raises(Exception, match="null"):
+        grouped_range_sum(
+            ds, group_col="g", ts_col="ts", value_col="v", preceding=5,
+            out_col="s",
+        ).materialize()
+    with pytest.raises(Exception, match="null"):
+        grouped_rolling_sum(
+            ds, group_col="g", order_cols=["ts"], value_col="v",
+            out_col="s", preceding=1,
+        ).materialize()

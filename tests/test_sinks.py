@@ -70,9 +70,7 @@ def test_resume_noop_when_everything_stamped(ray_session, tmp_path):
     assert _read_lang(out, "en") == {"one"}
 
 
-def test_resumable_sink_rejects_null_and_unsafe_partition_values(
-    ray_session, tmp_path
-):
+def test_resumable_sink_rejects_null_partition_values(ray_session, tmp_path):
     import pytest
 
     import pyarrow as pa
@@ -90,13 +88,29 @@ def test_resumable_sink_rejects_null_and_unsafe_partition_values(
             with_null, str(tmp_path / "o1"), partition_col="p"
         )
 
-    with_slash = ray.data.from_arrow(
-        pa.table({"p": pa.array(["a/b"]), "v": pa.array([1], pa.int64())})
+
+def test_resumable_sink_roundtrips_hive_encoded_values(ray_session, tmp_path):
+    """Values hive percent-encodes ('a/b', 'x=y', spaces, unicode) must
+    write, stamp, and SKIP correctly on re-run — the skip set compares
+    against the DECODED directory names (ADVICE r3)."""
+    out = str(tmp_path / "enc")
+    vals = ["a/b", "x=y", "a b", "a%b", "日本", "a~b", "a+b"]
+    tbl = pa.table({"p": pa.array(vals), "v": pa.array([1] * len(vals), pa.int64())})
+    res = write_partitioned_resumable(
+        ray.data.from_arrow(tbl), out, partition_col="p"
     )
-    with pytest.raises(Exception, match="hive-encodes"):
-        write_partitioned_resumable(
-            with_slash, str(tmp_path / "o2"), partition_col="p"
-        )
+    assert sorted(res["written"]) == sorted(vals)
+    assert finished_partitions(out, "p") == set(vals)
+    # re-run with poison rows: every partition must be skipped untouched
+    tbl2 = pa.table(
+        {"p": pa.array(vals), "v": pa.array([99] * len(vals), pa.int64())}
+    )
+    res2 = write_partitioned_resumable(
+        ray.data.from_arrow(tbl2), out, partition_col="p"
+    )
+    assert res2["written"] == [] and sorted(res2["skipped"]) == sorted(vals)
+    got = pq.read_table(out).column("v").to_pylist()
+    assert set(got) == {1}
 
 
 def test_resumable_sink_tolerates_empty_blocks(ray_session, tmp_path):

@@ -173,7 +173,13 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     plan is the fully distributed :func:`nation_revenue_distributed`.
     Both plans are oracle-checked — the distributed one via its own
     queries() entry."""
-    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        # multi-file / directory parquet dataset (exactly the large-scale
+        # case) — read_metadata only handles single files; route to the
+        # distributed plan rather than raising (ADVICE r3)
+        n_cust = _NATION_REVENUE_ROUTE_ROWS + 1
     if n_cust > _NATION_REVENUE_ROUTE_ROWS:
         return nation_revenue_distributed(sf_dir)
     from ray.data.aggregate import Count, Sum

@@ -44,7 +44,7 @@ def pagerank_int(
     edges: "ray.data.Dataset",
     *,
     iterations: int = 5,
-    scale: int = 10**12,
+    scale: int | None = 10**12,
     damp_num: int = 85,
     damp_den: int = 100,
     num_partitions: int = 32,
@@ -59,9 +59,26 @@ def pagerank_int(
     not in ``nodes`` are dropped (dangling targets), matching the SQL
     semantics of joining contributions back onto the node set.
     """
-    base = (scale * (damp_den - damp_num)) // damp_den
-
     nodes = nodes.materialize()  # O(node set), reused every round
+    n_nodes = nodes.count()
+    # int64 headroom guard (enforces the docstring contract instead of
+    # trusting the caller): total integer mass is ~ n_nodes x scale and
+    # the per-round contribution sum is bounded by damp_num x mass /
+    # damp_den < mass, so requiring n_nodes x scale < 2**62 leaves a 2x
+    # margin on every intermediate. scale=None auto-derives the largest
+    # power of 10 that fits (floor 10**3 — below that the integer ranks
+    # lose all resolution, fail instead).
+    if scale is None:
+        scale = 10**12
+        while scale > 10**3 and n_nodes * scale >= 2**62:
+            scale //= 10
+    if n_nodes * scale >= 2**62:
+        raise ValueError(
+            f"pagerank_int: n_nodes={n_nodes} x scale={scale} exceeds the "
+            "int64 headroom (>= 2**62); pass a smaller scale or scale=None "
+            "to auto-derive one (drop a decade per decade of nodes)"
+        )
+    base = (scale * (damp_den - damp_num)) // damp_den
     # ONE src-keyed shuffle builds the degree-annotated edge list:
     # within each co-located src group, dedup dst locally and attach
     # d = outdegree. This replaces the naive three-shuffle plan
@@ -125,9 +142,22 @@ def pagerank_int(
         # identity guard (the seen.py FP_SCHEME pattern): resuming a
         # checkpoint written for a different graph or parameterization
         # must fail loudly, not silently continue from stale ranks
+        # content-derived fingerprint, not just counts (ADVICE r3): two
+        # graphs with identical node/edge counts must not silently share a
+        # checkpoint. Order-independent int sums (mod 2**61-1 to keep the
+        # JSON value bounded) over node ids and (src, dst) pairs are one
+        # cheap distributed aggregate each over data already materialized.
+        _M = (1 << 61) - 1
+
+        def _fold(ds_, cols):
+            agg = ds_.aggregate(*[Sum(c, alias_name=c) for c in cols])
+            return {c: int(agg[c] or 0) % _M for c in cols}
+
         meta = {
-            "n_nodes": nodes.count(),
+            "n_nodes": n_nodes,
             "n_edges": edges_deg.count(),
+            "node_sum": _fold(nodes, ["node"])["node"],
+            "edge_sums": _fold(edges_deg, ["src", "dst"]),
             "scale": scale,
             "damp_num": damp_num,
             "damp_den": damp_den,

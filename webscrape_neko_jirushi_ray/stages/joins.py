@@ -275,7 +275,20 @@ def broadcast_join(
 
     def _lookup(t: pa.Table) -> pa.Table:
         keys_sorted, payload = _ray.get(rt_ref)
-        lk = np.asarray(t[key].to_numpy(zero_copy_only=False))
+        kcol = t[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        lk = np.asarray(kcol.to_numpy(zero_copy_only=False))
+        # null left keys are NON-MATCHES (SQL semantics), not probe fodder:
+        # None in an object array makes searchsorted raise on string keys,
+        # and NaN only accidentally misses on int keys (ADVICE r3). Patch
+        # nulls with a valid sentinel for the probe, then veto their hits.
+        valid = None
+        if kcol.null_count:
+            valid = np.asarray(pc.is_valid(kcol).to_numpy(zero_copy_only=False))
+            if len(keys_sorted):
+                lk = lk.copy()
+                lk[~valid] = keys_sorted[0]
         idx = np.searchsorted(keys_sorted, lk)
         idx_c = np.clip(idx, 0, max(len(keys_sorted) - 1, 0))
         hit = (
@@ -283,6 +296,8 @@ def broadcast_join(
             if len(keys_sorted)
             else np.zeros(len(lk), dtype=bool)
         )
+        if valid is not None:
+            hit = hit & valid
         if how == "inner":
             t = t.filter(pa.array(hit))
             idx_c = idx_c[hit]

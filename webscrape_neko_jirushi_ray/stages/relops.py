@@ -25,6 +25,20 @@ import ray.data
 _SIDE = "_aside"
 
 
+def _int64_nonull(col, name: str) -> np.ndarray:
+    """int64 view of an Arrow column that REFUSES nulls: to_numpy on a
+    nulled int column silently yields float NaN whose int64 cast is
+    undefined, so a null timestamp/value would produce wrong window
+    counts/sums instead of an error (ADVICE r3). Raise loudly instead."""
+    if isinstance(col, (pa.ChunkedArray, pa.Array)) and col.null_count:
+        raise ValueError(
+            f"window kernel input column {name!r} has {col.null_count} "
+            "null(s); fill or drop nulls upstream — a null would silently "
+            "corrupt the int64 window arithmetic"
+        )
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -267,7 +281,7 @@ def grouped_rolling_sum(
         if g.num_rows == 0:
             return g.append_column(out_col, pa.nulls(0, pa.int64()))
         g = g.sort_by([(c, "ascending") for c in order_cols])
-        v = np.asarray(g[value_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        v = _int64_nonull(g[value_col], value_col)
         cs = np.cumsum(v)
         out = cs.copy()
         w = preceding + 1
@@ -402,7 +416,7 @@ def grouped_interval_count(
     def _count(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return g.append_column(out_col, pa.array([], pa.int64()))
-        ts = np.asarray(g[ts_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ts = _int64_nonull(g[ts_col], ts_col)
         order = np.argsort(ts, kind="stable")
         sorted_ts = ts[order]
         n = (
@@ -440,8 +454,8 @@ def grouped_range_sum(
     def _win(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return g.append_column(out_col, pa.array([], pa.int64()))
-        ts = np.asarray(g[ts_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        v = np.asarray(g[value_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ts = _int64_nonull(g[ts_col], ts_col)
+        v = _int64_nonull(g[value_col], value_col)
         order = np.argsort(ts, kind="stable")
         sorted_ts = ts[order]
         cs = np.concatenate(([0], np.cumsum(v[order])))
@@ -500,7 +514,7 @@ def grouped_funnel_stage(
                 zero_copy_only=False
             )
         )
-        ts = np.asarray(t[ts_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ts = _int64_nonull(t[ts_col], ts_col)
         # batch-local observation dedup on (group, stage, ts) WITHOUT
         # stacking heterogeneous dtypes (np.stack would coerce int ts to
         # strings for string groups and break ordering/comparisons):

@@ -32,7 +32,16 @@ _MARKER = "_SUCCESS"
 
 
 def _partition_dirs(out_dir: str, col: str) -> dict[str, str]:
-    """{partition value (string form) -> absolute dir} for existing dirs."""
+    """{partition value (string form) -> absolute dir} for existing dirs.
+
+    The writer percent-encodes values into directory names (RFC-3986
+    quote: ``a b`` → ``a%20b``, ``x=y`` → ``x%3Dy``; ``~ . _ -`` stay
+    verbatim), so the value is recovered with ``unquote`` — quote is
+    injective, making the round-trip exact for every non-null value
+    (ADVICE r3: the old charset whitelist hard-failed writes hive
+    actually handles fine)."""
+    from urllib.parse import unquote
+
     if not os.path.isdir(out_dir):
         return {}
     prefix = f"{col}="
@@ -40,7 +49,7 @@ def _partition_dirs(out_dir: str, col: str) -> dict[str, str]:
     for name in os.listdir(out_dir):
         full = os.path.join(out_dir, name)
         if name.startswith(prefix) and os.path.isdir(full):
-            out[name[len(prefix):]] = full
+            out[unquote(name[len(prefix):])] = full
     return out
 
 
@@ -74,14 +83,12 @@ def write_partitioned_resumable(
     done_list = sorted(done)
 
     def _prune(batch: pa.Table) -> pa.Table:
-        # contract guard: the skip set compares cast(value) against hive
-        # DIRECTORY names, so values must round-trip through the dir
-        # encoding verbatim. Nulls (__HIVE_DEFAULT_PARTITION__) and
-        # hive-escaped characters would silently break the stamped-
-        # partition invariant — fail loudly instead.
+        # contract guard: the skip set compares cast(value) against the
+        # DECODED hive directory names (see _partition_dirs), which round-
+        # trips every non-null value exactly. Nulls are the one genuinely
+        # non-round-tripping case (__HIVE_DEFAULT_PARTITION__ is not a
+        # value) — fail loudly on those only.
         if batch.num_rows == 0:
-            # pc.all of an empty array is null (min_count=1) — an empty
-            # block would otherwise trip the unsafe-value branch
             return batch
         col = batch[partition_col]
         if col.null_count:
@@ -91,17 +98,9 @@ def write_partitioned_resumable(
                 "__HIVE_DEFAULT_PARTITION__, which the skip set cannot "
                 "match); fill or drop nulls upstream"
             )
-        vals = pc.cast(col, pa.string())
-        safe = pc.match_substring_regex(vals, r"^[A-Za-z0-9._\-]+$")
-        if not pc.all(safe).as_py():
-            bad = vals.filter(pc.invert(safe))[0].as_py()
-            raise ValueError(
-                f"write_partitioned_resumable: partition value {bad!r} "
-                "contains characters hive-encodes in directory names; "
-                "sanitize the partition column upstream"
-            )
         if not done_list:
             return batch
+        vals = pc.cast(col, pa.string())
         return batch.filter(
             pc.invert(pc.is_in(vals, value_set=pa.array(done_list)))
         )
