@@ -32,9 +32,34 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _partition_of(keys: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
-    k = np.asarray(keys.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        # string keys route by a deterministic vectorized hash; the
+        # per-partition stitch still joins on the exact string, so a hash
+        # collision only co-locates two keys, never merges them
+        from ..functions.textkit import _hash_strings
+
+        k = _hash_strings(["" if v is None else v for v in arr.to_pylist()])
+    else:
+        k = np.asarray(arr.to_numpy(zero_copy_only=False)).astype(np.uint64)
     mixed = (k * _MIX) >> np.uint64(33)
     return pa.array((mixed % np.uint64(num_partitions)).astype(np.int64))
+
+
+def _ensure_arrow_schema(ds: "ray.data.Dataset"):
+    """(dataset, schema) with every schema type a real pa.DataType.
+
+    A dataset whose blocks are pandas-backed (e.g. out of a
+    ``map_groups(batch_format="pandas")``) reports PYTHON types from
+    ``schema().types`` — ``pa.nulls(n, <class 'object'>)`` then raises
+    inside the pad functions. Normalizing through an identity Arrow
+    map_batches (fused by the planner, no extra pass at execution) makes
+    the schema Arrow-typed."""
+    s = ds.schema()
+    if s is None or all(isinstance(t, pa.DataType) for t in s.types):
+        return ds, s
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    return ds, ds.schema()
 
 
 def hash_join(
@@ -47,7 +72,7 @@ def hash_join(
     num_partitions: int = 64,
     right_suffix: str = "_r",
 ) -> "ray.data.Dataset":
-    """Distributed equi-join on int64 keys.
+    """Distributed equi-join on int64 or string keys.
 
     how: 'inner' | 'left_outer' | 'full_outer' | 'left_semi' |
     'left_anti'. For inner/outer, the right key column is dropped from
@@ -73,8 +98,8 @@ def hash_join(
     if acero_how is None:
         raise ValueError(f"unsupported join type {how!r}")
 
-    lschema = left.schema()
-    rschema = right.schema()
+    left, lschema = _ensure_arrow_schema(left)
+    right, rschema = _ensure_arrow_schema(right)
     if lschema is None or rschema is None:
         # Ray reports a None schema only for datasets with zero rows in
         # every block — an inner join against one is empty. Keep the left
@@ -161,7 +186,7 @@ def _semi_anti_join(
     """Hash-partitioned semi/anti join: the right side is reduced to its
     key column; per partition the decision is one vectorized is_in. Left
     payload columns pass through untouched (any type)."""
-    lschema = left.schema()
+    left, lschema = _ensure_arrow_schema(left)
     lnames = list(lschema.names)
     ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
     key_type = ltypes[key]
