@@ -578,9 +578,11 @@ def per_lang_head_sample(sf_dir: str) -> pd.DataFrame:
 
 def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
     """Top-3 most distinctive terms per doc by the all-integer tf-idf
-    surrogate tf*1e9//df (term-ascending tie-break). Two shuffles: term
-    co-location for df attach, then the grouped-topk doc route with
-    batch-local pruning. SQL-oracled by identical integer math."""
+    surrogate tf*1e9//df (term-ascending tie-break). Size-routed: small
+    vocabularies broadcast the (term, df) table and score doc-side with
+    ZERO pair shuffles; giant vocabularies take the exact two-shuffle
+    plan (term route + coarse doc-bucket route, both payload-bounded).
+    SQL-oracled by identical integer math."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = textstats.tfidf_top_terms(ds, k=3).to_pandas()
     return out.sort_values(["doc_id", "term"]).reset_index(drop=True)

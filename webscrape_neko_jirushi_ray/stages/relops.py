@@ -146,6 +146,38 @@ def range_join_broadcast(
     return ds.map_batches(_assign, batch_format="pyarrow")
 
 
+def topk_rank_mask(
+    codes: np.ndarray, keys: list[np.ndarray], k: int
+) -> np.ndarray:
+    """Boolean keep-mask: rank-within-group < k under ascending ``keys``
+    order, groups identified by int ``codes``. The shared vectorized
+    kernel behind :func:`grouped_topk` and the tf-idf per-partition
+    prune (one lexsort + boundary arithmetic, no Python per group)."""
+    order = np.lexsort(tuple(reversed([codes, *keys])))
+    c_s = codes[order]
+    starts = np.concatenate([[0], np.nonzero(c_s[1:] != c_s[:-1])[0] + 1])
+    group_of = np.cumsum(
+        np.concatenate([[0], (c_s[1:] != c_s[:-1]).astype(np.int64)])
+    )
+    rank = np.arange(len(c_s), dtype=np.int64) - starts[group_of]
+    keep = np.zeros(len(c_s), dtype=bool)
+    keep[order[rank < k]] = True
+    return keep
+
+
+def order_key_arrays(t: pa.Table, order_cols: list[str]) -> list[np.ndarray]:
+    """Numeric lexsort keys for ``order_cols``; string columns become
+    lexicographic RANK codes (np.unique sorts, so return_inverse is
+    order-preserving) — np.lexsort needs numeric keys."""
+    keys = []
+    for c in order_cols:
+        arr = np.asarray(t[c].to_numpy(zero_copy_only=False))
+        if arr.dtype.kind not in "iufb":
+            _, arr = np.unique(arr, return_inverse=True)
+        keys.append(arr)
+    return keys
+
+
 def grouped_topk(
     ds: "ray.data.Dataset",
     *,
@@ -165,31 +197,6 @@ def grouped_topk(
     key's pruned rows must fit in a worker (k × blocks — metadata-sized).
     """
 
-    def _rank_mask(codes: np.ndarray, keys: list[np.ndarray]) -> np.ndarray:
-        # rows surviving = rank-within-group < k under ascending order_cols
-        order = np.lexsort(tuple(reversed([codes, *keys])))
-        c_s = codes[order]
-        starts = np.concatenate([[0], np.nonzero(c_s[1:] != c_s[:-1])[0] + 1])
-        group_of = np.cumsum(
-            np.concatenate([[0], (c_s[1:] != c_s[:-1]).astype(np.int64)])
-        )
-        rank = np.arange(len(c_s), dtype=np.int64) - starts[group_of]
-        keep = np.zeros(len(c_s), dtype=bool)
-        keep[order[rank < k]] = True
-        return keep
-
-    def _keys_of(t: pa.Table) -> list[np.ndarray]:
-        keys = []
-        for c in order_cols:
-            arr = np.asarray(t[c].to_numpy(zero_copy_only=False))
-            if arr.dtype.kind not in "iufb":
-                # strings → lexicographic RANK codes (np.unique sorts, so
-                # return_inverse is order-preserving) — np.lexsort needs
-                # numeric keys
-                _, arr = np.unique(arr, return_inverse=True)
-            keys.append(arr)
-        return keys
-
     def _local(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
@@ -199,11 +206,15 @@ def grouped_topk(
         codes = g.dictionary_encode().indices.to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        return batch.filter(pa.array(_rank_mask(codes, _keys_of(batch))))
+        return batch.filter(
+            pa.array(topk_rank_mask(codes, order_key_arrays(batch, order_cols), k))
+        )
 
     def _final(g: pa.Table) -> pa.Table:
         codes = np.zeros(g.num_rows, dtype=np.int64)  # one group per call
-        return g.filter(pa.array(_rank_mask(codes, _keys_of(g))))
+        return g.filter(
+            pa.array(topk_rank_mask(codes, order_key_arrays(g, order_cols), k))
+        )
 
     return (
         ds.map_batches(_local, batch_format="pyarrow", batch_size=4096)

@@ -354,6 +354,9 @@ def inverted_index(
 _TFIDF_SCALE = 1_000_000_000
 
 
+_TFIDF_BROADCAST_VOCAB = 5_000_000
+
+
 def tfidf_top_terms(
     docs: "ray.data.Dataset",
     *,
@@ -361,6 +364,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 64,
+    broadcast_vocab_threshold: int = _TFIDF_BROADCAST_VOCAB,
 ) -> "ray.data.Dataset":
     """Top-k most DISTINCTIVE terms per document by an all-integer
     tf-idf surrogate ``score = tf * 1e9 // df`` (ties broken by term
@@ -368,16 +372,116 @@ def tfidf_top_terms(
     topic routing, and exactly reproducible by SQL integer math (no
     float log policy).
 
-    Scale design, two shuffles total:
-    1. batch-local (doc, term, tf) aggregation (lexsort + boundary
-       reduceat — each doc lives in one batch, so a (doc, term) pair is
-       global), routed by term hash: every term's rows co-locate, so df
-       is a partition-local boundary count attached by np.repeat;
-    2. the scored rows route by doc via :func:`grouped_topk`'s
-       batch-local prune, so the second shuffle carries ≤ k × docs rows.
+    Scale design — SIZE-ROUTED on vocabulary (VERDICT r3 #3: the old
+    doc-route shuffle carried the full O(docs × distinct-terms) scored
+    pair list, ~31M rows at the 500k-doc soak, through TWO all-to-alls):
+
+    - vocabulary ≤ ``broadcast_vocab_threshold`` (the common case —
+      token-type counts grow ~corpus^0.5 by Heaps' law): pass 1 reduces
+      each batch to per-term PARTIAL counts (payload O(batch vocab), not
+      pairs), one small ``groupby(term)`` merge yields the (term, df)
+      table, which broadcasts once via ``ray.put``; pass 2 re-explodes
+      each batch, resolves df for the batch's DISTINCT terms with one
+      sorted-vocab searchsorted (O(batch-vocab × log vocab), gathered to
+      occurrences by dictionary code), scores, and takes the per-doc
+      top-k LOCALLY — each doc lives wholly in its batch, so no pair
+      row ever crosses the network. Zero pair shuffles.
+    - vocabulary above the threshold (no single worker should hold the
+      df map): the exact two-shuffle plan — term-hash route (df =
+      partition-local boundary count) with a per-doc top-k prune inside
+      the term partition (sound: a doc's global top-k ⊆ union of its
+      per-partition top-k's), then a coarse doc-hash-bucket route whose
+      per-bucket vectorized rank mask is final. Shuffle-2 payload is
+      ≤ min(pairs, k × docs × term-partitions-touched), and the merge
+      runs as ``num_partitions`` grouped tasks, never per-doc Python.
+
+    The broadcast route streams the input TWICE (df pass, score pass), so
+    ``docs`` must be a deterministic dataset (a parquet read, a
+    materialized dataset) — a nondeterministic upstream (e.g. an
+    unmaterialized ``limit`` under streaming execution) could present
+    different rows to the two passes.
     """
-    from ..functions.textkit import _hash_strings
-    from .relops import grouped_topk
+    from .relops import order_key_arrays, topk_rank_mask
+
+    # ---- pass 1: (term, df) via batch-local partial counts --------------
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        pairs = _doc_term_explode(
+            batch, id_col=id_col, text_col=text_col,
+            num_partitions=num_partitions, with_tf=False,
+        )
+        terms = pairs["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        enc = terms.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table(
+            {"term": enc.dictionary, "cnt": pa.array(cnt)}
+        )
+
+    df_ds = (
+        docs.map_batches(_df_partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("term")
+        .sum("cnt")
+        .materialize()
+    )
+    n_vocab = df_ds.count()
+
+    if n_vocab <= broadcast_vocab_threshold:
+        df_tbl = pa.concat_tables(
+            ray.get(df_ds.to_arrow_refs()), promote_options="default"
+        ).sort_by("term")
+        bc_vocab = np.asarray(df_tbl["term"].to_pylist(), dtype=object)
+        bc_df = np.asarray(
+            df_tbl["sum(cnt)"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        df_ref = ray.put((bc_vocab, bc_df))
+
+        def _score_local(batch: pa.Table) -> pa.Table:
+            vocab_sorted, dfs = ray.get(df_ref)
+            pairs = _doc_term_explode(
+                batch, id_col=id_col, text_col=text_col,
+                num_partitions=num_partitions, with_tf=True,
+            )
+            terms = pairs["term"]
+            if isinstance(terms, pa.ChunkedArray):
+                terms = terms.combine_chunks()
+            if len(terms) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "term": pa.array([], pa.string()),
+                        "score": pa.array([], pa.int64()),
+                    }
+                )
+            enc = terms.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            bvocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            # one probe per DISTINCT batch term (every term exists in the
+            # pass-1 vocab by construction), gathered to occurrences
+            df_b = dfs[np.searchsorted(vocab_sorted, bvocab)][codes]
+            tf = pairs["tf"].to_numpy(zero_copy_only=False)
+            score = ((tf * _TFIDF_SCALE) // df_b).astype(np.int64)
+            ids = np.asarray(
+                pairs[id_col].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            _, doc_codes = np.unique(ids, return_inverse=True)
+            dict_rank = np.empty(len(bvocab), dtype=np.int64)
+            dict_rank[np.argsort(bvocab, kind="stable")] = np.arange(
+                len(bvocab), dtype=np.int64
+            )
+            keep = topk_rank_mask(doc_codes, [-score, dict_rank[codes]], k)
+            return pa.table(
+                {
+                    id_col: pa.array(ids[keep]),
+                    "term": terms.filter(pa.array(keep)),
+                    "score": pa.array(score[keep]),
+                }
+            )
+
+        return docs.map_batches(
+            _score_local, batch_format="pyarrow", batch_size=1024
+        )
 
     def _tf_explode(batch: pa.Table) -> pa.Table:
         return _doc_term_explode(
@@ -385,7 +489,7 @@ def tfidf_top_terms(
             num_partitions=num_partitions, with_tf=True,
         )
 
-    def _score(g: pa.Table) -> pa.Table:
+    def _score_prune(g: pa.Table) -> pa.Table:
         terms = g["term"]
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
@@ -400,24 +504,49 @@ def tfidf_top_terms(
         df = np.empty(len(codes), dtype=np.int64)
         df[order] = np.repeat(df_per_run, df_per_run)
         tf = g["tf"].to_numpy(zero_copy_only=False)
-        score = (tf * _TFIDF_SCALE) // df
+        score = ((tf * _TFIDF_SCALE) // df).astype(np.int64)
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # per-doc top-k prune inside this term partition (level 1).
+        # Dictionary codes are first-appearance order, not sorted; rank the
+        # (small, per-partition) VOCABULARY once and gather — never an
+        # O(rows) unique over strings.
+        _, doc_codes = np.unique(ids, return_inverse=True)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        dict_rank = np.empty(len(vocab), dtype=np.int64)
+        dict_rank[np.argsort(vocab, kind="stable")] = np.arange(
+            len(vocab), dtype=np.int64
+        )
+        term_ranks = dict_rank[codes]
+        keep = topk_rank_mask(doc_codes, [-score, term_ranks], k)
+        ids_k, score_k = ids[keep], score[keep]
+        db = ((ids_k.astype(np.uint64) * _PMIX) >> np.uint64(33)) % np.uint64(
+            num_partitions
+        )
         return pa.table(
             {
-                id_col: g[id_col],
-                "term": terms,
-                "score": pa.array(score.astype(np.int64)),
-                "_neg": pa.array((-score).astype(np.int64)),
+                id_col: pa.array(ids_k),
+                "term": terms.filter(pa.array(keep)),
+                "score": pa.array(score_k),
+                "_neg": pa.array(-score_k),
+                "_db": pa.array(db.astype(np.int64)),
             }
         )
 
     scored = (
         docs.map_batches(_tf_explode, batch_format="pyarrow", batch_size=1024)
         .groupby("_p")
-        .map_groups(_score, batch_format="pyarrow")
+        .map_groups(_score_prune, batch_format="pyarrow")
     )
-    return grouped_topk(
-        scored, group_col=id_col, order_cols=["_neg", "term"], k=k
-    ).drop_columns(["_neg"])
+
+    def _final(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        _, doc_codes = np.unique(ids, return_inverse=True)
+        keep = topk_rank_mask(
+            doc_codes, order_key_arrays(g, ["_neg", "term"]), k
+        )
+        return g.filter(pa.array(keep)).drop_columns(["_neg", "_db"])
+
+    return scored.groupby("_db").map_groups(_final, batch_format="pyarrow")
 
 
 def doc_commonness(
