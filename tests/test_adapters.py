@@ -145,3 +145,41 @@ def test_yolo_scorer_real_model(ray_session):
     out = ys(batch)
     ref = scorer.PseudoCatScorer(scorer.DEFAULT_SCORER)(batch)
     assert out.schema.names == ref.schema.names
+
+
+def test_codec_auto_selection_both_ways(monkeypatch):
+    """select_decode_features / select_scorer_cls pick the real adapter
+    exactly when its libraries import cleanly, else the deterministic
+    stubs (VERDICT r3 #8) — exercised both ways by faking the libs."""
+    import sys
+    import types
+
+    from webscrape_neko_jirushi_ray.functions import codecs
+    from webscrape_neko_jirushi_ray.functions.imagekit import (
+        decode_features as stub_decode,
+    )
+    from webscrape_neko_jirushi_ray.stages.scorer import (
+        PseudoCatScorer,
+        YoloCatScorer,
+    )
+
+    # this container has neither lib: stubs selected
+    if not codecs.have_pil():
+        assert codecs.select_decode_features() is stub_decode
+    if not codecs.have_ultralytics():
+        assert codecs.select_scorer_cls() is PseudoCatScorer
+
+    # fake the libraries present: real adapters selected
+    monkeypatch.setitem(sys.modules, "PIL", types.ModuleType("PIL"))
+    monkeypatch.setitem(
+        sys.modules, "ultralytics", types.ModuleType("ultralytics")
+    )
+    assert codecs.have_pil() and codecs.have_ultralytics()
+    from webscrape_neko_jirushi_ray.functions import imagekit_pil
+
+    assert codecs.select_decode_features() is imagekit_pil.decode_features
+    assert codecs.select_scorer_cls() is YoloCatScorer
+    # prefer_real=False (the synthetic call sites) pins the stub even
+    # with the libraries present
+    assert codecs.select_decode_features(prefer_real=False) is stub_decode
+    assert codecs.select_scorer_cls(prefer_real=False) is PseudoCatScorer

@@ -187,3 +187,107 @@ def test_redirect_chain_fetch_and_seen(ray_session, http_site, tmp_path):
         assert list(marks) == [True, True]
     finally:
         seen.shutdown()
+
+
+@pytest.fixture(scope="module")
+def slow_multi_site():
+    """Four localhost servers (four distinct host:port identities), each
+    adding a small latency and tracking in-flight concurrency."""
+    import time as _time
+
+    state = {"inflight": 0, "max_inflight": 0, "hits": []}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                state["inflight"] += 1
+                state["max_inflight"] = max(
+                    state["max_inflight"], state["inflight"]
+                )
+                state["hits"].append((self.server.server_port, _time.monotonic()))
+            _time.sleep(0.08)
+            body = f"<html><body>page {self.path}</body></html>".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.end_headers()
+            self.wfile.write(body)
+            with lock:
+                state["inflight"] -= 1
+
+        def log_message(self, *a):
+            pass
+
+    servers = [ThreadingHTTPServer(("127.0.0.1", 0), Handler) for _ in range(4)]
+    for s in servers:
+        threading.Thread(target=s.serve_forever, daemon=True).start()
+    bases = [f"http://127.0.0.1:{s.server_port}" for s in servers]
+    yield bases, state
+    for s in servers:
+        s.shutdown()
+
+
+def test_concurrent_fetch_matches_sequential(slow_multi_site):
+    """concurrency>1 must return the identical result table (same rows,
+    same order) while actually overlapping requests across hosts
+    (VERDICT r3 #6)."""
+    bases, state = slow_multi_site
+    urls = [f"{b}/p/{i}" for i in range(3) for b in bases]  # 12 across 4 hosts
+    seq = HttpPageStore(
+        rate_per_host=10_000.0, backoff_s=0.0, timeout_s=5.0
+    ).make_fetcher().fetch(urls)
+    state["max_inflight"] = 0
+    conc = HttpPageStore(
+        rate_per_host=10_000.0, backoff_s=0.0, timeout_s=5.0, concurrency=8
+    ).make_fetcher().fetch(urls)
+    assert conc["url"].to_pylist() == seq["url"].to_pylist() == urls
+    assert conc["fetch_status"].to_pylist() == seq["fetch_status"].to_pylist()
+    assert conc["html"].to_pylist() == seq["html"].to_pylist()
+    assert state["max_inflight"] > 1, "requests never overlapped"
+
+
+def test_concurrent_fetch_keeps_per_host_politeness(slow_multi_site):
+    """With a tight per-host rate and concurrency>1, one host's requests
+    must stay spaced at ~1/rate even though threads issue them — the
+    token-bucket claim is shared and lock-protected."""
+    bases, state = slow_multi_site
+    base = bases[0]
+    port = int(base.rsplit(":", 1)[1])
+    urls = [f"{base}/q/{i}" for i in range(4)]
+    state["hits"].clear()
+    store = HttpPageStore(
+        rate_per_host=10.0, burst=1.0, backoff_s=0.0, timeout_s=5.0,
+        concurrency=4,
+    )
+    out = store.make_fetcher().fetch(urls)
+    assert out["fetch_status"].to_pylist() == ["ok"] * 4
+    ts = sorted(t for p, t in state["hits"] if p == port)
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    # nominal spacing is 0.1 s; allow generous scheduling slack but catch
+    # the failure mode (all four issued at once -> gaps ~0)
+    assert all(g >= 0.05 for g in gaps), gaps
+
+
+def test_live_crawl_concurrent_matches_oracle(ray_session, http_site, tmp_path):
+    """The VERDICT r3 #6 'done' bar: a live crawl with in-actor fetch
+    concurrency > 1 produces the same visit sequence as the sequential
+    oracle (output rows land by input index, so ordering is preserved)."""
+    pages, seeds, base, _ = http_site
+    live_seeds = [_rebase(u, base) for u in seeds if "neko-jirushi" in u]
+    cfg = CrawlConfig(host_budget_per_round=30, max_rounds=15, seen_shards=2)
+    store = HttpPageStore(
+        rate_per_host=10_000.0, backoff_s=0.0, timeout_s=5.0, concurrency=8
+    )
+    res = crawl(store, live_seeds, str(tmp_path / "live_c"), cfg)
+    page_map = {}
+    for r in pages.to_pylist():
+        page_map[canonicalize_url(_rebase(r["url"], base))] = (
+            r["html"].decode("utf-8").replace("https://www.neko-jirushi.com", base)
+        )
+    oracle = crawl_oracle(
+        page_map, live_seeds, host_budget_per_round=30, max_rounds=15
+    )
+    got = [(v["url"], v["fetch_status"]) for v in res.visits.to_pylist()
+           if v["url"].startswith(base)]
+    want = [(w.url, w.fetch_status) for w in oracle.visits if w.url.startswith(base)]
+    assert got == want

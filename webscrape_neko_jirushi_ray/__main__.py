@@ -155,11 +155,16 @@ def cmd_clean(args) -> int:
         removal_stats,
     )
 
+    from .functions.codecs import select_decode_features
+
     images = rd.read_parquet(args.images)
     pipeline = (
         aggressive_cleaning_pipeline if args.aggressive else advanced_cleaning_pipeline
     )
-    kept, quarantined = pipeline(images)
+    # real-data surface: Pillow decode when installed, NEKO1 stub otherwise
+    kept, quarantined = pipeline(
+        images, decode_fn=select_decode_features(prefer_real=not args.stub_codec)
+    )
     kept.write_parquet(f"{args.out}/kept")
     quarantined.write_parquet(f"{args.out}/quarantined")
     print(json.dumps({
@@ -174,10 +179,16 @@ def cmd_score(args) -> int:
     ray = _ray_session(args.num_cpus)
     import ray.data as rd
 
+    from .functions.codecs import select_scorer_cls
     from .stages.scorer import detection_summary, score_images, split_by_detection
 
     images = rd.read_parquet(args.images)
-    scored = score_images(images, concurrency=args.concurrency)
+    # real-data surface: YOLO actor class when ultralytics+Pillow import
+    scored = score_images(
+        images,
+        scorer_cls=select_scorer_cls(prefer_real=not args.stub_codec),
+        concurrency=args.concurrency,
+    )
     valid, removed = split_by_detection(scored)
     valid.write_parquet(f"{args.out}/valid")
     removed.write_parquet(f"{args.out}/removed")
@@ -371,12 +382,20 @@ def main(argv=None) -> int:
     cl.add_argument("--images", required=True, help="images parquet path/dir")
     cl.add_argument("--out", required=True)
     cl.add_argument("--aggressive", action="store_true")
+    cl.add_argument(
+        "--stub-codec", action="store_true",
+        help="force the deterministic NEKO1 decode even if Pillow exists",
+    )
     cl.set_defaults(fn=cmd_clean)
 
     sc = sub.add_parser("score", help="pseudo-YOLO scoring")
     sc.add_argument("--images", required=True)
     sc.add_argument("--out", required=True)
     sc.add_argument("--concurrency", type=int, default=2)
+    sc.add_argument(
+        "--stub-codec", action="store_true",
+        help="force the deterministic pseudo scorer even if ultralytics exists",
+    )
     sc.set_defaults(fn=cmd_score)
 
     tp = sub.add_parser("textprep", help="training-data text preparation")

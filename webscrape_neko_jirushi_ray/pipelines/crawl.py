@@ -915,14 +915,26 @@ def _frontier_dataset(frontier, n_parts: int) -> "ray.data.Dataset":
     return frontier
 
 
+_HOST_PARTIALS_DISTRIBUTED_ROWS = 2_000_000
+
+
 def _host_partials(
-    pending_ds: "ray.data.Dataset", samples_per_block: int = 32
+    pending_ds: "ray.data.Dataset",
+    samples_per_block: int = 32,
+    *,
+    distributed_threshold: int = _HOST_PARTIALS_DISTRIBUTED_ROWS,
 ) -> "pd_DataFrame":
-    """Per-host (n rows, min discovery_seq, strided seq samples) via
-    per-batch partials combined on the driver — O(live hosts x samples)
-    driver state, one cheap map pass (a full groupby-aggregate shuffle
-    costs ~4x for the same tiny result). The samples seed the sub-host
-    range boundaries of _enumerate_visits_by_host."""
+    """Per-host (n rows, min discovery_seq, strided seq samples), SIZE-
+    ROUTED (VERDICT r3 #7): per-batch partials are counted first; at or
+    below ``distributed_threshold`` partial rows they combine on the
+    driver (one cheap map pass — a shuffle costs ~4x for the same tiny
+    result), above it they hash-partition by host and the SAME combine
+    kernel runs per partition (``groupby(_hp).map_groups``), so an
+    adversarial near-unique-host frontier never ships the uncombined
+    O(hosts × blocks × samples) partial lists through the driver — only
+    the combined O(live hosts) plan table, which the enumeration plan
+    needs driver-side either way. The samples seed the sub-host range
+    boundaries of _enumerate_visits_by_host."""
     import pandas as _pd
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -956,60 +968,90 @@ def _host_partials(
             }
         )
 
-    parts = pending_ds.map_batches(
+    def _combine(parts: "_pd.DataFrame") -> "_pd.DataFrame":
+        # fully vectorized partial combine (no per-host Python) — shared
+        # verbatim by the driver route (whole table) and the distributed
+        # route (one hash partition per call), so results are identical
+        host = parts["host"].to_numpy(dtype=object)
+        order = np.argsort(host, kind="stable")
+        h_s = host[order]
+        newgrp = np.concatenate([[True], h_s[1:] != h_s[:-1]])
+        starts = np.nonzero(newgrp)[0]
+        gid_of_row = np.cumsum(newgrp) - 1  # group id per sorted row
+        n = np.add.reduceat(parts["n"].to_numpy()[order], starts)
+        min_seq = np.minimum.reduceat(parts["min_seq"].to_numpy()[order], starts)
+        max_seq = np.maximum.reduceat(parts["max_seq"].to_numpy()[order], starts)
+        # union of per-block samples: flatten, sort by (host-group, value),
+        # drop adjacent dups, then CAP per host (bounded payload — a host seen
+        # in many blocks would otherwise accumulate blocks x samples values)
+        samp_lists = [np.asarray(x, dtype=np.int64) for x in parts["samples"].to_numpy()]
+        lens = np.array([len(x) for x in samp_lists], dtype=np.int64)[order]
+        flat = (
+            np.concatenate([samp_lists[i] for i in order])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        owner = np.repeat(gid_of_row, lens)
+        so = np.lexsort((flat, owner))
+        owner_s, flat_s = owner[so], flat[so]
+        keep = np.concatenate(
+            [[True], (owner_s[1:] != owner_s[:-1]) | (flat_s[1:] != flat_s[:-1])]
+        ) if len(flat_s) else np.empty(0, dtype=bool)
+        owner_u, flat_u = owner_s[keep], flat_s[keep]
+        ulen = np.bincount(owner_u, minlength=len(starts))
+        cap = max(samples_per_block * 4, 8)
+        kk = np.minimum(ulen, cap)
+        g2 = np.repeat(np.arange(len(kk)), kk)
+        within = np.arange(int(kk.sum())) - np.repeat(np.cumsum(kk) - kk, kk)
+        ustart = np.concatenate([[0], np.cumsum(ulen)])[:-1]
+        pos = ustart[g2] + (within * (ulen[g2] - 1)) // np.maximum(kk[g2] - 1, 1)
+        capped = flat_u[pos]
+        bounds = np.concatenate([[0], np.cumsum(kk)])
+        out_samples = [
+            capped[bounds[i] : bounds[i + 1]].tolist() for i in range(len(kk))
+        ]
+        return _pd.DataFrame(
+            {
+                "host": h_s[starts],
+                "n": n,
+                "min_seq": min_seq,
+                "max_seq": max_seq,
+                "samples": out_samples,
+            }
+        )
+
+    parts_ds = pending_ds.map_batches(
         _partial, batch_format="pyarrow", batch_size=65536
-    ).to_pandas()
-    if not len(parts):
+    ).materialize()
+    n_parts = parts_ds.count()
+    if n_parts == 0:
         return _pd.DataFrame(
             {"host": [], "n": [], "min_seq": [], "max_seq": [], "samples": []}
         )
-    # --- driver combine, fully vectorized (no per-host Python) -----------
-    host = parts["host"].to_numpy(dtype=object)
-    order = np.argsort(host, kind="stable")
-    h_s = host[order]
-    newgrp = np.concatenate([[True], h_s[1:] != h_s[:-1]])
-    starts = np.nonzero(newgrp)[0]
-    gid_of_row = np.cumsum(newgrp) - 1  # group id per sorted row
-    n = np.add.reduceat(parts["n"].to_numpy()[order], starts)
-    min_seq = np.minimum.reduceat(parts["min_seq"].to_numpy()[order], starts)
-    max_seq = np.maximum.reduceat(parts["max_seq"].to_numpy()[order], starts)
-    # union of per-block samples: flatten, sort by (host-group, value),
-    # drop adjacent dups, then CAP per host (bounded payload — a host seen
-    # in many blocks would otherwise accumulate blocks x samples values)
-    samp_lists = [np.asarray(x, dtype=np.int64) for x in parts["samples"].to_numpy()]
-    lens = np.array([len(x) for x in samp_lists], dtype=np.int64)[order]
-    flat = (
-        np.concatenate([samp_lists[i] for i in order])
-        if lens.sum()
-        else np.empty(0, dtype=np.int64)
-    )
-    owner = np.repeat(gid_of_row, lens)
-    so = np.lexsort((flat, owner))
-    owner_s, flat_s = owner[so], flat[so]
-    keep = np.concatenate(
-        [[True], (owner_s[1:] != owner_s[:-1]) | (flat_s[1:] != flat_s[:-1])]
-    ) if len(flat_s) else np.empty(0, dtype=bool)
-    owner_u, flat_u = owner_s[keep], flat_s[keep]
-    ulen = np.bincount(owner_u, minlength=len(starts))
-    cap = max(samples_per_block * 4, 8)
-    kk = np.minimum(ulen, cap)
-    g2 = np.repeat(np.arange(len(kk)), kk)
-    within = np.arange(int(kk.sum())) - np.repeat(np.cumsum(kk) - kk, kk)
-    ustart = np.concatenate([[0], np.cumsum(ulen)])[:-1]
-    pos = ustart[g2] + (within * (ulen[g2] - 1)) // np.maximum(kk[g2] - 1, 1)
-    capped = flat_u[pos]
-    bounds = np.concatenate([[0], np.cumsum(kk)])
-    out_samples = [
-        capped[bounds[i] : bounds[i + 1]].tolist() for i in range(len(kk))
-    ]
-    return _pd.DataFrame(
-        {
-            "host": h_s[starts],
-            "n": n,
-            "min_seq": min_seq,
-            "max_seq": max_seq,
-            "samples": out_samples,
-        }
+    if n_parts <= distributed_threshold:
+        return _combine(parts_ds.to_pandas())
+
+    # distributed route: co-locate each host's partials by hash partition
+    # and run the identical combine kernel per partition — the driver only
+    # receives the combined one-row-per-host plan
+    import pandas.util as _pdu
+
+    n_hp = 64
+
+    def _route(t: pa.Table) -> pa.Table:
+        hh = _pdu.hash_array(np.asarray(t["host"].to_pylist(), dtype=object))
+        return t.append_column(
+            "_hp", pa.array((hh % np.uint64(n_hp)).astype(np.int64))
+        )
+
+    def _comb_part(g: "_pd.DataFrame") -> "_pd.DataFrame":
+        return _combine(g.drop(columns=["_hp"]))
+
+    return (
+        parts_ds.map_batches(_route, batch_format="pyarrow")
+        .groupby("_hp")
+        .map_groups(_comb_part, batch_format="pandas")
+        .to_pandas()
     )
 
 

@@ -20,6 +20,7 @@ localhost http.server (tests/test_http_fetch.py).
 
 from __future__ import annotations
 
+import threading
 import time
 import urllib.error
 import urllib.request
@@ -47,6 +48,7 @@ class HttpPageStore:
         max_retries: int = 3,
         backoff_s: float = 2.0,
         headers: dict | None = None,
+        concurrency: int = 1,
         sleep=time.sleep,
         clock=time.monotonic,
     ):
@@ -56,18 +58,30 @@ class HttpPageStore:
         self.max_retries = max_retries
         self.backoff_s = backoff_s
         self.headers = dict(headers or DEFAULT_HEADERS)
+        self.concurrency = max(1, int(concurrency))
         self._sleep = sleep
         self._clock = clock
 
     def cache_key(self) -> str:
-        return f"http:{self.rate_per_host}:{self.timeout_s}"
+        return f"http:{self.rate_per_host}:{self.timeout_s}:{self.concurrency}"
 
     def make_fetcher(self) -> "HttpFetcher":
         return HttpFetcher(self)
 
 
 class HttpFetcher:
-    """One per fetch worker: opener + rate limiter state (ST1+ST4)."""
+    """One per fetch worker: opener + rate limiter state (ST1+ST4).
+
+    ``store.concurrency`` > 1 issues requests from an in-actor thread
+    pool (VERDICT r3 #6: a blocking sequential loop caps per-actor
+    throughput at ~1/latency and politeness then serializes the fleet).
+    The per-host token buckets stay authoritative: every thread CLAIMS
+    its token under one lock (the bucket's debt semantics make
+    concurrent claims queue politely — the Nth claim on a host is told
+    to wait N/rate), then sleeps outside the lock, so distinct hosts
+    proceed in parallel while a single host's requests stay spaced at
+    the configured rate. Output row order always matches the input URL
+    list (results land by index)."""
 
     def __init__(self, store: HttpPageStore):
         self.store = store
@@ -76,6 +90,12 @@ class HttpFetcher:
         self.opener.addheaders = list(store.headers.items())
         self._sleep = store._sleep
         self._clock = store._clock
+        self._claim_lock = threading.Lock()
+        self._pool = None
+        if store.concurrency > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=store.concurrency)
 
     def _get_once(self, url: str) -> tuple[str, bytes | None, str]:
         """(status, body, final_url). urllib follows redirects implicitly
@@ -102,7 +122,8 @@ class HttpFetcher:
         max_retries with a pause; 404 is terminal)."""
         status, body, final = "error", None, url
         for attempt in range(self.store.max_retries):
-            wait = self.limiter.wait_time(host, self._clock())
+            with self._claim_lock:
+                wait = self.limiter.wait_time(host, self._clock())
             if wait > 0:
                 self._sleep(wait)
             status, body, final = self._get_once(url)
@@ -112,19 +133,24 @@ class HttpFetcher:
                 self._sleep(self.store.backoff_s)
         return status, body, final
 
-    def fetch(self, urls: list[str]) -> pa.Table:
-        out_html, out_ts, status, finals = [], [], [], []
+    def _fetch_one(self, u: str):
         import datetime as _dt
 
-        for u in urls:
-            host = u.split("/", 3)[2] if "//" in u else ""
-            s, body, final = self._get(u, host)
-            status.append(s)
-            out_html.append(body)
-            finals.append(final)
-            # live fetches do get a wall-clock capture time (this path is
-            # inherently nondeterministic; golden fixtures use the stores)
-            out_ts.append(_dt.datetime.utcnow())
+        host = u.split("/", 3)[2] if "//" in u else ""
+        s, body, final = self._get(u, host)
+        # live fetches do get a wall-clock capture time (this path is
+        # inherently nondeterministic; golden fixtures use the stores)
+        return s, body, final, _dt.datetime.utcnow()
+
+    def fetch(self, urls: list[str]) -> pa.Table:
+        if self._pool is not None and len(urls) > 1:
+            results = list(self._pool.map(self._fetch_one, urls))
+        else:
+            results = [self._fetch_one(u) for u in urls]
+        status = [r[0] for r in results]
+        out_html = [r[1] for r in results]
+        finals = [r[2] for r in results]
+        out_ts = [r[3] for r in results]
         return pa.table(
             {
                 "url": pa.array(urls, type=pa.string()),
