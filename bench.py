@@ -162,14 +162,13 @@ def run_bench() -> dict:
     )
     # frontier = pre-keyed parquet dir — the job's real input shape at
     # 10^10 scale (the driver never holds the frontier)
-    # best-of-N to damp co-tenant noise on this box; each repetition is a
-    # fresh crawl with its own (pre-spawned) seen-set actors and out dir
-    reps = (
-        int(os.environ.get("GRAFT_BENCH_FETCH_REPS", "3"))
-        if os.environ.get("GRAFT_BENCH_MODE") == "fetch"
-        else 1
-    )
+    # best-of-3 to damp co-tenant noise on this box (VERDICT r3 #10: the
+    # driver's single run landed in the documented ±25% noise band twice);
+    # each repetition is a fresh crawl with its own (pre-spawned) seen-set
+    # actors and out dir, and all run times are reported for variance
+    reps = int(os.environ.get("GRAFT_BENCH_FETCH_REPS", "3"))
     t_fetch = None
+    fetch_runs: list[float] = []
     for it in range(reps):
         seen_pool = ShardedSeenSet(fetch_cfg.seen_shards, fetch_cfg.seen_mode)
         seen_pool.size()  # block until actors are live
@@ -183,6 +182,7 @@ def run_bench() -> dict:
             )
         )
         seen_pool.shutdown()
+        fetch_runs.append(round(t_i, 3))
         t_fetch = t_i if t_fetch is None else min(t_fetch, t_i)
     n_urls = res_fetch.visits_count
     results["fetch_extract_all"] = round(t_fetch, 3)
@@ -199,6 +199,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "urls_visited": n_urls,
             "urls_per_sec": urls_per_sec,
+            "fetch_all_runs": fetch_runs,
         }
 
     # ---- full BFS crawl with politeness + link expansion ----------------
@@ -285,6 +286,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "urls_visited": n_urls,
         "urls_per_sec": urls_per_sec,
+        "fetch_all_runs": fetch_runs,
         "images_scored": int(n_clean),
     }
 
