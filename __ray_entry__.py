@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_visits": q.crawl_visits,
         "fetch_list_visits": q.fetch_list_visits,
         # --- oracled queries whose plans changed in round 4 -------------
+        "reorganize_layout_suppliers": q.reorganize_layout_suppliers,
         "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
         "nation_revenue": q.nation_revenue,
         "nation_revenue_distributed": q.nation_revenue_distributed,
@@ -1499,6 +1500,40 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT ALL
             SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
             ORDER BY l_partkey
+        """,
+        # reorganize stage semantics (J2+O3: coalesce+sanitize names, global
+        # dense cat index in lexicographic cat_id STRING order, per-cat
+        # filename numbering by (seq, img_url)) replayed in SQL
+        "reorganize_layout_suppliers": r"""
+            WITH dim AS (
+                SELECT CAST(n_nationkey AS VARCHAR) AS cat_id,
+                       COALESCE(NULLIF(substr(trim(
+                           regexp_replace(
+                               regexp_replace(trim(CAST(n_name AS VARCHAR)),
+                                              '[^0-9A-Za-z_\s-]', '', 'g'),
+                               '[\s-]+', '_', 'g'),
+                           '_'), 1, 50), ''), 'unknown_cat') AS clean_name
+                FROM nation
+            ), dimx AS (
+                SELECT cat_id, clean_name,
+                       dense_rank() OVER (ORDER BY cat_id) AS cat_idx
+                FROM dim
+            ), imgs AS (
+                SELECT CAST(s_nationkey AS VARCHAR) AS cat_id,
+                       CAST(s_suppkey AS BIGINT) AS seq,
+                       CAST(s_name AS VARCHAR) AS img_url,
+                       row_number() OVER (
+                           PARTITION BY s_nationkey ORDER BY s_suppkey, s_name
+                       ) AS rn
+                FROM supplier
+            )
+            SELECT i.cat_id, i.seq, i.img_url,
+                   'cat_' || lpad(CAST(d.cat_idx AS VARCHAR), 4, '0')
+                          || '_' || d.clean_name AS group_dir,
+                   'image_' || lpad(CAST(i.rn AS VARCHAR), 3, '0')
+                            || '.jpg' AS new_filename
+            FROM imgs i JOIN dimx d USING (cat_id)
+            ORDER BY i.cat_id, i.seq
         """,
         # knn_lsh/knn_ivf (approximate ANN), kmeans,
         # distinct_token_estimate + distinct_tokens_per_lang (HLL), the

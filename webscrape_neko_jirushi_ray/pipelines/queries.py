@@ -2118,3 +2118,43 @@ def intersect_all_parts(sf_dir: str) -> pd.DataFrame:
         heavy, discounted, key="l_partkey", how="intersect_all"
     ).to_pandas()
     return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+# --- round-4: reorganize layout as an ORACLED query (J2+O3) ---------------
+
+
+def reorganize_layout_suppliers(sf_dir: str) -> pd.DataFrame:
+    """The full reorganize stage (name coalesce + sanitize + global dense
+    cat enumeration + per-cat filename numbering, reorganize_dataset.py:
+    37-161) run over REAL tables so its semantics are SQL-oracled instead
+    of only test-pinned: nation = the docs side (cat_id, name), supplier =
+    the images side (cat_id, seq=s_suppkey, img_url=s_name). Exercises the
+    distributed dimension build (attach_dense_index), the size-routed
+    name/index attach, and the bucket-vectorized labeling."""
+    import ray.data as rd
+
+    from ..stages.reorganize import reorganize
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    docs = nation.map_batches(
+        lambda t: pa.table(
+            {
+                "cat_id": pc.cast(t["n_nationkey"], pa.string()),
+                "name": pc.cast(t["n_name"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supplier = _read(sf_dir, "supplier", ["s_nationkey", "s_suppkey", "s_name"])
+    images = supplier.map_batches(
+        lambda t: pa.table(
+            {
+                "cat_id": pc.cast(t["s_nationkey"], pa.string()),
+                "seq": pc.cast(t["s_suppkey"], pa.int64()),
+                "img_url": pc.cast(t["s_name"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = reorganize(docs, images).to_pandas()
+    return out.sort_values(["cat_id", "seq"]).reset_index(drop=True)

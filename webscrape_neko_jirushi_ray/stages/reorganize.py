@@ -161,27 +161,65 @@ def reorganize(
     else:
         joined = hash_join(images, dim, key="cat_id", how="left_outer")
 
-    def _label(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("seq", "ascending"), ("img_url", "ascending")])
-        cid = g["cat_id"][0].as_py()
-        idx = g["cat_idx"][0].as_py()
-        clean = g["clean_name"][0].as_py()
-        if idx is None:  # images with no matching doc keep a sentinel group
-            gdir = f"cat_unmatched_{cid}"
-        else:
-            gdir = f"cat_{idx:04d}_{clean}"
-        exts = [
-            (u.rsplit(".", 1)[-1].lower() if "." in u.rsplit("/", 1)[-1] else "jpg")
-            for u in g["img_url"].to_pylist()
-        ]
-        fnames = [
-            f"image_{i + 1:03d}.{e if e in _IMG_EXTS else 'jpg'}"
-            for i, e in enumerate(exts)
-        ]
-        out = g.drop_columns(["clean_name", "cat_idx"])
-        out = out.append_column(
-            "group_dir", pa.array([gdir] * g.num_rows, type=pa.string())
+    # labeling runs per HASH BUCKET of cats, not per cat: groupby(cat_id).
+    # map_groups would make one Python call per cat (10^5 calls = minutes
+    # of per-group overhead at the bounded-driver test scale, unbounded at
+    # 10^8 cats); a bucket co-locates thousands of cats and labels them in
+    # one lexsort + boundary pass.
+    n_buckets = 64
+
+    def _route(t: pa.Table) -> pa.Table:
+        import pandas.util as _pdu
+
+        hh = _pdu.hash_array(np.asarray(t["cat_id"].to_pylist(), dtype=object))
+        return t.append_column(
+            "_rb", pa.array((hh % np.uint64(n_buckets)).astype(np.int64))
         )
+
+    def _label_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_rb"])
+        if g.num_rows == 0:
+            out = g.drop_columns(["clean_name", "cat_idx"])
+            out = out.append_column("group_dir", pa.array([], pa.string()))
+            return out.append_column("new_filename", pa.array([], pa.string()))
+        cid = np.asarray(g["cat_id"].to_pylist(), dtype=object)
+        seq = np.asarray(g["seq"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        urls = np.asarray(g["img_url"].to_pylist(), dtype=object)
+        _, ccodes = np.unique(cid, return_inverse=True)
+        _, ucodes = np.unique(urls, return_inverse=True)
+        order = np.lexsort((ucodes, seq, ccodes))
+        c_s = ccodes[order]
+        newgrp = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        starts = np.nonzero(newgrp)[0]
+        group_of = np.cumsum(newgrp) - 1
+        rank = np.arange(len(c_s), dtype=np.int64) - starts[group_of]
+        g = g.take(pa.array(order, type=pa.int64()))
+        idxs = g["cat_idx"].to_pylist()
+        cleans = g["clean_name"].to_pylist()
+        cids = cid[order]
+        # one group_dir per DISTINCT cat (O(cats-in-bucket) Python), gathered
+        gdirs_per_cat = [
+            (
+                f"cat_unmatched_{cids[s]}"
+                if idxs[s] is None
+                else f"cat_{idxs[s]:04d}_{cleans[s]}"
+            )
+            for s in starts
+        ]
+        gdirs = [gdirs_per_cat[gi] for gi in group_of]
+        fnames = []
+        for r, u in zip(rank, urls[order]):
+            tail = u.rsplit("/", 1)[-1]
+            e = tail.rsplit(".", 1)[-1].lower() if "." in tail else "jpg"
+            fnames.append(
+                f"image_{r + 1:03d}.{e if e in _IMG_EXTS else 'jpg'}"
+            )
+        out = g.drop_columns(["clean_name", "cat_idx"])
+        out = out.append_column("group_dir", pa.array(gdirs, type=pa.string()))
         return out.append_column("new_filename", pa.array(fnames, type=pa.string()))
 
-    return joined.groupby("cat_id").map_groups(_label, batch_format="pyarrow")
+    return (
+        joined.map_batches(_route, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(_label_bucket, batch_format="pyarrow")
+    )
