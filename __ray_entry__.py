@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harvest_images_pages": q.harvest_images_pages,
         "crawl_visits": q.crawl_visits,
         "fetch_list_visits": q.fetch_list_visits,
+        # --- round-4 new operators ---------------------------------------
+        "chunk_docs_sliding": q.chunk_docs_sliding,
+        "top_bigrams_docs": q.top_bigrams_docs,
         # --- oracled queries whose plans changed in round 4 -------------
         "reorganize_layout_suppliers": q.reorganize_layout_suppliers,
         "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
@@ -1500,6 +1503,52 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT ALL
             SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
             ORDER BY l_partkey
+        """,
+        # sliding-window chunking: window starts at 0, stride, 2*stride…;
+        # K = 1 if n <= W else ceil((n - W) / S) + 1; last window may be
+        # short. DuckDB list slicing is 1-based inclusive.
+        "chunk_docs_sliding": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(CAST(text AS VARCHAR), ' ') AS toks
+                FROM documents
+            ), w AS (
+                SELECT doc_id, toks, len(toks) AS nt FROM t
+            ), kk AS (
+                SELECT doc_id, toks, nt,
+                       CASE WHEN nt <= 16 THEN 1
+                            ELSE (nt - 16 + 12 - 1) // 12 + 1 END AS k
+                FROM w
+            ), ex AS (
+                SELECT doc_id, toks, nt,
+                       unnest(generate_series(0, k - 1)) AS i
+                FROM kk
+            )
+            SELECT doc_id,
+                   i AS chunk_idx,
+                   array_to_string(
+                       toks[i * 12 + 1 : least(i * 12 + 16, nt)], ' '
+                   ) AS chunk_text,
+                   CAST(least(i * 12 + 16, nt) - i * 12 AS BIGINT)
+                       AS n_tokens
+            FROM ex
+            ORDER BY doc_id, chunk_idx
+        """,
+        "top_bigrams_docs": """
+            WITH t AS (
+                SELECT string_split(CAST(text AS VARCHAR), ' ') AS toks,
+                       len(string_split(CAST(text AS VARCHAR), ' ')) AS nt
+                FROM documents
+            )
+            , ex AS (
+                SELECT toks, unnest(generate_series(1, nt - 1)) AS i FROM t
+            )
+            SELECT toks[i] || ' ' || toks[i + 1] AS bigram,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ex
+            GROUP BY bigram
+            ORDER BY n DESC, bigram
+            LIMIT 20
         """,
         # reorganize stage semantics (J2+O3: coalesce+sanitize names, global
         # dense cat index in lexicographic cat_id STRING order, per-cat

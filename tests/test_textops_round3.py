@@ -388,3 +388,53 @@ def test_tfidf_route_parity(ray_session):
     )
     assert a.equals(b)
     assert (a.groupby("doc_id").size() <= 3).all()
+
+
+def test_chunk_documents_semantics(ray_session):
+    """Window/stride math: K = 1 if n <= W else ceil((n-W)/S)+1; last
+    window may be short; chunks reassemble the original token stream."""
+    from webscrape_neko_jirushi_ray.stages.textstats import chunk_documents
+
+    texts = {
+        1: "a b c",                       # n=3 <= W -> 1 chunk
+        2: " ".join(f"t{i}" for i in range(10)),   # n=10, W=4,S=3 -> 3 chunks
+        3: " ".join(f"u{i}" for i in range(4)),    # n=4 == W -> 1 chunk
+        4: "",                            # '' splits to [''] -> 1 chunk
+    }
+    got = (
+        chunk_documents(_docs_ds(texts, n_blocks=2), window=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    by_doc = {d: g for d, g in got.groupby("doc_id")}
+    assert len(by_doc[1]) == 1 and by_doc[1]["chunk_text"].iloc[0] == "a b c"
+    c2 = by_doc[2]
+    assert list(c2["chunk_idx"]) == [0, 1, 2]
+    assert c2["chunk_text"].iloc[0] == "t0 t1 t2 t3"
+    assert c2["chunk_text"].iloc[1] == "t3 t4 t5 t6"
+    assert c2["chunk_text"].iloc[2] == "t6 t7 t8 t9"
+    assert list(c2["n_tokens"]) == [4, 4, 4]
+    assert len(by_doc[3]) == 1 and by_doc[3]["n_tokens"].iloc[0] == 4
+    assert len(by_doc[4]) == 1 and by_doc[4]["chunk_text"].iloc[0] == ""
+    # stride overhang: n=11, W=4, S=3 -> K=ceil(7/3)+1=4, last chunk len 2
+    got2 = (
+        chunk_documents(
+            _docs_ds({9: " ".join(f"v{i}" for i in range(11))}, n_blocks=1),
+            window=4, stride=3,
+        )
+        .to_pandas()
+        .sort_values("chunk_idx")
+    )
+    assert list(got2["n_tokens"]) == [4, 4, 4, 2]
+    assert got2["chunk_text"].iloc[3] == "v9 v10"
+
+
+def test_top_bigrams_excludes_doc_boundaries(ray_session):
+    from webscrape_neko_jirushi_ray.stages.textstats import top_bigrams
+
+    # 'b a' would only arise across the doc1|doc2 boundary — must NOT count
+    texts = {1: "a b", 2: "a b a b", 3: "x"}
+    got = top_bigrams(_docs_ds(texts, n_blocks=3), k=10)
+    rows = {r["bigram"]: r["n"] for _, r in got.iterrows()}
+    assert rows == {"a b": 3, "b a": 1}  # 'b a' only inside doc 2

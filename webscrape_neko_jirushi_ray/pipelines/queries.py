@@ -2158,3 +2158,19 @@ def reorganize_layout_suppliers(sf_dir: str) -> pd.DataFrame:
     )
     out = reorganize(docs, images).to_pandas()
     return out.sort_values(["cat_id", "seq"]).reset_index(drop=True)
+
+
+def chunk_docs_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window chunking (window=16 tokens, stride=12) — one row per
+    chunk with its text and token count. Shuffle-free vectorized explode;
+    SQL-oracled via list slicing + generate_series."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textstats.chunk_documents(ds, window=16, stride=12).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def top_bigrams_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-20 adjacent-token bigrams by global count (bigram-ascending
+    tie-break) — combiner-first partial counts, one small groupby."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.top_bigrams(ds, k=20)

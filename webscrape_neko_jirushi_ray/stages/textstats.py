@@ -638,3 +638,140 @@ def add_fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return docs.map_batches(_fp, batch_format="pyarrow", batch_size=2048)
+
+
+def chunk_documents(
+    docs: "ray.data.Dataset",
+    *,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Sliding-window chunking — the training-data op that turns documents
+    into fixed-size overlapping token windows (context packing for long
+    docs, embedding-passage prep). Whitespace tokens; window starts at
+    0, stride, 2*stride, …; K = 1 window if n <= window else
+    ceil((n - window) / stride) + 1 (the last window may be shorter).
+    Output: (id_col, chunk_idx, chunk_text, n_tokens), one row per chunk.
+
+    Scale design: shuffle-free — each batch explodes locally with ONE
+    Arrow split + pure offset arithmetic; overlapping windows gather
+    their token indices via np.repeat/arange into a fresh values buffer
+    and reassemble with a single list-offset ``binary_join`` (no Python
+    over tokens, no per-doc loop)."""
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(offsets)  # tokens per doc
+        base = int(offsets[0])
+        flat = words.values.slice(base, int(offsets[-1]) - base)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = np.where(n <= window, 1, (n - window + stride - 1) // stride + 1)
+        k = np.maximum(k, 1).astype(np.int64)
+        total = int(k.sum())
+        if total == 0 or len(n) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        doc_of = np.repeat(np.arange(len(n), dtype=np.int64), k)
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(k) - k, k
+        )
+        start = cidx * stride
+        length = np.minimum(start + window, n[doc_of]) - start
+        # gather token indices for every (chunk, position) pair
+        tok_of_chunk = np.repeat(
+            (offsets[:-1] - base)[doc_of] + start, length
+        ) + (
+            np.arange(int(length.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(length) - length, length)
+        )
+        gathered = flat.take(pa.array(tok_of_chunk, type=pa.int64()))
+        bnd = np.concatenate([[0], np.cumsum(length)]).astype(np.int32)
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(bnd, type=pa.int32()), gathered),
+            " ",
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_of]),
+                "chunk_idx": pa.array(cidx),
+                "chunk_text": texts,
+                "n_tokens": pa.array(length.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(_chunk, batch_format="pyarrow", batch_size=1024)
+
+
+def top_bigrams(
+    docs: "ray.data.Dataset",
+    *,
+    k: int = 20,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Top-k adjacent-token bigrams by global occurrence count (ties
+    broken by bigram ascending) — collocation statistics for corpus
+    characterization / tokenizer-merge seeding.
+
+    Scale design — combiner-first: each batch forms its bigrams
+    vectorized (flat token buffer + offset mask excluding doc
+    boundaries, one ``binary_join_element_wise``) and collapses them to
+    LOCAL (bigram, count) partials via dictionary-encode + bincount, so
+    the single ``groupby(bigram).sum`` shuffle carries batch vocabularies,
+    never the token stream; only the k winners reach the driver."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(offsets[0])
+        flat = words.values.slice(base, int(offsets[-1]) - base)
+        m = len(flat)
+        if m < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        # positions where (i, i+1) are in the SAME doc: exclude the last
+        # token of every doc (offsets mark doc ends)
+        valid = np.ones(m - 1, dtype=bool)
+        ends = offsets[1:-1] - base - 1  # last-token index of docs 0..d-2
+        valid[ends[(ends >= 0) & (ends < m - 1)]] = False
+        left = flat.slice(0, m - 1).filter(pa.array(valid))
+        right = flat.slice(1, m - 1).filter(pa.array(valid))
+        big = pc.binary_join_element_wise(left, right, " ")
+        enc = big.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"bigram": enc.dictionary, "cnt": pa.array(cnt)})
+
+    summed = (
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("bigram")
+        .sum("cnt")
+    )
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["bigram", "n"])
+
+    out = (
+        summed.map_batches(_rename, batch_format="pyarrow")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
