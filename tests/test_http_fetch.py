@@ -291,3 +291,28 @@ def test_live_crawl_concurrent_matches_oracle(ray_session, http_site, tmp_path):
            if v["url"].startswith(base)]
     want = [(w.url, w.fetch_status) for w in oracle.visits if w.url.startswith(base)]
     assert got == want
+
+
+def test_fetch_fn_serializable_with_http_fetcher_cached(ray_session):
+    """Regression: a driver-side inline round that memoizes an HttpFetcher
+    (thread lock + pool since r4) must not poison serialization of later
+    fetch stages — the memo global must never be captured by value into a
+    fetch closure (cloudpickle captures a NESTED function's referenced
+    globals by value; the lookup therefore lives in a module-level fn)."""
+    from ray import cloudpickle
+
+    from webscrape_neko_jirushi_ray.pipelines import crawl as crawl_mod
+    from webscrape_neko_jirushi_ray.sources.pages import BroadcastPageStore
+    from webscrape_neko_jirushi_ray.synth import synth_pages
+
+    store = HttpPageStore(rate_per_host=1000.0, concurrency=4)
+    key = (store.cache_key(), True)
+    crawl_mod._FETCHER_CACHE[key] = crawl_mod.FetchExtractActor(
+        store, respect_robots=True
+    )
+    try:
+        pages, _ = synth_pages(num_listing_pages=1, seed=1)
+        fn = crawl_mod.make_fetch_extract_fn(BroadcastPageStore(pages))
+        cloudpickle.dumps(fn)  # raises if the cache contents ride along
+    finally:
+        crawl_mod._FETCHER_CACHE.pop(key, None)

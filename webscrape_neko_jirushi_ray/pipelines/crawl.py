@@ -135,19 +135,32 @@ def seeds_to_frontier(seed_urls: list[str]) -> pa.Table:
 _FETCHER_CACHE: dict[str, object] = {}
 
 
+def _cached_fetch_extract(key, store, respect_robots, docs_dir, batch):
+    """Module-level memo lookup. MUST stay a module-level function: a
+    NESTED closure that names ``_FETCHER_CACHE`` gets the cache contents
+    captured BY VALUE by cloudpickle (nested functions serialize their
+    referenced globals), so a driver-side inline round that cached a
+    fetcher holding unpicklable state (HttpFetcher's thread lock / pool)
+    would break serialization of every later fetch stage. A module-level
+    function is pickled by reference and each process resolves the global
+    locally."""
+    actor = _FETCHER_CACHE.get(key)
+    if actor is None:
+        actor = FetchExtractActor(store, respect_robots=respect_robots)
+        _FETCHER_CACHE[key] = actor
+    return actor(batch, docs_dir=docs_dir)
+
+
 def make_fetch_extract_fn(store, docs_dir: str | None = None,
                           respect_robots: bool = True):
     """Returns a map_batches fn that lazily builds (once per worker) and
     reuses the store's fetcher. The cache key must be stable across task
-    deserializations (id() is not), so stores expose ``cache_key()``."""
+    deserializations (id() is not), so stores expose ``cache_key()``. The
+    closure captures only (key, store, docs_dir) — never the cache."""
     key = (store.cache_key(), respect_robots)
 
     def _fn(batch: pa.Table) -> pa.Table:
-        actor = _FETCHER_CACHE.get(key)
-        if actor is None:
-            actor = FetchExtractActor(store, respect_robots=respect_robots)
-            _FETCHER_CACHE[key] = actor
-        return actor(batch, docs_dir=docs_dir)
+        return _cached_fetch_extract(key, store, respect_robots, docs_dir, batch)
 
     return _fn
 
