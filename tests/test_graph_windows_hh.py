@@ -575,3 +575,36 @@ def test_pagerank_overflow_guard_and_autoscale(ray_session):
     assert len(out) == n
     # auto-derived scale keeps resolution: ranks are strictly positive
     assert (out["pr_scaled"] > 0).all()
+
+
+def test_pagerank_route_parity(ray_session):
+    """The broadcast-ranks route and the join plan are both all-integer
+    and must produce bit-identical ranks (r4 size routing)."""
+    from webscrape_neko_jirushi_ray.stages.graph import pagerank_int
+
+    rng = np.random.default_rng(11)
+    n, m = 300, 2400
+    nodes_t = pa.table({"node": pa.array(np.arange(1, n + 1, dtype=np.int64))})
+    edges_t = pa.table(
+        {
+            "src": pa.array(rng.integers(1, n + 1, m).astype(np.int64)),
+            # include dangling targets (> n) and duplicate pairs
+            "dst": pa.array(rng.integers(1, n + 60, m).astype(np.int64)),
+        }
+    )
+    a = (
+        pagerank_int(
+            ray.data.from_arrow(nodes_t), ray.data.from_arrow(edges_t),
+            iterations=4, num_partitions=4,
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    b = (
+        pagerank_int(
+            ray.data.from_arrow(nodes_t), ray.data.from_arrow(edges_t),
+            iterations=4, num_partitions=4, broadcast_ranks_threshold=0,
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert (a["node"].to_numpy() == b["node"].to_numpy()).all()
+    assert (a["pr_scaled"].to_numpy() == b["pr_scaled"].to_numpy()).all()
