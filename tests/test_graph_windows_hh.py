@@ -608,3 +608,29 @@ def test_pagerank_route_parity(ray_session):
     )
     assert (a["node"].to_numpy() == b["node"].to_numpy()).all()
     assert (a["pr_scaled"].to_numpy() == b["pr_scaled"].to_numpy()).all()
+
+
+def test_triangle_count_route_parity(ray_session):
+    """Broadcast-closing-edge route vs the two-hash-join fallback must
+    agree exactly (r4 size routing)."""
+    from webscrape_neko_jirushi_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(77)
+    n, m = 120, 1500
+    src = rng.integers(1, n + 1, m).astype(np.int64)
+    dst = rng.integers(1, n + 1, m).astype(np.int64)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    edges_t = pa.table(
+        {"a": pa.array(pairs[:, 0]), "b": pa.array(pairs[:, 1])}
+    )
+    e1 = ray.data.from_arrow(edges_t).repartition(4)
+    got_bc = triangle_count(e1, max_node_id=n)
+    got_join = triangle_count(
+        ray.data.from_arrow(edges_t).repartition(4),
+        max_node_id=n,
+        broadcast_edges_threshold=0,
+    )
+    assert got_bc == got_join and got_bc > 0

@@ -2009,7 +2009,7 @@ def triangle_count_customers(sf_dir: str) -> pd.DataFrame:
     key at larger node-id domains."""
     from ray.data.aggregate import Count, Max
 
-    from ..stages.joins import hash_join
+    from ..stages.graph import triangle_count
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
     maxc = int(cust.aggregate(Max("c_custkey", alias_name="m"))["m"])
@@ -2030,31 +2030,8 @@ def triangle_count_customers(sf_dir: str) -> pd.DataFrame:
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["a", "b"])
-        .materialize()  # reused three times below
     )
-    wedges = hash_join(edges, edges, key="a", num_partitions=32)
-
-    def _closing(t: pa.Table) -> pa.Table:
-        b1 = np.asarray(t["b"].to_numpy(zero_copy_only=False))
-        b2 = np.asarray(t["b_r"].to_numpy(zero_copy_only=False))
-        keep = b1 < b2
-        key = b1[keep] * (maxc + 1) + b2[keep]
-        return pa.table({"key": pa.array(key, pa.int64())})
-
-    def _ekey(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
-        b = np.asarray(t["b"].to_numpy(zero_copy_only=False))
-        return pa.table({"ekey": pa.array(a * (maxc + 1) + b, pa.int64())})
-
-    closed = hash_join(
-        wedges.map_batches(_closing, batch_format="pyarrow"),
-        edges.map_batches(_ekey, batch_format="pyarrow"),
-        key="key",
-        right_key="ekey",
-        how="left_semi",
-        num_partitions=32,
-    )
-    n = closed.count()
+    n = triangle_count(edges, max_node_id=maxc)
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 
 
