@@ -90,11 +90,24 @@ def pagerank_int(
             "to auto-derive one (drop a decade per decade of nodes)"
         )
     base = (scale * (damp_den - damp_num)) // damp_den
-    # ONE src-keyed shuffle builds the degree-annotated edge list:
-    # within each co-located src group, dedup dst locally and attach
-    # d = outdegree. This replaces the naive three-shuffle plan
-    # (distinct groupby + outdeg groupby + src hash_join) — at web
-    # scale that is two fewer all-to-all passes over the edge list.
+    # ONE src-keyed shuffle builds the degree-annotated edge list. The
+    # co-location unit is a HASH BUCKET of srcs, not a single src —
+    # groupby(src).map_groups is one Python call per src, which at 10^6+
+    # srcs costs minutes of per-group overhead (the same trap the r4
+    # reorganize fix removed); a bucket dedups and degree-annotates ALL
+    # its srcs in one lexsort + boundary pass. This still replaces the
+    # naive three-shuffle plan (distinct groupby + outdeg groupby + src
+    # hash_join) — two fewer all-to-all passes over the edge list.
+    def _src_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False))
+        p = (
+            (s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(33)
+        ) % np.uint64(num_partitions)
+        return t.append_column("_p", pa.array(p.astype(np.int64)))
+
     def _dedup_deg(g: pa.Table) -> pa.Table:
         import numpy as np
 
@@ -106,20 +119,30 @@ def pagerank_int(
                     "d": pa.array([], pa.int64()),
                 }
             )
-        dst = np.unique(np.asarray(g["dst"].to_numpy(zero_copy_only=False)))
-        src = np.asarray(g["src"].to_numpy(zero_copy_only=False))[:1]
+        src = np.asarray(g["src"].to_numpy(zero_copy_only=False))
+        dst = np.asarray(g["dst"].to_numpy(zero_copy_only=False))
+        o = np.lexsort((dst, src))
+        s_s, d_s = src[o], dst[o]
+        uniq = np.concatenate(
+            [[True], (s_s[1:] != s_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        )
+        s_u, d_u = s_s[uniq], d_s[uniq]
+        newrun = np.concatenate([[True], s_u[1:] != s_u[:-1]])
+        starts = np.nonzero(newrun)[0]
+        lens = np.diff(np.concatenate([starts, [len(s_u)]]))
+        deg = lens[np.cumsum(newrun) - 1]
         return pa.table(
             {
-                "src": pa.array(np.broadcast_to(src, dst.shape).copy()),
-                "dst": pa.array(dst),
-                "d": pa.array(np.full(dst.shape, len(dst), dtype=np.int64)),
+                "src": pa.array(s_u),
+                "dst": pa.array(d_u),
+                "d": pa.array(deg.astype(np.int64)),
             }
         )
 
     edges_deg = (
-        edges.groupby("src")
+        edges.map_batches(_src_bucket, batch_format="pyarrow")
+        .groupby("_p")
         .map_groups(_dedup_deg, batch_format="pyarrow")
-        .repartition(num_partitions)
         .materialize()
     )
 
