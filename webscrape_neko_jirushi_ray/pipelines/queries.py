@@ -1057,23 +1057,24 @@ def kv_parse_props(sf_dir: str) -> pd.DataFrame:
 
 def session_windows(sf_dir: str) -> pd.DataFrame:
     """Sessionization (§2.9 streaming analog): per user, count sessions
-    where a >30-minute gap starts a new session. groupby(user).map_groups
-    over ts-sorted groups — the engine's stateful-window idiom."""
+    where a >30-minute gap starts a new session. One hash-bucket shuffle
+    + vectorized diff/bincount across all of a bucket's users at once
+    (stages/relops.grouped_session_count) — the engine's stateful-window
+    idiom without a Python call per user."""
+    from ..stages.relops import grouped_session_count
+
     GAP_US = 30 * 60 * 1_000_000
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().astype("int64").to_numpy()
-        n_sessions = 1 + int((np.diff(ts) > GAP_US).sum()) if len(ts) else 0
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
-        )
-
-    out = (
-        ds.groupby("user_id")
-        .map_groups(_sessions, batch_format="pandas")
-        .to_pandas()
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "ts_us": pc.cast(t["ts"], pa.int64())}
+        ),
+        batch_format="pyarrow",
     )
+    out = grouped_session_count(
+        ds, group_col="user_id", ts_col="ts_us", gap=GAP_US,
+        out_col="n_sessions",
+    ).to_pandas()
     out["n_sessions"] = out["n_sessions"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
 
@@ -1279,9 +1280,12 @@ def textprep_corpus(sf_dir: str) -> pd.DataFrame:
 
 def running_order_totals(sf_dir: str) -> pd.DataFrame:
     """Window function (running sum per partition): per customer, orders in
-    (o_orderdate, o_orderkey) order with a cumulative total. groupby(key)
-    .map_groups over date-sorted groups — the engine's window idiom; cents
-    ints keep the cumulative sums exact vs the SQL oracle."""
+    (o_orderdate, o_orderkey) order with a cumulative total + row number.
+    One hash-bucket shuffle, every customer's cumsum/rank computed in one
+    segment pass (stages/relops.grouped_running_sum) — the engine's
+    window idiom; cents ints keep the cumulative sums exact vs the SQL
+    oracle."""
+    from ..stages.relops import grouped_running_sum
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
     ds = ds.map_batches(
         lambda t: pa.table(
@@ -1295,15 +1299,18 @@ def running_order_totals(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
-    def _running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
-        g["running_total_c"] = g["price_c"].cumsum()
-        g["order_rank"] = range(1, len(g) + 1)
-        return g[["o_orderkey", "o_custkey", "running_total_c", "order_rank"]]
-
     out = (
-        ds.groupby("o_custkey")
-        .map_groups(_running, batch_format="pandas")
+        grouped_running_sum(
+            ds,
+            group_col="o_custkey",
+            order_cols=["o_orderdate", "o_orderkey"],
+            value_col="price_c",
+            out_col="running_total_c",
+            rank_col="order_rank",
+        )
+        .select_columns(
+            ["o_orderkey", "o_custkey", "running_total_c", "order_rank"]
+        )
         .to_pandas()
     )
     out["running_total_c"] = out["running_total_c"].astype("int64")

@@ -3,9 +3,16 @@ operators): as-of join and broadcast range join, expressed per the brief's
 preference order — (a) compositions of map_batches + groupby().map_groups.
 
 Partitioning assumptions (documented per the brief):
-- ``asof_join``: co-locates rows by the ``by`` key (one groupby shuffle);
-  one key's rows (both sides) must fit in a worker. Right-side ties on
-  (by, on) must be pre-resolved (unique) or the match is ambiguous.
+- every keyed-window kernel here shuffles on ``hash(key) %
+  num_partitions`` (a BUCKET of keys), never on the raw key: Ray's
+  ``groupby(key).map_groups`` costs one Python call per distinct key,
+  which dominates wall time past ~10^5 keys; a bucket processes all its
+  keys in one vectorized lexsort + segment pass. One BUCKET's rows must
+  fit in a worker (raise ``num_partitions`` with the data).
+- ``asof_join``: co-locates both sides by the ``by``-key bucket; the
+  per-bucket ``pd.merge_asof(by=...)`` matches all groups in one call.
+  Right-side ties on (by, on) must be pre-resolved (unique) or the
+  match is ambiguous.
 - ``range_join_broadcast``: the ranges table is SMALL (broadcast once via
   ray.put, vectorized searchsorted per batch); ranges must be sorted,
   non-overlapping [lo, hi) intervals. Rows outside every range drop
@@ -39,6 +46,61 @@ def _int64_nonull(col, name: str) -> np.ndarray:
     return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
 
 
+_WB = "_wbucket"
+
+
+def _route_by_group(
+    ds: "ray.data.Dataset", group_col: str, num_partitions: int
+) -> "ray.data.Dataset":
+    """Append ``_WB = hash(group) % num_partitions``. Every keyed-window
+    kernel below groups on THIS bucket column, never on the raw key: a
+    ``groupby(key).map_groups`` pays one Python call (slice + block
+    build + schedule) per DISTINCT key, which at 10^6+ users/hosts is the
+    dominant cost — the same per-group trap the r4 reorganize and
+    pagerank-degree fixes removed. A bucket task handles ~keys/P groups
+    in one vectorized lexsort + segment pass, so Python-call count is
+    bounded by ``num_partitions`` regardless of key cardinality."""
+    import pandas.util as pdu
+
+    def _route(t: pa.Table) -> pa.Table:
+        col = t[group_col]
+        arr = np.asarray(col.to_numpy(zero_copy_only=False))
+        if arr.dtype.kind in "iu":
+            h = (
+                arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(33)
+        else:
+            h = pdu.hash_array(np.asarray(col.to_pylist(), dtype=object))
+        out = t.drop_columns([_WB]) if _WB in t.column_names else t
+        return out.append_column(
+            _WB, pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    return ds.map_batches(_route, batch_format="pyarrow")
+
+
+def _group_codes(t: pa.Table, group_col: str) -> np.ndarray:
+    """int64 group codes for a (possibly string-keyed) column — the
+    numeric key np.lexsort needs. Codes are bucket-local; only equality
+    matters to the segment kernels."""
+    g = t[group_col]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    return g.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+
+
+def _segment_bounds(sorted_codes: np.ndarray):
+    """(starts, ends, seg_start_per_row, seg_end_per_row) of the
+    equal-code runs in an already-sorted code array."""
+    newseg = np.concatenate([[True], sorted_codes[1:] != sorted_codes[:-1]])
+    starts = np.nonzero(newseg)[0]
+    ends = np.concatenate([starts[1:], [len(sorted_codes)]])
+    seg_id = np.cumsum(newseg) - 1
+    return starts, ends, starts[seg_id], ends[seg_id]
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -47,12 +109,15 @@ def asof_join(
     on: str,
     value_cols: list[str],
     direction: str = "backward",
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """For each left row, attach ``value_cols`` of the right row with the
     largest ``on`` <= left's ``on`` (direction='backward'; 'forward' takes
     the smallest >=), within the same ``by`` group. Left rows without a
     match keep null values (left-join semantics, pandas ``merge_asof``
-    per co-located group)."""
+    — still the vectorized kernel, but run once per HASH BUCKET of keys
+    with ``merge_asof(by=...)`` matching all of the bucket's groups in
+    one call, not once per key; see :func:`_route_by_group`)."""
     lschema = left.schema()
     lnames = list(lschema.names)
     ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
@@ -87,7 +152,9 @@ def asof_join(
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         lt = g[g[_SIDE] == 0][lnames].sort_values(on, kind="mergesort")
-        rt = g[g[_SIDE] == 1][[on, *value_cols]].sort_values(on, kind="mergesort")
+        rt = g[g[_SIDE] == 1][
+            list(dict.fromkeys([by, on, *value_cols]))
+        ].sort_values(on, kind="mergesort")
         if not len(lt):
             return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in out_cols})
         if not len(rt):
@@ -97,7 +164,7 @@ def asof_join(
                     out[c] = pd.NA
             return out[out_cols]
         merged = pd.merge_asof(
-            lt, rt, on=on, direction=direction, suffixes=("", "_r")
+            lt, rt, on=on, by=by, direction=direction, suffixes=("", "_r")
         )
         # value col colliding with a left name came back suffixed
         for c in value_cols:
@@ -105,7 +172,11 @@ def asof_join(
                 merged[c] = merged[c + "_r"]
         return merged[out_cols]
 
-    return combined.groupby(by).map_groups(_merge, batch_format="pandas")
+    return (
+        _route_by_group(combined, by, num_partitions)
+        .groupby(_WB)
+        .map_groups(_merge, batch_format="pandas")
+    )
 
 
 def range_join_broadcast(
@@ -184,6 +255,7 @@ def grouped_topk(
     group_col: str,
     order_cols: list[str],
     k: int,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Top-k rows per group ordered ascending by ``order_cols`` (the
     group-wise sampling / per-key head shape: reservoir-style "N docs per
@@ -191,34 +263,34 @@ def grouped_topk(
 
     Scale design — pre-aggregate before the shuffle: each batch first
     prunes to its LOCAL top-k per group (one lexsort + rank mask), so at
-    most ``k × groups_in_batch`` rows enter the single
-    ``groupby(group_col)`` merge, never the corpus. The final per-group
-    merge is the same vectorized mask over ≤ k × num_blocks rows. One
-    key's pruned rows must fit in a worker (k × blocks — metadata-sized).
+    most ``k × groups_in_batch`` rows enter the single shuffle, never the
+    corpus. The shuffle groups on a HASH BUCKET of keys (not the raw key
+    — see :func:`_route_by_group`); the final merge applies the same
+    vectorized multi-group mask once per bucket. One bucket's pruned
+    rows must fit in a worker (k × keys/P × blocks — metadata-sized).
     """
 
     def _local(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        g = batch[group_col]
-        if isinstance(g, pa.ChunkedArray):
-            g = g.combine_chunks()
-        codes = g.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
+        codes = _group_codes(batch, group_col)
         return batch.filter(
             pa.array(topk_rank_mask(codes, order_key_arrays(batch, order_cols), k))
         )
 
     def _final(g: pa.Table) -> pa.Table:
-        codes = np.zeros(g.num_rows, dtype=np.int64)  # one group per call
+        g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return g
+        codes = _group_codes(g, group_col)
         return g.filter(
             pa.array(topk_rank_mask(codes, order_key_arrays(g, order_cols), k))
         )
 
+    pruned = ds.map_batches(_local, batch_format="pyarrow", batch_size=4096)
     return (
-        ds.map_batches(_local, batch_format="pyarrow", batch_size=4096)
-        .groupby(group_col)
+        _route_by_group(pruned, group_col, num_partitions)
+        .groupby(_WB)
         .map_groups(_final, batch_format="pyarrow")
     )
 
@@ -231,40 +303,48 @@ def grouped_lag(
     value_col: str,
     out_col: str,
     periods: int = 1,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """``LAG(value_col, periods) OVER (PARTITION BY group_col ORDER BY
     order_cols)`` — the keyed-window shape (inter-event gaps, per-host
     deltas, sessionization features). Negative ``periods`` is ``LEAD``
     (look-ahead): the last ``|periods|`` rows of each group get null.
 
-    Scale design: ONE ``groupby(group_col)`` shuffle co-locates each key,
-    then the window is a per-group vectorized sort + shift (no driver
-    state, no global sort). Partitioning assumption (per the build brief):
-    one key's rows fit in a worker — the standard keyed-window contract;
-    for skewed keys pre-split by a secondary range key upstream.
+    Scale design: ONE shuffle co-locates each key inside a hash BUCKET of
+    keys (see :func:`_route_by_group` — Python calls bounded by
+    ``num_partitions``, not key cardinality); per bucket ONE lexsort by
+    (key, order) and a segment-masked take computes every group's shift
+    at once (no driver state, no global sort). Partitioning assumption
+    (per the build brief): one bucket's rows fit in a worker — skewed
+    key distributions spread over buckets by hash.
     """
 
     def _window(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
         if g.num_rows == 0:
             return g.append_column(
                 out_col, pa.nulls(0, g.schema.field(value_col).type)
             )
-        g = g.sort_by([(c, "ascending") for c in order_cols])
+        codes = _group_codes(g, group_col)
+        order = np.lexsort(
+            tuple(reversed([codes, *order_key_arrays(g, order_cols)]))
+        )
+        g = g.take(pa.array(order, pa.int64()))
+        _, _, seg_start, seg_end = _segment_bounds(codes[order])
+        pos = np.arange(g.num_rows, dtype=np.int64)
+        src = pos - periods
+        valid = (src >= seg_start) if periods >= 0 else (src < seg_end)
         v = g[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        if periods >= 0:
-            lag = pa.concat_arrays(
-                [pa.nulls(min(periods, len(v)), v.type), v[: max(len(v) - periods, 0)]]
-            )
-        else:
-            lead = -periods
-            lag = pa.concat_arrays(
-                [v[min(lead, len(v)):], pa.nulls(min(lead, len(v)), v.type)]
-            )
-        return g.append_column(out_col, lag)
+        idx = pa.array(np.where(valid, src, 0), pa.int64(), mask=~valid)
+        return g.append_column(out_col, v.take(idx))
 
-    return ds.groupby(group_col).map_groups(_window, batch_format="pyarrow")
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_window, batch_format="pyarrow")
+    )
 
 
 def grouped_rolling_sum(
@@ -275,32 +355,101 @@ def grouped_rolling_sum(
     value_col: str,
     out_col: str,
     preceding: int,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """``SUM(value_col) OVER (PARTITION BY group_col ORDER BY order_cols
     ROWS BETWEEN preceding PRECEDING AND CURRENT ROW)`` — the bounded
     moving-window aggregate (rolling activity totals, smoothed rates).
 
-    Same scale shape as :func:`grouped_lag`: ONE groupby shuffle
-    co-locates each key, then the window is a per-group vectorized sort +
-    cumsum difference (cs[i] - cs[i - w]) — no driver state, no global
-    sort. ``value_col`` must be int64 (scaled units) so the sums are
-    order-independent and oracle-exact. Partitioning assumption: one
-    key's rows fit in a worker.
+    Same scale shape as :func:`grouped_lag`: ONE hash-bucket shuffle
+    (Python calls bounded by ``num_partitions``, not key cardinality),
+    then per bucket one lexsort + a segment-clamped cumsum difference
+    (cs[i+1] - cs[max(i+1-w, seg_start)]) computes every group's window
+    at once — no driver state, no global sort. ``value_col`` must be
+    int64 (scaled units) so the sums are order-independent and
+    oracle-exact. Partitioning assumption: one bucket's rows fit in a
+    worker.
     """
+    return _bucketed_prefix_sum(
+        ds,
+        group_col=group_col,
+        order_cols=order_cols,
+        value_col=value_col,
+        out_col=out_col,
+        preceding=preceding,
+        rank_col=None,
+        num_partitions=num_partitions,
+    )
 
+
+def grouped_running_sum(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    rank_col: str | None = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``SUM(value_col) OVER (PARTITION BY group_col ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING)`` — the running total — plus the optional
+    ``ROW_NUMBER()`` over the same window (``rank_col``). Same bucketed
+    single-shuffle machinery as :func:`grouped_rolling_sum` with an
+    unbounded frame."""
+    return _bucketed_prefix_sum(
+        ds,
+        group_col=group_col,
+        order_cols=order_cols,
+        value_col=value_col,
+        out_col=out_col,
+        preceding=None,
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+    )
+
+
+def _bucketed_prefix_sum(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    preceding: int | None,
+    rank_col: str | None,
+    num_partitions: int,
+) -> "ray.data.Dataset":
     def _window(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
         if g.num_rows == 0:
-            return g.append_column(out_col, pa.nulls(0, pa.int64()))
-        g = g.sort_by([(c, "ascending") for c in order_cols])
+            g = g.append_column(out_col, pa.nulls(0, pa.int64()))
+            if rank_col is not None:
+                g = g.append_column(rank_col, pa.nulls(0, pa.int64()))
+            return g
+        codes = _group_codes(g, group_col)
+        order = np.lexsort(
+            tuple(reversed([codes, *order_key_arrays(g, order_cols)]))
+        )
+        g = g.take(pa.array(order, pa.int64()))
+        _, _, seg_start, _ = _segment_bounds(codes[order])
         v = _int64_nonull(g[value_col], value_col)
-        cs = np.cumsum(v)
-        out = cs.copy()
-        w = preceding + 1
-        if len(v) > w:
-            out[w:] = cs[w:] - cs[:-w]
-        return g.append_column(out_col, pa.array(out))
+        cs0 = np.concatenate(([0], np.cumsum(v)))
+        pos = np.arange(g.num_rows, dtype=np.int64)
+        if preceding is None:
+            lo = seg_start
+        else:
+            lo = np.maximum(pos + 1 - (preceding + 1), seg_start)
+        g = g.append_column(out_col, pa.array(cs0[pos + 1] - cs0[lo]))
+        if rank_col is not None:
+            g = g.append_column(rank_col, pa.array(pos - seg_start + 1))
+        return g
 
-    return ds.groupby(group_col).map_groups(_window, batch_format="pyarrow")
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_window, batch_format="pyarrow")
+    )
 
 
 def range_join_bucketed(
@@ -409,6 +558,7 @@ def grouped_interval_count(
     lo_offset: int,
     hi_offset: int,
     out_col: str,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Event-time interval SELF-JOIN count — for every row, the number of
     same-group rows whose ``ts_col`` falls in ``[ts + lo_offset,
@@ -418,25 +568,38 @@ def grouped_interval_count(
     detection, per-host request-rate features) without materializing the
     O(rows x window) pair list.
 
-    Scale design: ONE groupby shuffle co-locates each key; per group the
-    count is two vectorized ``searchsorted`` probes against the sorted
-    timestamp array — O(n log n) per key, no pair blowup. Partitioning
-    assumption: one key's rows fit in a worker.
+    Scale design: ONE hash-bucket shuffle co-locates each key (Python
+    calls bounded by ``num_partitions``, not key cardinality — see
+    :func:`_route_by_group`); per bucket one lexsort by (key, ts), then
+    per key-segment two vectorized ``searchsorted`` probes against the
+    segment's sorted timestamps — O(n log n) total, no pair blowup. The
+    per-segment loop is numpy-call-cheap (µs/key), not a Ray map_groups
+    call. Partitioning assumption: one bucket's rows fit in a worker.
     """
 
     def _count(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
         if g.num_rows == 0:
             return g.append_column(out_col, pa.array([], pa.int64()))
+        codes = _group_codes(g, group_col)
         ts = _int64_nonull(g[ts_col], ts_col)
-        order = np.argsort(ts, kind="stable")
-        sorted_ts = ts[order]
-        n = (
-            np.searchsorted(sorted_ts, ts + hi_offset, side="left")
-            - np.searchsorted(sorted_ts, ts + lo_offset, side="left")
-        ).astype(np.int64)
+        order = np.lexsort((ts, codes))
+        g = g.take(pa.array(order, pa.int64()))
+        t_s = ts[order]
+        starts, ends, _, _ = _segment_bounds(codes[order])
+        n = np.empty(g.num_rows, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = t_s[s:e]
+            n[s:e] = np.searchsorted(
+                seg, seg + hi_offset, side="left"
+            ) - np.searchsorted(seg, seg + lo_offset, side="left")
         return g.append_column(out_col, pa.array(n))
 
-    return ds.groupby(group_col).map_groups(_count, batch_format="pyarrow")
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_count, batch_format="pyarrow")
+    )
 
 
 def grouped_range_sum(
@@ -447,6 +610,7 @@ def grouped_range_sum(
     value_col: str,
     preceding: int,
     out_col: str,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """``SUM(value_col) OVER (PARTITION BY group_col ORDER BY ts_col
     RANGE BETWEEN preceding PRECEDING AND CURRENT ROW)`` — the TIME-based
@@ -455,26 +619,39 @@ def grouped_range_sum(
     ts_i]``, ties on ts included on both ends exactly as SQL RANGE frames
     do.
 
-    Same scale shape as the other keyed windows: ONE groupby shuffle,
-    then per group a ts-sort + prefix sum + two searchsorted probes —
-    never an O(rows x window) expansion. ``value_col`` must be int64
-    (scaled units). Partitioning assumption: one key's rows fit in a
-    worker.
+    Same scale shape as the other keyed windows: ONE hash-bucket shuffle
+    (Python calls bounded by ``num_partitions``), then per bucket one
+    lexsort by (key, ts) and per key-segment a prefix sum + two
+    searchsorted probes — never an O(rows x window) expansion.
+    ``value_col`` must be int64 (scaled units). Partitioning assumption:
+    one bucket's rows fit in a worker.
     """
 
     def _win(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
         if g.num_rows == 0:
             return g.append_column(out_col, pa.array([], pa.int64()))
+        codes = _group_codes(g, group_col)
         ts = _int64_nonull(g[ts_col], ts_col)
         v = _int64_nonull(g[value_col], value_col)
-        order = np.argsort(ts, kind="stable")
-        sorted_ts = ts[order]
-        cs = np.concatenate(([0], np.cumsum(v[order])))
-        lo = np.searchsorted(sorted_ts, ts - preceding, side="left")
-        hi = np.searchsorted(sorted_ts, ts, side="right")
-        return g.append_column(out_col, pa.array(cs[hi] - cs[lo]))
+        order = np.lexsort((ts, codes))
+        g = g.take(pa.array(order, pa.int64()))
+        t_s, v_s = ts[order], v[order]
+        starts, ends, _, _ = _segment_bounds(codes[order])
+        out = np.empty(g.num_rows, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = t_s[s:e]
+            cs = np.concatenate(([0], np.cumsum(v_s[s:e])))
+            lo = np.searchsorted(seg, seg - preceding, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            out[s:e] = cs[hi] - cs[lo]
+        return g.append_column(out_col, pa.array(out))
 
-    return ds.groupby(group_col).map_groups(_win, batch_format="pyarrow")
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_win, batch_format="pyarrow")
+    )
 
 
 def grouped_funnel_stage(
@@ -485,6 +662,7 @@ def grouped_funnel_stage(
     ts_col: str,
     stages: list[str],
     out_col: str = "funnel_stage",
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Ordered funnel analysis: per group, the deepest stage index
     (1-based; 0 = none) reachable by a strictly-increasing-timestamp
@@ -500,10 +678,12 @@ def grouped_funnel_stage(
     events. No deeper prune is sound: the chain's stage-k candidate
     depends on a threshold decided by other partitions' data (keeping
     per-batch minima is the classic wrong answer — a pruned later ts can
-    be the only one above the eventual threshold). Per-group finish is a
-    |stages|-step walk over per-stage sorted ts arrays (searchsorted).
-    Partitioning assumption: one group's funnel-relevant rows fit in a
-    worker.
+    be the only one above the eventual threshold). The finish stage
+    groups on a HASH BUCKET of keys (see :func:`_route_by_group`): one
+    lexsort by (key, stage, ts) per bucket, then a |stages|-step
+    searchsorted walk per key-segment — numpy-call-cheap per key, with
+    Ray map_groups calls bounded by ``num_partitions``. Partitioning
+    assumption: one bucket's funnel-relevant rows fit in a worker.
     """
     def _partial(t: pa.Table) -> pa.Table:
         # vectorized stage mapping: index_in gives the position of each
@@ -556,31 +736,109 @@ def grouped_funnel_stage(
         )
 
     def _finish(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        gcol = g[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: gcol,
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        codes = _group_codes(g, group_col)
         si = np.asarray(g["_sidx"].to_numpy(zero_copy_only=False))
         ts = np.asarray(g["_ts"].to_numpy(zero_copy_only=False))
-        cur = None
-        depth = 0
-        for i in range(len(stages)):
-            cand = np.sort(ts[si == i])
-            if cur is None:
-                pos = 0
-            else:
-                pos = np.searchsorted(cand, cur, side="right")
-            if pos >= len(cand):
-                break
-            cur = cand[pos]
-            depth = i + 1
+        order = np.lexsort((ts, si, codes))
+        s_s, t_s = si[order], ts[order]
+        starts, ends, _, _ = _segment_bounds(codes[order])
+        depths = np.zeros(len(starts), dtype=np.int64)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            seg_si, seg_ts = s_s[s:e], t_s[s:e]
+            cur = None
+            depth = 0
+            for i in range(len(stages)):
+                a = np.searchsorted(seg_si, i, side="left")
+                b = np.searchsorted(seg_si, i, side="right")
+                cand = seg_ts[a:b]  # ts-sorted within the stage run
+                pos = (
+                    0 if cur is None
+                    else np.searchsorted(cand, cur, side="right")
+                )
+                if pos >= len(cand):
+                    break
+                cur = cand[pos]
+                depth = i + 1
+            depths[gi] = depth
+        first_idx = pa.array(order[starts], pa.int64())
         return pa.table(
             {
-                group_col: g[group_col][0:1],
-                out_col: pa.array([depth], pa.int64()),
+                group_col: gcol.take(first_idx),
+                out_col: pa.array(depths),
+            }
+        )
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    return (
+        _route_by_group(partial, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_finish, batch_format="pyarrow")
+    )
+
+
+def grouped_session_count(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    ts_col: str,
+    gap: int,
+    out_col: str = "n_sessions",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Sessionization count (§2.9 streaming analog): per group, the
+    number of sessions where a gap > ``gap`` (same int64 units as
+    ``ts_col``) between consecutive timestamps starts a new session.
+    Returns one row (group, out_col) per group.
+
+    Scale shape: ONE hash-bucket shuffle; per bucket one lexsort by
+    (key, ts), then every group's session count falls out of a single
+    vectorized diff + boundary mask + bincount — no per-key Python at
+    all. Partitioning assumption: one bucket's rows fit in a worker.
+    """
+
+    def _sessions(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        gcol = g[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        if g.num_rows == 0:
+            return pa.table(
+                {group_col: gcol, out_col: pa.array([], pa.int64())}
+            )
+        codes = _group_codes(g, group_col)
+        ts = _int64_nonull(g[ts_col], ts_col)
+        order = np.lexsort((ts, codes))
+        c_s, t_s = codes[order], ts[order]
+        newseg = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        starts = np.nonzero(newseg)[0]
+        seg_id = np.cumsum(newseg) - 1
+        # a session break = same-group consecutive pair with gap > `gap`
+        brk = (np.diff(t_s) > gap) & ~newseg[1:]
+        counts = np.bincount(
+            seg_id[1:][brk], minlength=len(starts)
+        ).astype(np.int64) + 1
+        return pa.table(
+            {
+                group_col: gcol.take(pa.array(order[starts], pa.int64())),
+                out_col: pa.array(counts),
             }
         )
 
     return (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(group_col)
-        .map_groups(_finish, batch_format="pyarrow")
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_sessions, batch_format="pyarrow")
     )
 
 
