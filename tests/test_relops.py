@@ -180,3 +180,124 @@ def test_window_kernels_reject_null_inputs(ray_session):
             ds, group_col="g", order_cols=["ts"], value_col="v",
             out_col="s", preceding=1,
         ).materialize()
+
+
+def test_grouped_running_sum_matches_pandas(ray_session):
+    """Unbounded running sum + row number across many groups (spanning
+    multiple hash buckets) vs the pandas groupby cumsum/cumcount oracle."""
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_running_sum
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 300, n),
+            "o": rng.permutation(n),
+            "v": rng.integers(-50, 50, n),
+        }
+    ).astype("int64")
+    out = (
+        grouped_running_sum(
+            ray.data.from_pandas(df).repartition(8),
+            group_col="g",
+            order_cols=["o"],
+            value_col="v",
+            out_col="rs",
+            rank_col="rk",
+            num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values(["g", "o"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["g", "o"]).reset_index(drop=True)
+    want["rs"] = want.groupby("g")["v"].cumsum()
+    want["rk"] = want.groupby("g").cumcount() + 1
+    pd.testing.assert_frame_equal(
+        out[["g", "o", "v", "rs", "rk"]], want, check_dtype=False
+    )
+
+
+def test_grouped_session_count_matches_bruteforce(ray_session):
+    """Per-group session counts (gap > threshold starts a session) vs a
+    row-wise oracle, including single-event groups and exact-gap ties."""
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_session_count
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 250, n),
+            "ts": rng.integers(0, 10_000, n),
+        }
+    ).astype("int64")
+    GAP = 100
+    out = (
+        grouped_session_count(
+            ray.data.from_pandas(df).repartition(8),
+            group_col="g",
+            ts_col="ts",
+            gap=GAP,
+            num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["g", "ts"])
+        .groupby("g")["ts"]
+        .apply(lambda s: 1 + int((np.diff(s.to_numpy()) > GAP).sum()))
+        .rename("n_sessions")
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_asof_join_string_by_key_many_groups(ray_session):
+    """asof_join bucket route with STRING by-keys over many groups vs a
+    per-group pandas merge_asof oracle."""
+    rng = np.random.default_rng(17)
+    keys = [f"host-{i}" for i in range(60)]
+    lt = pd.DataFrame(
+        {
+            "k": rng.choice(keys, 800),
+            "t": rng.integers(0, 1000, 800).astype("int64"),
+            "lid": np.arange(800, dtype="int64"),
+        }
+    )
+    rt = (
+        pd.DataFrame(
+            {
+                "k": rng.choice(keys, 300),
+                "t": rng.integers(0, 1000, 300).astype("int64"),
+            }
+        )
+        .drop_duplicates(["k", "t"])
+        .reset_index(drop=True)
+    )
+    rt["val"] = np.arange(len(rt), dtype="int64")
+    out = (
+        asof_join(
+            ray.data.from_pandas(lt).repartition(6),
+            ray.data.from_pandas(rt).repartition(4),
+            by="k",
+            on="t",
+            value_cols=["val"],
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lt.sort_values("t", kind="mergesort"),
+        rt.sort_values("t", kind="mergesort"),
+        on="t",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["k", "t", "lid", "val"]], want[["k", "t", "lid", "val"]],
+        check_dtype=False,
+    )

@@ -1469,9 +1469,9 @@ def fetch_list_visits(sf_dir: str) -> pd.DataFrame:
 def user_event_gaps(sf_dir: str) -> pd.DataFrame:
     """Keyed LAG window (custom operator — Ray Data has no window
     functions): per-user inter-event gap in microseconds, ordered by
-    (ts, event_id). One groupby(user_id) shuffle, per-group vectorized
-    sort + shift (stages/relops.grouped_lag); first-event rows (null lag)
-    drop on both sides."""
+    (ts, event_id). One user-hash-bucket shuffle, every user's shift
+    computed in one vectorized segment pass (stages/relops.grouped_lag);
+    first-event rows (null lag) drop on both sides."""
     from ..stages.relops import grouped_lag
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
