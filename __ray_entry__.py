@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # recently — long-stable early-round queries (all green since r1/r2)
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
+        # --- round-4 additions (newest first) ----------------------------
+        "hourly_active_users": q.hourly_active_users,
+        "lineitems_above_part_avg": q.lineitems_above_part_avg,
+        "median_price_per_nation": q.median_price_per_nation,
         # --- round-3 additions the driver had never sampled -------------
         "kv_parse_props": q.kv_parse_props,
         "session_windows": q.session_windows,
@@ -209,6 +213,40 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hourly_active_users": """
+            SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
+                   COUNT(DISTINCT user_id)                 AS n_users
+            FROM events
+            GROUP BY 1
+            ORDER BY hour
+        """,
+        "lineitems_above_part_avg": """
+            SELECT l.l_orderkey,
+                   CAST(l.l_linenumber AS BIGINT)      AS l_linenumber,
+                   l.l_partkey,
+                   CAST(ROUND(l.l_quantity) AS BIGINT) AS qty
+            FROM lineitem l
+            JOIN (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS s,
+                       COUNT(*)                               AS c
+                FROM lineitem
+                GROUP BY l_partkey
+            ) a ON l.l_partkey = a.l_partkey
+            WHERE CAST(ROUND(l.l_quantity) AS BIGINT) * a.c > a.s
+            ORDER BY l.l_orderkey, l.l_linenumber
+        """,
+        "median_price_per_nation": """
+            SELECT n_name,
+                   CAST(MEDIAN(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE)  AS median_price_cents,
+                   COUNT(*)         AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -2158,3 +2158,205 @@ def top_bigrams_docs(sf_dir: str) -> pd.DataFrame:
     tie-break) — combiner-first partial counts, one small groupby."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return textstats.top_bigrams(ds, k=20)
+
+
+def hourly_active_users(sf_dir: str) -> pd.DataFrame:
+    """Exact windowed COUNT(DISTINCT) — distinct users per epoch hour.
+
+    The exact complement of the HLL sketch path
+    (``distinct_tokens_per_lang``): batch-local (hour, user) dedup (an
+    Arrow group_by, no Python rows) shrinks the exchange first, ONE
+    pair-hash bucket shuffle finishes the global dedup and emits
+    per-bucket (hour, partial) counts, and the final groupby moves only
+    O(buckets x hours) partial rows. Python-call count is bounded by the
+    bucket count, never by user or hour cardinality.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import _WB
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    num_buckets = 64
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        hour = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000), pa.int64()
+        )
+        pairs = (
+            pa.table({"hour": hour, "user_id": t["user_id"]})
+            .group_by(["hour", "user_id"])
+            .aggregate([])
+        )
+        h = pairs["hour"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = pairs["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (h * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            u * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        b = ((mix >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int64)
+        return pairs.append_column(_WB, pa.array(b))
+
+    def _bucket_partials(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"hour": g["hour"], "user_id": g["user_id"]})
+            .group_by(["hour", "user_id"])
+            .aggregate([])
+        )
+        per_hour = distinct.group_by("hour").aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "hour": per_hour["hour"],
+                "partial": pc.cast(per_hour["user_id_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(_WB)
+        .map_groups(_bucket_partials, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("partial", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def lineitems_above_part_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-aggregate join-back (TPC-H Q17 family): line items whose
+    quantity strictly exceeds their part's mean quantity.
+
+    The mean is a combiner-reduced (sum, count) groupby that moves
+    O(parts) rows; the attach is the distributed hash join keyed on the
+    SAME partkey the aggregate grouped on (one route for both sides);
+    the comparison ``qty * count > sum`` stays in exact int64 so Ray and
+    DuckDB agree bit-for-bit with no float division anywhere.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import hash_join
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "l_partkey": t["l_partkey"],
+                "qty": _to_scaled_int(t["l_quantity"], 1),
+            }
+        )
+
+    items = ds.map_batches(_prep, batch_format="pyarrow")
+    stats = items.groupby("l_partkey").aggregate(
+        Sum("qty", alias_name="s"), Count(alias_name="c")
+    )
+    joined = hash_join(items, stats, key="l_partkey")
+
+    def _keep_above(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(t["qty"], pc.cast(t["c"], pa.int64())),
+            pc.cast(t["s"], pa.int64()),
+        )
+        kept = t.filter(keep)
+        return kept.select(["l_orderkey", "l_linenumber", "l_partkey", "qty"])
+
+    out = joined.map_batches(_keep_above, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(
+        drop=True
+    )
+
+
+def median_price_per_nation(sf_dir: str) -> pd.DataFrame:
+    """Grouped EXACT median over a continuous column: per-nation median
+    order price in integer cents, plus the order count.
+
+    Even-count groups return the midpoint of the two middle values —
+    numpy and DuckDB both compute (lo + hi) / 2 in double, an exact IEEE
+    halving of exact int64 cents, so the hash matches bit-for-bit.
+    orders→customer is the distributed hash join; the 25-row nation name
+    attach is a plain broadcast dict; the median itself is ONE
+    key-routed shuffle and a single lexsort + segment-midpoint pass per
+    bucket (no per-key Python calls). Nations bound the key space here;
+    for high-cardinality keys over discrete values the histogram
+    quantile path (textstats.grouped_length_quantiles) is the
+    scale tool — this query pins the sort-selection shape.
+    """
+    from ..stages.joins import hash_join
+    from ..stages.relops import (
+        _WB,
+        _group_codes,
+        _int64_nonull,
+        _route_by_group,
+        _segment_bounds,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation_names = {
+        int(k): v
+        for k, v in zip(
+            *pq.read_table(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+            ).to_pydict().values()
+        )
+    }
+
+    joined = hash_join(orders, cust, key="o_custkey", right_key="c_custkey")
+    lut = np.empty(max(nation_names) + 1, dtype=object)
+    for k, v in nation_names.items():
+        lut[k] = v
+
+    def _name(t: pa.Table) -> pa.Table:
+        keys = np.asarray(
+            t["c_nationkey"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        return pa.table(
+            {"n_name": pa.array(lut[keys], pa.string()), "cents": t["cents"]}
+        )
+
+    named = joined.map_batches(_name, batch_format="pyarrow")
+
+    def _median(g: pa.Table) -> pa.Table:
+        codes = _group_codes(g, "n_name")
+        cents = _int64_nonull(g["cents"], "cents")
+        order = np.lexsort((cents, codes))
+        sc = codes[order]
+        svals = cents[order]
+        starts, ends, _, _ = _segment_bounds(sc)
+        n = ends - starts
+        lo = svals[starts + (n - 1) // 2].astype(np.float64)
+        hi = svals[starts + n // 2].astype(np.float64)
+        names = pc.take(
+            g["n_name"].combine_chunks()
+            if isinstance(g["n_name"], pa.ChunkedArray)
+            else g["n_name"],
+            pa.array(order[starts]),
+        )
+        return pa.table(
+            {
+                "n_name": names,
+                "median_price_cents": pa.array((lo + hi) / 2.0),
+                "n_orders": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    out = (
+        _route_by_group(named, "n_name", 16)
+        .groupby(_WB)
+        .map_groups(_median, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
