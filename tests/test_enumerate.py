@@ -145,3 +145,55 @@ def test_running_sum_key_clustered_input(ray_session):
         .reset_index(drop=True)
     )
     assert (out["cum"].values == np.cumsum(vals)).all()
+
+
+def test_range_ids_matches_bisect_oracle():
+    """The vectorized merge-lexsort range tagger == per-row
+    bisect_right over key tuples, across arities, dtypes (int / float /
+    string), descending numerics, ties with the bounds, and empty
+    bounds."""
+    import bisect
+
+    from webscrape_neko_jirushi_ray.functions.enumerate import _range_ids
+
+    rng = np.random.default_rng(23)
+
+    def check(table, bounds, key_cols, asc):
+        got = _range_ids(table, bounds, key_cols, asc)
+        df = table.select(key_cols).to_pandas()
+        cols = []
+        for c, a in zip(key_cols, asc):
+            v = df[c].to_numpy()
+            cols.append(-v if not a else v)
+        want = [bisect.bisect_right(bounds, t) for t in zip(*cols)]
+        assert got.tolist() == want, (key_cols, asc)
+
+    # int single key, bounds overlapping data values (tie semantics)
+    ints = rng.integers(0, 50, 400).astype(np.int64)
+    t = pa.table({"a": ints})
+    bounds = sorted((int(x),) for x in rng.choice(ints, 7))
+    check(t, bounds, ["a"], [True])
+
+    # descending float key (bounds live in negated space)
+    f = rng.normal(size=300)
+    t = pa.table({"f": f})
+    bounds = sorted((-float(x),) for x in rng.choice(f, 5))
+    check(t, bounds, ["f"], [False])
+
+    # two-key (desc int, asc int) — the rank_customers shape
+    a = rng.integers(-100, 100, 500).astype(np.int64)
+    b = rng.permutation(500).astype(np.int64)
+    t = pa.table({"a": a, "b": b})
+    picks = rng.choice(500, 6)
+    bounds = sorted((-int(a[i]), int(b[i])) for i in picks)
+    check(t, bounds, ["a", "b"], [False, True])
+
+    # string key
+    s = [f"cat-{i:03d}" for i in rng.integers(0, 80, 350)]
+    t = pa.table({"s": s})
+    bounds = sorted((x,) for x in rng.choice(s, 4))
+    check(t, bounds, ["s"], [True])
+
+    # empty bounds and empty batch
+    assert _range_ids(pa.table({"a": ints}), [], ["a"], [True]).tolist() == [0] * 400
+    assert _range_ids(pa.table({"a": pa.array([], pa.int64())}), bounds, ["a"], [True]).tolist() == []

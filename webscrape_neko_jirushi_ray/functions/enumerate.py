@@ -20,8 +20,6 @@ never O(N).
 
 from __future__ import annotations
 
-import bisect
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -42,6 +40,43 @@ def _key_tuples(df: pd.DataFrame, key_cols: list[str], asc: list[bool]) -> list[
             v = -v
         cols.append(v.to_numpy())
     return list(zip(*cols))
+
+
+def _range_ids(
+    batch: pa.Table, bl: list[tuple], key_cols: list[str], asc: list[bool]
+) -> np.ndarray:
+    """Vectorized ``bisect_right(bounds, key_tuple)`` for every row: merge
+    the R-1 bounds with the batch keys, one lexsort with bounds winning
+    ties (= bisect_right), then a cumsum of the bound indicator. Replaces
+    the per-row Python bisect loop (the old hot-path cost at 10^5+ rows
+    per pass); string keys go through np.unique codes so the comparison
+    stays numpy-native with Python code-point semantics."""
+    n = batch.num_rows
+    if not bl or n == 0:
+        return np.zeros(n, dtype=np.int64)
+    r = len(bl)
+    sort_keys = []
+    for j, (c, a) in enumerate(zip(key_cols, asc)):
+        data = np.asarray(batch[c].to_numpy(zero_copy_only=False))
+        if not a:
+            data = -data
+        bvals = [b[j] for b in bl]  # already in transformed (negated) space
+        if data.dtype.kind in "OUS":
+            comb = np.concatenate(
+                [np.asarray(bvals, dtype=object), data.astype(object)]
+            ).astype(str)
+            _, comb = np.unique(comb, return_inverse=True)
+        else:
+            comb = np.concatenate([np.asarray(bvals), data])
+        sort_keys.append(comb)
+    src = np.concatenate([np.zeros(r, np.int8), np.ones(n, np.int8)])
+    order = np.lexsort((src, *sort_keys[::-1]))
+    is_bound = order < r
+    cum = np.cumsum(is_bound)
+    rid = np.empty(n, dtype=np.int64)
+    data_pos = ~is_bound
+    rid[order[data_pos] - r] = cum[data_pos]
+    return rid
 
 
 def attach_dense_index(
@@ -89,9 +124,7 @@ def attach_dense_index(
     bounds_ref = ray.put(bounds)
 
     def _tag(batch: pa.Table) -> pa.Table:
-        bl = ray.get(bounds_ref)
-        df = batch.select(key_cols).to_pandas()
-        rid = [bisect.bisect_right(bl, t) for t in _key_tuples(df, key_cols, asc)]
+        rid = _range_ids(batch, ray.get(bounds_ref), key_cols, asc)
         return batch.append_column("_range_id", pa.array(rid, type=pa.int64()))
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
@@ -162,9 +195,7 @@ def attach_running_sum(
     bounds_ref = ray.put(bounds)
 
     def _tag(batch: pa.Table) -> pa.Table:
-        bl = ray.get(bounds_ref)
-        df = batch.select(key_cols).to_pandas()
-        rid = [bisect.bisect_right(bl, t) for t in _key_tuples(df, key_cols, asc)]
+        rid = _range_ids(batch, ray.get(bounds_ref), key_cols, asc)
         return batch.append_column("_range_id", pa.array(rid, type=pa.int64()))
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
