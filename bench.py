@@ -247,6 +247,11 @@ def run_bench() -> dict:
          lambda: q.events_preceding_hour_counts(SF_DIR)),
         ("triangle_count_customers",
          lambda: q.triangle_count_customers(SF_DIR)),
+        ("hourly_active_users", lambda: q.hourly_active_users(SF_DIR)),
+        ("lineitems_above_part_avg",
+         lambda: q.lineitems_above_part_avg(SF_DIR)),
+        ("median_price_per_nation",
+         lambda: q.median_price_per_nation(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)
