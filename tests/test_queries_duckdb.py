@@ -103,3 +103,21 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
     want = q.nation_revenue(src).reset_index(drop=True)
     got = q.nation_revenue(str(d)).reset_index(drop=True)
     assert got.equals(want)
+
+
+@pytest.mark.parametrize(
+    "name", ["lineitems_above_part_avg", "median_price_per_nation"]
+)
+def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):
+    """Force the big-side route (threshold 0 -> distributed hash join)
+    and re-check the oracle: both sides of the size route must produce
+    identical results (the nation_revenue_distributed pattern)."""
+    from webscrape_neko_jirushi_ray.pipelines import queries as qmod
+
+    monkeypatch.setattr(qmod, "_BROADCAST_SIDE_ROUTE_ROWS", 0)
+    got = _canon(_to_df(entrymod.queries()[name](SF_DIR)))
+    want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert got[c].astype(str).equals(want[c].astype(str)), (name, c)

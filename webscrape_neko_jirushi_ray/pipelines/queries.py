@@ -163,6 +163,10 @@ def top_event_types(sf_dir: str) -> pd.DataFrame:
 
 
 _NATION_REVENUE_ROUTE_ROWS = 2_000_000
+# small-side row bound under which an equi-join attach broadcasts the
+# dimension (ray.put once + per-batch searchsorted; corpus never moves)
+# instead of hash-partitioning both sides
+_BROADCAST_SIDE_ROUTE_ROWS = 2_000_000
 
 
 def nation_revenue(sf_dir: str) -> pd.DataFrame:
@@ -2226,14 +2230,18 @@ def lineitems_above_part_avg(sf_dir: str) -> pd.DataFrame:
     quantity strictly exceeds their part's mean quantity.
 
     The mean is a combiner-reduced (sum, count) groupby that moves
-    O(parts) rows; the attach is the distributed hash join keyed on the
-    SAME partkey the aggregate grouped on (one route for both sides);
-    the comparison ``qty * count > sum`` stays in exact int64 so Ray and
-    DuckDB agree bit-for-bit with no float division anywhere.
+    O(parts) rows; the comparison ``qty * count > sum`` stays in exact
+    int64 so Ray and DuckDB agree bit-for-bit with no float division
+    anywhere. The attach back onto lineitem is size-routed on the part
+    table's parquet metadata (the nation_revenue pattern): below the
+    threshold the O(parts) aggregate broadcasts once and the corpus
+    side never moves; above it (or for directory datasets whose
+    metadata one read can't see) the distributed hash join keyed on
+    the SAME partkey takes over.
     """
     from ray.data.aggregate import Count, Sum
 
-    from ..stages.joins import hash_join
+    from ..stages.joins import broadcast_join, hash_join
 
     ds = _read(
         sf_dir,
@@ -2255,7 +2263,17 @@ def lineitems_above_part_avg(sf_dir: str) -> pd.DataFrame:
     stats = items.groupby("l_partkey").aggregate(
         Sum("qty", alias_name="s"), Count(alias_name="c")
     )
-    joined = hash_join(items, stats, key="l_partkey")
+    try:
+        n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    except Exception:
+        n_parts = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_parts <= _BROADCAST_SIDE_ROUTE_ROWS:
+        stats_tbl = pa.Table.from_pandas(
+            stats.to_pandas(), preserve_index=False
+        )
+        joined = broadcast_join(items, stats_tbl, key="l_partkey")
+    else:
+        joined = hash_join(items, stats, key="l_partkey")
 
     def _keep_above(t: pa.Table) -> pa.Table:
         keep = pc.greater(
@@ -2278,15 +2296,18 @@ def median_price_per_nation(sf_dir: str) -> pd.DataFrame:
     Even-count groups return the midpoint of the two middle values —
     numpy and DuckDB both compute (lo + hi) / 2 in double, an exact IEEE
     halving of exact int64 cents, so the hash matches bit-for-bit.
-    orders→customer is the distributed hash join; the 25-row nation name
-    attach is a plain broadcast dict; the median itself is ONE
-    key-routed shuffle and a single lexsort + segment-midpoint pass per
-    bucket (no per-key Python calls). Nations bound the key space here;
-    for high-cardinality keys over discrete values the histogram
-    quantile path (textstats.grouped_length_quantiles) is the
-    scale tool — this query pins the sort-selection shape.
+    orders→customer is size-routed on customer's parquet metadata
+    (nation_revenue pattern): a small customer table broadcasts once
+    (zero-shuffle searchsorted attach), a big one takes the distributed
+    hash join. The 25-row nation name attach is a plain broadcast dict;
+    the median itself is ONE key-routed shuffle and a single lexsort +
+    segment-midpoint pass per bucket (no per-key Python calls). Nations
+    bound the key space here; for high-cardinality keys over discrete
+    values the histogram quantile path
+    (textstats.grouped_length_quantiles) is the scale tool — this query
+    pins the sort-selection shape.
     """
-    from ..stages.joins import hash_join
+    from ..stages.joins import broadcast_join, hash_join
     from ..stages.relops import (
         _WB,
         _group_codes,
@@ -2314,7 +2335,21 @@ def median_price_per_nation(sf_dir: str) -> pd.DataFrame:
         )
     }
 
-    joined = hash_join(orders, cust, key="o_custkey", right_key="c_custkey")
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cust_tbl = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        joined = broadcast_join(
+            orders, cust_tbl, key="o_custkey", right_key="c_custkey"
+        )
+    else:
+        joined = hash_join(
+            orders, cust, key="o_custkey", right_key="c_custkey"
+        )
     lut = np.empty(max(nation_names) + 1, dtype=object)
     for k, v in nation_names.items():
         lut[k] = v
