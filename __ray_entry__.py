@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "user_sessions": q.user_sessions,
+        "validate_orders_rules": q.validate_orders_rules,
         "hourly_active_users": q.hourly_active_users,
         "lineitems_above_part_avg": q.lineitems_above_part_avg,
         "median_price_per_nation": q.median_price_per_nation,
@@ -213,6 +215,64 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "user_sessions": """
+            WITH e AS (
+                SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS us
+                FROM events
+            ), marked AS (
+                SELECT user_id, us,
+                       CASE WHEN LAG(us) OVER w IS NULL
+                              OR us - LAG(us) OVER w > 3600000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ), sess AS (
+                SELECT user_id, us,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   CAST(sid AS BIGINT) AS session_idx,
+                   COUNT(*)            AS n_events,
+                   MIN(us)             AS start_us,
+                   MAX(us)             AS end_us
+            FROM sess
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_idx
+        """,
+        "validate_orders_rules": """
+            WITH checks AS (
+                SELECT 'orderdate_before_1998' AS rule,
+                       SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                                THEN 0 ELSE 1 END) AS violations,
+                       COUNT(*) AS n_rows
+                FROM orders
+                UNION ALL
+                SELECT 'orderkey_positive',
+                       SUM(CASE WHEN o_orderkey > 0 THEN 0 ELSE 1 END),
+                       COUNT(*)
+                FROM orders
+                UNION ALL
+                SELECT 'status_is_final',
+                       SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END),
+                       COUNT(*)
+                FROM orders
+                UNION ALL
+                SELECT 'totalprice_under_200k',
+                       SUM(CASE WHEN o_totalprice < 200000.0 THEN 0 ELSE 1 END),
+                       COUNT(*)
+                FROM orders
+            )
+            SELECT rule,
+                   CAST(violations AS BIGINT) AS violations,
+                   CAST(n_rows AS BIGINT)     AS n_rows,
+                   CAST(violations AS BIGINT) * 1.0 / CAST(n_rows AS BIGINT)
+                                              AS violation_rate
+            FROM checks
+            ORDER BY rule
+        """,
         "hourly_active_users": """
             SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
                    COUNT(DISTINCT user_id)                 AS n_users

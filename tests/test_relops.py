@@ -301,3 +301,47 @@ def test_asof_join_string_by_key_many_groups(ray_session):
         out[["k", "t", "lid", "val"]], want[["k", "t", "lid", "val"]],
         check_dtype=False,
     )
+
+
+def test_grouped_sessionize_matches_bruteforce(ray_session):
+    """Full session table vs a row-wise oracle: duplicate timestamps,
+    single-event groups, and pairs at EXACTLY the gap (no break — the
+    rule is strictly greater)."""
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_sessionize
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 200, n),
+            "ts": rng.integers(0, 5000, n),  # dense -> many exact ties
+        }
+    ).astype("int64")
+    GAP = 50
+    # force at least one exact-gap pair
+    df.loc[0:1, ["g", "ts"]] = [[999, 100], [999, 100 + GAP]]
+    out = (
+        grouped_sessionize(
+            ray.data.from_pandas(df).repartition(7),
+            group_col="g",
+            ts_col="ts",
+            gap=GAP,
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["g", "session_idx"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for g, s in df.groupby("g")["ts"]:
+        ts = np.sort(s.to_numpy())
+        breaks = np.nonzero(np.diff(ts) > GAP)[0]
+        bounds = np.concatenate([[0], breaks + 1, [len(ts)]])
+        for i in range(len(bounds) - 1):
+            seg = ts[bounds[i]:bounds[i + 1]]
+            rows.append((g, i + 1, len(seg), seg[0], seg[-1]))
+    want = pd.DataFrame(
+        rows, columns=["g", "session_idx", "n_events", "start_ts", "end_ts"]
+    ).sort_values(["g", "session_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert (out[out.g == 999].session_idx.tolist()) == [1]  # exact gap: no break

@@ -2395,3 +2395,55 @@ def median_price_per_nation(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Full sessionization table (the session-id sibling of
+    grouped_session_count): one row per (user, session) with the
+    1-based session ordinal, event count, and session start/end in
+    epoch micros; sessions split on a >1 h same-user gap. One
+    hash-bucket shuffle; per bucket a single lexsort + vectorized
+    boundary masks; output is O(sessions). Duplicate timestamps are
+    order-safe on both sides (ties have gap 0)."""
+    from ..stages.relops import grouped_sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "us": pc.cast(t["ts"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_sessionize(
+        ds, group_col="user_id", ts_col="us", gap=3_600_000_000
+    ).to_pandas()
+    out = out.rename(columns={"start_ts": "start_us", "end_ts": "end_us"})
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+def validate_orders_rules(sf_dir: str) -> pd.DataFrame:
+    """Data-quality gate (expectation suite over orders): per rule, the
+    violation count, row count, and rate — ONE streaming pass emitting
+    O(rules x blocks) partial rows (stages/profile.check_rules), the
+    ingest-validation step a production pipeline runs before the
+    expensive stages. Rules chosen to actually fire on TPC-H-shaped
+    data so the oracle is non-trivial."""
+    from ..stages.profile import check_rules
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"],
+    )
+    rules = {
+        "orderdate_before_1998": lambda t: pc.less(
+            t["o_orderdate"], pa.scalar(_dt.datetime(1998, 1, 1))
+        ),
+        "status_is_final": lambda t: pc.equal(t["o_orderstatus"], "F"),
+        "totalprice_under_200k": lambda t: pc.less(
+            t["o_totalprice"], 200_000.0
+        ),
+        "orderkey_positive": lambda t: pc.greater(
+            t["o_orderkey"], pa.scalar(0, pa.int64())
+        ),
+    }
+    return check_rules(ds, rules)

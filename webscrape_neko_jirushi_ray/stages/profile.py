@@ -107,3 +107,50 @@ def profile_columns(
     out = merged[["col", "n", "nulls", "min_v", "max_v"]]
     out = out[out["col"].isin(cols)]
     return out.sort_values("col").reset_index(drop=True)
+
+
+def check_rules(
+    ds: "ray.data.Dataset",
+    rules: "dict[str, callable]",
+) -> pd.DataFrame:
+    """Data-quality gate (expectation suite): each rule is a callable
+    ``pa.Table -> pa.BooleanArray`` where True = the row PASSES. Returns
+    one row per rule: (rule, violations, n_rows, violation_rate).
+
+    Scale shape: ONE streaming pass — every batch evaluates all rules
+    vectorized and emits one partial row per rule, so the combine
+    groupby sees O(rules x blocks) rows, never the corpus. Nulls in a
+    rule's predicate count as violations (SQL CASE WHEN cond THEN 0
+    ELSE 1 semantics under the oracle's NOT-null-safe comparison).
+    """
+    names = sorted(rules)
+
+    def _partials(t: pa.Table) -> pa.Table:
+        viol = []
+        for name in names:
+            ok = rules[name](t)
+            if isinstance(ok, pa.ChunkedArray):
+                ok = ok.combine_chunks()
+            good = pc.sum(pc.fill_null(ok, False)).as_py() or 0
+            viol.append(t.num_rows - good)
+        return pa.table(
+            {
+                "rule": pa.array(names, pa.string()),
+                "violations": pa.array(viol, pa.int64()),
+                "n_rows": pa.array([t.num_rows] * len(names), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(
+            Sum("violations", alias_name="violations"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["violations"] = out["violations"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["violation_rate"] = out["violations"] / out["n_rows"]
+    return out.sort_values("rule").reset_index(drop=True)

@@ -842,6 +842,80 @@ def grouped_session_count(
     )
 
 
+def grouped_sessionize(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    ts_col: str,
+    gap: int,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Full sessionization table: one row per SESSION —
+    (group, session_idx 1-based in ts order, n_events, start_ts,
+    end_ts). A session break is a same-group consecutive gap > ``gap``
+    (same int64 units as ``ts_col``). Duplicate timestamps are safe:
+    ties have gap 0, so session membership and the min/max/count
+    aggregates are order-independent.
+
+    Scale shape: same as :func:`grouped_session_count` — ONE hash-bucket
+    shuffle, then per bucket a single lexsort + vectorized boundary
+    masks; output is O(sessions), never O(events). Partitioning
+    assumption: one bucket's rows fit in a worker.
+    """
+
+    def _sessions(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        gcol = g[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        if g.num_rows == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    group_col: gcol,
+                    "session_idx": empty,
+                    "n_events": empty,
+                    "start_ts": empty,
+                    "end_ts": empty,
+                }
+            )
+        codes = _group_codes(g, group_col)
+        ts = _int64_nonull(g[ts_col], ts_col)
+        order = np.lexsort((ts, codes))
+        c_s, t_s = codes[order], ts[order]
+        newgrp = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        brk = np.concatenate([[False], (np.diff(t_s) > gap) & ~newgrp[1:]])
+        sess_start = newgrp | brk  # row opens a session
+        starts = np.nonzero(sess_start)[0]
+        ends = np.concatenate([starts[1:], [len(t_s)]])
+        n_events = (ends - starts).astype(np.int64)
+        # 1-based ordinal of each session within its group
+        sess_grp = c_s[starts]
+        grp_first = np.concatenate([[True], sess_grp[1:] != sess_grp[:-1]])
+        grp_start_pos = np.nonzero(grp_first)[0]
+        sess_per_grp = np.diff(np.concatenate([grp_start_pos, [len(starts)]]))
+        session_idx = (
+            np.arange(len(starts), dtype=np.int64)
+            - np.repeat(grp_start_pos, sess_per_grp)
+            + 1
+        )
+        return pa.table(
+            {
+                group_col: gcol.take(pa.array(order[starts], pa.int64())),
+                "session_idx": pa.array(session_idx),
+                "n_events": pa.array(n_events),
+                "start_ts": pa.array(t_s[starts]),
+                "end_ts": pa.array(t_s[ends - 1]),
+            }
+        )
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_sessions, batch_format="pyarrow")
+    )
+
+
 def bag_difference(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
