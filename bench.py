@@ -252,6 +252,8 @@ def run_bench() -> dict:
          lambda: q.lineitems_above_part_avg(SF_DIR)),
         ("median_price_per_nation",
          lambda: q.median_price_per_nation(SF_DIR)),
+        ("user_sessions", lambda: q.user_sessions(SF_DIR)),
+        ("validate_orders_rules", lambda: q.validate_orders_rules(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)
