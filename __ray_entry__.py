@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "embedding_norms": q.embedding_norms,
         "user_sessions": q.user_sessions,
         "validate_orders_rules": q.validate_orders_rules,
         "hourly_active_users": q.hourly_active_users,
@@ -215,6 +216,16 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_norms": """
+            SELECT vec_id,
+                   CAST(LEN(embedding) AS BIGINT) AS dim,
+                   CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(embedding,
+                        x -> CAST(ROUND(x * 1000) AS BIGINT)
+                           * CAST(ROUND(x * 1000) AS BIGINT))), 0)
+                        AS BIGINT) AS normsq_milli
+            FROM embeddings
+            ORDER BY vec_id
+        """,
         "user_sessions": """
             WITH e AS (
                 SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS us

@@ -2447,3 +2447,41 @@ def validate_orders_rules(sf_dir: str) -> pd.DataFrame:
         ),
     }
     return check_rules(ds, rules)
+
+
+def embedding_norms(sf_dir: str) -> pd.DataFrame:
+    """Vectorized list-column math (the multimodal/embedding column
+    shape): per vector, its dimension and scaled-integer squared norm
+    sum(round(x*1000)^2) — exact int64 on both sides, no float-sum
+    order sensitivity. Zero-copy plan: ONE flatten of the Arrow list
+    column + np.add.reduceat at the list offsets; no per-row Python, no
+    shuffle at all."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _norms(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(
+            col.values.to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.round(flat * 1000.0).astype(np.int64)
+        qsq = q * q
+        starts = offs[:-1]
+        lens = (offs[1:] - starts).astype(np.int64)
+        normsq = np.zeros(len(starts), dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            sums = np.add.reduceat(qsq, starts[nonempty])
+            normsq[nonempty] = sums
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "dim": pa.array(lens),
+                "normsq_milli": pa.array(normsq),
+            }
+        )
+
+    out = ds.map_batches(_norms, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
