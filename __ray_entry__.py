@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "connected_components_customers": q.connected_components_customers,
         "embedding_norms": q.embedding_norms,
         "user_sessions": q.user_sessions,
         "validate_orders_rules": q.validate_orders_rules,
@@ -216,6 +217,34 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "connected_components_customers": """
+            WITH RECURSIVE
+            mc AS (SELECT MAX(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT CAST(o_custkey AS BIGINT) AS src,
+                       CAST(1 + (o_orderkey % (SELECT m FROM mc)) AS BIGINT)
+                           AS dst
+                FROM orders
+                WHERE o_orderkey % 37 = 0
+            ),
+            sym AS (
+                SELECT src, dst FROM e WHERE src <> dst
+                UNION
+                SELECT dst, src FROM e WHERE src <> dst
+            ),
+            walk AS (
+                SELECT CAST(c_custkey AS BIGINT) AS node,
+                       CAST(c_custkey AS BIGINT) AS reach
+                FROM customer
+                UNION
+                SELECT w.node, s.dst
+                FROM walk w JOIN sym s ON s.src = w.reach
+            )
+            SELECT node, MIN(reach) AS component
+            FROM walk
+            GROUP BY node
+            ORDER BY node
+        """,
         "embedding_norms": """
             SELECT vec_id,
                    CAST(LEN(embedding) AS BIGINT) AS dim,

@@ -121,3 +121,17 @@ def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch)
     assert len(got) == len(want)
     for c in got.columns:
         assert got[c].astype(str).equals(want[c].astype(str)), (name, c)
+
+
+def test_components_distributed_route(ray_session, con, monkeypatch):
+    """Force the big-graph route (threshold 0 -> distributed min-label
+    pointer-jumping kernel) and re-check the recursive-closure oracle."""
+    from webscrape_neko_jirushi_ray.pipelines import queries as qmod
+
+    monkeypatch.setattr(qmod, "_COMPONENTS_DRIVER_ROUTE_EDGES", 0)
+    name = "connected_components_customers"
+    got = _canon(_to_df(entrymod.queries()[name](SF_DIR)))
+    want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert got[c].astype(str).equals(want[c].astype(str)), c

@@ -167,6 +167,10 @@ _NATION_REVENUE_ROUTE_ROWS = 2_000_000
 # dimension (ray.put once + per-batch searchsorted; corpus never moves)
 # instead of hash-partitioning both sides
 _BROADCAST_SIDE_ROUTE_ROWS = 2_000_000
+# edge-count bound under which connected components union-find on the
+# driver (distributed label-prop rounds are pure fixed-latency overhead
+# on small graphs)
+_COMPONENTS_DRIVER_ROUTE_EDGES = 1_000_000
 
 
 def nation_revenue(sf_dir: str) -> pd.DataFrame:
@@ -2485,3 +2489,98 @@ def embedding_norms(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(_norms, batch_format="pyarrow").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def connected_components_customers(sf_dir: str) -> pd.DataFrame:
+    """Connected components as a first-class graph query: the dedup
+    engine's min-label + pointer-jumping kernel
+    (stages/dedup.components_label_propagation — O(log diameter) rounds
+    of joins + groupbys, no node→label dict ever leaves the cluster)
+    over a SPARSE deterministic order-derived graph (only orders with
+    o_orderkey % 37 == 0 contribute an edge, so the component structure
+    is non-trivial: many small components + isolated nodes). Isolated
+    customers keep their own id via a left-outer attach.
+
+    Size-routed on the EDGE count (the O(entities) payload here, never
+    the node set): a small edge list union-finds on the driver and
+    broadcasts the node→component map — every distributed round costs
+    several fixed-latency stages, pure overhead on a 400-edge graph;
+    big graphs take the distributed kernel, pinned by a route-forcing
+    test. Oracle: DuckDB recursive transitive closure + MIN over
+    reachable ids."""
+    from ray.data.aggregate import Max
+
+    from ..stages.dedup import components_label_propagation
+    from ..stages.joins import broadcast_join, hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    maxc = int(cust.aggregate(Max("c_custkey", alias_name="m"))["m"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        okey = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        keep = (okey % 37) == 0
+        src = np.asarray(
+            t["o_custkey"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )[keep]
+        dst = (okey[keep] % maxc) + 1
+        m = src != dst
+        return pa.table(
+            {"a": pa.array(src[m]), "b": pa.array(dst[m], type=pa.int64())}
+        )
+
+    pairs = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        _edges, batch_format="pyarrow"
+    ).materialize()  # O(edges), consumed by count + one compute path
+    nodes = cust.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["c_custkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    if pairs.count() <= _COMPONENTS_DRIVER_ROUTE_EDGES:
+        df = pairs.to_pandas()
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for x, y in zip(df["a"].to_numpy(), df["b"].to_numpy()):
+            rx, ry = _find(int(x)), _find(int(y))
+            if rx != ry:
+                # keep the smaller id as root -> root == component min
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        touched = sorted(parent)
+        comp_tbl = pa.table(
+            {
+                "doc_id": pa.array(touched, pa.int64()),
+                "component": pa.array(
+                    [_find(x) for x in touched], pa.int64()
+                ),
+            }
+        )
+        joined = broadcast_join(
+            nodes, comp_tbl, key="node", right_key="doc_id", how="left_outer"
+        )
+    else:
+        comp = components_label_propagation(pairs)
+        joined = hash_join(
+            nodes, comp, key="node", right_key="doc_id", how="left_outer"
+        )
+
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "component": pc.coalesce(t["component"], t["node"]),
+            }
+        )
+
+    out = joined.map_batches(_fill, batch_format="pyarrow").to_pandas()
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
