@@ -2187,6 +2187,13 @@ def hourly_active_users(sf_dir: str) -> pd.DataFrame:
     num_buckets = 64
 
     def _pairs(t: pa.Table) -> pa.Table:
+        for c in ("ts", "user_id"):
+            if t[c].null_count:
+                raise ValueError(
+                    f"hourly_active_users: column {c!r} has nulls — a null "
+                    "would corrupt the uint64 pair hash silently; drop or "
+                    "fill upstream"
+                )
         hour = pc.cast(
             pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000), pa.int64()
         )
@@ -2466,6 +2473,12 @@ def embedding_norms(sf_dir: str) -> pd.DataFrame:
         col = t["embedding"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError(
+                "embedding_norms: null embedding rows — SQL LEN(NULL) is "
+                "NULL while the offsets path would silently report dim 0; "
+                "drop or fill upstream"
+            )
         flat = np.asarray(
             col.values.to_numpy(zero_copy_only=False), dtype=np.float64
         )
