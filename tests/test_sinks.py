@@ -126,3 +126,52 @@ def test_resumable_sink_tolerates_empty_blocks(ray_session, tmp_path):
     ).repartition(6)  # more blocks than rows -> empty blocks in the stream
     res = write_partitioned_resumable(ds, str(tmp_path / "o"), partition_col="p")
     assert sorted(res["written"]) == ["a", "b"]
+
+
+def test_compact_shards_roundtrip(ray_session, tmp_path):
+    """Many tiny shards -> few right-sized files; rows and values
+    identical, output file count matches ceil(rows/target), existing
+    output dir refused."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webscrape_neko_jirushi_ray.state.sinks import compact_shards
+
+    src = tmp_path / "small"
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    all_rows = []
+    for i in range(40):  # 40 shards x 50 rows
+        t = pa.table(
+            {
+                "k": rng.integers(0, 1000, 50).astype("int64"),
+                "v": rng.normal(size=50),
+            }
+        )
+        pq.write_table(t, src / f"shard_{i:03d}.parquet")
+        all_rows.append(t.to_pandas())
+    want = (
+        pd.concat(all_rows)
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+
+    out = tmp_path / "compact"
+    res = compact_shards(str(src), str(out), target_rows_per_file=500)
+    assert res == {"files_in": 40, "rows": 2000, "files_out": 4}
+    got = (
+        pq.read_table(str(out))
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    n_files = len([n for n in out.iterdir() if n.suffix == ".parquet"])
+    assert n_files == 4
+
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        compact_shards(str(src), str(out))

@@ -117,3 +117,34 @@ def write_partitioned_resumable(
                 f.write("ok\n")
             written.append(v)
     return {"written": sorted(written), "skipped": sorted(done)}
+
+
+def compact_shards(
+    in_dir: str,
+    out_dir: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction (the 100-TB housekeeping op): coalesce a
+    directory of many small parquet shards — what per-task streaming
+    writes naturally produce — into ``ceil(rows / target)`` right-sized
+    files. Row count comes from Ray's parquet metadata fast path (no
+    data scan); the rewrite is a shuffle-free ``repartition`` (block
+    split/merge, no all-to-all) into a streaming ``write_parquet``.
+    Returns {files_in, rows, files_out}. The output directory must not
+    exist (compaction is a rewrite, never an append)."""
+    import math
+
+    if os.path.exists(out_dir):
+        raise FileExistsError(
+            f"compact_shards output {out_dir!r} exists — compaction "
+            "rewrites into a fresh directory (delete or point elsewhere)"
+        )
+    files_in = [
+        n for n in os.listdir(in_dir) if n.endswith((".parquet", ".pq"))
+    ]
+    ds = ray.data.read_parquet(in_dir)
+    rows = ds.count()
+    n_out = max(1, math.ceil(rows / target_rows_per_file))
+    ds.repartition(n_out).write_parquet(out_dir)
+    return {"files_in": len(files_in), "rows": rows, "files_out": n_out}
