@@ -254,6 +254,9 @@ def run_bench() -> dict:
          lambda: q.median_price_per_nation(SF_DIR)),
         ("user_sessions", lambda: q.user_sessions(SF_DIR)),
         ("validate_orders_rules", lambda: q.validate_orders_rules(SF_DIR)),
+        ("connected_components_customers",
+         lambda: q.connected_components_customers(SF_DIR)),
+        ("embedding_norms", lambda: q.embedding_norms(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

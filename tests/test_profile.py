@@ -53,3 +53,36 @@ def test_profile_columns_int64_exact_past_2_53(ray_session):
     ).set_index("col")
     assert out.loc["a", "min_v"] == str(big)
     assert out.loc["a", "max_v"] == str(big + 2)
+
+
+def test_check_rules_multiblock(ray_session):
+    """Partial counts combine correctly across blocks; null predicate
+    results count as violations."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.profile import check_rules
+
+    df = pd.DataFrame(
+        {
+            "x": np.arange(100, dtype="int64"),
+            "y": [None if i % 10 == 0 else float(i) for i in range(100)],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = check_rules(
+        ds,
+        {
+            "x_under_60": lambda t: pc.less(t["x"], pa.scalar(60, pa.int64())),
+            "y_positive": lambda t: pc.greater(t["y"], 0.0),  # nulls violate
+        },
+    )
+    got = dict(zip(out["rule"], out["violations"]))
+    assert got == {"x_under_60": 40, "y_positive": 10}  # the 10 nulls
+    assert (out["n_rows"] == 100).all()
+    assert abs(out.loc[out.rule == "x_under_60", "violation_rate"].iloc[0] - 0.4) < 1e-12
