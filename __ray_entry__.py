@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "length_outlier_filter_docs": q.length_outlier_filter_docs,
         "connected_components_customers": q.connected_components_customers,
         "embedding_norms": q.embedding_norms,
         "user_sessions": q.user_sessions,
@@ -218,6 +219,30 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "length_outlier_filter_docs": """
+            WITH lens AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                FROM documents
+            ), ordered AS (
+                SELECT n_words,
+                       ROW_NUMBER() OVER (ORDER BY n_words) - 1 AS rn
+                FROM lens
+            ), n AS (SELECT COUNT(*) AS c FROM lens),
+            qs AS (
+                SELECT
+                    MAX(CASE WHEN o.rn = ((n.c - 1) * 25) // 100
+                             THEN o.n_words END) AS q25,
+                    MAX(CASE WHEN o.rn = ((n.c - 1) * 75) // 100
+                             THEN o.n_words END) AS q75
+                FROM ordered o CROSS JOIN n
+            )
+            SELECT l.doc_id, l.n_words
+            FROM lens l CROSS JOIN qs
+            WHERE l.n_words >= qs.q25 - (qs.q75 - qs.q25) // 4
+              AND l.n_words <= qs.q75 + (qs.q75 - qs.q25) // 4
+            ORDER BY l.doc_id
+        """,
         "connected_components_customers": """
             WITH RECURSIVE
             mc AS (SELECT MAX(c_custkey) AS m FROM customer),

@@ -2597,3 +2597,34 @@ def connected_components_customers(sf_dir: str) -> pd.DataFrame:
     out = joined.map_batches(_fill, batch_format="pyarrow").to_pandas()
     out["component"] = out["component"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def length_outlier_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """IQR outlier gate (winsorize-style corpus audit, composed from the
+    exact-quantile machinery): keep docs whose word count lies in
+    [q25 - IQR//4, q75 + IQR//4] (a deliberately tight band so the
+    gate is non-trivial on the synthetic corpus), quartiles by the
+    repo's nearest-rank
+    floor((n-1)*q) convention — all integer math, so the SQL oracle is
+    exact. Two streaming passes: the histogram-combine quantile pass
+    (O(distinct lengths) driver) picks the bounds, then a vectorized
+    filter pass re-streams the corpus; nothing O(corpus) materializes."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    qdf = textstats.length_quantiles(ds, q_pcts=(25, 75))
+    q25, q75 = (int(v) for v in qdf.sort_values("q_pct")["n_words"])
+    iqr = q75 - q25
+    lo, hi = q25 - iqr // 4, q75 + iqr // 4
+
+    def _keep(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        n = pc.list_value_length(words)
+        n = pc.cast(n, pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(n, pa.scalar(lo, pa.int64())),
+            pc.less_equal(n, pa.scalar(hi, pa.int64())),
+        )
+        out = pa.table({"doc_id": t["doc_id"], "n_words": n})
+        return out.filter(keep)
+
+    out = ds.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
