@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "dedup_loss_by_source": q.dedup_loss_by_source,
         "length_outlier_filter_docs": q.length_outlier_filter_docs,
         "connected_components_customers": q.connected_components_customers,
         "embedding_norms": q.embedding_norms,
@@ -219,6 +220,28 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_loss_by_source": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       MD5(ARRAY_TO_STRING(
+                           (string_split(
+                               TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')),
+                               ' '))[1:8],
+                           ' ')) AS fp
+                FROM documents
+            ), m AS (
+                SELECT source,
+                       CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY fp)
+                            THEN 1 ELSE 0 END AS dupe
+                FROM f
+            )
+            SELECT source,
+                   COUNT(*)                  AS n_docs,
+                   CAST(SUM(dupe) AS BIGINT) AS n_dupes
+            FROM m
+            GROUP BY source
+            ORDER BY source
+        """,
         "length_outlier_filter_docs": """
             WITH lens AS (
                 SELECT doc_id,

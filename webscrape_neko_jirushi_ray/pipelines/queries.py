@@ -2628,3 +2628,83 @@ def length_outlier_filter_docs(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(_keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_loss_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source duplicate attribution (the Common-Crawl dump-overlap
+    audit, over the documents table's `source` dimension): for each
+    source, total docs and how many a keep-first (min doc_id) PREFIX
+    dedup — md5 of the first 8 normalized tokens, the cheap
+    boilerplate-head collapse — would drop. ONE fingerprint-hash bucket shuffle
+    (whole fp groups co-locate, so the global first is bucket-local);
+    per bucket a single lexsort + boundary mask marks non-first rows and
+    an Arrow group_by collapses to (source, n, dupes) partials; the
+    finishing groupby moves O(buckets x sources) rows. Same
+    normalization as exact_dedup_docs, truncated to the 8-token head
+    (whole-text md5 finds zero dupes on this corpus — the near-dups
+    share heads, so the prefix gate is the non-trivial audit)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import textkit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [
+            hashlib.md5(
+                " ".join(
+                    textkit.normalize_for_fingerprint(t or "").split(" ")[:8]
+                ).encode("utf-8")
+            ).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        fp_u64 = np.array([int(f[:16], 16) for f in fps], dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "fp_md5": pa.array(fps, pa.string()),
+                "_p": pa.array((fp_u64 % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def _partials(g: pa.Table) -> pa.Table:
+        fps = np.asarray(g["fp_md5"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fps))
+        sfp = fps[order]
+        first = np.concatenate([[True], sfp[1:] != sfp[:-1]])
+        is_dupe = np.zeros(len(ids), dtype=np.int64)
+        is_dupe[order] = (~first).astype(np.int64)
+        t = pa.table({"source": g["source"], "dupe": pa.array(is_dupe)})
+        agg = t.group_by("source").aggregate(
+            [("dupe", "sum"), ("dupe", "count")]
+        )
+        return pa.table(
+            {
+                "source": agg["source"],
+                "n_dupes": pc.cast(agg["dupe_sum"], pa.int64()),
+                "n_docs": pc.cast(agg["dupe_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_fp, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_dupes", alias_name="n_dupes"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    out["n_dupes"] = out["n_dupes"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return (
+        out[["source", "n_docs", "n_dupes"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
