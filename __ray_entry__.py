@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "supplier_count_by_brand_type": q.supplier_count_by_brand_type,
         "dedup_loss_by_source": q.dedup_loss_by_source,
         "length_outlier_filter_docs": q.length_outlier_filter_docs,
         "connected_components_customers": q.connected_components_customers,
@@ -220,6 +221,14 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "supplier_count_by_brand_type": """
+            SELECT p.p_brand, p.p_type,
+                   COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand, p.p_type
+            ORDER BY p.p_brand, p.p_type
+        """,
         "dedup_loss_by_source": """
             WITH f AS (
                 SELECT doc_id, source,

@@ -2708,3 +2708,101 @@ def dedup_loss_by_source(sf_dir: str) -> pd.DataFrame:
         .sort_values("source")
         .reset_index(drop=True)
     )
+
+
+def supplier_count_by_brand_type(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type) — a
+    multi-key COUNT(DISTINCT) AFTER a join. The part dimension attaches
+    by the size-routed broadcast (corpus side never shuffles below the
+    threshold; hash join above); the distinct count is the
+    hourly_active_users machinery generalized to a composite group:
+    batch-local (brand, type, supp) Arrow dedup, ONE triple-hash bucket
+    shuffle, per-bucket partials, finishing groupby over
+    O(buckets x groups) rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+    from ..stages.relops import _WB
+
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    try:
+        n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    except Exception:
+        n_parts = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_parts <= _BROADCAST_SIDE_ROUTE_ROWS:
+        part_tbl = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"]
+        )
+        joined = broadcast_join(
+            items, part_tbl, key="l_partkey", right_key="p_partkey"
+        )
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+        joined = hash_join(
+            items, part_ds, key="l_partkey", right_key="p_partkey"
+        )
+    num_buckets = 64
+
+    def _triples(t: pa.Table) -> pa.Table:
+        trip = (
+            pa.table(
+                {
+                    "p_brand": t["p_brand"],
+                    "p_type": t["p_type"],
+                    "supp": t["l_suppkey"],
+                }
+            )
+            .group_by(["p_brand", "p_type", "supp"])
+            .aggregate([])
+        )
+        import pandas.util as pdu
+
+        h = (
+            pdu.hash_array(
+                np.asarray(trip["p_brand"].to_pylist(), dtype=object)
+            )
+            ^ pdu.hash_array(
+                np.asarray(trip["p_type"].to_pylist(), dtype=object)
+            )
+            ^ (
+                trip["supp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+            )
+        )
+        return trip.append_column(
+            _WB, pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def _partials(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table(
+                {
+                    "p_brand": g["p_brand"],
+                    "p_type": g["p_type"],
+                    "supp": g["supp"],
+                }
+            )
+            .group_by(["p_brand", "p_type", "supp"])
+            .aggregate([])
+        )
+        agg = distinct.group_by(["p_brand", "p_type"]).aggregate(
+            [("supp", "count")]
+        )
+        return pa.table(
+            {
+                "p_brand": agg["p_brand"],
+                "p_type": agg["p_type"],
+                "partial": pc.cast(agg["supp_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(_triples, batch_format="pyarrow")
+        .groupby(_WB)
+        .map_groups(_partials, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type"])
+        .aggregate(Sum("partial", alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out.sort_values(["p_brand", "p_type"]).reset_index(drop=True)
