@@ -117,8 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": q.tfidf_top_terms_docs,
         "nation_revenue": q.nation_revenue,
         "nation_revenue_distributed": q.nation_revenue_distributed,
-        "per_lang_head_sample": q.per_lang_head_sample,
         "minhash_dedup_docs": q.minhash_dedup_docs,
+        "per_lang_head_sample": q.per_lang_head_sample,
         "webtext_pipeline_v2": q.webtext_pipeline_v2,
         "doc_commonness_scores": q.doc_commonness_scores,
         "inverted_index_terms": q.inverted_index_terms,
