@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "top_orders_per_customer": q.top_orders_per_customer,
+        "custorder_count_distribution": q.custorder_count_distribution,
+        "rich_segment_summary": q.rich_segment_summary,
+        "pareto_parts": q.pareto_parts,
         "supplier_count_by_brand_type": q.supplier_count_by_brand_type,
         "dedup_loss_by_source": q.dedup_loss_by_source,
         "length_outlier_filter_docs": q.length_outlier_filter_docs,
@@ -221,6 +225,72 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "top_orders_per_customer": """
+            WITH r AS (
+                SELECT o_custkey, o_orderkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS price_cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                        DESC,
+                                    o_orderkey
+                       ) AS rn
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, price_cents
+            FROM r
+            WHERE rn <= 3
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "custorder_count_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "rich_segment_summary": """
+            WITH c AS (
+                SELECT c_mktsegment,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            ), s AS (
+                SELECT CAST(SUM(cents) AS BIGINT) AS sp,
+                       CAST(COUNT(*) AS BIGINT)   AS np
+                FROM c WHERE cents > 0
+            )
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT)    AS n_rich,
+                   CAST(SUM(c.cents) AS BIGINT) AS total_cents
+            FROM c CROSS JOIN s
+            WHERE c.cents * s.np > s.sp
+            GROUP BY c.c_mktsegment
+            ORDER BY c.c_mktsegment
+        """,
+        "pareto_parts": """
+            WITH p AS (
+                SELECT p_partkey,
+                       CAST(p_size AS BIGINT) AS p_size,
+                       CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                           AS price_cents
+                FROM part
+            )
+            SELECT a.p_partkey, a.p_size, a.price_cents
+            FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.p_size >= a.p_size
+                  AND b.price_cents <= a.price_cents
+                  AND (b.p_size > a.p_size OR b.price_cents < a.price_cents)
+            )
+            ORDER BY a.p_partkey
+        """,
         "supplier_count_by_brand_type": """
             SELECT p.p_brand, p.p_type,
                    COUNT(DISTINCT l.l_suppkey) AS supplier_cnt

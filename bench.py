@@ -257,6 +257,12 @@ def run_bench() -> dict:
         ("connected_components_customers",
          lambda: q.connected_components_customers(SF_DIR)),
         ("embedding_norms", lambda: q.embedding_norms(SF_DIR)),
+        ("top_orders_per_customer",
+         lambda: q.top_orders_per_customer(SF_DIR)),
+        ("custorder_count_distribution",
+         lambda: q.custorder_count_distribution(SF_DIR)),
+        ("rich_segment_summary", lambda: q.rich_segment_summary(SF_DIR)),
+        ("pareto_parts", lambda: q.pareto_parts(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -1,0 +1,154 @@
+"""Scale-soak harness: the scale-critical kernels over deterministic
+synthetic corpora 1-2 orders of magnitude above the sf0.1 bench, so the
+soak numbers quoted in BASELINE.md / ROUND notes are reproducible with
+one command. Prints ONE JSON line.
+
+Usage:
+    python soak.py                 # all soaks, RAY_GRAFT_CPUS (default 32)
+    python soak.py sessionize ...  # named subset
+
+Each soak synthesizes its input to /tmp parquet first (untimed) and
+times only the pipeline, mirroring how bench.py treats corpus setup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _write(tmp: str, name: str, table: pa.Table, row_group_size: int = 200_000):
+    path = os.path.join(tmp, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path, row_group_size=row_group_size)
+    return path
+
+
+def soak_sessionize(tmp: str) -> dict:
+    """grouped_sessionize over 10M events / 500k users (one bucket
+    shuffle, O(sessions) output) — exercised through the user_sessions
+    query itself."""
+    from webscrape_neko_jirushi_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(7)
+    n = 10_000_000
+    ts = rng.integers(0, 3_600_000_000_000, n).astype("datetime64[us]")
+    _write(
+        tmp,
+        "sess/events.parquet",
+        pa.table(
+            {
+                "user_id": rng.integers(0, 500_000, n).astype(np.int64),
+                "ts": pa.array(ts),
+            }
+        ),
+    )
+    t0 = time.perf_counter()
+    out = q.user_sessions(os.path.join(tmp, "sess"))
+    return {"sec": round(time.perf_counter() - t0, 2), "sessions": len(out)}
+
+
+def soak_count_distinct(tmp: str) -> dict:
+    """Exact windowed COUNT(DISTINCT) over 10M events / 1M users via the
+    hourly_active_users query (pair-hash bucket shuffle)."""
+    from webscrape_neko_jirushi_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(11)
+    n = 10_000_000
+    ts = rng.integers(0, 720 * 3_600_000_000, n).astype("datetime64[us]")
+    _write(
+        tmp,
+        "cd/events.parquet",
+        pa.table(
+            {
+                "user_id": rng.integers(0, 1_000_000, n).astype(np.int64),
+                "ts": pa.array(ts),
+            }
+        ),
+    )
+    t0 = time.perf_counter()
+    out = q.hourly_active_users(os.path.join(tmp, "cd"))
+    return {"sec": round(time.perf_counter() - t0, 2), "hours": len(out)}
+
+
+def soak_dense_index(tmp: str) -> dict:
+    """attach_dense_index over 5M unique keys (vectorized merge-lexsort
+    range tagging; two bounded shuffles, O(ranges) driver)."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.functions.enumerate import attach_dense_index
+
+    rng = np.random.default_rng(13)
+    n = 5_000_000
+    keys = rng.permutation(n).astype(np.int64)
+    _write(tmp, "di/rows.parquet", pa.table({"k": keys}))
+    ds = ray.data.read_parquet(os.path.join(tmp, "di"))
+    t0 = time.perf_counter()
+    ranked = attach_dense_index(ds, ["k"], index_col="rank", num_ranges=128)
+    n_out = ranked.count()
+    return {"sec": round(time.perf_counter() - t0, 2), "rows": n_out}
+
+
+def soak_exact_dedup(tmp: str) -> dict:
+    """exact_dedup over 1M docs with ~20% duplicates (fingerprint-hash
+    bucket shuffle, vectorized keep-first)."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.dedup import exact_dedup
+
+    rng = np.random.default_rng(17)
+    n = 1_000_000
+    base = rng.integers(0, 800_000, n)  # collisions = duplicate texts
+    texts = [f"document body number {int(b)} with shared tail tokens" for b in base]
+    _write(
+        tmp,
+        "dd/docs.parquet",
+        pa.table(
+            {"doc_id": np.arange(n, dtype=np.int64), "text": texts}
+        ),
+    )
+    ds = ray.data.read_parquet(os.path.join(tmp, "dd"))
+    t0 = time.perf_counter()
+    kept = exact_dedup(ds).count()
+    return {"sec": round(time.perf_counter() - t0, 2), "kept": kept}
+
+
+SOAKS = {
+    "sessionize": soak_sessionize,
+    "count_distinct": soak_count_distinct,
+    "dense_index": soak_dense_index,
+    "exact_dedup": soak_exact_dedup,
+}
+
+
+def main() -> None:
+    import ray
+
+    names = [a for a in sys.argv[1:] if a in SOAKS] or list(SOAKS)
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    results = {}
+    with tempfile.TemporaryDirectory(prefix="graft_soak_") as tmp:
+        for name in names:
+            results[name] = SOAKS[name](tmp)
+    print(json.dumps({"num_cpus": NUM_CPUS, "soaks": results}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -106,7 +106,12 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "name", ["lineitems_above_part_avg", "median_price_per_nation"]
+    "name",
+    [
+        "lineitems_above_part_avg",
+        "median_price_per_nation",
+        "custorder_count_distribution",
+    ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):
     """Force the big-side route (threshold 0 -> distributed hash join)

@@ -2806,3 +2806,221 @@ def supplier_count_by_brand_type(sf_dir: str) -> pd.DataFrame:
     )
     out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
     return out.sort_values(["p_brand", "p_type"]).reset_index(drop=True)
+
+
+def top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Top-k per group with k>1 (the per-key head / QUALIFY ROW_NUMBER()
+    <= k shape; reference analog: per-cat newest-first listing order,
+    fetch_cat_detail_page.py): each customer's 3 most expensive orders.
+
+    Scale design — relops.grouped_topk: every batch prunes to its LOCAL
+    top-3 per customer before the single hash-bucket shuffle, so at most
+    k rows per (batch, customer) move; the final merge is one vectorized
+    lexsort + rank mask per bucket, never per-key Python. Prices compare
+    in exact integer cents; ties break on o_orderkey so the kept set is
+    deterministic on both sides.
+    """
+    from ..stages.relops import grouped_topk
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = _to_scaled_int(t["o_totalprice"], 100)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": cents,
+                "neg_cents": pc.multiply(cents, pa.scalar(-1, pa.int64())),
+            }
+        )
+
+    out = grouped_topk(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        group_col="o_custkey",
+        order_cols=["neg_cents", "o_orderkey"],
+        k=3,
+    ).to_pandas()
+    return (
+        out[["o_custkey", "o_orderkey", "price_cents"]]
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+
+
+def custorder_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """Count-of-counts distribution (TPC-H Q13 shape): how many customers
+    placed exactly N orders, INCLUDING the zero-order customers the left
+    outer join preserves.
+
+    Scale design: the corpus-sized side (orders) collapses to one
+    combiner-reduced groupby count per customer BEFORE any join; the
+    (custkey, n) table is size-routed — ``broadcast_join`` (left outer,
+    one ray.put) while the customer dimension is <= _BROADCAST_SIDE_ROUTE_ROWS,
+    the string-free int64 ``hash_join`` above it or when directory
+    metadata is unreadable. The second groupby runs at the |distinct
+    order counts| grain — metadata-sized.
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        counts_tbl = pa.Table.from_pandas(
+            counts.to_pandas(), preserve_index=False
+        )
+        joined = broadcast_join(
+            cust, counts_tbl, key="c_custkey", right_key="o_custkey",
+            how="left_outer",
+        )
+    else:
+        joined = hash_join(
+            cust, counts, key="c_custkey", right_key="o_custkey",
+            how="left_outer",
+        )
+
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": pc.fill_null(
+                    pc.cast(t["n"], pa.int64()), pa.scalar(0, pa.int64())
+                )
+            }
+        )
+
+    out = (
+        joined.map_batches(_fill, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+        .to_pandas()
+    )
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+def rich_segment_summary(sf_dir: str) -> pd.DataFrame:
+    """Scalar-aggregate broadcast into a filter (TPC-H Q22 family): per
+    market segment, the customers whose balance strictly exceeds the
+    mean POSITIVE balance. The mean never materializes as a float —
+    the comparison is ``cents * n_pos > sum_pos_cents`` in exact int64,
+    so Ray and DuckDB agree bit-for-bit (int64 headroom: cents x
+    customer count must stay under 2**63 — ~10^12 customers at 10^6
+    cents; assert-free by data contract).
+
+    Scale shape: one combiner-reduced aggregate produces TWO scalars on
+    the driver; they broadcast by closure capture into the filter pass
+    (no shuffle, no join), then one groupby at the |segments| grain.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "cents": _to_scaled_int(t["c_acctbal"], 100),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    pos = prepped.map_batches(
+        lambda t: t.filter(pc.greater(t["cents"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    ).aggregate(Sum("cents", alias_name="sp"), Count(alias_name="np"))
+    n_pos = int(pos["np"] or 0)
+    if n_pos == 0:  # SQL: NULL comparison -> empty result
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series([], dtype=object),
+                "n_rich": pd.Series([], dtype="int64"),
+                "total_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    sum_pos = int(pos["sp"])
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(
+                pc.multiply(t["cents"], pa.scalar(n_pos, pa.int64())),
+                pa.scalar(sum_pos, pa.int64()),
+            )
+        )
+
+    out = (
+        prepped.map_batches(_keep, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_rich"), Sum("cents", alias_name="total_cents")
+        )
+        .to_pandas()
+    )
+    out["n_rich"] = out["n_rich"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def pareto_parts(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier): parts no other part dominates,
+    maximizing p_size while minimizing retail price (dominance = size >=
+    AND price <= with at least one strict). The NOT EXISTS self-join the
+    oracle runs is O(n^2); the engine never compares pairs.
+
+    Scale design: ONE combiner-reduced groupby to per-size min price
+    (O(|distinct sizes|) rows — p_size is a small-domain attribute; the
+    driver suffix-min over it is metadata-sized), then the two frontier
+    arrays broadcast by closure into a single vectorized filter pass
+    (np.searchsorted per batch). A part survives iff it matches its
+    size's min price AND every strictly larger size is strictly more
+    expensive. Zero corpus shuffles, zero pair comparisons.
+    """
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+                "price_cents": _to_scaled_int(t["p_retailprice"], 100),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    per_size = (
+        prepped.groupby("p_size")
+        .aggregate(Min("price_cents", alias_name="mn"))
+        .to_pandas()
+        .sort_values("p_size")
+    )
+    sizes = per_size["p_size"].to_numpy(dtype=np.int64)
+    mn_eq = per_size["mn"].to_numpy(dtype=np.int64)
+    # min price over all STRICTLY larger sizes (suffix min, exclusive)
+    mn_gt = np.empty(len(sizes), dtype=np.int64)
+    running = np.iinfo(np.int64).max
+    for i in range(len(sizes) - 1, -1, -1):
+        mn_gt[i] = running
+        running = min(running, int(mn_eq[i]))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        sz = np.asarray(t["p_size"].to_numpy(zero_copy_only=False))
+        pr = np.asarray(t["price_cents"].to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(sizes, sz)
+        keep = (pr == mn_eq[idx]) & (pr < mn_gt[idx])
+        return t.filter(pa.array(keep))
+
+    out = prepped.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
