@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "event_value_percent_rank": q.event_value_percent_rank,
+        "nation_supplier_names": q.nation_supplier_names,
+        "urgent_heavy_orders": q.urgent_heavy_orders,
+        "unpivot_part_metrics": q.unpivot_part_metrics,
         "top_orders_per_customer": q.top_orders_per_customer,
         "custorder_count_distribution": q.custorder_count_distribution,
         "rich_segment_summary": q.rich_segment_summary,
@@ -225,6 +229,46 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_value_percent_rank": """
+            SELECT event_id,
+                   PERCENT_RANK() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ROUND(value * 1000000) AS BIGINT)
+                   ) AS pr
+            FROM events
+            ORDER BY event_id
+        """,
+        "nation_supplier_names": """
+            SELECT n.n_name,
+                   STRING_AGG(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+                   CAST(COUNT(*) AS BIGINT) AS n_supp
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        "urgent_heavy_orders": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "unpivot_part_metrics": """
+            SELECT p_partkey, metric, value FROM (
+                SELECT p_partkey,
+                       CAST(p_size AS BIGINT) AS size,
+                       CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                           AS price_cents
+                FROM part
+            ) UNPIVOT (value FOR metric IN (size, price_cents))
+            ORDER BY p_partkey, metric
+        """,
         "top_orders_per_customer": """
             WITH r AS (
                 SELECT o_custkey, o_orderkey,

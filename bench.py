@@ -263,6 +263,11 @@ def run_bench() -> dict:
          lambda: q.custorder_count_distribution(SF_DIR)),
         ("rich_segment_summary", lambda: q.rich_segment_summary(SF_DIR)),
         ("pareto_parts", lambda: q.pareto_parts(SF_DIR)),
+        ("event_value_percent_rank",
+         lambda: q.event_value_percent_rank(SF_DIR)),
+        ("nation_supplier_names", lambda: q.nation_supplier_names(SF_DIR)),
+        ("urgent_heavy_orders", lambda: q.urgent_heavy_orders(SF_DIR)),
+        ("unpivot_part_metrics", lambda: q.unpivot_part_metrics(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

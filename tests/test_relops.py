@@ -345,3 +345,83 @@ def test_grouped_sessionize_matches_bruteforce(ray_session):
     ).sort_values(["g", "session_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
     assert (out[out.g == 999].session_idx.tolist()) == [1]  # exact gap: no break
+
+
+def test_grouped_percent_rank_matches_pandas(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_percent_rank
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, 60, n).astype(np.int64),
+            # small value domain forces plenty of RANK ties
+            "v": rng.integers(0, 15, n).astype(np.int64),
+        }
+    )
+    # a single-row group must get pr = 0.0 per SQL
+    df.loc[0, "g"] = 999
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(7)
+    out = (
+        grouped_percent_rank(ds, group_col="g", value_col="v", out_col="pr")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("g")["v"].rank(method="min").sub(1)
+        / df.groupby("g")["v"].transform("size").sub(1).clip(lower=1)
+    )
+    assert len(out) == n
+    assert np.allclose(out["pr"].to_numpy(), want.to_numpy(), rtol=0, atol=0)
+    assert out.loc[out["rid"] == 0, "pr"].iloc[0] == 0.0
+
+
+def test_grouped_string_agg_matches_pandas(ray_session):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_string_agg
+
+    rng = np.random.default_rng(33)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "g": [f"grp_{i}" for i in rng.integers(0, 40, n)],
+            "v": [f"val_{i:03d}" for i in rng.integers(0, 500, n)],
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(5)
+    out = (
+        grouped_string_agg(
+            ds, group_col="g", value_col="v", sep="|",
+            out_col="joined", count_col="n",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values("v", kind="mergesort")
+        .groupby("g")["v"]
+        .agg(["|".join, "size"])
+        .reset_index()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert (out["g"].values == want["g"].values).all()
+    assert (out["joined"].values == want["join"].values).all()
+    assert (out["n"].astype(int).values == want["size"].values).all()
+
+
+def test_grouped_string_agg_rejects_nulls(ray_session):
+    import pytest
+
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_string_agg
+
+    t = pa.table({"g": ["a", "a", None], "v": ["x", "y", "z"]})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="null"):
+        grouped_string_agg(ds, group_col="g", value_col="v").to_pandas()

@@ -3024,3 +3024,138 @@ def pareto_parts(sf_dir: str) -> pd.DataFrame:
 
     out = prepped.map_batches(_keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def event_value_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Keyed PERCENT_RANK window (relops.grouped_percent_rank): each
+    event's value percentile among the same user's events, RANK tie
+    semantics. One hash-bucket shuffle; the per-bucket kernel computes
+    every user's tie-shared ranks in one lexsort + cumsum-gather, and
+    the (rank-1)/(n-1) division is int64→float64 on both engines so the
+    doubles match the SQL oracle bit-for-bit."""
+    from ..stages.relops import grouped_percent_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "micros": _to_scaled_int(t["value"], 1_000_000),
+            }
+        )
+
+    out = grouped_percent_rank(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        group_col="user_id",
+        value_col="micros",
+        out_col="pr",
+    ).to_pandas()
+    return (
+        out[["event_id", "pr"]].sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def nation_supplier_names(sf_dir: str) -> pd.DataFrame:
+    """Grouped STRING_AGG / collect-list aggregate
+    (relops.grouped_string_agg): per nation, the sorted comma-joined
+    supplier roster. The 25-row nation dimension broadcasts once
+    (joins.broadcast_join); the aggregate itself is the inverted-index
+    assembly pattern — one bucket shuffle, one list-offset binary_join
+    per bucket, no per-key Python."""
+    from ..stages.joins import broadcast_join
+    from ..stages.relops import grouped_string_agg
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    named = broadcast_join(
+        supp, nation_tbl, key="s_nationkey", right_key="n_nationkey"
+    )
+    out = grouped_string_agg(
+        named,
+        group_col="n_name",
+        value_col="s_name",
+        sep=",",
+        out_col="suppliers",
+        count_col="n_supp",
+    ).to_pandas()
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def urgent_heavy_orders(sf_dir: str) -> pd.DataFrame:
+    """EXISTS-subquery aggregate (TPC-H Q4 shape): orders from 1996Q1
+    having at least one line item with quantity > 45, counted per
+    priority. The qualifying-orderkey set stays distributed — a
+    left-semi hash join (is_in mask per partition), never a driver set;
+    the priority rollup is one combiner-reduced groupby."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import hash_join
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1996, 4, 1)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    heavy = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["l_quantity"], pa.scalar(45.0))
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    kept = hash_join(
+        orders, heavy, key="o_orderkey", right_key="l_orderkey",
+        how="left_semi",
+    )
+    out = (
+        kept.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def unpivot_part_metrics(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (wide -> long; the complement of pivot_priority_status):
+    each part's (size, price_cents) pair becomes two (metric, value)
+    rows. Pure batch-local reshape — every map_batches task emits its
+    own long block via one concat of constant-tagged projections; zero
+    shuffle, zero per-row Python."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def _long(t: pa.Table) -> pa.Table:
+        keys = t["p_partkey"]
+        size = pc.cast(t["p_size"], pa.int64())
+        cents = _to_scaled_int(t["p_retailprice"], 100)
+        n = t.num_rows
+        return pa.table(
+            {
+                "p_partkey": pa.concat_arrays(
+                    [keys.combine_chunks(), keys.combine_chunks()]
+                ),
+                "metric": pa.concat_arrays(
+                    [
+                        pa.array(["size"] * n, pa.string()),
+                        pa.array(["price_cents"] * n, pa.string()),
+                    ]
+                ),
+                "value": pa.concat_arrays(
+                    [size.combine_chunks(), cents.combine_chunks()]
+                ),
+            }
+        )
+
+    out = ds.map_batches(_long, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["p_partkey", "metric"]).reset_index(drop=True)

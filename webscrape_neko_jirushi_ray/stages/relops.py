@@ -966,3 +966,116 @@ def bag_difference(
         return pa.table({key: pa.array(np.repeat(k, mult))})
 
     return joined.map_batches(_expand, batch_format="pyarrow")
+
+
+def grouped_percent_rank(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pr",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``PERCENT_RANK() OVER (PARTITION BY group_col ORDER BY value_col)``
+    — (rank - 1) / (n - 1) with RANK tie semantics (equal values share a
+    rank); single-row groups get 0.0 per SQL.
+
+    Scale design: ONE hash-bucket shuffle (:func:`_route_by_group` —
+    Python calls bounded by ``num_partitions``, not key count); per
+    bucket ONE lexsort by (key, value), then the tie-shared rank for
+    every group comes from a cumsum-indexed gather (``pos_of_new[
+    cumsum(is_new)-1]`` = last rank-start at or before each row) — no
+    per-key Python, no second pass. The division is int64 → float64 on
+    both engines, so results are bit-identical to the SQL oracle.
+    ``value_col`` must be int64-safe and non-null (the window-kernel
+    null contract: :func:`_int64_nonull` raises)."""
+
+    def _pr(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.nulls(0, pa.float64()))
+        codes = _group_codes(g, group_col)
+        vals = _int64_nonull(g[value_col], value_col)
+        order = np.lexsort((vals, codes))
+        g = g.take(pa.array(order, pa.int64()))
+        c_s, v_s = codes[order], vals[order]
+        starts, ends, seg_start, seg_end = _segment_bounds(c_s)
+        pos = np.arange(len(c_s), dtype=np.int64) - seg_start
+        is_new = np.concatenate(
+            [[True], (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])]
+        )
+        pos_of_new = pos[is_new]
+        rank0 = pos_of_new[np.cumsum(is_new) - 1]  # 0-based tie-shared rank
+        n = seg_end - seg_start
+        pr = np.where(n > 1, rank0 / np.maximum(n - 1, 1), 0.0)
+        return g.append_column(out_col, pa.array(pr, pa.float64()))
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_pr, batch_format="pyarrow")
+    )
+
+
+def grouped_string_agg(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    value_col: str,
+    sep: str = ",",
+    out_col: str = "agg",
+    count_col: str | None = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``STRING_AGG(value_col, sep ORDER BY value_col)`` per group — the
+    collect-list aggregate family (posting lists, per-entity name
+    rollups). Output: one row per group with the sep-joined values
+    sorted ascending (and optionally their count).
+
+    Scale design: the inverted-index assembly pattern
+    (stages/textstats.py): ONE hash-bucket shuffle, per bucket one
+    lexsort by (key, value-rank) and a single list-offset
+    ``pc.binary_join`` builds every group's string at once — no per-key
+    Python, no row loop. Hot groups make long strings; the contract is
+    one output row per group (a production sink would shard them).
+    Values must be non-null strings."""
+
+    def _agg(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        gc = g[group_col]
+        if isinstance(gc, pa.ChunkedArray):
+            gc = gc.combine_chunks()
+        vc = g[value_col]
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        if gc.null_count or vc.null_count:
+            raise ValueError("grouped_string_agg: null keys/values")
+        if g.num_rows == 0:
+            cols = {group_col: gc, out_col: pa.array([], pa.string())}
+            if count_col:
+                cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        codes = _group_codes(g, group_col)
+        vkeys = order_key_arrays(g, [value_col])[0]
+        order = np.lexsort((vkeys, codes))
+        c_s = codes[order]
+        starts, ends, _, _ = _segment_bounds(c_s)
+        vals_sorted = pc.cast(vc.take(pa.array(order, pa.int64())), pa.string())
+        bnd = np.concatenate([starts, [len(c_s)]]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(bnd, pa.int32()), vals_sorted),
+            sep,
+        )
+        cols = {
+            group_col: gc.take(pa.array(order[starts], pa.int64())),
+            out_col: joined,
+        }
+        if count_col:
+            cols[count_col] = pa.array((ends - starts).astype(np.int64))
+        return pa.table(cols)
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_agg, batch_format="pyarrow")
+    )
