@@ -122,11 +122,64 @@ def soak_exact_dedup(tmp: str) -> dict:
     return {"sec": round(time.perf_counter() - t0, 2), "kept": kept}
 
 
+def soak_percent_rank(tmp: str) -> dict:
+    """grouped_percent_rank over 10M rows / 500k groups — per-bucket
+    lexsort + cumsum-gather; Python calls bounded by num_partitions."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_percent_rank
+
+    rng = np.random.default_rng(19)
+    n = 10_000_000
+    _write(
+        tmp,
+        "pr/rows.parquet",
+        pa.table(
+            {
+                "g": rng.integers(0, 500_000, n).astype(np.int64),
+                "v": rng.integers(0, 1000, n).astype(np.int64),
+            }
+        ),
+    )
+    ds = ray.data.read_parquet(os.path.join(tmp, "pr"))
+    t0 = time.perf_counter()
+    n_out = grouped_percent_rank(ds, group_col="g", value_col="v").count()
+    return {"sec": round(time.perf_counter() - t0, 2), "rows": n_out}
+
+
+def soak_string_agg(tmp: str) -> dict:
+    """grouped_string_agg over 5M rows / 200k groups — one bucket
+    shuffle, one list-offset binary_join per bucket."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_string_agg
+
+    rng = np.random.default_rng(23)
+    n = 5_000_000
+    vals = np.char.add("v", rng.integers(0, 10_000, n).astype("U5"))
+    _write(
+        tmp,
+        "sa/rows.parquet",
+        pa.table(
+            {
+                "g": rng.integers(0, 200_000, n).astype(np.int64),
+                "v": pa.array(vals.tolist(), pa.string()),
+            }
+        ),
+    )
+    ds = ray.data.read_parquet(os.path.join(tmp, "sa"))
+    t0 = time.perf_counter()
+    n_out = grouped_string_agg(ds, group_col="g", value_col="v").count()
+    return {"sec": round(time.perf_counter() - t0, 2), "groups": n_out}
+
+
 SOAKS = {
     "sessionize": soak_sessionize,
     "count_distinct": soak_count_distinct,
     "dense_index": soak_dense_index,
     "exact_dedup": soak_exact_dedup,
+    "percent_rank": soak_percent_rank,
+    "string_agg": soak_string_agg,
 }
 
 
