@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "top_unshipped_orders": q.top_unshipped_orders,
         "event_value_percent_rank": q.event_value_percent_rank,
         "nation_supplier_names": q.nation_supplier_names,
         "urgent_heavy_orders": q.urgent_heavy_orders,
@@ -230,6 +231,22 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "top_unshipped_orders": """
+            SELECT l.l_orderkey,
+                   CAST(SUM(CAST(ROUND(
+                       l.l_extendedprice * (1 - l.l_discount) * 10000
+                   ) AS BIGINT)) AS BIGINT) AS revenue_dmc,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1996-06-30'
+              AND l.l_shipdate  > TIMESTAMP '1996-06-30'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_dmc DESC, l.l_orderkey
+            LIMIT 10
+        """,
         "event_value_percent_rank": """
             SELECT event_id,
                    PERCENT_RANK() OVER (

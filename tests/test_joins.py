@@ -285,3 +285,51 @@ def test_broadcast_join_null_left_keys(ray_session):
     )
     got = broadcast_join(left_i, dim_i, key="k", how="inner").to_pandas()
     assert sorted(got["v"].tolist()) == [1, 3]
+
+
+def test_hash_join_after_semi_join_projection(ray_session):
+    """Regression: a semi-join output piped through select_columns into a
+    second hash_join crashed ~50% of runs with KeyError on a column the
+    Project had dropped — Ray's schema() transiently over-reports a
+    Project's input columns on map_groups -> select_columns chains, and
+    hash_join's pad closures trusted the plan-time name list over the
+    batch's actual columns. The pad now intersects with the runtime
+    schema (over-reported names null-pad and drop downstream)."""
+    import numpy as np
+    import pandas as pd
+
+    from webscrape_neko_jirushi_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(41)
+    n = 500
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n).astype(np.int64),
+            "extra": rng.integers(0, 9, n).astype(np.int64),
+            "payload": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    keys = pd.DataFrame({"kk": np.arange(0, 50, 2, dtype=np.int64)})
+    probe = pd.DataFrame(
+        {"k": np.arange(50, dtype=np.int64), "val": np.arange(50, dtype=np.int64) * 7}
+    )
+    want = left[left["k"].isin(keys["kk"])].merge(probe, on="k")[
+        ["k", "payload", "val"]
+    ]
+    for _ in range(5):  # the original failure was nondeterministic
+        lds = ray.data.from_arrow(
+            pa.Table.from_pandas(left, preserve_index=False)
+        ).repartition(4)
+        kds = ray.data.from_arrow(pa.Table.from_pandas(keys, preserve_index=False))
+        pds = ray.data.from_arrow(pa.Table.from_pandas(probe, preserve_index=False))
+        semi = hash_join(lds, kds, key="k", right_key="kk", how="left_semi")
+        projected = semi.select_columns(["k", "payload"])
+        out = hash_join(projected, pds, key="k").to_pandas()
+        got = (
+            out[["k", "payload", "val"]]
+            .sort_values(["k", "payload", "val"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(
+            want.sort_values(["k", "payload", "val"]).reset_index(drop=True)
+        )

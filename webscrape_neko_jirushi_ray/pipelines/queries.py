@@ -3159,3 +3159,100 @@ def unpivot_part_metrics(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(_long, batch_format="pyarrow").to_pandas()
     return out.sort_values(["p_partkey", "metric"]).reset_index(drop=True)
+
+
+def top_unshipped_orders(sf_dir: str) -> pd.DataFrame:
+    """Three-table join pipeline with aggregate + global top-k (TPC-H Q3
+    shape): BUILDING-segment customers' orders placed before the cutoff,
+    revenue of their line items shipped after it, top 10 by revenue.
+
+    Scale plan, one streaming pass per table:
+    - the segment-filtered customer KEY SET attaches to orders via a
+      size-routed semi join — broadcast ``is_in`` while the customer
+      dimension is <= _BROADCAST_SIDE_ROUTE_ROWS, distributed left-semi
+      hash join above (no driver set at scale);
+    - orders x lineitem is the big-big distributed ``hash_join`` on
+      l_orderkey, both sides pre-filtered AND pre-projected at the read;
+    - revenue is a combiner-reduced groupby in exact dmc units (x10^4,
+      the q1 policy);
+    - the global top-10 never sorts the corpus: each batch prunes to its
+      local 10 by (revenue desc, orderkey), the driver merges O(10 x
+      blocks) survivors.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    cutoff = _dt.datetime(1996, 6, 30)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        keys = pa.array(
+            sorted(cust.to_pandas()["c_custkey"]), pa.int64()
+        )
+        orders = orders.map_batches(
+            lambda t: t.filter(pc.is_in(t["o_custkey"], value_set=keys)),
+            batch_format="pyarrow",
+        )
+    else:
+        orders = hash_join(
+            orders, cust, key="o_custkey", right_key="c_custkey",
+            how="left_semi",
+        )
+
+    def _prep_items(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_dmc": _to_scaled_int(rev, 10_000),
+            }
+        )
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(_prep_items, batch_format="pyarrow")
+    joined = hash_join(
+        items,
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        key="l_orderkey",
+        right_key="o_orderkey",
+    )
+    rev = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev_dmc", alias_name="revenue_dmc")
+    )
+
+    def _local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 10:
+            return t
+        r = np.asarray(t["revenue_dmc"].to_numpy(zero_copy_only=False))
+        k = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((k, -r))[:10]
+        return t.take(pa.array(order, pa.int64()))
+
+    out = rev.map_batches(_local_top, batch_format="pyarrow").to_pandas()
+    out["revenue_dmc"] = out["revenue_dmc"].astype("int64")
+    out = out.sort_values(
+        ["revenue_dmc", "l_orderkey"], ascending=[False, True]
+    ).head(10)
+    return out[["l_orderkey", "revenue_dmc", "o_orderdate"]].reset_index(
+        drop=True
+    )

@@ -138,7 +138,13 @@ def hash_join(
             _PART: _partition_of(t[key_col], num_partitions),
             _SIDE: pa.array(np.full(n, side, dtype=np.int8)),
         }
-        here = set(names_here)
+        # intersect the plan-time name list with the batch's ACTUAL columns:
+        # Ray's schema() can transiently over-report a Project's input
+        # columns on complex plans (map_groups -> select_columns chains),
+        # and a captured-list-only check would then raise KeyError on the
+        # correctly-projected runtime blocks; over-reported names simply
+        # null-pad (they are dropped or ignored downstream)
+        here = set(names_here) & set(t.column_names)
         for name in all_names[2:]:
             cols[name] = t[name] if name in here else pa.nulls(n, all_types[name])
         return pa.table({nm: cols[nm] for nm in all_names})
@@ -147,7 +153,7 @@ def hash_join(
         return _pad(t, 0, key, lnames)
 
     def _pad_right(t: pa.Table) -> pa.Table:
-        t = t.rename_columns([rmap[c] for c in t.column_names])
+        t = t.rename_columns([rmap.get(c, c) for c in t.column_names])
         return _pad(t, 1, rk_out, rnames)
 
     combined = left.map_batches(_pad_left, batch_format="pyarrow").union(
