@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "order_price_mad": q.order_price_mad,
         "top_unshipped_orders": q.top_unshipped_orders,
         "event_value_percent_rank": q.event_value_percent_rank,
         "nation_supplier_names": q.nation_supplier_names,
@@ -231,6 +232,20 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_price_mad": """
+            WITH c AS (
+                SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), m AS (
+                SELECT MEDIAN(cents) AS med FROM c
+            )
+            SELECT ANY_VALUE(m.med) AS median_cents,
+                   MEDIAN(ABS(c.cents * 2
+                              - CAST(m.med * 2 AS BIGINT))) / 2.0
+                       AS mad_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM c CROSS JOIN m
+        """,
         "top_unshipped_orders": """
             SELECT l.l_orderkey,
                    CAST(SUM(CAST(ROUND(

@@ -3256,3 +3256,85 @@ def top_unshipped_orders(sf_dir: str) -> pd.DataFrame:
     return out[["l_orderkey", "revenue_dmc", "o_orderdate"]].reset_index(
         drop=True
     )
+
+
+def order_price_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust statistics (median absolute deviation) as a TWO-PASS exact
+    composition of the histogram-combine quantile machinery: pass 1
+    finds the exact price median, pass 2 the exact median of absolute
+    deviations from it.
+
+    All internal state is integer: the median is carried as 2x its
+    value (lo+hi of the middle pair — no fractional midpoint exists),
+    deviations as |2*cents - med2|, and the driver only ever sees the
+    O(distinct prices) merged histograms, never the corpus. The two
+    emitted doubles are power-of-two divisions of exact int64s, so
+    DuckDB's MEDIAN() midpoints match bit-for-bit (the
+    median_price_per_nation argument, applied twice)."""
+
+    def _hist_median2(ds_vals, col: str) -> tuple[int, int]:
+        """(2 x exact median, n) from a histogram-combine pass."""
+        hist = (
+            ds_vals.groupby(col)
+            .sum("cnt")
+            .to_pandas()
+            .sort_values(col)
+        )
+        values = hist[col].to_numpy(dtype=np.int64)
+        counts = hist["sum(cnt)"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1]) if len(cum) else 0
+        if n == 0:
+            return 0, 0
+        lo = values[int(np.searchsorted(cum, (n - 1) // 2 + 1))]
+        hi = values[int(np.searchsorted(cum, n // 2 + 1))]
+        return int(lo) + int(hi), n
+
+    def _partial(col_in: str, col_out: str, transform=None):
+        def _f(t: pa.Table) -> pa.Table:
+            arr = t[col_in].to_numpy(zero_copy_only=False).astype(np.int64)
+            if transform is not None:
+                arr = transform(arr)
+            vals, cnts = np.unique(arr, return_counts=True)
+            return pa.table(
+                {
+                    col_out: pa.array(vals, pa.int64()),
+                    "cnt": pa.array(cnts.astype(np.int64)),
+                }
+            )
+
+        return _f
+
+    cents = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda t: pa.table({"cents": _to_scaled_int(t["o_totalprice"], 100)}),
+        batch_format="pyarrow",
+    )
+    med2, n = _hist_median2(
+        cents.map_batches(
+            _partial("cents", "cents"), batch_format="pyarrow", batch_size=8192
+        ),
+        "cents",
+    )
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "median_cents": pd.Series([], dtype="float64"),
+                "mad_cents": pd.Series([], dtype="float64"),
+                "n_orders": pd.Series([], dtype="int64"),
+            }
+        )
+    mad2x2, _ = _hist_median2(
+        cents.map_batches(
+            _partial("cents", "dev2", lambda a: np.abs(2 * a - med2)),
+            batch_format="pyarrow",
+            batch_size=8192,
+        ),
+        "dev2",
+    )
+    return pd.DataFrame(
+        {
+            "median_cents": [med2 / 2.0],
+            "mad_cents": [mad2x2 / 4.0],
+            "n_orders": [n],
+        }
+    )
