@@ -269,6 +269,7 @@ def run_bench() -> dict:
         ("urgent_heavy_orders", lambda: q.urgent_heavy_orders(SF_DIR)),
         ("unpivot_part_metrics", lambda: q.unpivot_part_metrics(SF_DIR)),
         ("top_unshipped_orders", lambda: q.top_unshipped_orders(SF_DIR)),
+        ("order_price_mad", lambda: q.order_price_mad(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -3270,7 +3270,13 @@ def order_price_mad(sf_dir: str) -> pd.DataFrame:
     O(distinct prices) merged histograms, never the corpus. The two
     emitted doubles are power-of-two divisions of exact int64s, so
     DuckDB's MEDIAN() midpoints match bit-for-bit (the
-    median_price_per_nation argument, applied twice)."""
+    median_price_per_nation argument, applied twice).
+
+    Driver-state bound: O(distinct cent values) per pass — bounded by
+    the business price range (~10^7 rows worst case), not by corpus
+    size. For a genuinely unbounded-domain signal swap each pass for a
+    two-level refine (coarse bucket histogram -> exact scan of the one
+    bucket holding the target rank); the median stays exact."""
 
     def _hist_median2(ds_vals, col: str) -> tuple[int, int]:
         """(2 x exact median, n) from a histogram-combine pass."""
