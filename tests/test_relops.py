@@ -425,3 +425,90 @@ def test_grouped_string_agg_rejects_nulls(ray_session):
     ds = ray.data.from_arrow(t)
     with pytest.raises(Exception, match="null"):
         grouped_string_agg(ds, group_col="g", value_col="v").to_pandas()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_groups=st.sampled_from([1, 3, 37]),
+    val_domain=st.sampled_from([1, 2, 9]),  # tiny domains force heavy ties
+    n=st.sampled_from([1, 7, 400]),
+)
+def test_percent_rank_property(ray_session, seed, n_groups, val_domain, n):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_percent_rank
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, n_groups, n).astype(np.int64),
+            "v": rng.integers(-val_domain, val_domain + 1, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(3)
+    out = (
+        grouped_percent_rank(ds, group_col="g", value_col="v", out_col="pr")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("g")["v"].rank(method="min").sub(1)
+        / df.groupby("g")["v"].transform("size").sub(1).clip(lower=1)
+    )
+    assert len(out) == n
+    assert (out["pr"].to_numpy() == want.to_numpy()).all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_groups=st.sampled_from([1, 5, 61]),
+    n=st.sampled_from([1, 13, 500]),
+)
+def test_string_agg_property(ray_session, seed, n_groups, n):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_string_agg
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "g": [f"g{i}" for i in rng.integers(0, n_groups, n)],
+            # duplicate values + zero-padded so lexicographic == numeric
+            "v": [f"x{i:02d}" for i in rng.integers(0, 20, n)],
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(4)
+    out = (
+        grouped_string_agg(ds, group_col="g", value_col="v", out_col="j")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values("v", kind="mergesort")
+        .groupby("g")["v"]
+        .agg(",".join)
+        .reset_index()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert (out["g"].values == want["g"].values).all()
+    assert (out["j"].values == want["v"].values).all()
