@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sit at the tail. Every entry keeps its oracle_sql() pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "orders_by_dow": q.orders_by_dow,
         "order_price_mad": q.order_price_mad,
         "top_unshipped_orders": q.top_unshipped_orders,
         "event_value_percent_rank": q.event_value_percent_rank,
@@ -232,6 +233,15 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_by_dow": """
+            SELECT dayofweek(o_orderdate) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY dow
+            ORDER BY dow
+        """,
         "order_price_mad": """
             WITH c AS (
                 SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents

@@ -3344,3 +3344,37 @@ def order_price_mad(sf_dir: str) -> pd.DataFrame:
             "n_orders": [n],
         }
     )
+
+
+def orders_by_dow(sf_dir: str) -> pd.DataFrame:
+    """Date-part extraction aggregate (§2.8 date-function family beyond
+    truncation): order count and exact cent volume per day-of-week.
+    ``pc.day_of_week(count_from_zero=True, week_start=7)`` reproduces
+    DuckDB's Sunday=0 ``dayofweek`` convention exactly; one
+    combiner-reduced groupby at the 7-row grain, zero driver state."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dow": pc.cast(
+                    pc.day_of_week(
+                        t["o_orderdate"], count_from_zero=True, week_start=7
+                    ),
+                    pa.int64(),
+                ),
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+
+    out = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("dow")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out.sort_values("dow").reset_index(drop=True)
