@@ -69,6 +69,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "local_supplier_volume": q.local_supplier_volume,
+        "top_returning_customers": q.top_returning_customers,
+        "promo_revenue_share": q.promo_revenue_share,
+        "top_supplier_revenue": q.top_supplier_revenue,
+        "large_volume_orders": q.large_volume_orders,
         "orders_by_dow": q.orders_by_dow,
         "order_price_mad": q.order_price_mad,
         "top_unshipped_orders": q.top_unshipped_orders,
@@ -238,6 +243,96 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_dmc,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "top_returning_customers": """
+            WITH r AS (
+                SELECT c_custkey, c_name, n_name,
+                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                      * 10000) AS BIGINT)) AS revenue_dmc
+                FROM customer
+                JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN nation ON c_nationkey = n_nationkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= DATE '1996-01-01'
+                  AND o_orderdate < DATE '1996-07-01'
+                GROUP BY 1, 2, 3
+            )
+            SELECT c_custkey, c_name, n_name,
+                   CAST(revenue_dmc AS BIGINT) AS revenue_dmc
+            FROM r
+            ORDER BY revenue_dmc DESC, c_custkey
+            LIMIT 20
+        """,
+        "promo_revenue_share": """
+            WITH t AS (
+                SELECT CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT) AS rev_dmc,
+                       (p_type = 'PROMO') AS is_promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1997-01-01'
+            )
+            SELECT CAST(SUM(CASE WHEN is_promo THEN rev_dmc ELSE 0 END)
+                        AS BIGINT) AS promo_rev_dmc,
+                   CAST(SUM(rev_dmc) AS BIGINT) AS total_rev_dmc,
+                   100.0 * CAST(SUM(CASE WHEN is_promo THEN rev_dmc
+                                         ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(rev_dmc) AS DOUBLE) AS promo_share_pct
+            FROM t
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                      * 10000) AS BIGINT))
+                           AS total_revenue_dmc
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(total_revenue_dmc AS BIGINT) AS total_revenue_dmc
+            FROM r JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_revenue_dmc = (SELECT MAX(total_revenue_dmc) FROM r)
+            ORDER BY s_suppkey
+        """,
+        "large_volume_orders": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                           AS sum_qty_c
+                FROM lineitem
+                GROUP BY 1
+                HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 30000
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+                   CAST(sum_qty_c AS BIGINT) AS sum_qty_c
+            FROM q
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_orderkey
+        """,
         "orders_by_dow": """
             SELECT dayofweek(o_orderdate) AS dow,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -111,6 +111,9 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "lineitems_above_part_avg",
         "median_price_per_nation",
         "custorder_count_distribution",
+        "local_supplier_volume",
+        "promo_revenue_share",
+        "large_volume_orders",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

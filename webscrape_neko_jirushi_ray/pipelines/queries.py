@@ -3378,3 +3378,449 @@ def orders_by_dow(sf_dir: str) -> pd.DataFrame:
     out["n_orders"] = out["n_orders"].astype("int64")
     out["total_cents"] = out["total_cents"].astype("int64")
     return out.sort_values("dow").reset_index(drop=True)
+
+
+def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """Five-table join pipeline (TPC-H Q5 shape): revenue per ASIA
+    nation from 1995-1996 orders where the customer and the line item's
+    supplier share the nation.
+
+    Scale plan — one streaming pass per fact table, dims broadcast:
+    - region->nation resolves driver-side (both are O(10^1) catalogs);
+    - the customer (custkey -> nationkey) map is pre-filtered to ASIA
+      and size-routed: broadcast lookup <= _BROADCAST_SIDE_ROUTE_ROWS,
+      distributed hash_join above (no driver set at scale);
+    - supplier (suppkey -> nationkey) is the classic broadcast dim;
+    - orders x lineitem is the single big-big hash_join on orderkey,
+      both sides pre-filtered AND pre-projected at the read;
+    - the c_nation == s_nation predicate is a vectorized batch filter
+      AFTER the join, and the 25-row-grain rollup is combiner-reduced.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    lo = _dt.datetime(1995, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    asia_keys = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    asia_nation = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=asia_keys.combine_chunks())
+    )
+    asia_nationkeys = pc.cast(asia_nation["n_nationkey"], pa.int64()).combine_chunks()
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    # customer dim, pre-filtered to ASIA nations: size-routed attach
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust = cust.filter(
+            pc.is_in(pc.cast(cust["c_nationkey"], pa.int64()), value_set=asia_nationkeys)
+        )
+        cust = pa.table(
+            {
+                "c_custkey": pc.cast(cust["c_custkey"], pa.int64()),
+                "cust_nat": pc.cast(cust["c_nationkey"], pa.int64()),
+            }
+        )
+        orders = broadcast_join(orders, cust, key="o_custkey", right_key="c_custkey")
+    else:
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                    "cust_nat": pc.cast(t["c_nationkey"], pa.int64()),
+                }
+            ).filter(
+                pc.is_in(
+                    pc.cast(t["c_nationkey"], pa.int64()), value_set=asia_nationkeys
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        orders = hash_join(orders, cust_ds, key="o_custkey", right_key="c_custkey")
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pc.cast(supp["s_suppkey"], pa.int64()),
+            "supp_nat": pc.cast(supp["s_nationkey"], pa.int64()),
+        }
+    )
+    supp = supp.filter(pc.is_in(supp["supp_nat"], value_set=asia_nationkeys))
+
+    def _prep_items(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "rev_dmc": _to_scaled_int(rev, 10_000),
+            }
+        )
+
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_prep_items, batch_format="pyarrow")
+    items = broadcast_join(items, supp, key="l_suppkey", right_key="s_suppkey")
+    joined = hash_join(
+        items, orders, key="l_orderkey", right_key="o_orderkey",
+    )
+    joined = joined.map_batches(
+        lambda t: t.filter(pc.equal(t["cust_nat"], t["supp_nat"])),
+        batch_format="pyarrow",
+    )
+    out = (
+        joined.groupby("supp_nat")
+        .aggregate(
+            Sum("rev_dmc", alias_name="revenue_dmc"),
+            Count(alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    names = {
+        int(k): v
+        for k, v in zip(
+            asia_nation["n_nationkey"].to_pylist(), asia_nation["n_name"].to_pylist()
+        )
+    }
+    out["n_name"] = out["supp_nat"].map(names)
+    out["revenue_dmc"] = out["revenue_dmc"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out[["n_name", "revenue_dmc", "n_items"]]
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def top_returning_customers(sf_dir: str) -> pd.DataFrame:
+    """Returned-revenue-per-customer, top 20 (TPC-H Q10 shape):
+    R-flagged line-item revenue of 1996H1 orders grouped by customer.
+
+    Scale plan: both fact tables are pre-filtered and pre-projected at
+    the read; orders x lineitem is a distributed hash_join; the
+    per-customer rollup is combiner-reduced; and the global top-20
+    never sorts the corpus — each batch prunes to its local 20 by
+    (revenue desc, custkey), the driver merges O(20 x blocks)
+    survivors and only then attaches the 20-row name/nation dressing
+    via an is_in-filtered dimension read."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1996, 7, 1)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def _prep_items(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_dmc": _to_scaled_int(rev, 10_000)}
+        )
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(_prep_items, batch_format="pyarrow")
+    joined = hash_join(items, orders, key="l_orderkey", right_key="o_orderkey")
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("rev_dmc", alias_name="revenue_dmc")
+    )
+
+    def _local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 20:
+            return t
+        r = np.asarray(t["revenue_dmc"].to_numpy(zero_copy_only=False))
+        k = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((k, -r))[:20]
+        return t.take(pa.array(order, pa.int64()))
+
+    top = per_cust.map_batches(_local_top, batch_format="pyarrow").to_pandas()
+    top["revenue_dmc"] = top["revenue_dmc"].astype("int64")
+    top = top.sort_values(
+        ["revenue_dmc", "o_custkey"], ascending=[False, True]
+    ).head(20)
+    keys = pa.array(sorted(top["o_custkey"].astype("int64")), pa.int64())
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    cust = cust.filter(
+        pc.is_in(pc.cast(cust["c_custkey"], pa.int64()), value_set=keys)
+    ).to_pandas()
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.rename(columns={"o_custkey": "c_custkey_out"})
+    out["c_custkey"] = out["c_custkey_out"].astype("int64")
+    out = out[["c_custkey", "c_name", "n_name", "revenue_dmc"]]
+    return out.sort_values(
+        ["revenue_dmc", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Conditional-aggregate ratio over a dimension attach (TPC-H Q14
+    shape): the share of 1996 line-item revenue earned by PROMO-type
+    parts. The part dimension collapses to a PROMO key set, size-routed:
+    <= _BROADCAST_SIDE_ROUTE_ROWS parts it broadcasts as one is_in
+    value set (zero shuffle); above, a left-semi-tagged hash_join
+    splits the stream. Both revenue sums are exact dmc integers; the
+    share is one double division of two int64s, bit-identical on both
+    sides."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+
+    def _prep_items(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "rev_dmc": _to_scaled_int(rev, 10_000),
+            }
+        )
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(_prep_items, batch_format="pyarrow")
+
+    try:
+        n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    except Exception:
+        n_parts = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_parts <= _BROADCAST_SIDE_ROUTE_ROWS:
+        part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        promo_keys = pc.cast(
+            part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"], pa.int64()
+        ).combine_chunks()
+        tagged = items.map_batches(
+            lambda t: t.append_column(
+                "promo_dmc",
+                pc.if_else(
+                    pc.is_in(t["l_partkey"], value_set=promo_keys),
+                    t["rev_dmc"],
+                    pa.scalar(0, pa.int64()),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        promo = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "p_partkey": pc.cast(
+                        t.filter(pc.equal(t["p_type"], "PROMO"))["p_partkey"],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        promo_items = hash_join(
+            items, promo, key="l_partkey", right_key="p_partkey", how="left_semi"
+        ).map_batches(
+            lambda t: t.append_column("promo_dmc", t["rev_dmc"]),
+            batch_format="pyarrow",
+        )
+        rest = hash_join(
+            items, promo, key="l_partkey", right_key="p_partkey", how="left_anti"
+        ).map_batches(
+            lambda t: t.append_column(
+                "promo_dmc", pa.array([0] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = promo_items.union(rest)
+
+    agg = tagged.aggregate(
+        Sum("promo_dmc", alias_name="promo_rev_dmc"),
+        Sum("rev_dmc", alias_name="total_rev_dmc"),
+    )
+    promo_rev = int(agg["promo_rev_dmc"])
+    total_rev = int(agg["total_rev_dmc"])
+    return pd.DataFrame(
+        {
+            "promo_rev_dmc": [promo_rev],
+            "total_rev_dmc": [total_rev],
+            "promo_share_pct": [100.0 * promo_rev / total_rev],
+        }
+    )
+
+
+def top_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """Argmax-by-aggregate (TPC-H Q15 shape): the supplier(s) with the
+    maximum 1996Q1 line-item revenue. One combiner-reduced groupby to
+    the per-supplier grain, a streaming Ray max() over it (never
+    driver-materialized), one vectorized equality filter, and an
+    is_in-filtered dimension read for the O(winners) name attach —
+    ties all surface, exactly like the oracle's = (SELECT MAX...)."""
+    from ray.data.aggregate import Sum
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1996, 4, 1)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "rev_dmc": _to_scaled_int(rev, 10_000),
+            }
+        )
+
+    per_supp = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(_prep, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_dmc", alias_name="total_revenue_dmc"))
+    )
+    best = per_supp.max("total_revenue_dmc")
+    winners = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["total_revenue_dmc"], pa.scalar(int(best)))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    winners["total_revenue_dmc"] = winners["total_revenue_dmc"].astype("int64")
+    keys = pa.array(sorted(winners["l_suppkey"].astype("int64")), pa.int64())
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    supp = supp.filter(
+        pc.is_in(pc.cast(supp["s_suppkey"], pa.int64()), value_set=keys)
+    ).to_pandas()
+    out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out = out[["s_suppkey", "s_name", "total_revenue_dmc"]]
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def large_volume_orders(sf_dir: str) -> pd.DataFrame:
+    """HAVING-gated aggregate join-back (TPC-H Q18 shape): orders whose
+    total line-item quantity exceeds 300 units, with their customer.
+    The per-order quantity rollup is combiner-reduced BEFORE the gate
+    (the corpus collapses to O(orders) then to O(qualifying) rows), the
+    orders attach is a distributed inner hash_join keyed on orderkey,
+    and the customer name attach is size-routed broadcast/hash exactly
+    like custorder_count_distribution. All quantities are exact
+    centi-units."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    qual = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "qty_c": _to_scaled_int(t["l_quantity"], 100),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty_c", alias_name="sum_qty_c"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["sum_qty_c"], pa.scalar(30_000))),
+            batch_format="pyarrow",
+        )
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "totalprice_c": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(qual, orders, key="l_orderkey", right_key="o_orderkey")
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        cust = cust.set_column(
+            0, "c_custkey", pc.cast(cust["c_custkey"], pa.int64())
+        )
+        named = broadcast_join(joined, cust, key="o_custkey", right_key="c_custkey")
+    else:
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("c_custkey"),
+                "c_custkey",
+                pc.cast(t["c_custkey"], pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        named = hash_join(joined, cust_ds, key="o_custkey", right_key="c_custkey")
+    out = named.to_pandas()
+    out["c_custkey"] = out["o_custkey"].astype("int64")
+    out["o_orderkey"] = out["l_orderkey"].astype("int64")
+    out["sum_qty_c"] = out["sum_qty_c"].astype("int64")
+    out["totalprice_c"] = out["totalprice_c"].astype("int64")
+    out = out[
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "totalprice_c", "sum_qty_c"]
+    ]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
