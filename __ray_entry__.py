@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "event_type_transitions": q.event_type_transitions,
+        "user_retention_matrix": q.user_retention_matrix,
+        "first_last_event_per_user": q.first_last_event_per_user,
         "local_supplier_volume": q.local_supplier_volume,
         "top_returning_customers": q.top_returning_customers,
         "promo_revenue_share": q.promo_revenue_share,
@@ -243,6 +246,48 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_type_transitions": """
+            WITH w AS (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM w
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "user_retention_matrix": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(epoch_us(ts) // 86400000000) AS cohort_day
+                FROM events
+                GROUP BY 1
+            ), d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS activity_day
+                FROM events
+            )
+            SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+                   CAST(activity_day AS BIGINT) AS activity_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "first_last_event_per_user": """
+            SELECT user_id,
+                   FIRST(event_type ORDER BY ts, event_id) AS first_type,
+                   LAST(event_type ORDER BY ts, event_id) AS last_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
         "local_supplier_volume": """
             SELECT n_name,
                    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)

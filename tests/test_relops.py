@@ -512,3 +512,53 @@ def test_string_agg_property(ray_session, seed, n_groups, n):
     )
     assert (out["g"].values == want["g"].values).all()
     assert (out["j"].values == want["v"].values).all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_groups=st.sampled_from([1, 7, 53]),
+    n=st.sampled_from([1, 17, 400]),
+)
+def test_first_last_property(ray_session, seed, n_groups, n):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_first_last
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),  # unique tiebreaker
+            "g": rng.integers(0, n_groups, n).astype(np.int64),
+            "o": rng.integers(0, 5, n).astype(np.int64),  # ties on purpose
+            "v": [f"v{i}" for i in rng.integers(0, 9, n)],
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(4)
+    out = (
+        grouped_first_last(
+            ds,
+            group_col="g",
+            order_cols=["o", "rid"],
+            value_col="v",
+            first_col="f",
+            last_col="l",
+            count_col="n",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["g", "o", "rid"], kind="mergesort")
+    want = s.groupby("g").agg(
+        f=("v", "first"), l=("v", "last"), n=("v", "size")
+    ).reset_index()
+    assert (out["g"].values == want["g"].values).all()
+    assert (out["f"].values == want["f"].values).all()
+    assert (out["l"].values == want["l"].values).all()
+    assert (out["n"].values == want["n"].values).all()

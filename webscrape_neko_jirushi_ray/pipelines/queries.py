@@ -3824,3 +3824,119 @@ def large_volume_orders(sf_dir: str) -> pd.DataFrame:
         ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "totalprice_c", "sum_qty_c"]
     ]
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def event_type_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition counts (LAG window + rollup): for
+    each user's event stream ordered by (ts, event_id), count every
+    (previous type -> next type) pair across the corpus.
+
+    Scale plan: :func:`..stages.relops.grouped_lag` co-locates each
+    user inside a hash bucket of users (ONE shuffle, Python calls
+    bounded by bucket count), computes LAG(event_type) with one lexsort
+    + segment-masked take per bucket, and the O(types^2)-grain rollup
+    is a combiner-reduced groupby — no driver state beyond the final
+    transition matrix."""
+    from ray.data.aggregate import Count
+
+    from ..stages.relops import grouped_lag
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    lagged = grouped_lag(
+        ds,
+        group_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="event_type",
+        out_col="prev_type",
+    )
+    out = (
+        lagged.map_batches(
+            lambda t: pa.table(
+                {
+                    "prev_type": t["prev_type"],
+                    "next_type": t["event_type"],
+                }
+            ).filter(pc.is_valid(t["prev_type"])),
+            batch_format="pyarrow",
+        )
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def user_retention_matrix(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention (the first-touch attribution shape): users
+    bucketed by their first-event day, counted on every day they were
+    active. Classic two-phase plan:
+
+    - phase 1 collapses the corpus to one (user, cohort_day) row via a
+      combiner-reduced MIN groupby (epoch-int day buckets);
+    - phase 2 collapses it to distinct (user, activity_day) pairs the
+      same way;
+    - the cohort attach is a distributed hash_join on user_id (both
+      sides are already O(users)-grain — no broadcast needed, no
+      driver set), and the final (cohort_day, activity_day) rollup is
+      a combiner-reduced count.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.joins import hash_join
+
+    us_per_day = 86_400_000_000
+
+    def _days(t: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.cast(pc.divide(epoch_us, us_per_day), pa.int64()),
+            }
+        )
+
+    days = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        _days, batch_format="pyarrow"
+    )
+    cohort = days.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
+    active = days.groupby(["user_id", "day"]).aggregate(Count(alias_name="_n"))
+    joined = hash_join(
+        active.select_columns(["user_id", "day"]),
+        cohort,
+        key="user_id",
+        right_key="user_id",
+    )
+    out = (
+        joined.groupby(["cohort_day", "day"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out = out.rename(columns={"day": "activity_day"})
+    out["cohort_day"] = out["cohort_day"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    out = out[["cohort_day", "activity_day", "n_users"]]
+    return out.sort_values(["cohort_day", "activity_day"]).reset_index(drop=True)
+
+
+def first_last_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Boundary-row window aggregate (FIRST/LAST OVER a total order):
+    each user's first and last event type by (ts, event_id), plus their
+    event count — :func:`..stages.relops.grouped_first_last`, one
+    hash-bucket shuffle and one lexsort + two segment-boundary takes
+    per bucket; output is O(users)."""
+    from ..stages.relops import grouped_first_last
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out = grouped_first_last(
+        ds,
+        group_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="event_type",
+        first_col="first_type",
+        last_col="last_type",
+        count_col="n_events",
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -1079,3 +1079,63 @@ def grouped_string_agg(
         .groupby(_WB)
         .map_groups(_agg, batch_format="pyarrow")
     )
+
+
+def grouped_first_last(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    first_col: str = "first_value",
+    last_col: str = "last_value",
+    count_col: str | None = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``FIRST(value ORDER BY order_cols)`` / ``LAST(value ORDER BY
+    order_cols)`` per group — the boundary-row window family (a user's
+    first/last action, a host's first/last fetch). Output: one row per
+    group. ``order_cols`` must be a total order within each group
+    (include a unique tiebreaker column) or first/last are ambiguous.
+
+    Scale design: identical to :func:`grouped_lag` — ONE hash-bucket
+    shuffle co-locates each key, per bucket ONE lexsort by (key, order)
+    and two segment-boundary takes (seg start / seg end - 1) emit every
+    group's pair at once; Python-call count is bounded by
+    ``num_partitions``, never key cardinality, and the output is
+    O(groups)."""
+
+    def _agg(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        gc = g[group_col]
+        if isinstance(gc, pa.ChunkedArray):
+            gc = gc.combine_chunks()
+        vc = g[value_col]
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        if g.num_rows == 0:
+            cols = {group_col: gc, first_col: vc, last_col: vc}
+            if count_col:
+                cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        codes = _group_codes(g, group_col)
+        order = np.lexsort(
+            tuple(reversed([codes, *order_key_arrays(g, order_cols)]))
+        )
+        starts, ends, _, _ = _segment_bounds(codes[order])
+        first_idx = pa.array(order[starts], pa.int64())
+        last_idx = pa.array(order[ends - 1], pa.int64())
+        cols = {
+            group_col: gc.take(first_idx),
+            first_col: vc.take(first_idx),
+            last_col: vc.take(last_idx),
+        }
+        if count_col:
+            cols[count_col] = pa.array((ends - starts).astype(np.int64))
+        return pa.table(cols)
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_agg, batch_format="pyarrow")
+    )
