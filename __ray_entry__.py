@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "nation_trade_matrix": q.nation_trade_matrix,
+        "brand_discount_revenue": q.brand_discount_revenue,
+        "label_centroids": q.label_centroids,
         "event_type_transitions": q.event_type_transitions,
         "user_retention_matrix": q.user_retention_matrix,
         "first_last_event_per_user": q.first_last_event_per_user,
@@ -246,6 +249,54 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nation_trade_matrix": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_dmc,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_nationkey <> n2.n_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "brand_discount_revenue": """
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_dmc,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "label_centroids": """
+            WITH e AS (
+                SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS dim
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS sum_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS DOUBLE) / COUNT(*)
+                       AS mean_scaled
+            FROM e
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "event_type_transitions": """
             WITH w AS (
                 SELECT event_type,

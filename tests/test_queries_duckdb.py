@@ -114,6 +114,8 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "local_supplier_volume",
         "promo_revenue_share",
         "large_volume_orders",
+        "nation_trade_matrix",
+        "brand_discount_revenue",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

@@ -3940,3 +3940,256 @@ def first_last_event_per_user(sf_dir: str) -> pd.DataFrame:
     out["user_id"] = out["user_id"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def nation_trade_matrix(sf_dir: str) -> pd.DataFrame:
+    """International trade volume (TPC-H Q7 generalized): revenue per
+    (supplier nation, customer nation, ship year) for every CROSS-nation
+    pair. Same scale plan as local_supplier_volume — supplier and
+    customer nation attaches are broadcast / size-routed dims, orders x
+    lineitem is the one big-big hash_join, the year is a vectorized
+    Arrow extraction, and the rollup grain is O(nations^2 x years)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = {
+        int(k): v
+        for k, v in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
+        )
+    }
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust = pa.table(
+            {
+                "c_custkey": pc.cast(cust["c_custkey"], pa.int64()),
+                "cust_nat": pc.cast(cust["c_nationkey"], pa.int64()),
+            }
+        )
+        orders = broadcast_join(orders, cust, key="o_custkey", right_key="c_custkey")
+    else:
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                    "cust_nat": pc.cast(t["c_nationkey"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        orders = hash_join(orders, cust_ds, key="o_custkey", right_key="c_custkey")
+    orders = orders.select_columns(["o_orderkey", "cust_nat"])
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pc.cast(supp["s_suppkey"], pa.int64()),
+            "supp_nat": pc.cast(supp["s_nationkey"], pa.int64()),
+        }
+    )
+
+    def _prep_items(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "rev_dmc": _to_scaled_int(rev, 10_000),
+            }
+        )
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(_prep_items, batch_format="pyarrow")
+    items = broadcast_join(items, supp, key="l_suppkey", right_key="s_suppkey")
+    joined = hash_join(items, orders, key="l_orderkey", right_key="o_orderkey")
+    joined = joined.map_batches(
+        lambda t: t.filter(pc.not_equal(t["supp_nat"], t["cust_nat"])),
+        batch_format="pyarrow",
+    )
+    out = (
+        joined.groupby(["supp_nat", "cust_nat", "l_year"])
+        .aggregate(
+            Sum("rev_dmc", alias_name="revenue_dmc"),
+            Count(alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    out["supp_nation"] = out["supp_nat"].map(names)
+    out["cust_nation"] = out["cust_nat"].map(names)
+    out["revenue_dmc"] = out["revenue_dmc"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out[["supp_nation", "cust_nation", "l_year", "revenue_dmc", "n_items"]]
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+
+
+def brand_discount_revenue(sf_dir: str) -> pd.DataFrame:
+    """Disjunctive multi-predicate revenue (TPC-H Q19 shape): revenue
+    from line items matching any of three (brand, size range, quantity
+    range) clauses. The part dimension is pre-filtered to the three
+    brands and size-routed — broadcast (partkey -> brand, size) lookup
+    below the threshold, distributed inner hash_join above; the clause
+    mask is one vectorized Arrow expression either way."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import hash_join
+
+    CLAUSES = [
+        ("Brand#12", 1, 15, 1.0, 11.0),
+        ("Brand#23", 1, 25, 10.0, 20.0),
+        ("Brand#3", 1, 35, 20.0, 30.0),
+    ]
+    brands = pa.array([c[0] for c in CLAUSES], pa.string())
+
+    def _mask(t: pa.Table) -> pa.Array:
+        m = None
+        for brand, size_lo, size_hi, qty_lo, qty_hi in CLAUSES:
+            clause = pc.and_(
+                pc.and_(
+                    pc.equal(t["p_brand"], brand),
+                    pc.and_(
+                        pc.greater_equal(t["p_size"], pa.scalar(size_lo)),
+                        pc.less_equal(t["p_size"], pa.scalar(size_hi)),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(t["l_quantity"], pa.scalar(qty_lo)),
+                    pc.less_equal(t["l_quantity"], pa.scalar(qty_hi)),
+                ),
+            )
+            m = clause if m is None else pc.or_(m, clause)
+        return m
+
+    def _prep_items(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "l_quantity": t["l_quantity"],
+                "rev_dmc": _to_scaled_int(rev, 10_000),
+            }
+        )
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(_prep_items, batch_format="pyarrow")
+
+    try:
+        n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    except Exception:
+        n_parts = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_parts <= _BROADCAST_SIDE_ROUTE_ROWS:
+        from ..stages.joins import broadcast_join
+
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        )
+        part = part.filter(pc.is_in(part["p_brand"], value_set=brands))
+        part = part.set_column(
+            0, "p_partkey", pc.cast(part["p_partkey"], pa.int64())
+        )
+        joined = broadcast_join(items, part, key="l_partkey", right_key="p_partkey")
+    else:
+        def _brand_dim(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["p_brand"], value_set=brands))
+            return pa.table(
+                {
+                    "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                    "p_brand": t["p_brand"],
+                    "p_size": t["p_size"],
+                }
+            )
+
+        part_ds = _read(
+            sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+        ).map_batches(_brand_dim, batch_format="pyarrow")
+        joined = hash_join(items, part_ds, key="l_partkey", right_key="p_partkey")
+    kept = joined.map_batches(
+        lambda t: t.filter(_mask(t)), batch_format="pyarrow"
+    )
+    agg = kept.aggregate(
+        Sum("rev_dmc", alias_name="revenue_dmc"), Count(alias_name="n_items")
+    )
+    return pd.DataFrame(
+        {
+            "revenue_dmc": [int(agg["revenue_dmc"] or 0)],
+            "n_items": [int(agg["n_items"] or 0)],
+        }
+    )
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroids (the k-means M-step as a
+    standalone operator): exact mean of every embedding dimension per
+    label. Per batch, the list column flattens zero-copy to one value
+    array, per-row scaled-int conversion (x10^6 — float32 values are
+    exact in float64) and ONE np.add.at into a dense (labels-in-batch x
+    dims) partial matrix; each batch emits O(labels x dims) partial
+    rows and a small groupby merges them. The corpus never shuffles;
+    driver sees only the final (labels x dims)-grain table."""
+    from ray.data.aggregate import Sum
+
+    def _partials(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        labels = np.asarray(t["label"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        offsets = emb.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        vals = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+        scaled = np.rint(vals * 1_000_000.0).astype(np.int64)
+        dims = np.arange(len(vals), dtype=np.int64) - np.repeat(
+            offsets[:-1], lens
+        )
+        ulab, codes = np.unique(labels, return_inverse=True)
+        ndim = int(lens.max()) if len(lens) else 0
+        sums = np.zeros((len(ulab), ndim), dtype=np.int64)
+        cnts = np.zeros((len(ulab), ndim), dtype=np.int64)
+        flat_codes = np.repeat(codes, lens) * ndim + dims
+        np.add.at(sums.reshape(-1), flat_codes, scaled)
+        np.add.at(cnts.reshape(-1), flat_codes, 1)
+        lab_out = np.repeat(ulab, ndim)
+        dim_out = np.tile(np.arange(ndim, dtype=np.int64), len(ulab))
+        return pa.table(
+            {
+                "label": pa.array(lab_out, pa.int64()),
+                "dim": pa.array(dim_out, pa.int64()),
+                "sum_scaled": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(cnts.reshape(-1), pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_scaled", alias_name="sum_scaled"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_scaled"] = out["sum_scaled"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["mean_scaled"] = out["sum_scaled"] / out["n"]
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
