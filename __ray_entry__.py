@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "winsorized_mean_price": q.winsorized_mean_price,
+        "source_quality_report": q.source_quality_report,
+        "events_daily_top_user": q.events_daily_top_user,
         "nation_trade_matrix": q.nation_trade_matrix,
         "brand_discount_revenue": q.brand_discount_revenue,
         "label_centroids": q.label_centroids,
@@ -249,6 +252,68 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "winsorized_mean_price": """
+            WITH c AS (
+                SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), ordered AS (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) - 1 AS rn
+                FROM c
+            ), n AS (SELECT COUNT(*) AS cnt FROM c),
+            lo AS (
+                SELECT cents AS p05 FROM ordered, n
+                WHERE rn = ((cnt - 1) * 5) // 100
+            ),
+            hi AS (
+                SELECT cents AS p95 FROM ordered, n
+                WHERE rn = ((cnt - 1) * 95) // 100
+            )
+            SELECT CAST(p05 AS BIGINT) AS p05_cents,
+                   CAST(p95 AS BIGINT) AS p95_cents,
+                   CAST(SUM(CASE WHEN cents < p05 THEN p05
+                                 WHEN cents > p95 THEN p95
+                                 ELSE cents END) AS BIGINT)
+                       AS winsorized_sum_cents,
+                   CAST(cnt AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN cents < p05 THEN p05
+                                 WHEN cents > p95 THEN p95
+                                 ELSE cents END) AS DOUBLE) / cnt
+                       AS winsorized_mean_cents
+            FROM c, lo, hi, n
+            GROUP BY p05, p95, cnt
+        """,
+        "source_quality_report": """
+            WITH t AS (
+                SELECT source,
+                       CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), n AS (SELECT COUNT(*) AS c FROM t)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+                   CAST(COUNT(*) AS DOUBLE) / MAX(n.c) AS doc_share
+            FROM t, n
+            GROUP BY source
+            ORDER BY source
+        """,
+        "events_daily_top_user": """
+            WITH r AS (
+                SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+                       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_u
+                FROM events
+                GROUP BY 1, 2
+            )
+            SELECT CAST(day AS BIGINT) AS day, user_id,
+                   CAST(total_u AS BIGINT) AS total_u
+            FROM r
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY day ORDER BY total_u DESC, user_id
+            ) = 1
+            ORDER BY day
+        """,
         "nation_trade_matrix": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,

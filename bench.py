@@ -34,6 +34,26 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _user_sessions_compute() -> int:
+    """user_sessions without the driver-side result materialization:
+    the sessionize shuffle + kernel, consumed by count()."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from webscrape_neko_jirushi_ray.pipelines import queries as q
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_sessionize
+
+    ds = q._read(SF_DIR, "events", ["user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "us": pc.cast(t["ts"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_sessionize(
+        ds, group_col="user_id", ts_col="us", gap=3_600_000_000
+    ).count()
+
+
 def run_bench() -> dict:
     import ray
     import ray.data
@@ -253,6 +273,10 @@ def run_bench() -> dict:
         ("median_price_per_nation",
          lambda: q.median_price_per_nation(SF_DIR)),
         ("user_sessions", lambda: q.user_sessions(SF_DIR)),
+        # compute-only twin: the ROUND4_NOTES variance item — separates
+        # the sessionize shuffle/kernel cost from the O(sessions)
+        # driver materialization the query contract requires
+        ("user_sessions_compute", lambda: _user_sessions_compute()),
         ("validate_orders_rules", lambda: q.validate_orders_rules(SF_DIR)),
         ("connected_components_customers",
          lambda: q.connected_components_customers(SF_DIR)),
@@ -270,6 +294,24 @@ def run_bench() -> dict:
         ("unpivot_part_metrics", lambda: q.unpivot_part_metrics(SF_DIR)),
         ("top_unshipped_orders", lambda: q.top_unshipped_orders(SF_DIR)),
         ("order_price_mad", lambda: q.order_price_mad(SF_DIR)),
+        ("local_supplier_volume", lambda: q.local_supplier_volume(SF_DIR)),
+        ("top_returning_customers",
+         lambda: q.top_returning_customers(SF_DIR)),
+        ("promo_revenue_share", lambda: q.promo_revenue_share(SF_DIR)),
+        ("top_supplier_revenue", lambda: q.top_supplier_revenue(SF_DIR)),
+        ("large_volume_orders", lambda: q.large_volume_orders(SF_DIR)),
+        ("event_type_transitions",
+         lambda: q.event_type_transitions(SF_DIR)),
+        ("user_retention_matrix", lambda: q.user_retention_matrix(SF_DIR)),
+        ("first_last_event_per_user",
+         lambda: q.first_last_event_per_user(SF_DIR)),
+        ("nation_trade_matrix", lambda: q.nation_trade_matrix(SF_DIR)),
+        ("brand_discount_revenue",
+         lambda: q.brand_discount_revenue(SF_DIR)),
+        ("label_centroids", lambda: q.label_centroids(SF_DIR)),
+        ("winsorized_mean_price", lambda: q.winsorized_mean_price(SF_DIR)),
+        ("source_quality_report", lambda: q.source_quality_report(SF_DIR)),
+        ("events_daily_top_user", lambda: q.events_daily_top_user(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

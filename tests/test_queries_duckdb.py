@@ -116,6 +116,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "large_volume_orders",
         "nation_trade_matrix",
         "brand_discount_revenue",
+        "user_retention_matrix",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

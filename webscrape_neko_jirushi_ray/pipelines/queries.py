@@ -3751,33 +3751,40 @@ def top_supplier_revenue(sf_dir: str) -> pd.DataFrame:
 def large_volume_orders(sf_dir: str) -> pd.DataFrame:
     """HAVING-gated aggregate join-back (TPC-H Q18 shape): orders whose
     total line-item quantity exceeds 300 units, with their customer.
-    The per-order quantity rollup is combiner-reduced BEFORE the gate
-    (the corpus collapses to O(orders) then to O(qualifying) rows), the
-    orders attach is a distributed inner hash_join keyed on orderkey,
-    and the customer name attach is size-routed broadcast/hash exactly
-    like custorder_count_distribution. All quantities are exact
-    centi-units."""
+    The per-order quantity rollup is combined per batch (Arrow group_by
+    BEFORE the Ray shuffle) then combiner-reduced and gated; the gate
+    output is O(qualifying orders) and size-routed — while it is <=
+    _BROADCAST_SIDE_ROUTE_ROWS the orders attach is a zero-shuffle
+    broadcast_join of the qualifying table, above it a distributed
+    inner hash_join on orderkey; the customer name attach is
+    size-routed the same way. All quantities are exact centi-units."""
     from ray.data.aggregate import Sum
 
     from ..stages.joins import broadcast_join, hash_join
 
+    def _precombine(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty_c": _to_scaled_int(t["l_quantity"], 100),
+            }
+        )
+        gb = t.group_by("l_orderkey").aggregate([("qty_c", "sum")])
+        # Arrow group_by emits keys LAST — rename by name, not position
+        return gb.rename_columns(
+            ["qty_c" if n == "qty_c_sum" else n for n in gb.column_names]
+        )
+
     qual = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "l_orderkey": t["l_orderkey"],
-                    "qty_c": _to_scaled_int(t["l_quantity"], 100),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(_precombine, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("qty_c", alias_name="sum_qty_c"))
         .map_batches(
             lambda t: t.filter(pc.greater(t["sum_qty_c"], pa.scalar(30_000))),
             batch_format="pyarrow",
         )
+        .materialize()
     )
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
@@ -3792,7 +3799,37 @@ def large_volume_orders(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    joined = hash_join(qual, orders, key="l_orderkey", right_key="o_orderkey")
+    n_qual = qual.count()
+    if n_qual <= _BROADCAST_SIDE_ROUTE_ROWS:
+        if n_qual:
+            qdf = qual.to_pandas()
+            qual_t = pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        qdf["l_orderkey"].astype("int64"), pa.int64()
+                    ),
+                    "sum_qty_c": pa.array(
+                        qdf["sum_qty_c"].astype("int64"), pa.int64()
+                    ),
+                }
+            )
+        else:  # 0-row Ray->pandas drops columns; build the typed empty
+            qual_t = pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "sum_qty_c": pa.array([], pa.int64()),
+                }
+            )
+        joined = broadcast_join(
+            orders, qual_t, key="o_orderkey", right_key="l_orderkey"
+        ).map_batches(
+            lambda t: t.append_column(
+                "l_orderkey", pc.cast(t["o_orderkey"], pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = hash_join(qual, orders, key="l_orderkey", right_key="o_orderkey")
     try:
         n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
     except Exception:
@@ -3876,14 +3913,15 @@ def user_retention_matrix(sf_dir: str) -> pd.DataFrame:
       combiner-reduced MIN groupby (epoch-int day buckets);
     - phase 2 collapses it to distinct (user, activity_day) pairs the
       same way;
-    - the cohort attach is a distributed hash_join on user_id (both
-      sides are already O(users)-grain — no broadcast needed, no
-      driver set), and the final (cohort_day, activity_day) rollup is
-      a combiner-reduced count.
+    - the cohort attach is size-routed on the measured cohort-table
+      row count: <= _BROADCAST_SIDE_ROUTE_ROWS users it broadcasts the
+      (user, cohort_day) table (zero extra shuffle), above that a
+      distributed hash_join on user_id — and the final (cohort_day,
+      activity_day) rollup is a combiner-reduced count.
     """
     from ray.data.aggregate import Count, Min
 
-    from ..stages.joins import hash_join
+    from ..stages.joins import broadcast_join, hash_join
 
     us_per_day = 86_400_000_000
 
@@ -3899,14 +3937,30 @@ def user_retention_matrix(sf_dir: str) -> pd.DataFrame:
     days = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
         _days, batch_format="pyarrow"
     )
-    cohort = days.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
+    cohort = days.groupby("user_id").aggregate(
+        Min("day", alias_name="cohort_day")
+    ).materialize()
     active = days.groupby(["user_id", "day"]).aggregate(Count(alias_name="_n"))
-    joined = hash_join(
-        active.select_columns(["user_id", "day"]),
-        cohort,
-        key="user_id",
-        right_key="user_id",
-    )
+    if cohort.count() <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cdf = cohort.to_pandas()
+        cohort_t = pa.table(
+            {
+                "user_id": pa.array(cdf["user_id"].astype("int64"), pa.int64()),
+                "cohort_day": pa.array(
+                    cdf["cohort_day"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+        joined = broadcast_join(
+            active.select_columns(["user_id", "day"]), cohort_t, key="user_id"
+        )
+    else:
+        joined = hash_join(
+            active.select_columns(["user_id", "day"]),
+            cohort,
+            key="user_id",
+            right_key="user_id",
+        )
     out = (
         joined.groupby(["cohort_day", "day"])
         .aggregate(Count(alias_name="n_users"))
@@ -4193,3 +4247,139 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     out["mean_scaled"] = out["sum_scaled"] / out["n"]
     return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def winsorized_mean_price(sf_dir: str) -> pd.DataFrame:
+    """Robust mean (5/95 winsorize) from ONE histogram-combine pass:
+    per batch the price cents collapse to (value, count) partials, a
+    single small groupby merges them, and the driver derives the exact
+    nearest-rank p05/p95 AND the winsorized sum from the same merged
+    histogram — clipping is a vectorized clip over O(distinct cents)
+    rows, so no second corpus pass (unlike order_price_mad, whose
+    second pass re-keys by a value computed from the first).
+
+    Driver-state bound: O(distinct cent values) — the order_price_mad
+    argument. The emitted mean is one double division of exact int64s.
+    Nearest-rank convention floor((n-1)*q/100), matching
+    doc_length_quantiles' oracle arithmetic."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        arr = _to_scaled_int(t["o_totalprice"], 100).to_numpy(
+            zero_copy_only=False
+        )
+        vals, cnts = np.unique(arr, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(vals, pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("cents")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("cents")
+    )
+    values = hist["cents"].to_numpy(dtype=np.int64)
+    counts = hist["sum(cnt)"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "p05_cents": pd.Series([], dtype="int64"),
+                "p95_cents": pd.Series([], dtype="int64"),
+                "winsorized_sum_cents": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "winsorized_mean_cents": pd.Series([], dtype="float64"),
+            }
+        )
+    p05 = int(values[int(np.searchsorted(cum, (n - 1) * 5 // 100 + 1))])
+    p95 = int(values[int(np.searchsorted(cum, (n - 1) * 95 // 100 + 1))])
+    clipped = np.clip(values, p05, p95)
+    wsum = int(np.dot(clipped, counts))
+    return pd.DataFrame(
+        {
+            "p05_cents": [p05],
+            "p95_cents": [p95],
+            "winsorized_sum_cents": [wsum],
+            "n_orders": [n],
+            "winsorized_mean_cents": [wsum / n],
+        }
+    )
+
+
+def source_quality_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus profile (the data-curation dashboard shape):
+    document count, exact total token count, mean tokens, and each
+    source's share of the corpus. One streaming tokenize pass
+    (textstats.add_token_counts — the doc_token_counts kernel), one
+    combiner-reduced groupby at the O(sources) grain; the share
+    denominator comes from the result itself, no second pass."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = (
+        add_token_counts(ds)
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="total_tokens"),
+        )
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    out["mean_tokens"] = out["total_tokens"] / out["n_docs"]
+    out["doc_share"] = out["n_docs"] / int(out["n_docs"].sum())
+    out = out[["source", "n_docs", "total_tokens", "mean_tokens", "doc_share"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def events_daily_top_user(sf_dir: str) -> pd.DataFrame:
+    """Per-day argmax user by exact total event value (the leaderboard
+    shape): rollup to the (day, user) grain first (combiner-reduced —
+    the corpus never reaches the window kernel), then
+    :func:`..stages.relops.grouped_topk` with k=1 ordered by
+    (-total, user) — deterministic min-user tie-break, batch-local
+    prune before the one bucket shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import grouped_topk
+
+    us_per_day = 86_400_000_000
+
+    def _prep(t: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "day": pc.cast(pc.divide(epoch_us, us_per_day), pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "value_u": _to_scaled_int(t["value"], 1_000_000),
+            }
+        )
+
+    per_user_day = (
+        _read(sf_dir, "events", ["ts", "user_id", "value"])
+        .map_batches(_prep, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Sum("value_u", alias_name="total_u"))
+        .map_batches(
+            lambda t: t.append_column(
+                "neg_total_u", pc.multiply(t["total_u"], pa.scalar(-1))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = grouped_topk(
+        per_user_day,
+        group_col="day",
+        order_cols=["neg_total_u", "user_id"],
+        k=1,
+    ).to_pandas()
+    out["total_u"] = out["total_u"].astype("int64")
+    out = out[["day", "user_id", "total_u"]]
+    return out.sort_values("day").reset_index(drop=True)
