@@ -333,3 +333,80 @@ def test_hash_join_after_semi_join_projection(ray_session):
         assert got.equals(
             want.sort_values(["k", "payload", "val"]).reset_index(drop=True)
         )
+
+
+def test_bloom_prefilter_join_bit_identical(ray_session):
+    """prefilter(join) == join for inner and left_semi, int and string
+    keys, null left keys included — false positives die at the stitch."""
+    rng = np.random.default_rng(23)
+    n = 500
+    kints = rng.integers(0, 1000, n).astype(np.int64)
+    left = pd.DataFrame(
+        {
+            "k": kints,
+            "ks": [f"key{v}" for v in kints],
+            "lval": np.arange(n, dtype=np.int64),
+        }
+    )
+    left["k"] = left["k"].astype("Int64")  # Arrow int64-with-nulls, not float
+    left.loc[::97, "k"] = None  # null keys must survive the prefilter pass
+    rk = rng.integers(0, 50, 40).astype(np.int64)
+    right = pd.DataFrame(
+        {
+            "rk": rk,
+            "rks": [f"key{v}" for v in rk],
+            "rval": np.arange(40, dtype=np.int64) * 3,
+        }
+    )
+    for how in ("inner", "left_semi"):
+        for lk, rkey in (("k", "rk"), ("ks", "rks")):
+            plain = (
+                hash_join(
+                    _mk(left), _mk(right[[rkey, "rval"]]), key=lk,
+                    right_key=rkey, how=how, num_partitions=8,
+                )
+                .to_pandas()
+                .sort_values(["lval"] + (["rval"] if how == "inner" else []))
+                .reset_index(drop=True)
+            )
+            bloomed = (
+                hash_join(
+                    _mk(left), _mk(right[[rkey, "rval"]]), key=lk,
+                    right_key=rkey, how=how, num_partitions=8,
+                    bloom_filter_left=True, bloom_bits_log2=16,
+                )
+                .to_pandas()
+                .sort_values(["lval"] + (["rval"] if how == "inner" else []))
+                .reset_index(drop=True)
+            )
+            assert list(plain.columns) == list(bloomed.columns), (how, lk)
+            assert plain.astype(str).equals(bloomed.astype(str)), (how, lk)
+
+
+def test_bloom_prefilter_rejects_unsound_hows(ray_session):
+    import pytest as _pytest
+
+    left = _mk(pd.DataFrame({"k": np.arange(5, dtype=np.int64)}))
+    right = _mk(pd.DataFrame({"k": np.arange(2, dtype=np.int64)}))
+    for how in ("left_anti", "left_outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            hash_join(left, right, key="k", how=how, bloom_filter_left=True)
+
+
+def test_bloom_prefilter_prunes_most_nonmatches(ray_session):
+    """Selective right side: the prefiltered left must shrink to near
+    the true match count (generous FP slack — 2^16 bits, 200 keys)."""
+    from webscrape_neko_jirushi_ray.stages.joins import (
+        bloom_prefilter, build_bloom,
+    )
+
+    left = _mk(
+        pd.DataFrame({"k": np.arange(20_000, dtype=np.int64) % 10_000})
+    ).repartition(8)
+    right = _mk(pd.DataFrame({"k": np.arange(200, dtype=np.int64)}))
+    bm = build_bloom(right, "k", bits_log2=16)
+    pruned = bloom_prefilter(
+        left, ray.put(bm), "k", bits_log2=16
+    ).count()
+    assert pruned >= 400  # every true match survives (200 keys x 2 dups)
+    assert pruned < 2_000  # and the 19.6k non-matches are mostly gone

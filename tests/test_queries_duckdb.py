@@ -146,3 +146,22 @@ def test_components_distributed_route(ray_session, con, monkeypatch):
     assert len(got) == len(want)
     for c in got.columns:
         assert got[c].astype(str).equals(want[c].astype(str)), c
+
+
+@pytest.mark.parametrize(
+    "name", ["local_supplier_volume", "top_unshipped_orders"]
+)
+def test_bloom_routed_queries_bloom_path(ray_session, con, name, monkeypatch):
+    """Force the big-corpus route (threshold 0 -> bloom-prefiltered
+    big-big join) and re-check the oracle: pruning must be invisible in
+    the result (false positives die at the stitch, true matches all
+    survive)."""
+    from webscrape_neko_jirushi_ray.pipelines import queries as qmod
+
+    monkeypatch.setattr(qmod, "_BLOOM_PREFILTER_ROUTE_ROWS", 0)
+    got = _canon(_to_df(entrymod.queries()[name](SF_DIR)))
+    want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert got[c].astype(str).equals(want[c].astype(str)), (name, c)

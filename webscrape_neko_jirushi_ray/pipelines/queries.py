@@ -171,6 +171,20 @@ _BROADCAST_SIDE_ROUTE_ROWS = 2_000_000
 # driver (distributed label-prop rounds are pure fixed-latency overhead
 # on small graphs)
 _COMPONENTS_DRIVER_ROUTE_EDGES = 1_000_000
+# fact-table row count ABOVE which selective big-big joins engage the
+# bloom prefilter (stages/joins.build_bloom): the build barrier +
+# broadcast cost ~2x a small join (measured +6 s at sf0.1) but the
+# pruned shuffle payload wins once the big side is shuffle-bound
+_BLOOM_PREFILTER_ROUTE_ROWS = 10_000_000
+
+
+def _fact_rows(sf_dir: str, table: str) -> int:
+    """Parquet-metadata row count; multi-file/directory datasets route
+    to the conservative (large) answer, the nation_revenue pattern."""
+    try:
+        return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    except Exception:
+        return _BLOOM_PREFILTER_ROUTE_ROWS + 1
 
 
 def nation_revenue(sf_dir: str) -> pd.DataFrame:
@@ -3230,11 +3244,17 @@ def top_unshipped_orders(sf_dir: str) -> pd.DataFrame:
         sf_dir, "lineitem",
         ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(_prep_items, batch_format="pyarrow")
+    # BUILDING-segment + date-filtered orders are ~1/5 of the table: above
+    # the route threshold a bloom prefilter drops most items rows before
+    # the big-big shuffle (below it the build barrier dominates)
     joined = hash_join(
         items,
         orders.select_columns(["o_orderkey", "o_orderdate"]),
         key="l_orderkey",
         right_key="o_orderkey",
+        bloom_filter_left=(
+            _fact_rows(sf_dir, "lineitem") > _BLOOM_PREFILTER_ROUTE_ROWS
+        ),
     )
     rev = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("rev_dmc", alias_name="revenue_dmc")
@@ -3483,8 +3503,16 @@ def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     ).map_batches(_prep_items, batch_format="pyarrow")
     items = broadcast_join(items, supp, key="l_suppkey", right_key="s_suppkey")
+    # the orders side is doubly selective (ASIA customers x date window):
+    # above the route threshold, a bloom of its orderkeys prunes
+    # non-matching items BEFORE the all-to-all (bit-identical — false
+    # positives die at the stitch); below it the build barrier costs
+    # more than the small shuffle it would save
     joined = hash_join(
         items, orders, key="l_orderkey", right_key="o_orderkey",
+        bloom_filter_left=(
+            _fact_rows(sf_dir, "lineitem") > _BLOOM_PREFILTER_ROUTE_ROWS
+        ),
     )
     joined = joined.map_batches(
         lambda t: t.filter(pc.equal(t["cust_nat"], t["supp_nat"])),

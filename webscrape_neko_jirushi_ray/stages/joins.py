@@ -71,6 +71,8 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = 64,
     right_suffix: str = "_r",
+    bloom_filter_left: bool = False,
+    bloom_bits_log2: int = 23,
 ) -> "ray.data.Dataset":
     """Distributed equi-join on int64 or string keys.
 
@@ -83,8 +85,25 @@ def hash_join(
     (ints/floats/strings/binary — NOT lists; blob-encode those).
     Unmatched rows carry nulls in the other side's columns. Semi/anti use
     is_in masks and carry any left payload type untouched.
+
+    ``bloom_filter_left=True`` (inner / left_semi only) builds a Bloom
+    filter of the right keys and prunes definite-non-matching left rows
+    BEFORE the shuffle — bit-identical output, big-side shuffle payload
+    shrinks toward the true match rate. The right side is materialized
+    (it is consumed twice).
     """
     rk = right_key or key
+    if bloom_filter_left:
+        if how not in ("inner", "left_semi"):
+            raise ValueError(
+                "bloom_filter_left is only sound for inner/left_semi joins "
+                "(anti and outer joins must keep non-matching left rows)"
+            )
+        right = right.materialize()
+        bloom_ref = ray.put(build_bloom(right, rk, bits_log2=bloom_bits_log2))
+        left = bloom_prefilter(
+            left, bloom_ref, key, bits_log2=bloom_bits_log2
+        )
     if how in ("left_semi", "left_anti"):
         return _semi_anti_join(
             left, right, key=key, right_key=rk, anti=(how == "left_anti"),
@@ -360,3 +379,115 @@ def broadcast_join(
         return t
 
     return left.map_batches(_lookup, batch_format="pyarrow")
+
+
+# --- Bloom-filter join pruning ---------------------------------------------
+#
+# At the design scale the dominant join cost is shuffling the BIG side;
+# when the other side is selective (a filtered key set, a dimension
+# subset), most big-side rows shuffle only to be dropped at the stitch.
+# A Bloom filter of the small side's keys, broadcast once, prunes those
+# rows BEFORE the all-to-all — false positives just ride the shuffle and
+# die at the exact is_in/acero stitch, so results are bit-identical.
+# Sound ONLY for inner / left_semi (left_anti and the outers must keep
+# non-matching left rows).
+
+_BLOOM_SEED1 = np.uint64(0x8B72E4A6F3C19D05)
+_BLOOM_SEED2 = np.uint64(0x6A09E667F3BCC909)
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix(x: np.ndarray, seed: np.uint64) -> np.ndarray:
+    x = x + seed
+    x = (x ^ (x >> np.uint64(30))) * _SM1
+    x = (x ^ (x >> np.uint64(27))) * _SM2
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_u64(keys: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 key stream, validity mask): ints pass through, strings take
+    the routing siphash. Null keys are masked — they never equi-match, so
+    the caller decides whether they ride through."""
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    valid = np.asarray(
+        pc.is_valid(arr).to_numpy(zero_copy_only=False), dtype=bool
+    )
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        from ..functions.textkit import _hash_strings
+
+        u = _hash_strings(["" if v is None else v for v in arr.to_pylist()])
+    else:
+        u = np.asarray(
+            pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+    return u, valid
+
+
+def _bloom_positions(u: np.ndarray, bits_log2: int, num_hashes: int):
+    h1 = _splitmix(u, _BLOOM_SEED1)
+    h2 = _splitmix(u, _BLOOM_SEED2) | np.uint64(1)
+    mask = np.uint64((1 << bits_log2) - 1)
+    for i in range(num_hashes):
+        yield (h1 + np.uint64(i) * h2) & mask
+
+
+def build_bloom(
+    ds: "ray.data.Dataset", key: str, *, bits_log2: int = 23, num_hashes: int = 4
+) -> np.ndarray:
+    """One-pass distributed Bloom build: each batch sets its keys' bits in
+    a local 2^bits_log2-bit bitmap (1 MiB at the default) and emits it as
+    ONE binary row; the driver ORs O(blocks) bitmaps. Driver and
+    per-batch state are bitmap-sized, never O(keys)."""
+    nbytes = (1 << bits_log2) // 8
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, np.uint8)
+        if t.num_rows:
+            u, valid = _bloom_u64(t[key])
+            u = u[valid]
+            for p in _bloom_positions(u, bits_log2, num_hashes):
+                np.bitwise_or.at(
+                    bm,
+                    (p >> np.uint64(3)).astype(np.int64),
+                    (np.uint64(1) << (p & np.uint64(7))).astype(np.uint8),
+                )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    out = np.zeros(nbytes, np.uint8)
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for v in b["bm"]:
+            out |= np.frombuffer(v.as_py(), np.uint8)
+    return out
+
+
+def bloom_prefilter(
+    left: "ray.data.Dataset",
+    bloom_ref,
+    key: str,
+    *,
+    bits_log2: int = 23,
+    num_hashes: int = 4,
+) -> "ray.data.Dataset":
+    """Drop left rows whose key is DEFINITELY absent from the bloom
+    (built by :func:`build_bloom`, shipped once via ``ray.put``). Null
+    keys pass through untouched — the downstream join owns their
+    semantics. False positives survive here and are removed by the
+    exact join, so prefilter(join) == join bit-for-bit."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bm = ray.get(bloom_ref)
+        u, valid = _bloom_u64(t[key])
+        member = np.ones(len(u), dtype=bool)
+        for p in _bloom_positions(u, bits_log2, num_hashes):
+            bits = bm[(p >> np.uint64(3)).astype(np.int64)]
+            member &= (
+                bits & (np.uint64(1) << (p & np.uint64(7))).astype(np.uint8)
+            ) != 0
+        return t.filter(pa.array(member | ~valid))
+
+    return left.map_batches(_f, batch_format="pyarrow")
