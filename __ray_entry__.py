@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "order_price_percentiles": q.order_price_percentiles,
         "winsorized_mean_price": q.winsorized_mean_price,
         "source_quality_report": q.source_quality_report,
         "events_daily_top_user": q.events_daily_top_user,
@@ -252,6 +253,20 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_price_percentiles": """
+            WITH c AS (
+                SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), ordered AS (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) - 1 AS rn
+                FROM c
+            ), n AS (SELECT COUNT(*) AS cnt FROM c)
+            SELECT CAST(qs.q_pct AS BIGINT) AS q_pct, o.cents AS price_cents
+            FROM (VALUES (50), (90), (99)) qs(q_pct)
+            CROSS JOIN n
+            JOIN ordered o ON o.rn = ((n.cnt - 1) * qs.q_pct) // 100
+            ORDER BY q_pct
+        """,
         "winsorized_mean_price": """
             WITH c AS (
                 SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents

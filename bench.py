@@ -312,6 +312,8 @@ def run_bench() -> dict:
         ("winsorized_mean_price", lambda: q.winsorized_mean_price(SF_DIR)),
         ("source_quality_report", lambda: q.source_quality_report(SF_DIR)),
         ("events_daily_top_user", lambda: q.events_daily_top_user(SF_DIR)),
+        ("order_price_percentiles",
+         lambda: q.order_price_percentiles(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -175,3 +175,61 @@ def test_compact_shards_roundtrip(ray_session, tmp_path):
 
     with pytest.raises(FileExistsError):
         compact_shards(str(src), str(out))
+
+
+def test_write_sorted_ranges_total_order(ray_session, tmp_path):
+    """Files read in name order reproduce the global sort; ranges are
+    disjoint and internally sorted; manifest matches the files."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.state.sinks import write_sorted_ranges
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(-(10**9), 10**9, 20_000).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array(keys, pa.int64()),
+             "payload": pa.array(np.arange(len(keys), dtype=np.int64))}
+        )
+    ).repartition(8)
+    out = str(tmp_path / "sorted")
+    manifest = write_sorted_ranges(ds, "k", out, num_files=7)
+    assert manifest["rows"].sum() == len(keys)
+    got = []
+    prev_max = None
+    for f in sorted(manifest["file"]):
+        t = pq.read_table(f"{out}/{f}")
+        col = t["k"].to_numpy()
+        assert (np.diff(col) >= 0).all(), f  # internally sorted
+        if prev_max is not None:
+            assert col[0] >= prev_max  # disjoint ordered ranges
+        prev_max = col[-1]
+        got.append(col)
+    joined = np.concatenate(got)
+    assert (joined == np.sort(keys)).all()
+
+
+def test_write_sorted_ranges_guards(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.state.sinks import write_sorted_ranges
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([3, 1], pa.int64())}))
+    out = str(tmp_path / "dup")
+    write_sorted_ranges(ds, "k", out, num_files=2)
+    with pytest.raises(FileExistsError):
+        write_sorted_ranges(ds, "k", out, num_files=2)
+    nulls = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64())})
+    )
+    with pytest.raises(Exception):
+        write_sorted_ranges(nulls, "k", str(tmp_path / "n"), num_files=2)

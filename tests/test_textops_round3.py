@@ -438,3 +438,58 @@ def test_top_bigrams_excludes_doc_boundaries(ray_session):
     got = top_bigrams(_docs_ds(texts, n_blocks=3), k=10)
     rows = {r["bigram"]: r["n"] for _, r in got.iterrows()}
     assert rows == {"a b": 3, "b a": 1}  # 'b a' only inside doc 2
+
+
+def test_bucketed_exact_quantiles_matches_numpy(ray_session):
+    """Two-level refine == dense nearest-rank on a domain wide enough to
+    force a nonzero bucket shift (values up to 2^40, coarse_bits=10)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.textstats import (
+        bucketed_exact_quantiles,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**35), 2**40, 5000),
+            rng.integers(0, 50, 2000),  # heavy low-value cluster
+            np.array([2**40 - 1, -(2**35)]),  # exact extremes
+        ]
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.int64())})
+    ).repartition(8)
+    q_pcts = (1, 25, 50, 75, 99)
+    out = bucketed_exact_quantiles(ds, "v", q_pcts, coarse_bits=10)
+    s = np.sort(vals)
+    want = pd.DataFrame(
+        {
+            "q_pct": list(q_pcts),
+            "value": [int(s[(len(s) - 1) * q // 100]) for q in q_pcts],
+        }
+    )
+    assert out.astype("int64").equals(want.astype("int64"))
+
+
+def test_bucketed_exact_quantiles_empty_and_constant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.textstats import (
+        bucketed_exact_quantiles,
+    )
+
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+    assert len(bucketed_exact_quantiles(empty, "v", (50,))) == 0
+    const = ray.data.from_arrow(
+        pa.table({"v": pa.array(np.full(100, 7), pa.int64())})
+    )
+    out = bucketed_exact_quantiles(const, "v", (1, 99))
+    assert list(out["value"]) == [7, 7]

@@ -4411,3 +4411,23 @@ def events_daily_top_user(sf_dir: str) -> pd.DataFrame:
     out["total_u"] = out["total_u"].astype("int64")
     out = out[["day", "user_id", "total_u"]]
     return out.sort_values("day").reset_index(drop=True)
+
+
+def order_price_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90/p99 of order price cents through the
+    UNBOUNDED-DOMAIN quantile path
+    (:func:`..stages.textstats.bucketed_exact_quantiles`): a coarse
+    2^16-bucket histogram locates each target rank's bucket, one refine
+    pass resolves the exact value inside only those buckets — driver
+    state is bounded by the bucket count + slice widths, never by the
+    domain's distinct-value count (the scale fallback the dense
+    histogram queries document). Same nearest-rank convention as
+    doc_length_quantiles."""
+    from ..stages.textstats import bucketed_exact_quantiles
+
+    cents = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda t: pa.table({"cents": _to_scaled_int(t["o_totalprice"], 100)}),
+        batch_format="pyarrow",
+    )
+    out = bucketed_exact_quantiles(cents, "cents", (50, 90, 99))
+    return out.rename(columns={"value": "price_cents"})

@@ -775,3 +775,104 @@ def top_bigrams(
     )
     out["n"] = out["n"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def bucketed_exact_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    q_pcts: tuple[int, ...] = (50, 90, 99),
+    *,
+    coarse_bits: int = 16,
+) -> pd.DataFrame:
+    """EXACT nearest-rank quantiles over an UNBOUNDED-domain int64
+    signal — the two-level refine the dense-histogram path
+    (:func:`length_quantiles`, order_price_mad) documents as its scale
+    fallback: when O(distinct values) driver state is too big, resolve
+    each target rank through a bounded coarse pass first.
+
+    Three streaming passes, each with bounded driver state:
+    1. min/max (two scalars) fixes the bucket shift so the domain spans
+       <= 2^coarse_bits buckets;
+    2. a coarse (bucket -> count) histogram combine (driver state
+       <= 2^coarse_bits rows) locates, for every target rank, the ONE
+       bucket holding it and the residual rank inside that bucket;
+    3. one exact (value -> count) histogram restricted to the O(q_pcts)
+       target buckets — each a 2^shift-wide value slice, so its distinct
+       count is bounded by the slice width, not the domain.
+
+    Output: (q_pct, value) rows, identical to the dense-histogram path
+    (same floor((n-1)*q/100) convention — pinned by test)."""
+    lo = ds.min(value_col)
+    hi = ds.max(value_col)
+    if lo is None:
+        return pd.DataFrame(
+            {"q_pct": pd.Series([], dtype="int64"),
+             "value": pd.Series([], dtype="int64")}
+        )
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    shift = max(0, int(span - 1).bit_length() - coarse_bits)
+
+    def _coarse(t: pa.Table) -> pa.Table:
+        v = np.asarray(
+            t[value_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        b, c = np.unique((v - lo) >> shift, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(b, pa.int64()),
+             "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    coarse = (
+        ds.map_batches(_coarse, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = coarse["bucket"].to_numpy(dtype=np.int64)
+    counts = coarse["sum(cnt)"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+
+    # target rank -> (bucket, residual rank within bucket)
+    targets = {}
+    want_buckets = []
+    for q in q_pcts:
+        rank = (n - 1) * q // 100  # 0-based nearest-rank
+        bi = int(np.searchsorted(cum, rank + 1))
+        before = int(cum[bi - 1]) if bi else 0
+        targets[q] = (int(buckets[bi]), rank - before)
+        want_buckets.append(int(buckets[bi]))
+    want = np.unique(np.asarray(want_buckets, dtype=np.int64))
+
+    def _refine(t: pa.Table) -> pa.Table:
+        v = np.asarray(
+            t[value_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        v = v[np.isin((v - lo) >> shift, want)]
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"value": pa.array(vals, pa.int64()),
+             "cnt": pa.array(cnts.astype(np.int64))}
+        )
+
+    fine = (
+        ds.map_batches(_refine, batch_format="pyarrow", batch_size=65536)
+        .groupby("value")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("value")
+    )
+    fvals = fine["value"].to_numpy(dtype=np.int64)
+    fcnts = fine["sum(cnt)"].to_numpy(dtype=np.int64)
+    fbuckets = (fvals - lo) >> shift
+    rows = []
+    for q in sorted(q_pcts):
+        b, resid = targets[q]
+        sel = fbuckets == b
+        vcum = np.cumsum(fcnts[sel])
+        rows.append((q, int(fvals[sel][int(np.searchsorted(vcum, resid + 1))])))
+    return pd.DataFrame(
+        {"q_pct": [r[0] for r in rows], "value": [r[1] for r in rows]}
+    ).astype({"q_pct": "int64", "value": "int64"})

@@ -148,3 +148,105 @@ def compact_shards(
     n_out = max(1, math.ceil(rows / target_rows_per_file))
     ds.repartition(n_out).write_parquet(out_dir)
     return {"files_in": len(files_in), "rows": rows, "files_out": n_out}
+
+
+def write_sorted_ranges(
+    ds: "ray.data.Dataset",
+    key: str,
+    out_dir: str,
+    *,
+    num_files: int = 16,
+    sample_size: int = 10_000,
+) -> "pd.DataFrame":
+    """Range-partitioned TOTAL-ORDER export: the corpus lands in
+    ``num_files`` parquet files where file i is internally sorted by
+    ``key`` and every key in file i <= every key in file i+1 — reading
+    the files in name order IS the global sort (the sorted-run layout
+    samplers, merge-join consumers and binary-search lookups want).
+
+    Scale plan (the attach_dense_index sampling argument):
+    - range boundaries come from a strided CROSS-BLOCK sample (driver
+      state O(blocks x per_block), never O(rows); a clustered input
+      cannot collapse the boundaries);
+    - each row routes to its range via one vectorized searchsorted —
+      ONE groupby shuffle total, no global sort exchange;
+    - each range task lexsorts ITS slice and writes ITS file directly
+      from the worker (multi-node deployments point out_dir at shared
+      storage);
+    - ranges with no rows write no file; files are named by zero-padded
+      range id so lexicographic listing order == key order.
+
+    Returns the manifest (file, rows, key_min, key_max) — O(num_files)
+    driver state. Output dir must not exist (rewrite, never append).
+    Nulls in ``key`` raise (no total order with nulls).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if os.path.exists(out_dir):
+        raise FileExistsError(
+            f"write_sorted_ranges: {out_dir} exists — this sink rewrites, "
+            "never appends; remove the directory or pick a fresh one"
+        )
+    os.makedirs(out_dir)
+
+    per_block = max(8, sample_size // 256)
+
+    def _block_sample(t: pa.Table) -> pa.Table:
+        if t[key].null_count:
+            raise ValueError("write_sorted_ranges: null sort keys")
+        t = t.select([key])
+        if t.num_rows <= per_block:
+            return t
+        idx = np.unique(
+            np.linspace(0, t.num_rows - 1, per_block).astype(np.int64)
+        )
+        return t.take(pa.array(idx, pa.int64()))
+
+    sample = ds.map_batches(
+        _block_sample, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    if len(sample) == 0:
+        return pd.DataFrame(
+            {"file": [], "rows": [], "key_min": [], "key_max": []}
+        )
+    keys_sorted = np.sort(sample[key].to_numpy())
+    r = min(num_files, len(keys_sorted))
+    bounds = keys_sorted[
+        [int(i * len(keys_sorted) / r) for i in range(1, r)]
+    ]
+
+    def _tag(t: pa.Table) -> pa.Table:
+        if t[key].null_count:
+            raise ValueError("write_sorted_ranges: null sort keys")
+        v = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(bounds, v, side="right")
+        return t.append_column("_range_id", pa.array(rid, pa.int64()))
+
+    width = len(str(max(r - 1, 1)))
+
+    def _write(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq  # workers import their own handle
+
+        rid = int(g["_range_id"][0].as_py())
+        g = g.drop_columns(["_range_id"])
+        order = pc.sort_indices(g, sort_keys=[(key, "ascending")])
+        g = g.take(order)
+        fname = f"range-{rid:0{width}d}.parquet"
+        _pq.write_table(g, os.path.join(out_dir, fname))
+        return pa.table(
+            {
+                "file": pa.array([fname], pa.string()),
+                "rows": pa.array([g.num_rows], pa.int64()),
+                "key_min": g[key].take(pa.array([0], pa.int64())),
+                "key_max": g[key].take(pa.array([g.num_rows - 1], pa.int64())),
+            }
+        )
+
+    manifest = (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_range_id")
+        .map_groups(_write, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return manifest.sort_values("file").reset_index(drop=True)
