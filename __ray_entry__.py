@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "regional_market_share": q.regional_market_share,
+        "lang_confusion_matrix": q.lang_confusion_matrix,
+        "customer_order_gaps": q.customer_order_gaps,
         "order_price_percentiles": q.order_price_percentiles,
         "winsorized_mean_price": q.winsorized_mean_price,
         "source_quality_report": q.source_quality_report,
@@ -251,8 +254,107 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
     return "".join(parts)
 
 
+# the n-gram language detector as SQL (shared by langid_docs and the
+# confusion-matrix rollup): SELECT doc_id, lang_pred FROM documents
+_LANGID_PRED_SQL = """
+            WITH s AS (
+                SELECT doc_id, SUBSTR(text, 1, 2000) AS sm,
+                       LENGTH(SUBSTR(text, 1, 2000)) AS n
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, n,
+                    REGEXP_MATCHES(sm, '[぀-ヿ]') AS has_kana,
+                    REGEXP_MATCHES(sm, '[가-힯]') AS has_hangul,
+                    LEN(REGEXP_EXTRACT_ALL(sm, '[一-鿿]')) AS n_cjk,
+                    LEN(REGEXP_EXTRACT_ALL(sm, '[Ѐ-ӿ]')) AS n_cyr,
+                    LEN(REGEXP_EXTRACT_ALL(sm, '[\\x00-\\x7F]')) AS n_ascii,
+                    [LOWER(t) FOR t IN REGEXP_EXTRACT_ALL(sm, '[A-Za-z'']+')] AS toks
+                FROM s
+            )
+            SELECT doc_id,
+                CASE
+                    WHEN n = 0 THEN 'unknown'
+                    WHEN has_kana THEN 'ja'
+                    WHEN has_hangul THEN 'ko'
+                    WHEN n_cjk > 0.05 * n THEN 'zh'
+                    WHEN n_cyr > 0.3 * n THEN 'ru'
+                    WHEN LEN(toks) > 0
+                         AND CAST(LEN(LIST_FILTER(toks, t -> t IN (
+                             'a', 'an', 'and', 'are', 'as', 'at', 'be', 'been',
+                             'by', 'for', 'from', 'in', 'is', 'it', 'of', 'on',
+                             'or', 'that', 'the', 'this', 'to', 'was', 'were',
+                             'with'
+                         ))) AS DOUBLE) / LEN(toks) > 0.03
+                         THEN 'en'
+                    WHEN n_ascii > 0.9 * n THEN 'en'
+                    ELSE 'unknown'
+                END AS lang_pred
+            FROM feats
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "regional_market_share": """
+            WITH am AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'AMERICA'
+            ), tgt AS (SELECT MIN(n_name) AS tn FROM am),
+            t AS (
+                SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                       CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT) AS rev_dmc,
+                       (n2.n_name = (SELECT tn FROM tgt)) AS is_target
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN am ON c_nationkey = am.n_nationkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            )
+            SELECT l_year,
+                   CAST(SUM(CASE WHEN is_target THEN rev_dmc ELSE 0 END)
+                        AS BIGINT) AS target_rev_dmc,
+                   CAST(SUM(rev_dmc) AS BIGINT) AS total_rev_dmc,
+                   CAST(SUM(CASE WHEN is_target THEN rev_dmc ELSE 0 END)
+                        AS DOUBLE) / CAST(SUM(rev_dmc) AS DOUBLE)
+                       AS market_share
+            FROM t
+            GROUP BY l_year
+            ORDER BY l_year
+        """,
+        "lang_confusion_matrix": f"""
+            WITH pred AS ({_LANGID_PRED_SQL})
+            SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "customer_order_gaps": """
+            WITH d AS (
+                SELECT o_custkey,
+                       epoch_us(o_orderdate) // 86400000000 AS day,
+                       o_orderkey
+                FROM orders
+            ), w AS (
+                SELECT o_custkey, day,
+                       LAG(day) OVER (
+                           PARTITION BY o_custkey ORDER BY day, o_orderkey
+                       ) AS prev_day
+                FROM d
+            )
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(day - prev_day) AS BIGINT) AS total_gap_days,
+                   CAST(SUM(day - prev_day) AS DOUBLE) / COUNT(*)
+                       AS mean_gap_days
+            FROM w
+            WHERE prev_day IS NOT NULL
+            GROUP BY 1
+            ORDER BY 1
+        """,
         "order_price_percentiles": """
             WITH c AS (
                 SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
@@ -955,43 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         # in SQL over the first 2000 chars, same predicate order and the
         # same float arithmetic (multiplication where Python multiplies,
         # division where Python divides).
-        "langid_docs": """
-            WITH s AS (
-                SELECT doc_id, SUBSTR(text, 1, 2000) AS sm,
-                       LENGTH(SUBSTR(text, 1, 2000)) AS n
-                FROM documents
-            ),
-            feats AS (
-                SELECT doc_id, n,
-                    REGEXP_MATCHES(sm, '[぀-ヿ]') AS has_kana,
-                    REGEXP_MATCHES(sm, '[가-힯]') AS has_hangul,
-                    LEN(REGEXP_EXTRACT_ALL(sm, '[一-鿿]')) AS n_cjk,
-                    LEN(REGEXP_EXTRACT_ALL(sm, '[Ѐ-ӿ]')) AS n_cyr,
-                    LEN(REGEXP_EXTRACT_ALL(sm, '[\\x00-\\x7F]')) AS n_ascii,
-                    [LOWER(t) FOR t IN REGEXP_EXTRACT_ALL(sm, '[A-Za-z'']+')] AS toks
-                FROM s
-            )
-            SELECT doc_id,
-                CASE
-                    WHEN n = 0 THEN 'unknown'
-                    WHEN has_kana THEN 'ja'
-                    WHEN has_hangul THEN 'ko'
-                    WHEN n_cjk > 0.05 * n THEN 'zh'
-                    WHEN n_cyr > 0.3 * n THEN 'ru'
-                    WHEN LEN(toks) > 0
-                         AND CAST(LEN(LIST_FILTER(toks, t -> t IN (
-                             'a', 'an', 'and', 'are', 'as', 'at', 'be', 'been',
-                             'by', 'for', 'from', 'in', 'is', 'it', 'of', 'on',
-                             'or', 'that', 'the', 'this', 'to', 'was', 'were',
-                             'with'
-                         ))) AS DOUBLE) / LEN(toks) > 0.03
-                         THEN 'en'
-                    WHEN n_ascii > 0.9 * n THEN 'en'
-                    ELSE 'unknown'
-                END AS lang_pred
-            FROM feats
-            ORDER BY doc_id
-        """,
+        "langid_docs": _LANGID_PRED_SQL + " ORDER BY doc_id",
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id
             FROM documents

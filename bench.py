@@ -314,6 +314,9 @@ def run_bench() -> dict:
         ("events_daily_top_user", lambda: q.events_daily_top_user(SF_DIR)),
         ("order_price_percentiles",
          lambda: q.order_price_percentiles(SF_DIR)),
+        ("regional_market_share", lambda: q.regional_market_share(SF_DIR)),
+        ("lang_confusion_matrix", lambda: q.lang_confusion_matrix(SF_DIR)),
+        ("customer_order_gaps", lambda: q.customer_order_gaps(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -117,6 +117,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "nation_trade_matrix",
         "brand_discount_revenue",
         "user_retention_matrix",
+        "regional_market_share",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

@@ -4431,3 +4431,197 @@ def order_price_percentiles(sf_dir: str) -> pd.DataFrame:
     )
     out = bucketed_exact_quantiles(cents, "cents", (50, 90, 99))
     return out.rename(columns={"value": "price_cents"})
+
+
+def regional_market_share(sf_dir: str) -> pd.DataFrame:
+    """Share-within-group conditional ratio (TPC-H Q8 shape): for
+    AMERICA-region customers' line items, the fraction of each ship
+    year's revenue supplied by the region's alphabetically-first nation
+    (data-derived, so the query is self-contained at any corpus). Same
+    dim plan as the trade matrix — region/nation driver-side, customer
+    map size-routed, supplier broadcast — then ONE big-big hash join
+    and a per-year rollup carrying (target, total) exact-dmc sums; the
+    share is one double division per year row."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    am_keys = region.filter(pc.equal(region["r_name"], "AMERICA"))["r_regionkey"]
+    am_nation = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=am_keys.combine_chunks())
+    )
+    am_nationkeys = pc.cast(am_nation["n_nationkey"], pa.int64()).combine_chunks()
+    names = sorted(am_nation["n_name"].to_pylist())
+    target_name = names[0]
+    target_key = int(
+        am_nation.filter(pc.equal(am_nation["n_name"], target_name))[
+            "n_nationkey"
+        ][0].as_py()
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust = cust.filter(
+            pc.is_in(pc.cast(cust["c_nationkey"], pa.int64()), value_set=am_nationkeys)
+        )
+        keys = pc.cast(cust["c_custkey"], pa.int64()).combine_chunks()
+        orders = orders.map_batches(
+            lambda t: t.filter(
+                pc.is_in(pc.cast(t["o_custkey"], pa.int64()), value_set=keys)
+            ).select(["o_orderkey"]),
+            batch_format="pyarrow",
+        )
+    else:
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda t: pa.table(
+                {"c_custkey": pc.cast(t["c_custkey"], pa.int64())}
+            ).filter(
+                pc.is_in(
+                    pc.cast(t["c_nationkey"], pa.int64()), value_set=am_nationkeys
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        orders = hash_join(
+            orders, cust_ds, key="o_custkey", right_key="c_custkey",
+            how="left_semi",
+        ).select_columns(["o_orderkey"])
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pc.cast(supp["s_suppkey"], pa.int64()),
+            "supp_nat": pc.cast(supp["s_nationkey"], pa.int64()),
+        }
+    )
+
+    def _prep_items(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "rev_dmc": _to_scaled_int(rev, 10_000),
+            }
+        )
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(_prep_items, batch_format="pyarrow")
+    items = broadcast_join(items, supp, key="l_suppkey", right_key="s_suppkey")
+    joined = hash_join(items, orders, key="l_orderkey", right_key="o_orderkey")
+    tagged = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "l_year": t["l_year"],
+                "rev_dmc": t["rev_dmc"],
+                "target_dmc": pc.if_else(
+                    pc.equal(t["supp_nat"], pa.scalar(target_key)),
+                    t["rev_dmc"],
+                    pa.scalar(0, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        tagged.groupby("l_year")
+        .aggregate(
+            Sum("target_dmc", alias_name="target_rev_dmc"),
+            Sum("rev_dmc", alias_name="total_rev_dmc"),
+        )
+        .to_pandas()
+    )
+    out["target_rev_dmc"] = out["target_rev_dmc"].astype("int64")
+    out["total_rev_dmc"] = out["total_rev_dmc"].astype("int64")
+    out["market_share"] = out["target_rev_dmc"] / out["total_rev_dmc"]
+    out = out[["l_year", "target_rev_dmc", "total_rev_dmc", "market_share"]]
+    return out.sort_values("l_year").reset_index(drop=True)
+
+
+def lang_confusion_matrix(sf_dir: str) -> pd.DataFrame:
+    """Label-vs-prediction confusion matrix (the model-eval rollup over
+    the n-gram language detector): declared lang x predicted lang
+    counts. One streaming langid pass (the langid_docs kernel), one
+    combiner-reduced groupby at the O(langs^2) grain."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = (
+        add_lang_pred(ds)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def customer_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """Inter-event gap statistics per key (repeat-purchase cadence):
+    LAG on each customer's order days, then exact gap sums — customers
+    with a single order drop out (no gap exists). grouped_lag's one
+    bucket shuffle + a combiner-reduced per-customer rollup; the mean
+    is one double division of exact int64s."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.relops import grouped_lag
+
+    us_per_day = 86_400_000_000
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+                "day": pc.cast(
+                    pc.divide(pc.cast(t["o_orderdate"], pa.int64()), us_per_day),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lagged = grouped_lag(
+        ds,
+        group_col="o_custkey",
+        order_cols=["day", "o_orderkey"],
+        value_col="day",
+        out_col="prev_day",
+    )
+    gaps = lagged.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "gap_days": pc.subtract(t["day"], t["prev_day"]),
+            }
+        ).filter(pc.is_valid(t["prev_day"])),
+        batch_format="pyarrow",
+    )
+    out = (
+        gaps.groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_gaps"),
+            Sum("gap_days", alias_name="total_gap_days"),
+        )
+        .to_pandas()
+    )
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    out["total_gap_days"] = out["total_gap_days"].astype("int64")
+    out["mean_gap_days"] = out["total_gap_days"] / out["n_gaps"]
+    out = out[["o_custkey", "n_gaps", "total_gap_days", "mean_gap_days"]]
+    return out.sort_values("o_custkey").reset_index(drop=True)

@@ -802,14 +802,17 @@ def bucketed_exact_quantiles(
 
     Output: (q_pct, value) rows, identical to the dense-histogram path
     (same floor((n-1)*q/100) convention — pinned by test)."""
-    lo = ds.min(value_col)
-    hi = ds.max(value_col)
-    if lo is None:
+    from ray.data.aggregate import Max, Min
+
+    ext = ds.aggregate(
+        Min(value_col, alias_name="lo"), Max(value_col, alias_name="hi")
+    )
+    if ext is None or ext.get("lo") is None:
         return pd.DataFrame(
             {"q_pct": pd.Series([], dtype="int64"),
              "value": pd.Series([], dtype="int64")}
         )
-    lo, hi = int(lo), int(hi)
+    lo, hi = int(ext["lo"]), int(ext["hi"])
     span = hi - lo + 1
     shift = max(0, int(span - 1).bit_length() - coarse_bits)
 
