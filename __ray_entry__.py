@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "token_count_estimates": q.token_count_estimates,
         "regional_market_share": q.regional_market_share,
         "lang_confusion_matrix": q.lang_confusion_matrix,
         "customer_order_gaps": q.customer_order_gaps,

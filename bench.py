@@ -317,6 +317,7 @@ def run_bench() -> dict:
         ("regional_market_share", lambda: q.regional_market_share(SF_DIR)),
         ("lang_confusion_matrix", lambda: q.lang_confusion_matrix(SF_DIR)),
         ("customer_order_gaps", lambda: q.customer_order_gaps(SF_DIR)),
+        ("token_count_estimates", lambda: q.token_count_estimates(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -87,3 +87,64 @@ def test_hll_per_group_null_tolerance(ray_session):
     assert out.loc["en", "est_distinct_tokens"] == 3
     assert out.loc["de", "est_distinct_tokens"] == 1
     assert len(out) == 2
+
+
+def test_cms_never_undercounts_and_bounds_error(ray_session):
+    """CMS one-sided guarantee: estimate >= true for EVERY key; overshoot
+    within the 2N/width Markov bound with wide margin at depth 4."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import (
+        cms_build, cms_estimate,
+    )
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: few hot keys, long tail
+    keys = np.concatenate(
+        [
+            np.repeat(np.arange(10, dtype=np.int64), 2000),  # hot
+            rng.integers(100, 50_000, 30_000),  # tail
+        ]
+    ).astype(np.int64)
+    rng.shuffle(keys)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64())})
+    ).repartition(8)
+    W = 10  # 1024 buckets -> bound is non-trivial at N=50k
+    sk = cms_build(ds, "k", width_log2=W, depth=4)
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_estimate(sk, uniq, width_log2=W)
+    assert (est >= true).all()  # the one-sided contract
+    n = len(keys)
+    slack = 3 * n // (1 << W)
+    assert (est - true <= slack).mean() > 0.99  # e/w bound w.h.p.
+    # the hot keys' estimates are tight relative to their magnitude
+    hot = cms_estimate(sk, np.arange(10, dtype=np.int64), width_log2=W)
+    assert (hot - 2000 <= slack).all()
+
+
+def test_cms_block_split_invariant_and_strings(ray_session):
+    """Addition commutes: 1-block and 8-block builds give the SAME
+    matrix; string keys hash through the same path as the join router."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import (
+        cms_build, cms_estimate,
+    )
+
+    toks = [f"tok{i % 97}" for i in range(5_000)]
+    t = pa.table({"tok": pa.array(toks, pa.string())})
+    one = cms_build(ray.data.from_arrow(t), "tok", width_log2=12, depth=3)
+    many = cms_build(
+        ray.data.from_arrow(t).repartition(8), "tok", width_log2=12, depth=3
+    )
+    assert (one == many).all()
+    est = cms_estimate(one, ["tok0", "tok96"], width_log2=12)
+    true0 = sum(1 for x in toks if x == "tok0")
+    assert est[0] >= true0

@@ -4625,3 +4625,41 @@ def customer_order_gaps(sf_dir: str) -> pd.DataFrame:
     out["mean_gap_days"] = out["total_gap_days"] / out["n_gaps"]
     out = out[["o_custkey", "n_gaps", "total_gap_days", "mean_gap_days"]]
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def token_count_estimates(sf_dir: str) -> pd.DataFrame:
+    """Count-min-sketch point frequencies (the fixed-memory complement
+    of the exact heavy-hitter pass): estimate the corpus counts of the
+    exact phi=1/50 frequent tokens from a (4 x 2^16) CMS built in one
+    streaming pass (per-batch matrix partials, driver sums O(blocks)
+    matrices — never O(vocabulary)).
+
+    Rows-only (the sketch is approximate by construction, like the HLL
+    entries) — but self-guarded: the CMS one-sided contract
+    (estimate >= exact, always) is ASSERTED in-query against the exact
+    recount, so a broken sketch fails loudly rather than hiding behind
+    the driver's rows-only check."""
+    from ..stages.heavyhitters import heavy_hitter_tokens as _hh
+    from ..stages.sketch import cms_build, cms_estimate
+
+    ds = _read(sf_dir, "documents", ["text"])
+    exact = _hh(ds, text_col="text", k=50).to_pandas()
+
+    def _tokens(t: pa.Table) -> pa.Table:
+        # exactly heavyhitters._batch_tokens' stream (tokens_ws parity)
+        trimmed = pc.utf8_trim_whitespace(pc.cast(t["text"], pa.string()))
+        toks = pc.list_flatten(pc.split_pattern_regex(trimmed, pattern=r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pa.table({"tok": toks})
+
+    tok_ds = ds.map_batches(_tokens, batch_format="pyarrow")
+    sk = cms_build(tok_ds, "tok", width_log2=16, depth=4)
+    est = cms_estimate(sk, list(exact["token"]), width_log2=16)
+    out = exact.copy()
+    out["cms_estimate"] = est.astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    assert (out["cms_estimate"] >= out["cnt"]).all(), (
+        "CMS one-sided contract violated"
+    )
+    out = out[["token", "cnt", "cms_estimate"]]
+    return out.sort_values("token").reset_index(drop=True)

@@ -222,3 +222,110 @@ def hll_distinct_tokens_by(
             "est_distinct_tokens": pa.array(rows_n, type=pa.int64()),
         }
     )
+
+
+# --- count-min sketch -------------------------------------------------------
+#
+# The point-frequency complement of the HLL cardinality sketch (Cormode &
+# Muthukrishnan 2005): fixed O(depth x width) memory answers "how often
+# did key k appear" with one-sided error — estimates NEVER undercount,
+# and overshoot exceeds 2N/width with probability <= 2^-depth. The
+# 100-TB use: frequency hints over unbounded key spaces (URLs, tokens)
+# where even the exact heavy-hitter pigeonhole's candidate set is
+# unwelcome driver state.
+
+_CMS_SEEDS = (
+    np.uint64(0xA076_1D64_78BD_642F),
+    np.uint64(0xE703_7ED1_A0B4_28DB),
+    np.uint64(0x8EBC_6AF0_9C88_C6E3),
+    np.uint64(0x5899_65CC_7537_4CC3),
+    np.uint64(0x1D8E_4E27_C47D_124F),
+    np.uint64(0xEB44_ACCA_B455_D165),
+)
+
+
+def _cms_rows(u: np.ndarray, width_log2: int, depth: int):
+    """Per-depth bucket positions for a uint64 key stream."""
+    from .joins import _splitmix
+
+    mask = np.uint64((1 << width_log2) - 1)
+    for d in range(depth):
+        yield _splitmix(u, _CMS_SEEDS[d]) & mask
+
+
+def cms_build(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    width_log2: int = 16,
+    depth: int = 4,
+) -> np.ndarray:
+    """(depth x 2^width_log2) int64 count matrix for the values of
+    ``col`` (string or int). Each batch collapses to its value counts
+    first (np.unique — hot keys cost one add), scatters them into a
+    LOCAL matrix (np.add.at per depth row) and emits the matrix as
+    ``depth`` binary rows; the driver sums O(blocks) matrices (addition
+    commutes, so block splits are invisible — pinned by test). Driver
+    and per-batch state are matrix-sized, never O(keys)."""
+    if depth > len(_CMS_SEEDS):
+        raise ValueError(f"depth > {len(_CMS_SEEDS)} not supported")
+    width = 1 << width_log2
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = np.zeros((depth, width), dtype=np.int64)
+        if t.num_rows:
+            arr = t[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                from ..functions.textkit import _hash_strings
+
+                vals, cnts = np.unique(
+                    np.asarray(arr.to_pylist(), dtype=object), return_counts=True
+                )
+                u = _hash_strings(list(vals))
+            else:
+                vals, cnts = np.unique(
+                    np.asarray(arr.to_numpy(zero_copy_only=False)).astype(
+                        np.int64
+                    ),
+                    return_counts=True,
+                )
+                u = vals.astype(np.uint64)
+            for d, pos in enumerate(_cms_rows(u, width_log2, depth)):
+                np.add.at(m[d], pos.astype(np.int64), cnts.astype(np.int64))
+        return pa.table(
+            {
+                "depth": pa.array(np.arange(depth, dtype=np.int64)),
+                "row": pa.array([m[d].tobytes() for d in range(depth)],
+                                 pa.large_binary()),
+            }
+        )
+
+    out = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for d, blob in zip(b["depth"].to_pylist(), b["row"]):
+            out[d] += np.frombuffer(blob.as_py(), dtype=np.int64)
+    return out
+
+
+def cms_estimate(
+    sketch: np.ndarray, values, *, width_log2: int = 16
+) -> np.ndarray:
+    """Point-frequency estimates (min over depth rows) for a list of
+    string or int keys. One-sided: estimate >= true count, always."""
+    depth = sketch.shape[0]
+    if len(values) == 0:
+        return np.empty(0, dtype=np.int64)
+    if isinstance(values[0], str):
+        from ..functions.textkit import _hash_strings
+
+        u = _hash_strings(list(values))
+    else:
+        u = np.asarray(values, dtype=np.int64).astype(np.uint64)
+    est = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+    for d, pos in enumerate(_cms_rows(u, width_log2, depth)):
+        est = np.minimum(est, sketch[d][pos.astype(np.int64)])
+    return est
