@@ -493,3 +493,55 @@ def test_bucketed_exact_quantiles_empty_and_constant(ray_session):
     )
     out = bucketed_exact_quantiles(const, "v", (1, 99))
     assert list(out["value"]) == [7, 7]
+
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    seed=_st.integers(min_value=0, max_value=10_000),
+    span_bits=_st.sampled_from([4, 20, 44]),  # below/at/above coarse_bits
+    n=_st.sampled_from([1, 37, 3000]),
+    coarse_bits=_st.sampled_from([4, 12]),
+)
+def test_bucketed_exact_quantiles_property(
+    ray_session, seed, span_bits, n, coarse_bits
+):
+    """Random domains x sizes x coarse widths == numpy nearest-rank,
+    including shift-0 (domain narrower than the bucket table) and
+    deep-shift regimes, duplicate-heavy data, and negative offsets."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.textstats import (
+        bucketed_exact_quantiles,
+    )
+
+    rng = np.random.default_rng(seed)
+    lo = int(rng.integers(-(2**50), 2**50))
+    vals = (lo + rng.integers(0, 2**span_bits, n)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.int64())})
+    ).repartition(4)
+    q_pcts = (0, 10, 50, 90, 100)
+    out = bucketed_exact_quantiles(ds, "v", q_pcts, coarse_bits=coarse_bits)
+    s = np.sort(vals)
+    want = pd.DataFrame(
+        {
+            "q_pct": list(q_pcts),
+            "value": [int(s[(len(s) - 1) * q // 100]) for q in q_pcts],
+        }
+    )
+    assert out.astype("int64").equals(want.astype("int64"))
