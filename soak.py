@@ -173,6 +173,135 @@ def soak_string_agg(tmp: str) -> dict:
     return {"sec": round(time.perf_counter() - t0, 2), "groups": n_out}
 
 
+def soak_first_last(tmp: str) -> dict:
+    """grouped_first_last over 10M rows / 500k groups: one bucket
+    shuffle, one lexsort + two boundary takes per bucket."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_first_last
+
+    rng = np.random.default_rng(11)
+    n = 10_000_000
+    _write(
+        tmp,
+        "fl/rows.parquet",
+        pa.table(
+            {
+                "g": rng.integers(0, 500_000, n).astype(np.int64),
+                "o": rng.integers(0, 10**9, n).astype(np.int64),
+                "rid": np.arange(n, dtype=np.int64),
+                "v": rng.integers(0, 1000, n).astype(np.int64),
+            }
+        ),
+    )
+    ds = ray.data.read_parquet(os.path.join(tmp, "fl"))
+    t0 = time.perf_counter()
+    cnt = grouped_first_last(
+        ds, group_col="g", order_cols=["o", "rid"], value_col="v",
+        count_col="n",
+    ).count()
+    return {"sec": round(time.perf_counter() - t0, 2), "groups": cnt}
+
+
+def soak_bloom_join(tmp: str) -> dict:
+    """Bloom-prefiltered left_semi at the scale where the route turns it
+    on: 20M-row big side vs a 100k-key selective side. Reports both the
+    plain and bloomed join times AND the prefilter survivor count (the
+    shuffle-payload saving the route buys)."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.joins import (
+        bloom_prefilter, build_bloom, hash_join,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 20_000_000
+    _write(
+        tmp,
+        "bl/big.parquet",
+        pa.table(
+            {
+                "k": rng.integers(0, 10_000_000, n).astype(np.int64),
+                "payload": np.arange(n, dtype=np.int64),
+            }
+        ),
+    )
+    keys = rng.choice(100_000, size=100_000, replace=False).astype(np.int64)
+    _write(tmp, "bl/small.parquet", pa.table({"k": pa.array(keys, pa.int64())}))
+    big = ray.data.read_parquet(os.path.join(tmp, "bl/big.parquet"))
+    small = ray.data.read_parquet(os.path.join(tmp, "bl/small.parquet"))
+    t0 = time.perf_counter()
+    plain = hash_join(big, small, key="k", how="left_semi").count()
+    t_plain = round(time.perf_counter() - t0, 2)
+    big2 = ray.data.read_parquet(os.path.join(tmp, "bl/big.parquet"))
+    small2 = ray.data.read_parquet(os.path.join(tmp, "bl/small.parquet"))
+    t0 = time.perf_counter()
+    bloomed = hash_join(
+        big2, small2, key="k", how="left_semi", bloom_filter_left=True
+    ).count()
+    t_bloom = round(time.perf_counter() - t0, 2)
+    assert plain == bloomed, (plain, bloomed)
+    import ray as _ray
+
+    bm = build_bloom(small, "k")
+    survivors = bloom_prefilter(big, _ray.put(bm), "k").count()
+    return {
+        "plain_sec": t_plain,
+        "bloom_sec": t_bloom,
+        "matches": plain,
+        "prefilter_survivors": survivors,
+        "big_rows": n,
+    }
+
+
+def soak_cms(tmp: str) -> dict:
+    """Count-min over 20M int keys (2M distinct): per-batch matrix
+    partials, driver sums O(blocks) 2 MiB matrices."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import cms_build, cms_estimate
+
+    rng = np.random.default_rng(17)
+    n = 20_000_000
+    _write(
+        tmp,
+        "cms/rows.parquet",
+        pa.table({"k": rng.integers(0, 2_000_000, n).astype(np.int64)}),
+    )
+    ds = ray.data.read_parquet(os.path.join(tmp, "cms"))
+    t0 = time.perf_counter()
+    sk = cms_build(ds, "k", width_log2=20, depth=4)
+    sec = round(time.perf_counter() - t0, 2)
+    est = cms_estimate(sk, np.arange(100, dtype=np.int64), width_log2=20)
+    return {"sec": sec, "total": int(sk[0].sum()), "sample_max_est": int(est.max())}
+
+
+def soak_bucketed_quantiles(tmp: str) -> dict:
+    """Two-level exact quantiles over 20M rows spanning a 2^44 domain
+    (dense histograms would need ~20M driver rows; this path needs
+    <= 2^16 + slice)."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.textstats import (
+        bucketed_exact_quantiles,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 20_000_000
+    _write(
+        tmp,
+        "bq/rows.parquet",
+        pa.table({"v": rng.integers(-(2**43), 2**43, n).astype(np.int64)}),
+    )
+    ds = ray.data.read_parquet(os.path.join(tmp, "bq"))
+    t0 = time.perf_counter()
+    out = bucketed_exact_quantiles(ds, "v", (1, 50, 99))
+    return {
+        "sec": round(time.perf_counter() - t0, 2),
+        "p50": int(out[out["q_pct"] == 50]["value"].iloc[0]),
+    }
+
+
 SOAKS = {
     "sessionize": soak_sessionize,
     "count_distinct": soak_count_distinct,
@@ -180,6 +309,10 @@ SOAKS = {
     "exact_dedup": soak_exact_dedup,
     "percent_rank": soak_percent_rank,
     "string_agg": soak_string_agg,
+    "first_last": soak_first_last,
+    "bloom_join": soak_bloom_join,
+    "cms": soak_cms,
+    "bucketed_quantiles": soak_bucketed_quantiles,
 }
 
 
