@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "bfs_distances_customers": q.bfs_distances_customers,
         "token_count_estimates": q.token_count_estimates,
         "regional_market_share": q.regional_market_share,
         "lang_confusion_matrix": q.lang_confusion_matrix,
@@ -297,6 +298,29 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bfs_distances_customers": """
+            WITH RECURSIVE walk(node, dist) AS (
+                SELECT (SELECT MIN(c_custkey) FROM customer), 0
+                UNION
+                SELECT e.dst, w.dist + 1
+                FROM walk w
+                JOIN (
+                    SELECT DISTINCT o_custkey AS src,
+                           1 + (o_orderkey %
+                                (SELECT MAX(c_custkey) FROM customer)) AS dst
+                    FROM orders
+                    WHERE o_orderkey % 7 = 0
+                      AND o_custkey <> 1 + (o_orderkey %
+                          (SELECT MAX(c_custkey) FROM customer))
+                ) e ON e.src = w.node
+                WHERE w.dist < 10
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(MIN(dist) AS BIGINT) AS dist
+            FROM walk
+            GROUP BY node
+            ORDER BY node
+        """,
         "regional_market_share": """
             WITH am AS (
                 SELECT n_nationkey, n_name

@@ -318,6 +318,8 @@ def run_bench() -> dict:
         ("lang_confusion_matrix", lambda: q.lang_confusion_matrix(SF_DIR)),
         ("customer_order_gaps", lambda: q.customer_order_gaps(SF_DIR)),
         ("token_count_estimates", lambda: q.token_count_estimates(SF_DIR)),
+        ("bfs_distances_customers",
+         lambda: q.bfs_distances_customers(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -166,3 +166,41 @@ def test_bloom_routed_queries_bloom_path(ray_session, con, name, monkeypatch):
     assert len(got) == len(want)
     for c in got.columns:
         assert got[c].astype(str).equals(want[c].astype(str)), (name, c)
+
+
+def test_bfs_distributed_kernel_parity(ray_session):
+    """Pin the big-graph route's kernel (stages/graph.bfs_levels)
+    directly against the driver BFS on a synthetic multi-hop graph.
+    Forcing the full 10-hop sf0.001 query down the distributed route
+    costs ~10 x 2 shuffles of pure fixed latency at 4 CPUs (>10 min),
+    so the route is pinned at the kernel level instead: both routes of
+    bfs_distances_customers call these two functions verbatim, and the
+    default route is oracle-checked above."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from webscrape_neko_jirushi_ray.stages.graph import (
+        bfs_levels,
+        bfs_levels_driver,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 120
+    # Hop-layered spine so levels 1..4 are all populated, plus random
+    # shortcut edges that create competing longer paths (min must win).
+    spine_src = np.arange(n - 1, dtype=np.int64)
+    spine_dst = spine_src + 1
+    rand_src = rng.integers(0, n, size=300).astype(np.int64)
+    rand_dst = rng.integers(0, n, size=300).astype(np.int64)
+    src = np.concatenate([spine_src, rand_src])
+    dst = np.concatenate([spine_dst, rand_dst])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+
+    want = bfs_levels_driver(src, dst, 0, max_hops=4)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(4)
+    got = bfs_levels(edges, 0, max_hops=4, num_partitions=4)
+    pd.testing.assert_frame_equal(got, want)

@@ -4663,3 +4663,62 @@ def token_count_estimates(sf_dir: str) -> pd.DataFrame:
     )
     out = out[["token", "cnt", "cms_estimate"]]
     return out.sort_values("token").reset_index(drop=True)
+
+
+def bfs_distances_customers(sf_dir: str) -> pd.DataFrame:
+    """BFS shortest-path levels (iterative graph class, the frontier
+    shape the crawl engine runs): minimum hop count <= 10 from the
+    lowest customer key over a sparse deterministic order-derived
+    directed graph (only o_orderkey % 7 == 0 contributes an edge, so
+    the level structure spans all ten hops).
+
+    Size-routed on EDGE count exactly like connected components: small
+    edge lists BFS on the driver (np.isin per level — distributed
+    rounds are pure fixed latency there); big graphs run
+    :func:`..stages.graph.bfs_levels` (per hop: edge-corpus semi-join
+    against the frontier, dedup groupby, anti-join vs visited — the
+    frontier and visited sets never leave the cluster), pinned by a
+    kernel parity test (test_bfs_distributed_kernel_parity — forcing
+    the full 10-hop query distributed is ~20 shuffles of pure fixed
+    latency at test scale). Oracle: bounded recursive CTE + MIN."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.graph import bfs_levels, bfs_levels_driver
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    agg = cust.aggregate(
+        Max("c_custkey", alias_name="mx"), Min("c_custkey", alias_name="mn")
+    )
+    maxc, source = int(agg["mx"]), int(agg["mn"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        okey = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        keep = (okey % 7) == 0
+        src = np.asarray(
+            t["o_custkey"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )[keep]
+        dst = (okey[keep] % maxc) + 1
+        m = src != dst
+        return pa.table(
+            {"src": pa.array(src[m]), "dst": pa.array(dst[m], type=pa.int64())}
+        )
+
+    edges = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        _edges, batch_format="pyarrow"
+    ).materialize()  # O(edges); consumed by count + one BFS path
+    if edges.count() <= _COMPONENTS_DRIVER_ROUTE_EDGES:
+        ep = edges.to_pandas()
+        if len(ep) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([source], dtype="int64"),
+                 "dist": pd.Series([0], dtype="int64")}
+            )
+        out = bfs_levels_driver(
+            ep["src"].to_numpy(dtype="int64"),
+            ep["dst"].to_numpy(dtype="int64"),
+            source,
+            max_hops=10,
+        )
+    else:
+        out = bfs_levels(edges, source, max_hops=10)
+    return out

@@ -30,6 +30,8 @@ the default scale=10**12 the int64 path is safe to ~10**5 nodes; drop
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -513,3 +515,106 @@ def triangle_count(
         num_partitions=num_partitions,
     )
     return int(closed.count())
+
+
+def bfs_levels(
+    edges: "ray.data.Dataset",
+    source: int,
+    *,
+    max_hops: int = 10,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Distributed BFS shortest-path levels from ``source`` over a
+    directed edge Dataset (int64 ``src``/``dst`` columns): one row per
+    reachable node with its minimum hop count <= max_hops.
+
+    Frontier-relaxation plan (the crawl engine's round shape), two
+    keyed exchanges per hop: the edge corpus semi-joins the frontier on
+    src (distributed is_in — the frontier never leaves the cluster),
+    the reached dsts are tagged dist=hop and merged into the settled
+    table with ONE union + groupby-min (dedup and first-hop-wins in the
+    same shuffle; BFS relaxations never improve a settled node, so min
+    keeps the first hop). The settled table re-materializes per round
+    to keep the lineage flat; the driver sees one scalar count per
+    round and stops when a round settles nothing new. Small graphs
+    should prefer :func:`bfs_levels_driver` — every round here costs
+    fixed-latency distributed stages (the components size-route
+    argument)."""
+    from .joins import hash_join
+
+    src_t = pa.table(
+        {
+            "node": pa.array([int(source)], pa.int64()),
+            "dist": pa.array([0], pa.int64()),
+        }
+    )
+    settled = ray.data.from_arrow(src_t).materialize()
+    n_settled = 1
+    frontier = ray.data.from_arrow(src_t.select(["node"]))
+    for hop in range(1, max_hops + 1):
+        cand = hash_join(
+            edges, frontier, key="src", right_key="node",
+            how="left_semi", num_partitions=num_partitions,
+        ).map_batches(
+            lambda t, h=hop: pa.table(
+                {
+                    "node": pc.cast(t["dst"], pa.int64()),
+                    "dist": pa.array(np.full(t.num_rows, h, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        settled = (
+            settled.union(cand)
+            .groupby("node")
+            .min("dist")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": pc.cast(t["node"], pa.int64()),
+                        "dist": pc.cast(t["min(dist)"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        n_now = settled.count()
+        if n_now == n_settled:
+            break
+        n_settled = n_now
+        frontier = settled.map_batches(
+            lambda t, h=hop: t.filter(
+                pc.equal(t["dist"], pa.scalar(h))
+            ).select(["node"]),
+            batch_format="pyarrow",
+        )
+    out = settled.to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def bfs_levels_driver(
+    src: "np.ndarray", dst: "np.ndarray", source: int, *, max_hops: int = 10
+) -> pd.DataFrame:
+    """Driver BFS over edge arrays — the small-graph route (edge list
+    already fits in one worker; distributed rounds would be pure fixed
+    latency). Vectorized per level: one np.isin against the frontier."""
+    dist = {int(source): 0}
+    frontier = np.asarray([source], dtype=np.int64)
+    for hop in range(1, max_hops + 1):
+        mask = np.isin(src, frontier)
+        reached = np.unique(dst[mask])
+        new = np.asarray(
+            [n for n in reached.tolist() if n not in dist], dtype=np.int64
+        )
+        if len(new) == 0:
+            break
+        for n in new.tolist():
+            dist[n] = hop
+        frontier = new
+    out = pd.DataFrame(
+        {"node": list(dist.keys()), "dist": list(dist.values())}
+    ).astype({"node": "int64", "dist": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
