@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "late_supplier_share": q.late_supplier_share,
+        "sliding_active_users": q.sliding_active_users,
+        "nation_price_qty_corr": q.nation_price_qty_corr,
         "bfs_distances_customers": q.bfs_distances_customers,
         "token_count_estimates": q.token_count_estimates,
         "regional_market_share": q.regional_market_share,
@@ -298,6 +301,72 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "late_supplier_share": """
+            WITH multi AS (
+                SELECT l_orderkey
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING COUNT(DISTINCT l_suppkey) >= 2
+            )
+            SELECT s_name,
+                   CAST(SUM(CASE WHEN epoch_us(l.l_shipdate)
+                                      > epoch_us(o.o_orderdate)
+                                        + CAST(5184000000000 AS BIGINT)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM lineitem l
+            JOIN multi m ON m.l_orderkey = l.l_orderkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY s_name
+            HAVING SUM(CASE WHEN epoch_us(l.l_shipdate)
+                                 > epoch_us(o.o_orderdate)
+                                   + CAST(5184000000000 AS BIGINT)
+                            THEN 1 ELSE 0 END) > 0
+            ORDER BY s_name
+        """,
+        "sliding_active_users": """
+            WITH hu AS (
+                SELECT DISTINCT
+                       CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour,
+                       user_id
+                FROM events
+            ),
+            w AS (SELECT DISTINCT hour AS win FROM hu)
+            SELECT w.win,
+                   CAST(COUNT(DISTINCT hu.user_id) AS BIGINT) AS n_users
+            FROM w
+            JOIN hu ON hu.hour BETWEEN w.win - 2 AND w.win
+            GROUP BY w.win
+            ORDER BY w.win
+        """,
+        "nation_price_qty_corr": """
+            WITH m AS (
+                SELECT n_name,
+                       CAST(COUNT(*) AS BIGINT) AS n_items,
+                       CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                       CAST(SUM(y * y) AS DOUBLE) AS syy
+                FROM (
+                    SELECT l_suppkey,
+                           CAST(FLOOR(l_extendedprice) AS BIGINT) AS x,
+                           CAST(FLOOR(l_quantity) AS BIGINT) AS y
+                    FROM lineitem
+                ) li
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                GROUP BY n_name
+            )
+            SELECT n_name, n_items,
+                   (n * sxy - sx * sy)
+                   / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+                       AS corr_pq
+            FROM m
+            ORDER BY n_name
+        """,
         "bfs_distances_customers": """
             WITH RECURSIVE walk(node, dist) AS (
                 SELECT (SELECT MIN(c_custkey) FROM customer), 0

@@ -118,6 +118,8 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "brand_discount_revenue",
         "user_retention_matrix",
         "regional_market_share",
+        "nation_price_qty_corr",
+        "late_supplier_share",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

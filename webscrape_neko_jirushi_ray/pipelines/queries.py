@@ -4722,3 +4722,333 @@ def bfs_distances_customers(sf_dir: str) -> pd.DataFrame:
     else:
         out = bfs_levels(edges, source, max_hops=10)
     return out
+
+
+def nation_price_qty_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-nation Pearson correlation between line-item price and
+    quantity — the exact-integer-moments aggregate family (moments
+    beyond sum/count: sum_xy / sum_x2 / sum_y2 in one pass).
+
+    Scale plan: the supplier (suppkey -> nationkey) dim attaches
+    size-routed (broadcast <= _BROADCAST_SIDE_ROUTE_ROWS, hash_join
+    above); each batch pre-aggregates ALL SIX moments per nation with
+    one Arrow group_by, so the exchange moves O(nations x blocks) rows
+    and the final groupby is trivial. x is price in whole dollars
+    (FLOOR — unambiguous on doubles, unlike ROUND's half-tie split
+    between Arrow half-to-even and DuckDB half-away), bounding
+    sum(x^2) at ~10^10 per row: int64-safe to ~10^8 rows per nation
+    (document bound; beyond that drop x to hundreds of dollars). The
+    final correlation is ONE identically-parenthesized double formula
+    over the exact integer sums on both sides, so Ray and DuckDB agree
+    bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    items = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_quantity"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "x": pc.cast(pc.floor(t["l_extendedprice"]), pa.int64()),
+                "y": pc.cast(pc.floor(t["l_quantity"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    try:
+        n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    except Exception:
+        n_supp = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_supp <= _BROADCAST_SIDE_ROUTE_ROWS:
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        supp = pa.table(
+            {
+                "s_suppkey": pc.cast(supp["s_suppkey"], pa.int64()),
+                "nat": pc.cast(supp["s_nationkey"], pa.int64()),
+            }
+        )
+        tagged = broadcast_join(items, supp, key="l_suppkey", right_key="s_suppkey")
+    else:
+        supp_ds = _read(
+            sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                    "nat": pc.cast(t["s_nationkey"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = hash_join(items, supp_ds, key="l_suppkey", right_key="s_suppkey")
+
+    def _moment_partials(t: pa.Table) -> pa.Table:
+        x, y = t["x"], t["y"]
+        m = pa.table(
+            {
+                "nat": t["nat"],
+                "n1": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxy": pc.multiply(x, y),
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+            }
+        )
+        return m.group_by("nat").aggregate(
+            [(c, "sum") for c in ("n1", "sx", "sy", "sxy", "sxx", "syy")]
+        ).rename_columns(["nat", "n1", "sx", "sy", "sxy", "sxx", "syy"])
+
+    moments = (
+        tagged.map_batches(_moment_partials, batch_format="pyarrow")
+        .groupby("nat")
+        .aggregate(*[
+            Sum(c, alias_name=c)
+            for c in ("n1", "sx", "sy", "sxy", "sxx", "syy")
+        ])
+        .to_pandas()
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nation["n_nationkey"] = nation["n_nationkey"].astype("int64")
+    out = moments.merge(
+        nation, left_on="nat", right_on="n_nationkey", how="inner"
+    )
+    n = out["n1"].to_numpy(dtype="float64")
+    sx = out["sx"].to_numpy(dtype="float64")
+    sy = out["sy"].to_numpy(dtype="float64")
+    sxy = out["sxy"].to_numpy(dtype="float64")
+    sxx = out["sxx"].to_numpy(dtype="float64")
+    syy = out["syy"].to_numpy(dtype="float64")
+    # identical parse tree to the SQL oracle — bit-identical doubles
+    corr = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    res = pd.DataFrame(
+        {
+            "n_name": out["n_name"],
+            "n_items": out["n1"].astype("int64"),
+            "corr_pq": corr,
+        }
+    )
+    return res.sort_values("n_name").reset_index(drop=True)
+
+
+def sliding_active_users(sf_dir: str) -> pd.DataFrame:
+    """Exact SLIDING-window COUNT(DISTINCT): distinct users active in
+    the 3-hour window ending at each event hour — the overlapping-window
+    complement of ``hourly_active_users`` (tumbling).
+
+    Each batch dedups (hour, user) pairs locally, EXPLODES each pair to
+    the <=3 window ends it contributes to (hour .. hour+2), re-dedups,
+    and ships pair-hash-bucketed rows exactly like the tumbling path:
+    ONE shuffle whose payload is O(3 x distinct pairs), never raw
+    events. Per-bucket dedup + partial counts, then an O(buckets x
+    windows) groupby. The final restriction to windows whose end hour
+    actually has events merges two already-reduced O(hours) tables on
+    the driver (documented bound: the dataset's hour span)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import _WB
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    num_buckets = 64
+    width = 3
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        for c in ("ts", "user_id"):
+            if t[c].null_count:
+                raise ValueError(
+                    f"sliding_active_users: column {c!r} has nulls — a null "
+                    "would corrupt the uint64 pair hash silently"
+                )
+        hour = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000), pa.int64()
+        )
+        pairs = (
+            pa.table({"hour": hour, "user_id": t["user_id"]})
+            .group_by(["hour", "user_id"])
+            .aggregate([])
+        )
+        h = pairs["hour"].to_numpy(zero_copy_only=False)
+        u = pairs["user_id"].to_numpy(zero_copy_only=False)
+        win = np.concatenate([h + off for off in range(width)])
+        usr = np.tile(u, width)
+        ex = (
+            pa.table({"win": pa.array(win), "user_id": pa.array(usr)})
+            .group_by(["win", "user_id"])
+            .aggregate([])
+        )
+        wv = ex["win"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uv = ex["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (wv * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            uv * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        b = ((mix >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int64)
+        return ex.append_column(_WB, pa.array(b))
+
+    def _bucket_partials(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"win": g["win"], "user_id": g["user_id"]})
+            .group_by(["win", "user_id"])
+            .aggregate([])
+        )
+        per_win = distinct.group_by("win").aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "win": per_win["win"],
+                "partial": pc.cast(per_win["user_id_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(_WB)
+        .map_groups(_bucket_partials, batch_format="pyarrow")
+        .groupby("win")
+        .aggregate(Sum("partial", alias_name="n_users"))
+        .to_pandas()
+    )
+    hours = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "win": pc.unique(
+                        pc.cast(
+                            pc.divide(
+                                pc.cast(t["ts"], pa.int64()), 3_600_000_000
+                            ),
+                            pa.int64(),
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("win")
+        .count()
+        .to_pandas()[["win"]]
+    )
+    out = counts.merge(hours, on="win", how="inner")
+    out["win"] = out["win"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("win").reset_index(drop=True)
+
+
+def late_supplier_share(sf_dir: str) -> pd.DataFrame:
+    """Suppliers who shipped late inside multi-supplier orders (TPC-H
+    Q21 family): among orders touching >= 2 distinct suppliers, per
+    supplier the count of its line items shipped more than 60 days
+    after the order date, plus its total items in such orders —
+    suppliers with at least one late item, by name.
+
+    Scale plan, three bounded exchanges: (1) the multi-supplier order
+    set comes from batch-local (orderkey, suppkey) dedup + ONE
+    orderkey-hash bucket shuffle (per-bucket distinct-supplier counts —
+    the hourly_active_users machinery keyed on the order); (2) the
+    O(multi orders) keyset picks up o_orderdate by filtering the orders
+    scan against it and attaches to lineitem size-routed (broadcast
+    <= _BROADCAST_SIDE_ROUTE_ROWS, big-big orderkey hash_join above,
+    pinned by the route-forcing test); (3) per-supplier late/total
+    counts are a combiner-reduced groupby, and only the O(suppliers)
+    result ever reaches the driver. Lateness compares raw int64
+    microsecond timestamps — no float dates anywhere."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+    from ..stages.relops import _WB
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    num_buckets = 64
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        pairs = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                }
+            )
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([])
+        )
+        o = pairs["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (
+            ((o * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pairs.append_column(_WB, pa.array(b))
+
+    def _multi_orders(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"o": g["l_orderkey"], "s": g["l_suppkey"]})
+            .group_by(["o", "s"])
+            .aggregate([])
+        )
+        cnt = distinct.group_by("o").aggregate([("s", "count")])
+        keep = cnt.filter(pc.greater_equal(cnt["s_count"], pa.scalar(2)))
+        return pa.table({"mo_orderkey": keep["o"]})
+
+    multi = (
+        items.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(_WB)
+        .map_groups(_multi_orders, batch_format="pyarrow")
+        .materialize()  # O(multi orders); consumed by count + one join path
+    )
+
+    def _order_dates(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mo_orderkey": t["o_orderkey"],
+                "odate": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        _order_dates, batch_format="pyarrow"
+    )
+    if multi.count() <= _BROADCAST_SIDE_ROUTE_ROWS:
+        keyset = pa.Table.from_pandas(multi.to_pandas(), preserve_index=False)
+        dated = broadcast_join(orders, keyset, key="mo_orderkey")
+        tagged = broadcast_join(
+            items,
+            pa.Table.from_pandas(dated.to_pandas(), preserve_index=False),
+            key="l_orderkey",
+            right_key="mo_orderkey",
+        )
+    else:
+        dated = hash_join(orders, multi, key="mo_orderkey", how="left_semi")
+        tagged = hash_join(items, dated, key="l_orderkey", right_key="mo_orderkey")
+
+    sixty_days_us = 60 * 86_400 * 1_000_000
+
+    def _late_partials(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        late = pc.cast(
+            pc.greater(ship, pc.add(t["odate"], pa.scalar(sixty_days_us))),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_suppkey": pc.cast(t["l_suppkey"], pa.int64()), "late": late}
+        )
+
+    per_supp = (
+        tagged.map_batches(_late_partials, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("late", alias_name="n_late"), Count(alias_name="n_total"))
+        .to_pandas()
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    supp["s_suppkey"] = supp["s_suppkey"].astype("int64")
+    out = per_supp.merge(
+        supp, left_on="l_suppkey", right_on="s_suppkey", how="inner"
+    )
+    out = out[out["n_late"] > 0][["s_name", "n_late", "n_total"]]
+    out["n_late"] = out["n_late"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    return out.sort_values("s_name").reset_index(drop=True)
