@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "event_value_cume_dist": q.event_value_cume_dist,
+        "customer_order_dense_rank": q.customer_order_dense_rank,
+        "event_value_stddev_by_type": q.event_value_stddev_by_type,
         "late_supplier_share": q.late_supplier_share,
         "sliding_active_users": q.sliding_active_users,
         "nation_price_qty_corr": q.nation_price_qty_corr,
@@ -301,6 +304,44 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_value_cume_dist": """
+            SELECT event_id,
+                   CUME_DIST() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ROUND(value * 1000000) AS BIGINT)
+                   ) AS cd
+            FROM events
+            ORDER BY event_id
+        """,
+        "customer_order_dense_rank": """
+            SELECT o_orderkey,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   ) AS BIGINT) AS dr
+            FROM orders
+            ORDER BY o_orderkey
+        """,
+        "event_value_stddev_by_type": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n,
+                       CAST(SUM(c) AS DOUBLE) AS sx,
+                       CAST(SUM(c * c) AS DOUBLE) AS sxx
+                FROM (
+                    SELECT event_type,
+                           CAST(ROUND(value * 100) AS BIGINT) AS c
+                    FROM events
+                )
+                GROUP BY event_type
+            )
+            SELECT event_type, n_events,
+                   SQRT((n * sxx - sx * sx) / (n * (n - 1))
+                        / (100.0 * 100.0)) AS sd_value
+            FROM m
+            ORDER BY event_type
+        """,
         "late_supplier_share": """
             WITH multi AS (
                 SELECT l_orderkey

@@ -562,3 +562,72 @@ def test_first_last_property(ray_session, seed, n_groups, n):
     assert (out["f"].values == want["f"].values).all()
     assert (out["l"].values == want["l"].values).all()
     assert (out["n"].values == want["n"].values).all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_groups=st.sampled_from([1, 3, 37]),
+    val_domain=st.sampled_from([1, 2, 9]),  # tiny domains force heavy ties
+    n=st.sampled_from([1, 7, 400]),
+)
+def test_cume_dist_and_dense_rank_property(
+    ray_session, seed, n_groups, val_domain, n
+):
+    from webscrape_neko_jirushi_ray.stages.relops import (
+        grouped_cume_dist,
+        grouped_dense_rank,
+    )
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, n_groups, n).astype(np.int64),
+            "v": rng.integers(-val_domain, val_domain + 1, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(3)
+    cd = (
+        grouped_cume_dist(ds, group_col="g", value_col="v", out_col="cd")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    want_cd = (
+        df.groupby("g")["v"].rank(method="max")
+        / df.groupby("g")["v"].transform("size")
+    )
+    assert len(cd) == n
+    assert (cd["cd"].to_numpy() == want_cd.to_numpy()).all()
+    dr = (
+        grouped_dense_rank(ds, group_col="g", value_col="v", out_col="dr")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    want_dr = df.groupby("g")["v"].rank(method="dense").astype("int64")
+    assert (dr["dr"].to_numpy() == want_dr.to_numpy()).all()
+
+
+def test_window_rank_kernels_reject_nulls(ray_session):
+    import pytest
+
+    from webscrape_neko_jirushi_ray.stages.relops import (
+        grouped_cume_dist,
+        grouped_dense_rank,
+    )
+
+    t = pa.table({"g": [1, 1, 2], "v": pa.array([3, None, 5], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="null"):
+        grouped_cume_dist(ds, group_col="g", value_col="v").to_pandas()
+    with pytest.raises(Exception, match="null"):
+        grouped_dense_rank(ds, group_col="g", value_col="v").to_pandas()

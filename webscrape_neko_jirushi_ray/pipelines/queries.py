@@ -5052,3 +5052,120 @@ def late_supplier_share(sf_dir: str) -> pd.DataFrame:
     out["n_late"] = out["n_late"].astype("int64")
     out["n_total"] = out["n_total"].astype("int64")
     return out.sort_values("s_name").reset_index(drop=True)
+
+
+def event_value_cume_dist(sf_dir: str) -> pd.DataFrame:
+    """Keyed CUME_DIST window (relops.grouped_cume_dist): each event's
+    cumulative distribution position among the same user's values, tie
+    rows sharing the count at their run's end. One hash-bucket shuffle;
+    the <=-count / n division is int64->float64 on both engines so the
+    doubles match the SQL oracle bit-for-bit."""
+    from ..stages.relops import grouped_cume_dist
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "micros": _to_scaled_int(t["value"], 1_000_000),
+            }
+        )
+
+    out = grouped_cume_dist(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        group_col="user_id",
+        value_col="micros",
+        out_col="cd",
+    ).to_pandas()
+    return (
+        out[["event_id", "cd"]].sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def customer_order_dense_rank(sf_dir: str) -> pd.DataFrame:
+    """Keyed DENSE_RANK window (relops.grouped_dense_rank): each
+    order's gap-free price rank within its customer — the k-th distinct
+    total gets rank k. One hash-bucket shuffle, one lexsort + two
+    cumsum gathers per bucket; all-int64, so ranks are exact."""
+    from ..stages.relops import grouped_dense_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+
+    out = grouped_dense_rank(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        group_col="o_custkey",
+        value_col="cents",
+        out_col="dr",
+    ).to_pandas()
+    return (
+        out[["o_orderkey", "dr"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def event_value_stddev_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type sample standard deviation of the event value —
+    the second-moment member of the exact-integer-moments family
+    (nation_price_qty_corr carries the cross moments; this is the
+    classic Welford-free two-sum path).
+
+    Each batch pre-aggregates (n, sum, sum-of-squares) per type in
+    integer CENTS with one Arrow group_by, so the exchange moves
+    O(types x blocks) rows. cents^2 tops out ~2.4e9 for this domain,
+    keeping the squared sum int64-safe to ~10^9 rows per type
+    (documented bound; drop to whole units past that). The final
+    sqrt((n*sxx - sx^2) / (n*(n-1))) is one identically-parenthesized
+    double formula over exact integer sums on both sides — and the
+    cents->units rescale divides by the exact double 100.0*100.0 INSIDE
+    the sqrt, so Ray and DuckDB agree bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        cents = _to_scaled_int(t["value"], 100)
+        m = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n1": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sx": cents,
+                "sxx": pc.multiply(cents, cents),
+            }
+        )
+        return (
+            m.group_by("event_type")
+            .aggregate([(c, "sum") for c in ("n1", "sx", "sxx")])
+            .rename_columns(["event_type", "n1", "sx", "sxx"])
+        )
+
+    out = (
+        ds.map_batches(_moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n1", "sx", "sxx")])
+        .to_pandas()
+    )
+    n = out["n1"].to_numpy(dtype="float64")
+    sx = out["sx"].to_numpy(dtype="float64")
+    sxx = out["sxx"].to_numpy(dtype="float64")
+    # identical parse tree to the SQL oracle — bit-identical doubles
+    sd = np.sqrt((n * sxx - sx * sx) / (n * (n - 1)) / (100.0 * 100.0))
+    res = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n_events": out["n1"].astype("int64"),
+            "sd_value": sd,
+        }
+    )
+    return res.sort_values("event_type").reset_index(drop=True)

@@ -1017,6 +1017,96 @@ def grouped_percent_rank(
     )
 
 
+def grouped_cume_dist(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    value_col: str,
+    out_col: str = "cd",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``CUME_DIST() OVER (PARTITION BY group_col ORDER BY value_col)``
+    — (# of group rows with value <= current) / n; every row of a tie
+    run shares the count at the run's END (SQL semantics, the mirror of
+    PERCENT_RANK's shared rank at the run's start).
+
+    Scale design is :func:`grouped_percent_rank` verbatim: ONE
+    hash-bucket shuffle, per bucket one lexsort by (key, value), then
+    each row's <=-count is its tie-run's exclusive end minus its
+    segment start — a cumsum-indexed gather, no per-key Python. The
+    final division is int64 -> float64 on both engines (bit-identical
+    to the SQL oracle). ``value_col`` must be int64-safe and non-null
+    (:func:`_int64_nonull` raises)."""
+
+    def _cd(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.nulls(0, pa.float64()))
+        codes = _group_codes(g, group_col)
+        vals = _int64_nonull(g[value_col], value_col)
+        order = np.lexsort((vals, codes))
+        g = g.take(pa.array(order, pa.int64()))
+        c_s, v_s = codes[order], vals[order]
+        _, _, seg_start, seg_end = _segment_bounds(c_s)
+        is_new = np.concatenate(
+            [[True], (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])]
+        )
+        run_starts = np.flatnonzero(is_new)
+        run_ends = np.concatenate([run_starts[1:], [len(c_s)]])
+        le = run_ends[np.cumsum(is_new) - 1] - seg_start
+        cd = le / (seg_end - seg_start)
+        return g.append_column(out_col, pa.array(cd, pa.float64()))
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_cd, batch_format="pyarrow")
+    )
+
+
+def grouped_dense_rank(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    value_col: str,
+    out_col: str = "dr",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``DENSE_RANK() OVER (PARTITION BY group_col ORDER BY value_col)``
+    — 1-based rank with NO gaps after ties (the k-th distinct value in
+    the group gets rank k).
+
+    Same single-shuffle segment machinery as the other rank kernels:
+    after the per-bucket lexsort, the global cumsum of tie-run starts
+    IS a running distinct-value counter, and subtracting its value at
+    each row's segment start rebases it to 1 per group — two gathers,
+    zero per-key Python. ``value_col`` must be int64-safe and non-null
+    (:func:`_int64_nonull` raises)."""
+
+    def _dr(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.nulls(0, pa.int64()))
+        codes = _group_codes(g, group_col)
+        vals = _int64_nonull(g[value_col], value_col)
+        order = np.lexsort((vals, codes))
+        g = g.take(pa.array(order, pa.int64()))
+        c_s, v_s = codes[order], vals[order]
+        _, _, seg_start, _ = _segment_bounds(c_s)
+        is_new = np.concatenate(
+            [[True], (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])]
+        )
+        run_idx = np.cumsum(is_new)
+        dense = run_idx - run_idx[seg_start] + 1
+        return g.append_column(out_col, pa.array(dense, pa.int64()))
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_dr, batch_format="pyarrow")
+    )
+
+
 def grouped_string_agg(
     ds: "ray.data.Dataset",
     *,
