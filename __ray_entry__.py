@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "event_type_cooccurrence": q.event_type_cooccurrence,
+        "supplier_copart_pairs": q.supplier_copart_pairs,
+        "modal_priority_per_segment": q.modal_priority_per_segment,
+        "monthly_revenue_growth": q.monthly_revenue_growth,
         "event_value_cume_dist": q.event_value_cume_dist,
         "customer_order_dense_rank": q.customer_order_dense_rank,
         "event_value_stddev_by_type": q.event_value_stddev_by_type,
@@ -304,6 +308,62 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_type_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut a
+            JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "supplier_copart_pairs": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_parts
+            FROM ps a
+            JOIN ps b ON a.l_partkey = b.l_partkey
+                     AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+            ORDER BY 1, 2
+        """,
+        "modal_priority_per_segment": """
+            WITH c AS (
+                SELECT c_mktsegment, o_orderpriority,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM orders JOIN customer ON c_custkey = o_custkey
+                GROUP BY 1, 2
+            )
+            SELECT c_mktsegment, o_orderpriority, n_orders
+            FROM c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY n_orders DESC, o_orderpriority
+            ) = 1
+            ORDER BY c_mktsegment
+        """,
+        "monthly_revenue_growth": """
+            WITH m AS (
+                SELECT CAST(year(o_orderdate) * 100
+                            + month(o_orderdate) AS BIGINT) AS ym,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_cents
+                FROM orders GROUP BY 1
+            ),
+            lagged AS (
+                SELECT ym, rev_cents,
+                       LAG(rev_cents) OVER (ORDER BY ym) AS prev_cents
+                FROM m
+            )
+            SELECT ym, rev_cents, prev_cents,
+                   (CAST(rev_cents AS DOUBLE) - CAST(prev_cents AS DOUBLE))
+                       / CAST(prev_cents AS DOUBLE) AS growth
+            FROM lagged
+            WHERE prev_cents IS NOT NULL
+            ORDER BY ym
+        """,
         "event_value_cume_dist": """
             SELECT event_id,
                    CUME_DIST() OVER (

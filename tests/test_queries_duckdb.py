@@ -120,6 +120,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "regional_market_share",
         "nation_price_qty_corr",
         "late_supplier_share",
+        "modal_priority_per_segment",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

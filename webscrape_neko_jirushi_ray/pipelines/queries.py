@@ -5169,3 +5169,318 @@ def event_value_stddev_by_type(sf_dir: str) -> pd.DataFrame:
         }
     )
     return res.sort_values("event_type").reset_index(drop=True)
+
+
+def event_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-occurrence matrix: for every unordered pair of
+    event types, how many users performed BOTH — the association-rule /
+    co-engagement primitive (baskets = users, items = event types).
+
+    Scale plan: batch-local (user, type) dedup, ONE user-hash bucket
+    shuffle (a user's whole basket lands in one bucket, so bucket
+    partials are disjoint user counts). Per bucket the basket is a
+    BITMASK: one lexsort + np.bitwise_or.reduceat folds each user's
+    types into a uint64, and each type pair is one vectorized
+    mask-test over users — O(users x T^2) bit ops, no pair-row
+    explosion ever materializes. T > 63 distinct types raises loudly
+    (this operator targets low-cardinality taxonomies; shard the mask
+    past that). Final groupby sums O(buckets x T^2) partial rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import _WB
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    num_buckets = 64
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        for c in ("user_id", "event_type"):
+            if t[c].null_count:
+                raise ValueError(f"event_type_cooccurrence: nulls in {c!r}")
+        pairs = (
+            pa.table({"user_id": t["user_id"], "event_type": t["event_type"]})
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+        u = pairs["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (
+            ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pairs.append_column(_WB, pa.array(b))
+
+    def _cooccur(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"u": g["user_id"], "ty": g["event_type"]})
+            .group_by(["u", "ty"])
+            .aggregate([])
+        )
+        ty = distinct["ty"]
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        enc = ty.dictionary_encode()
+        names = enc.dictionary.to_pylist()
+        if len(names) > 63:
+            raise ValueError(
+                f"event_type_cooccurrence: {len(names)} distinct types in "
+                "one bucket exceeds the 63-bit basket mask — shard the mask "
+                "or switch to pair expansion for high-cardinality taxonomies"
+            )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        users = distinct["u"].to_numpy(zero_copy_only=False)
+        order = np.argsort(users, kind="stable")
+        u_s, c_s = users[order], codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u_s[1:] != u_s[:-1]])
+        )
+        masks = np.bitwise_or.reduceat(
+            np.uint64(1) << c_s.astype(np.uint64), starts
+        )
+        rows_a, rows_b, rows_n = [], [], []
+        # T^2/2 vectorized mask tests (T <= 63); never a pair-row blowup
+        for i in range(len(names)):
+            bit_i = (masks >> np.uint64(i)) & np.uint64(1)
+            for j in range(i + 1, len(names)):
+                n = int(
+                    (bit_i & ((masks >> np.uint64(j)) & np.uint64(1))).sum()
+                )
+                if n:
+                    a, b = sorted((names[i], names[j]))
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    rows_n.append(n)
+        return pa.table(
+            {
+                "type_a": pa.array(rows_a, pa.string()),
+                "type_b": pa.array(rows_b, pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(_WB)
+        .map_groups(_cooccur, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def supplier_copart_pairs(sf_dir: str) -> pd.DataFrame:
+    """Bipartite projection: supplier pairs weighted by the number of
+    distinct parts both have shipped (lineitem as the part-supplier
+    incidence list) — the co-supply / co-purchase graph builder. Pairs
+    sharing >= 2 parts survive.
+
+    Scale plan: batch-local (part, supplier) dedup, ONE part-hash
+    bucket shuffle; per bucket a second dedup, one lexsort by (part,
+    supplier) and the triangle kernel's run-length forward-pair
+    expansion (element at within-run position t pairs with the L-1-t
+    after it — all np.repeat/arange, no per-part Python). Pairs
+    collapse to a composite int64 key (a*2^32+b, suppkey < 2^31
+    asserted) and pre-aggregate per bucket, so the final exchange
+    carries O(qualifying pairs x buckets) rows, never the raw pair
+    stream. Hot parts (huge supplier lists) are the documented skew
+    risk: expansion is quadratic in ONE part's supplier count."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import _WB
+
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    num_buckets = 64
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        pairs = (
+            pa.table(
+                {
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                    "s": pc.cast(t["l_suppkey"], pa.int64()),
+                }
+            )
+            .group_by(["p", "s"])
+            .aggregate([])
+        )
+        p = pairs["p"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (
+            ((p * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pairs.append_column(_WB, pa.array(b))
+
+    def _expand(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"p": g["p"], "s": g["s"]}).group_by(["p", "s"]).aggregate([])
+        )
+        p = distinct["p"].to_numpy(zero_copy_only=False)
+        s = distinct["s"].to_numpy(zero_copy_only=False)
+        if len(s) and int(s.max()) >= 2**31:
+            raise ValueError("supplier_copart_pairs: suppkey >= 2^31 breaks "
+                             "the composite pair key — widen to two columns")
+        o = np.lexsort((s, p))
+        p_s, s_s = p[o], s[o]
+        newrun = np.concatenate([[True], p_s[1:] != p_s[:-1]])
+        starts = np.flatnonzero(newrun)
+        lens = np.diff(np.concatenate([starts, [len(p_s)]]))
+        within = np.arange(len(p_s), dtype=np.int64) - np.repeat(starts, lens)
+        cnt_per = lens[np.cumsum(newrun) - 1] - 1 - within
+        total = int(cnt_per.sum())
+        if total == 0:
+            return pa.table({"pairkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        i_idx = np.repeat(np.arange(len(p_s), dtype=np.int64), cnt_per)
+        joff = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(cnt_per) - cnt_per, cnt_per)
+            + 1
+        )
+        key = s_s[i_idx] * np.int64(2**32) + s_s[i_idx + joff]
+        rolled = (
+            pa.table({"pairkey": pa.array(key)})
+            .group_by("pairkey")
+            .aggregate([("pairkey", "count")])
+        )
+        return pa.table(
+            {
+                "pairkey": rolled["pairkey"],
+                "n": pc.cast(rolled["pairkey_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        items.map_batches(_dedup, batch_format="pyarrow")
+        .groupby(_WB)
+        .map_groups(_expand, batch_format="pyarrow")
+        .groupby("pairkey")
+        .aggregate(Sum("n", alias_name="n_shared_parts"))
+        .to_pandas()
+    )
+    counts = counts[counts["n_shared_parts"] >= 2]
+    key = counts["pairkey"].to_numpy(dtype="int64")
+    out = pd.DataFrame(
+        {
+            "supp_a": key // 2**32,
+            "supp_b": key % 2**32,
+            "n_shared_parts": counts["n_shared_parts"].astype("int64").values,
+        }
+    )
+    return out.sort_values(["supp_a", "supp_b"]).reset_index(drop=True)
+
+
+def modal_priority_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE: each market segment's most frequent order
+    priority (ties broken by the lexicographically smallest priority) —
+    the categorical argmax aggregate.
+
+    Scale plan: the customer (custkey -> segment) dim attaches
+    size-routed (broadcast <= _BROADCAST_SIDE_ROUTE_ROWS, hash_join
+    above); counts reduce combiner-first to the O(segments x
+    priorities) grain, and only that tiny table reaches the driver for
+    the per-segment argmax scan."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        cust = pa.table(
+            {
+                "c_custkey": pc.cast(cust["c_custkey"], pa.int64()),
+                "c_mktsegment": cust["c_mktsegment"],
+            }
+        )
+        tagged = broadcast_join(orders, cust, key="o_custkey", right_key="c_custkey")
+    else:
+        cust_ds = _read(
+            sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                    "c_mktsegment": t["c_mktsegment"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = hash_join(orders, cust_ds, key="o_custkey", right_key="c_custkey")
+
+    counts = (
+        tagged.groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    counts["n_orders"] = counts["n_orders"].astype("int64")
+    counts = counts.sort_values(
+        ["c_mktsegment", "n_orders", "o_orderpriority"],
+        ascending=[True, False, True],
+    )
+    out = counts.groupby("c_mktsegment", as_index=False).head(1)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue growth: per calendar month the exact
+    order revenue in cents, the prior month's revenue, and the growth
+    ratio — the time-series delta report (LAG over an aggregate).
+
+    Scale plan: revenue reduces combiner-first to the O(months) grain
+    (one groupby over per-batch partials); the LAG + ratio run on that
+    already-tiny table on the driver (documented bound: the dataset's
+    month span). Growth is one double expression over exact int64
+    cents, identically parenthesized on both engines. Months with no
+    prior month (the first) drop out."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        m = pc.month(t["o_orderdate"])
+        ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), 100),
+                    pc.cast(m, pa.int64()))
+        part = pa.table(
+            {"ym": ym, "cents": _to_scaled_int(t["o_totalprice"], 100)}
+        )
+        rolled = part.group_by("ym").aggregate([("cents", "sum")])
+        return pa.table(
+            {"ym": rolled["ym"], "cents": rolled["cents_sum"]}
+        )
+
+    out = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    out["prev_cents"] = out["rev_cents"].shift(1)
+    out = out[out["prev_cents"].notna()].copy()
+    rev = out["rev_cents"].to_numpy(dtype="float64")
+    prev = out["prev_cents"].to_numpy(dtype="float64")
+    # identical parse tree to the SQL oracle — bit-identical doubles
+    growth = (rev - prev) / prev
+    return pd.DataFrame(
+        {
+            "ym": out["ym"].astype("int64").values,
+            "rev_cents": out["rev_cents"].astype("int64").values,
+            "prev_cents": out["prev_cents"].astype("int64").values,
+            "growth": growth,
+        }
+    )
