@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "order_price_decile_report": q.order_price_decile_report,
+        "customer_graph_degrees": q.customer_graph_degrees,
         "event_type_cooccurrence": q.event_type_cooccurrence,
         "supplier_copart_pairs": q.supplier_copart_pairs,
         "modal_priority_per_segment": q.modal_priority_per_segment,
@@ -308,6 +310,52 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_price_decile_report": """
+            WITH c AS (
+                SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), ordered AS (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) - 1 AS rn
+                FROM c
+            ), n AS (SELECT COUNT(*) AS cnt FROM c),
+            b AS (
+                SELECT o.cents AS bval
+                FROM (VALUES (10), (20), (30), (40), (50),
+                             (60), (70), (80), (90)) qs(q)
+                CROSS JOIN n
+                JOIN ordered o ON o.rn = ((n.cnt - 1) * qs.q) // 100
+            ),
+            assigned AS (
+                SELECT c.cents,
+                       1 + (SELECT CAST(SUM(CASE WHEN c.cents > b.bval
+                                                 THEN 1 ELSE 0 END) AS BIGINT)
+                            FROM b) AS decile
+                FROM c
+            )
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   MIN(cents) AS min_cents,
+                   MAX(cents) AS max_cents
+            FROM assigned
+            GROUP BY decile
+            ORDER BY decile
+        """,
+        "customer_graph_degrees": """
+            WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT DISTINCT o_custkey AS src,
+                       1 + (o_orderkey % mx.m) AS dst
+                FROM orders CROSS JOIN mx
+                WHERE o_custkey <> 1 + (o_orderkey % mx.m)
+            ),
+            d AS (
+                SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY src
+            )
+            SELECT deg AS out_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY deg ORDER BY deg
+        """,
         "event_type_cooccurrence": """
             WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
             SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -5484,3 +5484,131 @@ def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
             "growth": growth,
         }
     )
+
+
+def order_price_decile_report(sf_dir: str) -> pd.DataFrame:
+    """Equi-depth decile report: exact p10..p90 boundaries split the
+    order-price domain into ten population-balanced buckets, then each
+    decile's count / exact-cents sum / min / max — the distribution
+    dashboard primitive (value-based assignment, so boundary ties land
+    deterministically in the same bucket on both engines).
+
+    Scale plan: boundaries come from the unbounded-domain exact
+    quantile pass (:func:`..stages.textstats.bucketed_exact_quantiles`
+    — two streaming passes, driver state bounded by the coarse bucket
+    count); the NINE boundary values broadcast by closure into one
+    partial-rollup pass (searchsorted-left assignment + per-batch Arrow
+    group_by), so the final groupby sees O(10 x blocks) rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.textstats import bucketed_exact_quantiles
+
+    cents = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda t: pa.table({"cents": _to_scaled_int(t["o_totalprice"], 100)}),
+        batch_format="pyarrow",
+    )
+    bounds = bucketed_exact_quantiles(
+        cents, "cents", tuple(range(10, 100, 10))
+    )["value"].to_numpy(dtype="int64")
+
+    def _assign(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        decile = 1 + np.searchsorted(bounds, v, side="left")
+        part = pa.table(
+            {"decile": pa.array(decile.astype(np.int64)), "cents": t["cents"]}
+        )
+        rolled = part.group_by("decile").aggregate(
+            [("cents", "count"), ("cents", "sum"),
+             ("cents", "min"), ("cents", "max")]
+        )
+        return pa.table(
+            {
+                "decile": rolled["decile"],
+                "n": pc.cast(rolled["cents_count"], pa.int64()),
+                "s": rolled["cents_sum"],
+                "mn": rolled["cents_min"],
+                "mx": rolled["cents_max"],
+            }
+        )
+
+    out = (
+        cents.map_batches(_assign, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            Sum("n", alias_name="n_orders"),
+            Sum("s", alias_name="sum_cents"),
+            Min("mn", alias_name="min_cents"),
+            Max("mx", alias_name="max_cents"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_orders", "sum_cents", "min_cents", "max_cents"):
+        out[c] = out[c].astype("int64")
+    out["decile"] = out["decile"].astype("int64")
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+def customer_graph_degrees(sf_dir: str) -> pd.DataFrame:
+    """Out-degree distribution of the order-derived customer graph (the
+    same deterministic edge set PageRank / BFS / triangles run on):
+    how many nodes have each distinct out-degree — the graph-shape
+    audit (power-law check, hub detection).
+
+    Scale plan: batch-local (src, dst) dedup, ONE src-hash bucket
+    shuffle (a node's whole adjacency lands in one bucket), per-bucket
+    global dedup + per-src counts collapsing immediately to (degree,
+    n_nodes) partials — the final groupby sees O(buckets x distinct
+    degrees) rows, never the edge list."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.relops import _WB
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    maxc = int(cust.aggregate(Max("c_custkey", alias_name="m"))["m"])
+    num_buckets = 64
+
+    def _edges(t: pa.Table) -> pa.Table:
+        src = pc.cast(t["o_custkey"], pa.int64())
+        okey = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        dst = pa.array((okey % maxc) + 1, type=pa.int64())
+        tbl = pa.table({"src": src, "dst": dst})
+        tbl = tbl.filter(pc.not_equal(tbl["src"], tbl["dst"]))
+        pairs = tbl.group_by(["src", "dst"]).aggregate([])
+        s = pairs["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (
+            ((s * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pairs.append_column(_WB, pa.array(b))
+
+    def _degree_partials(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"src": g["src"], "dst": g["dst"]})
+            .group_by(["src", "dst"])
+            .aggregate([])
+        )
+        deg = distinct.group_by("src").aggregate([("dst", "count")])
+        hist = (
+            pa.table({"deg": pc.cast(deg["dst_count"], pa.int64())})
+            .group_by("deg")
+            .aggregate([("deg", "count")])
+        )
+        return pa.table(
+            {
+                "out_degree": hist["deg"],
+                "n": pc.cast(hist["deg_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+        .map_batches(_edges, batch_format="pyarrow")
+        .groupby(_WB)
+        .map_groups(_degree_partials, batch_format="pyarrow")
+        .groupby("out_degree")
+        .aggregate(Sum("n", alias_name="n_nodes"))
+        .to_pandas()
+    )
+    out["out_degree"] = out["out_degree"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out.sort_values("out_degree").reset_index(drop=True)
