@@ -634,3 +634,39 @@ def test_triangle_count_route_parity(ray_session):
         broadcast_edges_threshold=0,
     )
     assert got_bc == got_join and got_bc > 0
+
+
+def test_pagerank_three_routes_bit_identical(ray_session):
+    """The driver route (default at small scale), the broadcast-ranks
+    route, and the per-round hash-join plan must return bit-identical
+    integer ranks — size routing may never change results."""
+    rng = np.random.default_rng(17)
+    n = 60
+    edges = {(int(a), int(b)) for a, b in
+             zip(rng.integers(0, n, 300), rng.integers(0, n, 300))
+             if a != b}
+    e = np.array(sorted(edges), dtype=np.int64)
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+    )
+    edges_ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    ).repartition(3)
+    kw = dict(iterations=3, scale=10**9, num_partitions=4)
+    driver = (
+        pagerank_int(nodes_ds, edges_ds, **kw)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    broadcast = (
+        pagerank_int(nodes_ds, edges_ds, driver_route_edges=0, **kw)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    joined = (
+        pagerank_int(nodes_ds, edges_ds, driver_route_edges=0,
+                     broadcast_ranks_threshold=0, **kw)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert (driver["pr_scaled"].to_numpy()
+            == broadcast["pr_scaled"].to_numpy()).all()
+    assert (driver["pr_scaled"].to_numpy()
+            == joined["pr_scaled"].to_numpy()).all()

@@ -52,6 +52,7 @@ def pagerank_int(
     num_partitions: int = 32,
     checkpoint_dir: str | None = None,
     broadcast_ranks_threshold: int = 2_000_000,
+    driver_route_edges: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """PageRank over ``nodes`` (column ``node``: int64) and directed
     ``edges`` (columns ``src``, ``dst``: int64; duplicate (src, dst)
@@ -230,6 +231,72 @@ def pagerank_int(
                 ranks = ray.data.read_parquet(d).materialize()
                 start_round = r
                 break
+
+    if (
+        checkpoint_dir is None
+        and n_nodes <= driver_route_edges
+        and edges_deg.count() <= driver_route_edges
+    ):
+        import numpy as np
+
+        # --- driver route: the whole power iteration in numpy ------------
+        # The deduped degree-annotated edge list fits the routed bound
+        # (<= driver_route_edges rows, ~24 B/row -> <= ~120 MB at the 5M
+        # default), so after the ONE distributed dedup shuffle above the
+        # five rounds are pure vectorized arithmetic — no per-round
+        # groupby exchange at all (the same size routing that took
+        # connected components from 39.5 s to 3.4 s at bench scale).
+        # Identical integer ops in identical combine order class
+        # (order-independent int64 sums), so results are bit-identical
+        # to both distributed routes; the checkpointed path keeps the
+        # distributed plan (resume needs durable round artifacts).
+        rdf = ranks.to_pandas()
+        order = np.argsort(rdf["node"].to_numpy(), kind="stable")
+        ns = rdf["node"].to_numpy()[order].astype(np.int64)
+        pr = rdf["pr_scaled"].to_numpy()[order].astype(np.int64)
+        edf = edges_deg.to_pandas()
+        src = edf["src"].to_numpy().astype(np.int64)
+        dst = edf["dst"].to_numpy().astype(np.int64)
+        dg = edf["d"].to_numpy().astype(np.int64)
+
+        def _member_pos_d(sorted_arr: np.ndarray, vals: np.ndarray):
+            pos = np.searchsorted(sorted_arr, vals)
+            posc = np.clip(pos, 0, max(len(sorted_arr) - 1, 0))
+            ok = (
+                (sorted_arr[posc] == vals)
+                if len(sorted_arr)
+                else np.zeros(len(vals), dtype=bool)
+            )
+            return posc, ok
+
+        spos, sok = _member_pos_d(ns, src)
+        _, dok = _member_pos_d(ns, dst)
+        keep = sok & dok  # drop dangling targets AND unranked srcs
+        srcp, dk, dgk = spos[keep], dst[keep], dg[keep]
+        o = np.argsort(dk, kind="stable")
+        dk_s, srcp_s, dg_s = dk[o], srcp[o], dgk[o]
+        if len(dk_s):
+            starts = np.concatenate(
+                [[0], np.nonzero(dk_s[1:] != dk_s[:-1])[0] + 1]
+            ).astype(np.int64)
+            dpos, _ = _member_pos_d(ns, dk_s[starts])
+        for _ in range(start_round, iterations):
+            new_pr = np.full(len(ns), base, dtype=np.int64)
+            if len(dk_s):
+                c = (damp_num * pr[srcp_s]) // (damp_den * dg_s)
+                new_pr[dpos] += np.add.reduceat(c, starts).astype(np.int64)
+            pr = new_pr
+        final = pa.table({"node": ns, "pr_scaled": pr})
+        n_blocks = max(1, min(num_partitions, len(ns)))
+        step = -(-len(ns) // n_blocks) if len(ns) else 1
+        return ray.data.from_arrow(
+            [
+                final.slice(i * step, step)
+                for i in range(n_blocks)
+                if i * step < len(ns)
+            ]
+            or [final]
+        )
 
     if n_nodes <= broadcast_ranks_threshold:
         import numpy as np
