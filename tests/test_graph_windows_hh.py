@@ -670,3 +670,31 @@ def test_pagerank_three_routes_bit_identical(ray_session):
             == broadcast["pr_scaled"].to_numpy()).all()
     assert (driver["pr_scaled"].to_numpy()
             == joined["pr_scaled"].to_numpy()).all()
+
+
+def test_triangle_three_routes_identical(ray_session):
+    """Driver, broadcast-bucket, and join-plan triangle routes must all
+    return the same count."""
+    from webscrape_neko_jirushi_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(23)
+    n = 50
+    raw = {(int(x), int(y)) for x, y in
+           zip(rng.integers(0, n, 400), rng.integers(0, n, 400)) if x != y}
+    canon = {(min(x, y), max(x, y)) for x, y in raw}
+    e = np.array(sorted(canon), dtype=np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"a": pa.array(e[:, 0]), "b": pa.array(e[:, 1])})
+    ).repartition(3)
+    kw = dict(max_node_id=n, num_partitions=4)
+    driver = triangle_count(edges, **kw)
+    bucketed = triangle_count(edges, driver_route_edges=0, **kw)
+    joined = triangle_count(
+        edges, driver_route_edges=0, broadcast_edges_threshold=0, **kw
+    )
+    # brute-force reference
+    adj = np.zeros((n, n), dtype=np.int64)
+    adj[e[:, 0], e[:, 1]] = 1
+    adj = np.maximum(adj, adj.T)
+    want = int(np.einsum("ij,jk,ki->", adj, adj, adj)) // 6
+    assert driver == bucketed == joined == want

@@ -472,6 +472,7 @@ def triangle_count(
     max_node_id: int,
     num_partitions: int = 32,
     broadcast_edges_threshold: int = 20_000_000,
+    driver_route_edges: int = 5_000_000,
 ) -> int:
     """Triangle count over canonical DISTINCT undirected edges (columns
     ``a`` < ``b``, int64). Each triangle a<b<c is generated exactly once
@@ -479,6 +480,10 @@ def triangle_count(
     that keeps hub fan-out quadratic only in forward degree.
 
     SIZE-ROUTED (r4):
+    - ≤ ``driver_route_edges``: the whole wedge expansion runs on the
+      driver in one numpy pass (the broadcast route pulls every edge key
+      to the driver anyway, so its bucket shuffle buys nothing at this
+      size) — zero exchanges after the caller's canonical dedup.
     - ≤ ``broadcast_edges_threshold`` edges (~160 MB of int64 keys at the
       20M default): the composite edge-key set ``a*(M+1)+b`` broadcasts
       once via ``ray.put``; edges hash-bucket by ``a`` (ONE shuffle, so a
@@ -500,6 +505,46 @@ def triangle_count(
     M = max_node_id
     edges = edges.materialize()
     n_edges = edges.count()
+
+    if n_edges <= driver_route_edges:
+        # --- driver route: wedge expansion in one numpy pass -------------
+        # The broadcast route below already pulls every composite edge key
+        # to the driver, so at this size the bucket shuffle it then pays
+        # buys nothing — run the identical lexsort + run-length pair
+        # expansion + searchsorted probe here instead (zero exchanges
+        # after the caller's canonical-dedup shuffle). Wedge volume is
+        # sum-of-squares of forward degrees; a hub-heavy graph over the
+        # edge bound routes to the bucketed plan which caps per-task fan
+        # -out by bucket.
+        cols_a, cols_b = [], []
+        for t in ray.get(edges.to_arrow_refs()):
+            if t.num_rows:
+                cols_a.append(np.asarray(t["a"].to_numpy(zero_copy_only=False)))
+                cols_b.append(np.asarray(t["b"].to_numpy(zero_copy_only=False)))
+        if not cols_a:
+            return 0
+        a = np.concatenate(cols_a)
+        b = np.concatenate(cols_b)
+        ek = np.sort(a * (M + 1) + b)
+        o = np.lexsort((b, a))
+        a_s, b_s = a[o], b[o]
+        newrun = np.concatenate([[True], a_s[1:] != a_s[:-1]])
+        starts = np.nonzero(newrun)[0]
+        lens = np.diff(np.concatenate([starts, [len(a_s)]]))
+        within = np.arange(len(a_s), dtype=np.int64) - np.repeat(starts, lens)
+        cnt_per = lens[np.cumsum(newrun) - 1] - 1 - within
+        total = int(cnt_per.sum())
+        if total == 0:
+            return 0
+        i_idx = np.repeat(np.arange(len(a_s), dtype=np.int64), cnt_per)
+        joff = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(cnt_per) - cnt_per, cnt_per)
+            + 1
+        )
+        key = b_s[i_idx] * (M + 1) + b_s[i_idx + joff]
+        pos = np.clip(np.searchsorted(ek, key), 0, len(ek) - 1)
+        return int((ek[pos] == key).sum())
 
     if n_edges <= broadcast_edges_threshold:
         parts = []
