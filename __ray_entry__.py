@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "top_orders_with_ties": q.top_orders_with_ties,
+        "event_type_lift": q.event_type_lift,
+        "doc_sentence_stats": q.doc_sentence_stats,
         "order_price_decile_report": q.order_price_decile_report,
         "customer_graph_degrees": q.customer_graph_degrees,
         "event_type_cooccurrence": q.event_type_cooccurrence,
@@ -310,6 +313,52 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "top_orders_with_ties": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   CAST(RANK() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC
+                   ) AS BIGINT) AS rnk
+            FROM orders
+            QUALIFY rnk <= 3
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "event_type_lift": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            tc AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM ut GROUP BY 1
+            ),
+            nu AS (
+                SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ut
+            ),
+            pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_both
+                FROM ut a
+                JOIN ut b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT p.type_a, p.type_b, p.n_both,
+                   (CAST(p.n_both AS DOUBLE) * CAST(nu.n AS DOUBLE))
+                       / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)) AS lift
+            FROM pairs p
+            CROSS JOIN nu
+            JOIN tc ta ON ta.event_type = p.type_a
+            JOIN tc tb ON tb.event_type = p.type_b
+            ORDER BY 1, 2
+        """,
+        "doc_sentence_stats": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '[.!?]+'))
+                        AS BIGINT) AS n_sentences,
+                   CAST(length(regexp_extract_all(text, '\\?'))
+                        AS BIGINT) AS n_questions
+            FROM documents
+            ORDER BY doc_id
+        """,
         "order_price_decile_report": """
             WITH c AS (
                 SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents

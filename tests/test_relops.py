@@ -631,3 +631,43 @@ def test_window_rank_kernels_reject_nulls(ray_session):
         grouped_cume_dist(ds, group_col="g", value_col="v").to_pandas()
     with pytest.raises(Exception, match="null"):
         grouped_dense_rank(ds, group_col="g", value_col="v").to_pandas()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_groups=st.sampled_from([1, 3, 37]),
+    val_domain=st.sampled_from([1, 2, 9]),  # tiny domains force boundary ties
+    n=st.sampled_from([1, 7, 400]),
+    k=st.sampled_from([1, 3]),
+)
+def test_grouped_topk_ties_property(ray_session, seed, n_groups, val_domain, n, k):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_topk_ties
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, n_groups, n).astype(np.int64),
+            "v": rng.integers(-val_domain, val_domain + 1, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(3)
+    out = (
+        grouped_topk_ties(ds, group_col="g", value_col="v", k=k, out_col="rnk")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    ranks = df.groupby("g")["v"].rank(method="min").astype("int64")
+    want = df[ranks <= k].assign(rnk=ranks[ranks <= k]).reset_index(drop=True)
+    assert len(out) == len(want)
+    assert (out["rid"].to_numpy() == want["rid"].to_numpy()).all()
+    assert (out["rnk"].to_numpy() == want["rnk"].to_numpy()).all()

@@ -5612,3 +5612,195 @@ def customer_graph_degrees(sf_dir: str) -> pd.DataFrame:
     out["out_degree"] = out["out_degree"].astype("int64")
     out["n_nodes"] = out["n_nodes"].astype("int64")
     return out.sort_values("out_degree").reset_index(drop=True)
+
+
+def top_orders_with_ties(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders per customer WITH TIES (the RANK() <= k QUALIFY
+    shape — tie runs crossing the boundary come back whole, unlike
+    top_orders_per_customer's ROW_NUMBER contract). Batch-local tie-rank
+    prune bounds the single hash-bucket shuffle; negated cents order the
+    kernel descending."""
+    from ..stages.relops import grouped_topk_ties
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = _to_scaled_int(t["o_totalprice"], 100)
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": cents,
+                "neg": pc.negate_checked(cents),
+            }
+        )
+
+    out = grouped_topk_ties(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        group_col="o_custkey",
+        value_col="neg",
+        k=3,
+        out_col="rnk",
+    ).to_pandas()
+    out = out[["o_custkey", "o_orderkey", "price_cents", "rnk"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def event_type_lift(sf_dir: str) -> pd.DataFrame:
+    """Association-rule LIFT per event-type pair: observed co-occurrence
+    over the independence expectation, lift = n_both * N / (n_a * n_b)
+    on distinct-user counts — the recommendation-mining score layered on
+    the co-occurrence matrix.
+
+    Scale plan: the deduped (user, type) pair stream routes by user
+    hash ONCE and is materialized (O(distinct pairs)); two grouped
+    passes over it produce the bitmask pair partials
+    (event_type_cooccurrence's kernel) and the per-type/total distinct
+    counts (buckets partition users, so partials are disjoint). The
+    lift join runs on the driver at the O(T^2) grain. The ratio is one
+    identically-parenthesized double formula over exact int64 counts."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import _WB
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    num_buckets = 64
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        for c in ("user_id", "event_type"):
+            if t[c].null_count:
+                raise ValueError(f"event_type_lift: nulls in {c!r}")
+        pairs = (
+            pa.table({"user_id": t["user_id"], "event_type": t["event_type"]})
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+        u = pairs["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (
+            ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pairs.append_column(_WB, pa.array(b))
+
+    routed = ds.map_batches(_pairs, batch_format="pyarrow").materialize()
+
+    def _cooccur(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"u": g["user_id"], "ty": g["event_type"]})
+            .group_by(["u", "ty"])
+            .aggregate([])
+        )
+        ty = distinct["ty"]
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        enc = ty.dictionary_encode()
+        names = enc.dictionary.to_pylist()
+        if len(names) > 63:
+            raise ValueError("event_type_lift: > 63 types per bucket")
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        users = distinct["u"].to_numpy(zero_copy_only=False)
+        order = np.argsort(users, kind="stable")
+        u_s, c_s = users[order], codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], u_s[1:] != u_s[:-1]]))
+        masks = np.bitwise_or.reduceat(np.uint64(1) << c_s.astype(np.uint64), starts)
+        rows_a, rows_b, rows_n = [], [], []
+        for i in range(len(names)):
+            bit_i = (masks >> np.uint64(i)) & np.uint64(1)
+            for j in range(i + 1, len(names)):
+                n = int((bit_i & ((masks >> np.uint64(j)) & np.uint64(1))).sum())
+                if n:
+                    a, b = sorted((names[i], names[j]))
+                    rows_a.append(a); rows_b.append(b); rows_n.append(n)
+        return pa.table(
+            {
+                "type_a": pa.array(rows_a, pa.string()),
+                "type_b": pa.array(rows_b, pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    def _type_partials(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"u": g["user_id"], "ty": g["event_type"]})
+            .group_by(["u", "ty"])
+            .aggregate([])
+        )
+        per_type = distinct.group_by("ty").aggregate([("u", "count")])
+        n_users = (
+            distinct.group_by("u").aggregate([]).num_rows
+        )  # distinct users in this bucket (buckets partition users)
+        return pa.table(
+            {
+                "ty": pa.concat_arrays(
+                    [per_type["ty"].combine_chunks(), pa.array(["\x00TOTAL"])]
+                ),
+                "n": pa.array(
+                    list(
+                        pc.cast(per_type["u_count"], pa.int64()).to_pylist()
+                    )
+                    + [n_users],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    both = (
+        routed.groupby(_WB)
+        .map_groups(_cooccur, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_both"))
+        .to_pandas()
+    )
+    tc = (
+        routed.groupby(_WB)
+        .map_groups(_type_partials, batch_format="pyarrow")
+        .groupby("ty")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_total = int(tc.loc[tc["ty"] == "\x00TOTAL", "n"].iloc[0])
+    tmap = dict(
+        zip(tc.loc[tc["ty"] != "\x00TOTAL", "ty"],
+            tc.loc[tc["ty"] != "\x00TOTAL", "n"].astype("int64"))
+    )
+    nb = both["n_both"].to_numpy(dtype="float64")
+    na = both["type_a"].map(tmap).to_numpy(dtype="float64")
+    nbb = both["type_b"].map(tmap).to_numpy(dtype="float64")
+    # identical parse tree to the SQL oracle — bit-identical doubles
+    lift = (nb * float(n_total)) / (na * nbb)
+    out = pd.DataFrame(
+        {
+            "type_a": both["type_a"],
+            "type_b": both["type_b"],
+            "n_both": both["n_both"].astype("int64"),
+            "lift": lift,
+        }
+    )
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def doc_sentence_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document sentence statistics: terminator-run count ([.!?]+
+    matches — the sentence-count proxy) and question-mark count, both
+    via RE2 Arrow kernels (pc.count_substring_regex), shuffle-free and
+    zero-copy over the corpus — the shallow readability-audit member of
+    the text-analysis family."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_sentences": pc.cast(
+                    pc.count_substring_regex(t["text"], r"[.!?]+"), pa.int64()
+                ),
+                "n_questions": pc.cast(
+                    pc.count_substring_regex(t["text"], r"\?"), pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(_stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

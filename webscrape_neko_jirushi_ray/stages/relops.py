@@ -1107,6 +1107,71 @@ def grouped_dense_rank(
     )
 
 
+def grouped_topk_ties(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    value_col: str,
+    k: int,
+    out_col: str = "rnk",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Top-k per group WITH TIES — SQL ``RANK() OVER (PARTITION BY g
+    ORDER BY v) <= k``: every row whose tie-shared rank is within k
+    survives, so tie runs crossing the k boundary come back whole
+    (deliberately NO tiebreaker — that's :func:`grouped_topk`'s
+    ROW_NUMBER contract). Adds the 1-based tie-shared rank as
+    ``out_col``. Ascending by ``value_col``; negate for top-by-largest.
+
+    Scale design: each batch first prunes to its LOCAL rank<=k rows
+    (batch-local rank only underestimates never overestimates the
+    global rank, so the prune is a safe superset), bounding the single
+    hash-bucket shuffle at k-plus-ties rows per (group, batch); the
+    per-bucket pass recomputes the global tie rank with the
+    percent_rank kernel's cumsum gather. ``value_col`` must be
+    int64-safe and non-null (:func:`_int64_nonull` raises)."""
+
+    def _tie_rank0(codes: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        order = np.lexsort((vals, codes))
+        c_s, v_s = codes[order], vals[order]
+        _, _, seg_start, _ = _segment_bounds(c_s)
+        pos = np.arange(len(c_s), dtype=np.int64) - seg_start
+        is_new = np.concatenate(
+            [[True], (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])]
+        )
+        rank0 = pos[is_new][np.cumsum(is_new) - 1]
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order), dtype=np.int64)
+        return rank0[inv]  # back in input row order
+
+    def _local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        codes = _group_codes(batch, group_col)
+        vals = _int64_nonull(batch[value_col], value_col)
+        return batch.filter(pa.array(_tie_rank0(codes, vals) < k))
+
+    def _final(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.nulls(0, pa.int64()))
+        codes = _group_codes(g, group_col)
+        vals = _int64_nonull(g[value_col], value_col)
+        rank0 = _tie_rank0(codes, vals)
+        g = g.append_column(out_col, pa.array(rank0 + 1, pa.int64()))
+        return g.filter(pa.array(rank0 < k))
+
+    return (
+        _route_by_group(
+            ds.map_batches(_local, batch_format="pyarrow"),
+            group_col,
+            num_partitions,
+        )
+        .groupby(_WB)
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
 def grouped_string_agg(
     ds: "ray.data.Dataset",
     *,
