@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "order_quartiles_per_customer": q.order_quartiles_per_customer,
+        "weighted_median_price": q.weighted_median_price,
         "top_orders_with_ties": q.top_orders_with_ties,
         "event_type_lift": q.event_type_lift,
         "doc_sentence_stats": q.doc_sentence_stats,
@@ -313,6 +315,37 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_quartiles_per_customer": """
+            SELECT o_orderkey,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                o_orderkey
+                   ) AS BIGINT) AS quartile
+            FROM orders
+            ORDER BY o_orderkey
+        """,
+        "weighted_median_price": """
+            WITH c AS (
+                SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                       CAST(FLOOR(l_quantity) AS BIGINT) AS w
+                FROM lineitem
+            ),
+            g AS (
+                SELECT cents, CAST(SUM(w) AS BIGINT) AS w
+                FROM c GROUP BY cents
+            ),
+            cum AS (
+                SELECT cents,
+                       CAST(SUM(w) OVER (ORDER BY cents) AS BIGINT) AS cw
+                FROM g
+            ),
+            tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM c)
+            SELECT MIN(cents) AS wmedian_cents,
+                   (SELECT total FROM tot) AS total_weight
+            FROM cum CROSS JOIN tot
+            WHERE 2 * cw >= tot.total
+        """,
         "top_orders_with_ties": """
             SELECT o_custkey, o_orderkey,
                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -671,3 +671,50 @@ def test_grouped_topk_ties_property(ray_session, seed, n_groups, val_domain, n, 
     assert len(out) == len(want)
     assert (out["rid"].to_numpy() == want["rid"].to_numpy()).all()
     assert (out["rnk"].to_numpy() == want["rnk"].to_numpy()).all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_groups=st.sampled_from([1, 3, 37]),
+    n=st.sampled_from([1, 7, 400]),
+    k=st.sampled_from([1, 4, 7]),
+)
+def test_grouped_ntile_property(ray_session, seed, n_groups, n, k):
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_ntile
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "g": rng.integers(0, n_groups, n).astype(np.int64),
+            "v": rng.integers(-5, 6, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(3)
+    out = (
+        grouped_ntile(
+            ds, group_col="g", order_cols=["v", "rid"], k=k, out_col="b"
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+
+    want = np.zeros(n, dtype=np.int64)
+    for _, sub in df.groupby("g"):
+        sub = sub.sort_values(["v", "rid"], kind="mergesort")
+        m = len(sub)
+        q, r = divmod(m, k)
+        sizes = [q + 1] * r + [q] * (k - r)
+        want[sub.index.to_numpy()] = np.repeat(
+            np.arange(1, k + 1), sizes
+        )[:m]
+    assert (out["b"].to_numpy() == want).all()

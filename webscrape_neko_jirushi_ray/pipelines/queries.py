@@ -5804,3 +5804,80 @@ def doc_sentence_stats(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(_stats, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def order_quartiles_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Per-group NTILE(4) (relops.grouped_ntile): each order's price
+    quartile within its customer, SQL fill rule (first n%4 buckets get
+    the extra row), o_orderkey as the required ROW_NUMBER tiebreaker.
+    One hash-bucket shuffle, the global-NTILE formula applied
+    vectorized across all customers at once."""
+    from ..stages.relops import grouped_ntile
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+
+    out = grouped_ntile(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        group_col="o_custkey",
+        order_cols=["cents", "o_orderkey"],
+        k=4,
+        out_col="quartile",
+    ).to_pandas()
+    out = out[["o_orderkey", "quartile"]]
+    out["quartile"] = out["quartile"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted exact median of line-item price: the smallest
+    price (cents) whose cumulative quantity weight reaches half the
+    total — the robust-statistics member that respects row weights
+    (shipment-volume-weighted price levels).
+
+    Scale plan: one combiner-reduced (cents -> total weight) groupby
+    (per-batch Arrow group_by partials), then an O(distinct cents)
+    driver cumsum scan — the dense-histogram family's documented driver
+    bound (price domains are bounded; unbounded domains take the
+    bucketed-quantile refine path). The half-total comparison is
+    2*cum >= W in exact int64, so no float tie ambiguity exists."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "cents": _to_scaled_int(t["l_extendedprice"], 100),
+                "w": pc.cast(pc.floor(t["l_quantity"]), pa.int64()),
+            }
+        )
+        rolled = part.group_by("cents").aggregate([("w", "sum")])
+        return pa.table({"cents": rolled["cents"], "w": rolled["w_sum"]})
+
+    hist = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    w = hist["w"].to_numpy(dtype="int64")
+    cum = np.cumsum(w)
+    total = int(cum[-1]) if len(cum) else 0
+    idx = int(np.searchsorted(2 * cum, total))
+    return pd.DataFrame(
+        {
+            "wmedian_cents": [int(hist["cents"].iloc[idx])],
+            "total_weight": [total],
+        }
+    )

@@ -1172,6 +1172,53 @@ def grouped_topk_ties(
     )
 
 
+def grouped_ntile(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``NTILE(k) OVER (PARTITION BY group_col ORDER BY order_cols)`` —
+    each group's rows split into k buckets with the SQL fill rule (the
+    first n%k buckets get ceil(n/k) rows, the rest floor(n/k)). NTILE is
+    ROW_NUMBER-based, so ``order_cols`` must be a total order within
+    each group (include a unique tiebreaker) or bucket assignment is
+    ambiguous.
+
+    Same single-shuffle segment machinery as the rank kernels: one
+    lexsort per bucket, per-row position from the segment-start gather,
+    then the global-NTILE formula of (pos, n) applied vectorized across
+    ALL groups at once."""
+
+    def _nt(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.nulls(0, pa.int64()))
+        codes = _group_codes(g, group_col)
+        okeys = order_key_arrays(g, order_cols)
+        order = np.lexsort(tuple(reversed(okeys)) + (codes,))
+        g = g.take(pa.array(order, pa.int64()))
+        c_s = codes[order]
+        _, _, seg_start, seg_end = _segment_bounds(c_s)
+        pos = np.arange(len(c_s), dtype=np.int64) - seg_start
+        n = seg_end - seg_start
+        q, r = n // k, n % k
+        boundary = r * (q + 1)
+        big = pos // (q + 1) + 1
+        small = r + (pos - boundary) // np.maximum(q, 1) + 1
+        bucket = np.where(pos < boundary, big, small)
+        return g.append_column(out_col, pa.array(bucket, pa.int64()))
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_nt, batch_format="pyarrow")
+    )
+
+
 def grouped_string_agg(
     ds: "ray.data.Dataset",
     *,
