@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "doc_type_token_ratio": q.doc_type_token_ratio,
+        "daily_revenue_rank_in_month": q.daily_revenue_rank_in_month,
         "order_quartiles_per_customer": q.order_quartiles_per_customer,
         "weighted_median_price": q.weighted_median_price,
         "top_orders_with_ties": q.top_orders_with_ties,
@@ -315,6 +317,46 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_type_token_ratio": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+                       END AS n_tokens,
+                       CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(LIST_DISTINCT(
+                                REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')))
+                       END AS n_distinct
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(n_distinct AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS ttr
+            FROM t
+            ORDER BY doc_id
+        """,
+        "daily_revenue_rank_in_month": """
+            WITH d AS (
+                SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                           AS day,
+                       CAST(year(o_orderdate) * 100
+                            + month(o_orderdate) AS BIGINT) AS ym,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_cents
+                FROM orders
+                GROUP BY 1, 2
+            )
+            SELECT day, ym, rev_cents,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY ym ORDER BY rev_cents DESC
+                   ) AS BIGINT) AS rnk
+            FROM d
+            ORDER BY day
+        """,
         "order_quartiles_per_customer": """
             SELECT o_orderkey,
                    CAST(NTILE(4) OVER (

@@ -5881,3 +5881,115 @@ def weighted_median_price(sf_dir: str) -> pd.DataFrame:
             "total_weight": [total],
         }
     )
+
+
+def doc_type_token_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-document type-token ratio (distinct tokens / tokens, the
+    lexical-diversity member of the quality family), sharing
+    doc_token_counts' whitespace tokenization exactly.
+
+    Vectorized distinct counting without per-doc Python: one
+    split_pattern_regex per batch, the flattened token stream gets
+    int codes from np.unique(return_inverse) (the string-lexsort
+    trick), and distinct-per-doc falls out of one (doc, code) lexsort
+    + run mask. Shuffle-free; the ratio is one guarded double division
+    on both engines."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ttr(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = np.asarray(pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        empty = np.asarray(
+            pc.equal(trimmed, pa.scalar("")).to_numpy(zero_copy_only=False)
+        )
+        n_tok = np.where(empty, 0, lens)
+        flat = toks.flatten()
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(doc_idx):
+            codes = np.unique(
+                np.asarray(flat.to_pandas(), dtype=object), return_inverse=True
+            )[1]
+            order = np.lexsort((codes, doc_idx))
+            d_s, c_s = doc_idx[order], codes[order]
+            new = np.concatenate(
+                [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            )
+            n_dist = np.bincount(d_s[new], minlength=len(lens)).astype(np.int64)
+        else:
+            n_dist = np.zeros(len(lens), dtype=np.int64)
+        n_dist = np.where(empty, 0, n_dist)
+        # identical parse tree to the SQL oracle — bit-identical doubles
+        ttr = np.where(
+            n_tok > 0, n_dist.astype(np.float64) / n_tok.astype(np.float64), 0.0
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": pa.array(n_dist, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(_ttr, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def daily_revenue_rank_in_month(sf_dir: str) -> pd.DataFrame:
+    """Window-over-aggregate: each day's revenue rank within its
+    calendar month (DENSE_RANK, highest revenue = 1) — the leaderboard
+    -on-a-rollup shape. Revenue reduces combiner-first to the O(days)
+    grain; the distributed dense-rank kernel then runs on that already
+    -tiny keyed table (negated cents order it descending)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import grouped_dense_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    us_per_day = 86_400_000_000
+
+    def _prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(pc.cast(t["o_orderdate"], pa.int64()), us_per_day),
+            pa.int64(),
+        )
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        m = pc.cast(pc.month(t["o_orderdate"]), pa.int64())
+        part = pa.table(
+            {
+                "day": day,
+                "ym": pc.add(pc.multiply(y, 100), m),
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+        rolled = part.group_by(["day", "ym"]).aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "day": rolled["day"],
+                "ym": rolled["ym"],
+                "cents": rolled["cents_sum"],
+            }
+        )
+
+    daily = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["day", "ym"])
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+        .map_batches(
+            lambda t: t.append_column(
+                "neg", pc.negate_checked(t["rev_cents"])
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = grouped_dense_rank(
+        daily, group_col="ym", value_col="neg", out_col="rnk"
+    ).to_pandas()
+    out = out[["day", "ym", "rev_cents", "rnk"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
