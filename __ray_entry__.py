@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "mutual_edge_pairs": q.mutual_edge_pairs,
+        "kcore_customers": q.kcore_customers,
         "doc_type_token_ratio": q.doc_type_token_ratio,
         "daily_revenue_rank_in_month": q.daily_revenue_rank_in_month,
         "order_quartiles_per_customer": q.order_quartiles_per_customer,
@@ -317,6 +319,20 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mutual_edge_pairs": """
+            WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT DISTINCT o_custkey AS src,
+                       1 + (o_orderkey % mx.m) AS dst
+                FROM orders CROSS JOIN mx
+                WHERE o_custkey <> 1 + (o_orderkey % mx.m)
+            )
+            SELECT x.src AS a, x.dst AS b
+            FROM e x
+            JOIN e y ON x.src = y.dst AND x.dst = y.src
+            WHERE x.src < x.dst
+            ORDER BY 1, 2
+        """,
         "doc_type_token_ratio": """
             WITH t AS (
                 SELECT doc_id,

@@ -698,3 +698,62 @@ def test_triangle_three_routes_identical(ray_session):
     adj = np.maximum(adj, adj.T)
     want = int(np.einsum("ij,jk,ki->", adj, adj, adj)) // 6
     assert driver == bucketed == joined == want
+
+
+def test_kcore_routes_match_reference(ray_session):
+    """Driver and distributed k-core peels must agree with a brute-force
+    iterative reference, including isolated/self-loop/duplicate edges."""
+    from webscrape_neko_jirushi_ray.stages.graph import kcore_nodes
+
+    rng = np.random.default_rng(41)
+    n = 70
+    src = rng.integers(0, n, 500).astype(np.int64)
+    dst = rng.integers(0, n, 500).astype(np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(4)
+    k = 4
+    driver = kcore_nodes(edges, k=k, num_partitions=4)
+    dist = kcore_nodes(edges, k=k, num_partitions=4, driver_route_edges=0)
+
+    # brute-force peel
+    pairs = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    e = list(pairs)
+    alive = set(range(n))
+    while True:
+        deg = {}
+        for a, b in e:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        drop = {v for v in alive if deg.get(v, 0) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = pd.DataFrame(
+        sorted((v, deg[v]) for v in alive if deg.get(v, 0) >= k),
+        columns=["node", "core_degree"],
+    ).astype("int64")
+    got_d = driver.sort_values("node").reset_index(drop=True)
+    got_x = dist.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_d, want, check_dtype=False)
+    pd.testing.assert_frame_equal(got_x, want, check_dtype=False)
+
+
+def test_kcore_empty_and_total(ray_session):
+    from webscrape_neko_jirushi_ray.stages.graph import kcore_nodes
+
+    # triangle: every node has degree 2 -> 2-core = all, 3-core = empty
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2], pa.int64()),
+                "dst": pa.array([1, 2, 0], pa.int64()),
+            }
+        )
+    )
+    two = kcore_nodes(edges, k=2)
+    assert two["node"].tolist() == [0, 1, 2]
+    assert two["core_degree"].tolist() == [2, 2, 2]
+    three = kcore_nodes(edges, k=3)
+    assert len(three) == 0

@@ -5993,3 +5993,113 @@ def daily_revenue_rank_in_month(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def kcore_customers(sf_dir: str) -> pd.DataFrame:
+    """3-core of the undirected order-derived customer graph
+    (graph.kcore_nodes): nodes surviving the iterative degree-<3 peel,
+    with their core degrees — the third iterative graph kernel after
+    PageRank and connected components. Size-routed: driver peel under
+    5M distinct edges, per-round distributed degree groupby above
+    (route parity pinned by test_kcore_routes_match_reference). No SQL
+    oracle exists (recursive CTEs cannot re-aggregate per round); the
+    kernel is pinned by an independent brute-force peel in tests."""
+    from ray.data.aggregate import Max
+
+    from ..stages.graph import kcore_nodes
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    maxc = int(cust.aggregate(Max("c_custkey", alias_name="m"))["m"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        src = pc.cast(t["o_custkey"], pa.int64())
+        okey = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        dst = pa.array((okey % maxc) + 1, type=pa.int64())
+        return pa.table({"src": src, "dst": dst})
+
+    edges = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        _edges, batch_format="pyarrow"
+    )
+    out = kcore_nodes(edges, k=3)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def mutual_edge_pairs(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-edge detection on the directed order-derived graph:
+    node pairs linked in BOTH directions (the mutual-follow primitive).
+
+    Scale plan: batch-local directed-pair dedup, ONE unordered-pair
+    hash bucket shuffle (both directions of a pair land together), per
+    bucket one (min, max, direction-count) rollup emitting only keys
+    seen in both directions — output O(mutual pairs), the raw edge list
+    never converges anywhere."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.relops import _WB
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    maxc = int(cust.aggregate(Max("c_custkey", alias_name="m"))["m"])
+    if maxc >= 2**31:
+        raise ValueError(
+            "mutual_edge_pairs: node ids >= 2^31 break the composite "
+            "pair key — widen to two-column grouping"
+        )
+    num_buckets = 64
+
+    def _edges(t: pa.Table) -> pa.Table:
+        src = np.asarray(
+            pc.cast(t["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        okey = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        dst = (okey % maxc) + 1
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        pairs = (
+            pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+            .group_by(["src", "dst"])
+            .aggregate([])
+        )
+        s = pairs["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pairs["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(s, d).astype(np.uint64)
+        hi = np.maximum(s, d).astype(np.uint64)
+        mix = (lo * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            hi * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        b = ((mix >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int64)
+        return pairs.append_column(_WB, pa.array(b))
+
+    def _mutual(g: pa.Table) -> pa.Table:
+        pairs = (
+            pa.table({"src": g["src"], "dst": g["dst"]})
+            .group_by(["src", "dst"])
+            .aggregate([])
+        )
+        s = pairs["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pairs["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        key = lo * np.int64(2**32) + hi
+        rolled = (
+            pa.table({"key": pa.array(key)})
+            .group_by("key")
+            .aggregate([("key", "count")])
+        )
+        both = rolled.filter(pc.equal(rolled["key_count"], pa.scalar(2)))
+        kv = both["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(kv // 2**32),
+                "b": pa.array(kv % 2**32),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+        .map_batches(_edges, batch_format="pyarrow")
+        .groupby(_WB)
+        .map_groups(_mutual, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

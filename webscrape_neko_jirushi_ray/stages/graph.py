@@ -730,3 +730,181 @@ def bfs_levels_driver(
         {"node": list(dist.keys()), "dist": list(dist.values())}
     ).astype({"node": "int64", "dist": "int64"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def kcore_nodes(
+    edges: "ray.data.Dataset",
+    *,
+    k: int,
+    num_partitions: int = 32,
+    driver_route_edges: int = 5_000_000,
+    max_rounds: int = 100,
+) -> pd.DataFrame:
+    """Nodes of the k-core: the maximal subgraph in which every node
+    keeps UNDIRECTED degree >= k, found by iteratively peeling
+    under-degree nodes until fixpoint — the third iterative graph
+    kernel next to PageRank and connected components (community-core
+    extraction, spam-farm pruning). ``edges``: columns ``src``/``dst``
+    int64, direction ignored, duplicates/self-loops dropped internally.
+    Returns a (node, core_degree) DataFrame (empty when no k-core
+    exists).
+
+    SIZE-ROUTED like the other graph kernels:
+    - <= ``driver_route_edges`` distinct undirected edges: the peel
+      loop runs on the driver over compressed node codes — each round
+      one bincount + two mask gathers, O(E) per round, cascade depth
+      rounds total.
+    - above: each round is a distributed degree ``groupby`` + alive-set
+      rebuild + a broadcast membership filter of the edge list
+      (node-set arrays <= driver_route_edges never apply here — the
+      alive set rides as a sorted array in the object store via
+      ray.put, O(nodes) per round); rounds stop at the first round
+      removing nothing. ``max_rounds`` bounds adversarial cascades
+      (each peel round removes >= 1 node, so rounds <= nodes; the cap
+      raises loudly rather than looping silently).
+
+    Both routes perform identical integer peels, so results are
+    bit-identical (pinned by the route-parity test)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    # ONE distributed canonical dedup (the triangle/pagerank pattern)
+    def _canon(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        tbl = pa.table({"a": pa.array(a), "b": pa.array(b)})
+        pairs = tbl.group_by(["a", "b"]).aggregate([])
+        av = pairs["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bv = pairs["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (av * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            bv * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        p = ((mix >> np.uint64(33)) % np.uint64(num_partitions)).astype(
+            np.int64
+        )
+        return pairs.append_column("_p", pa.array(p))
+
+    def _dedup(g: pa.Table) -> pa.Table:
+        pairs = (
+            pa.table({"a": g["a"], "b": g["b"]}).group_by(["a", "b"]).aggregate([])
+        )
+        return pairs
+
+    canon = (
+        edges.map_batches(_canon, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+    n_edges = canon.count()
+
+    def _peel_driver(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+        # compress ids -> codes so bincount is dense
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ua, ub = inv[: len(a)], inv[len(a):]
+        alive_e = np.ones(len(ua), dtype=bool)
+        alive_n = np.ones(len(ids), dtype=bool)
+        while True:
+            deg = np.bincount(
+                np.concatenate([ua[alive_e], ub[alive_e]]), minlength=len(ids)
+            )
+            drop = alive_n & (deg < k)
+            if not drop.any():
+                final_deg = deg
+                break
+            alive_n &= ~drop
+            alive_e &= alive_n[ua] & alive_n[ub]
+        keep = alive_n & (final_deg >= k)
+        return pd.DataFrame(
+            {
+                "node": ids[keep].astype("int64"),
+                "core_degree": final_deg[keep].astype("int64"),
+            }
+        )
+
+    if n_edges <= driver_route_edges:
+        refs = ray.get(canon.to_arrow_refs())
+        if not refs or sum(t.num_rows for t in refs) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "core_degree": pd.Series([], dtype="int64")}
+            )
+        a = np.concatenate(
+            [np.asarray(t["a"].to_numpy(zero_copy_only=False)) for t in refs
+             if t.num_rows]
+        ).astype(np.int64)
+        b = np.concatenate(
+            [np.asarray(t["b"].to_numpy(zero_copy_only=False)) for t in refs
+             if t.num_rows]
+        ).astype(np.int64)
+        return _peel_driver(a, b)
+
+    # --- distributed peel: one degree groupby + membership filter/round --
+    cur = canon
+    for _ in range(max_rounds):
+        deg = (
+            cur.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": pa.concat_arrays(
+                            [
+                                t["a"].combine_chunks()
+                                if isinstance(t["a"], pa.ChunkedArray)
+                                else t["a"],
+                                t["b"].combine_chunks()
+                                if isinstance(t["b"], pa.ChunkedArray)
+                                else t["b"],
+                            ]
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Count(alias_name="d"))
+            .materialize()
+        )
+        under = deg.map_batches(
+            lambda t: t.filter(pc.less(t["d"], pa.scalar(k, pa.int64()))),
+            batch_format="pyarrow",
+        ).count()
+        if under == 0:
+            ddf = deg.to_pandas()  # O(core nodes); final result grain
+            ddf = ddf[ddf["d"] >= k]
+            return pd.DataFrame(
+                {
+                    "node": ddf["node"].astype("int64").values,
+                    "core_degree": ddf["d"].astype("int64").values,
+                }
+            ).sort_values("node").reset_index(drop=True)
+        alive_tbl = deg.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["d"], pa.scalar(k, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        alive = np.sort(alive_tbl["node"].to_numpy().astype(np.int64))
+        aref = ray.put(alive)
+
+        def _member_filter(t: pa.Table, _aref=aref) -> pa.Table:
+            al = ray.get(_aref)
+            a_ = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+            b_ = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+            if len(al) == 0:
+                return t.slice(0, 0)
+            pa_i = np.clip(np.searchsorted(al, a_), 0, len(al) - 1)
+            pb_i = np.clip(np.searchsorted(al, b_), 0, len(al) - 1)
+            keep = (al[pa_i] == a_) & (al[pb_i] == b_)
+            return t.filter(pa.array(keep))
+
+        cur = cur.map_batches(
+            _member_filter, batch_format="pyarrow"
+        ).materialize()
+    raise RuntimeError(
+        f"kcore_nodes: no fixpoint after max_rounds={max_rounds} peel "
+        "rounds — raise the cap for extreme cascade depths"
+    )
