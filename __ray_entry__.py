@@ -69,6 +69,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "local_clustering_customers": q.local_clustering_customers,
+        "edge_jaccard_customers": q.edge_jaccard_customers,
+        "order_price_gini_by_nation": q.order_price_gini_by_nation,
+        "event_user_diversity": q.event_user_diversity,
+        "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
         "mutual_edge_pairs": q.mutual_edge_pairs,
         "kcore_customers": q.kcore_customers,
         "doc_type_token_ratio": q.doc_type_token_ratio,
@@ -319,6 +324,145 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "local_clustering_customers": """
+            WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT DISTINCT
+                       LEAST(CAST(o_custkey AS BIGINT),
+                             CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS a,
+                       GREATEST(CAST(o_custkey AS BIGINT),
+                                CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS b
+                FROM orders
+                WHERE o_custkey <> (o_orderkey % (SELECT m FROM maxc)) + 1
+            ),
+            deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+                GROUP BY node
+            ),
+            tri AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+                FROM (
+                    SELECT unnest([e1.a, e1.b, e2.b]) AS node
+                    FROM e e1
+                    JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+                )
+                GROUP BY node
+            )
+            SELECT d.node, d.deg,
+                   COALESCE(t.tri, CAST(0 AS BIGINT)) AS tri,
+                   CAST(2 * COALESCE(t.tri, 0) AS DOUBLE)
+                       / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coeff
+            FROM deg d LEFT JOIN tri t ON d.node = t.node
+            WHERE d.deg >= 2
+            ORDER BY d.node
+        """,
+        "order_price_gini_by_nation": """
+            WITH x AS (
+                SELECT n_name, CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+            ),
+            r AS (
+                SELECT n_name, v,
+                       ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY v) AS i
+                FROM x
+            ),
+            s AS (
+                SELECT n_name,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(v) AS BIGINT) AS sx,
+                       CAST(SUM(i * v) AS BIGINT) AS six
+                FROM r GROUP BY n_name
+            )
+            SELECT n_name, n_orders,
+                   CAST(2 * six - (n_orders + 1) * sx AS DOUBLE)
+                       / CAST(n_orders * sx AS DOUBLE) AS gini
+            FROM s ORDER BY n_name
+        """,
+        "event_user_diversity": """
+            WITH c AS (
+                SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id, event_type
+            ),
+            s AS (
+                SELECT user_id,
+                       CAST(SUM(c) AS BIGINT) AS n_events,
+                       CAST(COUNT(*) AS BIGINT) AS n_types,
+                       CAST(SUM(c * c) AS BIGINT) AS sc2
+                FROM c GROUP BY user_id
+            )
+            SELECT user_id, n_events, n_types,
+                   CAST(n_events * n_events - sc2 AS DOUBLE)
+                       / CAST(n_events * n_events AS DOUBLE) AS simpson
+            FROM s ORDER BY user_id
+        """,
+        "hapax_ratio_per_lang": """
+            WITH tok AS (
+                SELECT lang,
+                       UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS token
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (
+                SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tok GROUP BY lang, token
+            ),
+            s AS (
+                SELECT lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_hapax
+                FROM c GROUP BY lang
+            )
+            SELECT lang, n_distinct, n_hapax,
+                   CAST(n_hapax AS DOUBLE) / CAST(n_distinct AS DOUBLE)
+                       AS hapax_ratio
+            FROM s ORDER BY lang
+        """,
+        "edge_jaccard_customers": """
+            WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT DISTINCT
+                       LEAST(CAST(o_custkey AS BIGINT),
+                             CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS a,
+                       GREATEST(CAST(o_custkey AS BIGINT),
+                                CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS b
+                FROM orders
+                WHERE o_custkey <> (o_orderkey % (SELECT m FROM maxc)) + 1
+            ),
+            deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+                GROUP BY node
+            ),
+            ce AS (
+                SELECT u.x AS a, u.y AS b, CAST(COUNT(*) AS BIGINT) AS common
+                FROM (
+                    SELECT unnest([
+                        {'x': e1.a, 'y': e1.b},
+                        {'x': e1.a, 'y': e2.b},
+                        {'x': e1.b, 'y': e2.b}
+                    ]) AS u
+                    FROM e e1
+                    JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+                )
+                GROUP BY u.x, u.y
+            )
+            SELECT e.a, e.b,
+                   COALESCE(c.common, CAST(0 AS BIGINT)) AS common,
+                   CAST(COALESCE(c.common, 0) AS DOUBLE)
+                       / CAST((da.deg - 1) + (db.deg - 1)
+                              - COALESCE(c.common, 0) AS DOUBLE) AS jaccard
+            FROM e
+            LEFT JOIN ce c ON e.a = c.a AND e.b = c.b
+            JOIN deg da ON da.node = e.a
+            JOIN deg db ON db.node = e.b
+            WHERE (da.deg - 1) + (db.deg - 1) - COALESCE(c.common, 0) > 0
+            ORDER BY e.a, e.b
+        """,
         "mutual_edge_pairs": """
             WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
             e AS (

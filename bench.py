@@ -320,6 +320,16 @@ def run_bench() -> dict:
         ("token_count_estimates", lambda: q.token_count_estimates(SF_DIR)),
         ("bfs_distances_customers",
          lambda: q.bfs_distances_customers(SF_DIR)),
+        ("local_clustering_customers",
+         lambda: q.local_clustering_customers(SF_DIR)),
+        ("edge_jaccard_customers",
+         lambda: q.edge_jaccard_customers(SF_DIR)),
+        ("order_price_gini_by_nation",
+         lambda: q.order_price_gini_by_nation(SF_DIR)),
+        ("event_user_diversity",
+         lambda: q.event_user_diversity(SF_DIR)),
+        ("hapax_ratio_per_lang",
+         lambda: q.hapax_ratio_per_lang(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -121,6 +121,9 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "nation_price_qty_corr",
         "late_supplier_share",
         "modal_priority_per_segment",
+        "local_clustering_customers",
+        "edge_jaccard_customers",
+        "order_price_gini_by_nation",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):
@@ -169,6 +172,38 @@ def test_bloom_routed_queries_bloom_path(ray_session, con, name, monkeypatch):
     assert len(got) == len(want)
     for c in got.columns:
         assert got[c].astype(str).equals(want[c].astype(str)), (name, c)
+
+
+def test_triangle_incidences_route_parity(ray_session):
+    """All three size routes of graph.triangle_incidences (driver numpy /
+    broadcast-keys bucket shuffle / two hash joins) must produce
+    identical per-node and per-edge triangle counts."""
+    from webscrape_neko_jirushi_ray.pipelines.queries import (
+        _canonical_order_edges,
+    )
+    from webscrape_neko_jirushi_ray.stages.graph import triangle_incidences
+
+    edges, maxc = _canonical_order_edges(SF_DIR)
+    for emit, key in (("nodes", ["node"]), ("edges", ["a", "b"])):
+        base = triangle_incidences(
+            edges, max_node_id=maxc, emit=emit
+        ).to_pandas()
+        bucketed = triangle_incidences(
+            edges, max_node_id=maxc, emit=emit, driver_route_edges=0
+        ).to_pandas()
+        joined = triangle_incidences(
+            edges,
+            max_node_id=maxc,
+            emit=emit,
+            driver_route_edges=0,
+            broadcast_edges_threshold=0,
+        ).to_pandas()
+        base = base.sort_values(key).reset_index(drop=True)
+        assert len(base) > 0
+        for other in (bucketed, joined):
+            pd.testing.assert_frame_equal(
+                base, other.sort_values(key).reset_index(drop=True)
+            )
 
 
 def test_bfs_distributed_kernel_parity(ray_session):

@@ -6103,3 +6103,503 @@ def mutual_edge_pairs(sf_dir: str) -> pd.DataFrame:
     out["a"] = out["a"].astype("int64")
     out["b"] = out["b"].astype("int64")
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _canonical_order_edges(sf_dir: str):
+    """Canonical DISTINCT undirected edge set (columns ``a`` < ``b``,
+    int64) of the deterministic order-derived customer graph — the same
+    derivation pagerank / BFS / triangles use (reference analog: the
+    link graph smart_cat_discovery.py builds its BFS over). ONE
+    (a, b)-groupby shuffle; the result is MATERIALIZED because every
+    caller consumes it 2-3 times (degrees + triangles + join probe).
+    Returns ``(edges_dataset, max_node_id)``."""
+    from ray.data.aggregate import Count, Max
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    maxc = int(cust.aggregate(Max("c_custkey", alias_name="m"))["m"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        src = np.asarray(
+            pc.cast(t["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        okey = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        dst = (okey % maxc) + 1
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
+
+    edges = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+        .map_batches(_edges, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    return edges, maxc
+
+
+def _edge_degrees(edges):
+    """Per-node degree of a canonical undirected edge Dataset: batch
+    -local ``np.unique`` partials over both endpoints, ONE groupby Sum —
+    the exchange moves O(distinct nodes per block) rows."""
+    from ray.data.aggregate import Sum
+
+    def _deg_partials(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                np.asarray(t["a"].to_numpy(zero_copy_only=False)),
+                np.asarray(t["b"].to_numpy(zero_copy_only=False)),
+            ]
+        )
+        n, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "d": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        edges.map_batches(_deg_partials, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+    )
+
+
+def local_clustering_customers(sf_dir: str) -> pd.DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT of the order-derived
+    customer graph: 2*tri(v) / (deg(v) * (deg(v)-1)) for deg >= 2 — the
+    per-node companion to the scalar triangle_count_customers (community
+    tightness feature for crawl-host neighborhoods).
+
+    Scale plan: canonical-dedup shuffle (shared helper), degrees via
+    batch-local unique partials + one groupby Sum, per-node triangle
+    counts via graph.triangle_incidences (size-routed: driver numpy pass
+    at test scale, broadcast-keys bucket shuffle to 20M edges, two hash
+    joins beyond). The tri table attaches to the degree table size-routed
+    (broadcast <= _BROADCAST_SIDE_ROUTE_ROWS else hash_join). Both
+    factors are exact int64; the coefficient is ONE identically
+    -parenthesized double division on both sides, so Ray and DuckDB
+    agree bit-for-bit."""
+    from ..stages.graph import triangle_incidences
+    from ..stages.joins import broadcast_join, hash_join
+
+    edges, maxc = _canonical_order_edges(sf_dir)
+    deg = _edge_degrees(edges)
+    tri = triangle_incidences(edges, max_node_id=maxc, emit="nodes")
+
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        tp = tri.to_pandas()
+        tri_tbl = pa.table(
+            {
+                "node": pa.array(tp["node"].to_numpy(dtype="int64")),
+                "tri": pa.array(tp["tri"].to_numpy(dtype="int64")),
+            }
+        )
+        joined = broadcast_join(deg, tri_tbl, key="node", how="left_outer")
+    else:
+        joined = hash_join(deg, tri, key="node", how="left_outer")
+
+    def _final(t: pa.Table) -> pa.Table:
+        d = np.asarray(
+            pc.cast(t["deg"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        tr = np.asarray(
+            pc.fill_null(pc.cast(t["tri"], pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        node = np.asarray(
+            pc.cast(t["node"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        keep = d >= 2
+        node, d, tr = node[keep], d[keep], tr[keep]
+        coeff = (2 * tr).astype(np.float64) / (d * (d - 1)).astype(np.float64)
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "deg": pa.array(d),
+                "tri": pa.array(tr),
+                "coeff": pa.array(coeff, pa.float64()),
+            }
+        )
+
+    out = joined.map_batches(_final, batch_format="pyarrow").to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def edge_jaccard_customers(sf_dir: str) -> pd.DataFrame:
+    """Per-edge COMMON-NEIGHBOR / JACCARD similarity over the order
+    -derived customer graph: for each existing edge (a, b), the number
+    of shared neighbors (= triangles through that edge) and
+    common / ((deg(a)-1) + (deg(b)-1) - common) — the classic link
+    -prediction feature, here as a distributed graph operator.
+
+    Scale plan: one canonical-dedup shuffle; common-neighbor counts via
+    graph.triangle_incidences(emit='edges') (size-routed like
+    triangle_count); the O(tri-edges) common table and the O(nodes)
+    degree table attach to the edge list via broadcast joins under
+    _BROADCAST_SIDE_ROUTE_ROWS (hash_join route above — composite int64
+    edge key a*(M+1)+b, node-id domain < ~3e9). All inputs to the final
+    formula are exact int64; the division is one identical double op on
+    both sides."""
+    from ..stages.graph import triangle_incidences
+    from ..stages.joins import broadcast_join, hash_join
+
+    edges, maxc = _canonical_order_edges(sf_dir)
+    M = maxc
+    deg = _edge_degrees(edges)
+    common = triangle_incidences(edges, max_node_id=maxc, emit="edges")
+
+    def _ekey(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "ekey": pa.array(a * (M + 1) + b, pa.int64()),
+            }
+        )
+
+    keyed = edges.map_batches(_ekey, batch_format="pyarrow")
+
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cp = common.to_pandas()
+        ck = (
+            cp["a"].to_numpy(dtype="int64") * (M + 1)
+            + cp["b"].to_numpy(dtype="int64")
+        )
+        common_tbl = pa.table(
+            {
+                "ekey": pa.array(ck),
+                "common": pa.array(cp["common"].to_numpy(dtype="int64")),
+            }
+        )
+        dp = deg.to_pandas()
+        nodes_np = dp["node"].to_numpy(dtype="int64")
+        degs_np = dp["deg"].to_numpy(dtype="int64")
+        da_tbl = pa.table({"node": pa.array(nodes_np), "da": pa.array(degs_np)})
+        db_tbl = pa.table({"node": pa.array(nodes_np), "db": pa.array(degs_np)})
+        j = broadcast_join(keyed, common_tbl, key="ekey", how="left_outer")
+        j = broadcast_join(j, da_tbl, key="a", right_key="node")
+        j = broadcast_join(j, db_tbl, key="b", right_key="node")
+    else:
+        common_keyed = common.map_batches(
+            lambda t: pa.table(
+                {
+                    "ekey": pa.array(
+                        np.asarray(t["a"].to_numpy(zero_copy_only=False))
+                        * (M + 1)
+                        + np.asarray(t["b"].to_numpy(zero_copy_only=False)),
+                        pa.int64(),
+                    ),
+                    "common": t["common"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j = hash_join(keyed, common_keyed, key="ekey", how="left_outer")
+        da = deg.map_batches(
+            lambda t: pa.table({"node": t["node"], "da": pc.cast(t["deg"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        db = deg.map_batches(
+            lambda t: pa.table({"node": t["node"], "db": pc.cast(t["deg"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        j = hash_join(j, da, key="a", right_key="node")
+        j = hash_join(j, db, key="b", right_key="node")
+
+    def _final(t: pa.Table) -> pa.Table:
+        a = np.asarray(pc.cast(t["a"], pa.int64()).to_numpy(zero_copy_only=False))
+        b = np.asarray(pc.cast(t["b"], pa.int64()).to_numpy(zero_copy_only=False))
+        cm = np.asarray(
+            pc.fill_null(pc.cast(t["common"], pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        da_ = np.asarray(pc.cast(t["da"], pa.int64()).to_numpy(zero_copy_only=False))
+        db_ = np.asarray(pc.cast(t["db"], pa.int64()).to_numpy(zero_copy_only=False))
+        denom = (da_ - 1) + (db_ - 1) - cm
+        keep = denom > 0
+        a, b, cm, denom = a[keep], b[keep], cm[keep], denom[keep]
+        jac = cm.astype(np.float64) / denom.astype(np.float64)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "common": pa.array(cm),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    out = j.map_batches(_final, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def order_price_gini_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Per-nation GINI COEFFICIENT of order prices — the concentration /
+    inequality statistic over a sorted-rank weighted sum:
+    gini = (2*Σ i*x_(i) - (n+1)*Σx) / (n*Σx) with x ascending-sorted
+    exact floor-dollar int64 values (tied values commute in Σ i*x, so
+    the arbitrary tie order on both sides cannot change the result).
+
+    Scale plan: customer attach size-routed (broadcast searchsorted
+    under _BROADCAST_SIDE_ROUTE_ROWS, hash_join above), nation-name
+    attach is a 25-entry np.object lut, then ONE key-routed bucket
+    shuffle and a single lexsort + np.add.reduceat pass per bucket —
+    no per-key Python. Int64 bound: Σ i*x caps near n² * max_dollars/2,
+    safe to ~10^6 rows per group at 10^6-dollar prices; beyond that
+    drop x to thousands-of-dollars units (same bound family as
+    nation_price_qty_corr, documented not enforced)."""
+    from ..stages.joins import broadcast_join, hash_join
+    from ..stages.relops import (
+        _WB,
+        _group_codes,
+        _int64_nonull,
+        _route_by_group,
+        _segment_bounds,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "v": pc.cast(pc.floor(t["o_totalprice"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nation_names = {
+        int(k): v
+        for k, v in zip(
+            *pq.read_table(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+            ).to_pydict().values()
+        )
+    }
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cust_tbl = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        joined = broadcast_join(
+            orders, cust_tbl, key="o_custkey", right_key="c_custkey"
+        )
+    else:
+        joined = hash_join(
+            orders,
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            key="o_custkey",
+            right_key="c_custkey",
+        )
+    lut = np.empty(max(nation_names) + 1, dtype=object)
+    for k, v in nation_names.items():
+        lut[k] = v
+
+    def _name(t: pa.Table) -> pa.Table:
+        keys = np.asarray(
+            t["c_nationkey"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        return pa.table(
+            {"n_name": pa.array(lut[keys], pa.string()), "v": t["v"]}
+        )
+
+    named = joined.map_batches(_name, batch_format="pyarrow")
+
+    def _gini(g: pa.Table) -> pa.Table:
+        codes = _group_codes(g, "n_name")
+        v = _int64_nonull(g["v"], "v")
+        order = np.lexsort((v, codes))
+        sc, sv = codes[order], v[order]
+        starts, ends, _, _ = _segment_bounds(sc)
+        n = (ends - starts).astype(np.int64)
+        i_within = (
+            np.arange(len(sv), dtype=np.int64) - np.repeat(starts, n) + 1
+        )
+        six = np.add.reduceat(i_within * sv, starts)
+        sx = np.add.reduceat(sv, starts)
+        names = pc.take(
+            g["n_name"].combine_chunks()
+            if isinstance(g["n_name"], pa.ChunkedArray)
+            else g["n_name"],
+            pa.array(order[starts]),
+        )
+        gini = (2 * six - (n + 1) * sx).astype(np.float64) / (
+            n * sx
+        ).astype(np.float64)
+        return pa.table(
+            {
+                "n_name": names,
+                "n_orders": pa.array(n),
+                "gini": pa.array(gini, pa.float64()),
+            }
+        )
+
+    out = (
+        _route_by_group(named, "n_name", 16)
+        .groupby(_WB)
+        .map_groups(_gini, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def event_user_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-user GINI-SIMPSON DIVERSITY of event types:
+    1 - Σc_i²/N² computed as (N² - Σc_i²)/N² — the behavioral-entropy
+    sibling that stays in EXACT int64 (a true Shannon entropy would sum
+    per-group doubles, whose order DuckDB does not pin).
+
+    Scale plan: batch-local (user, type) count partials, ONE
+    user-hash bucket shuffle, per bucket two Arrow group_by rollups
+    (type-level collapse, then user-level Σc / Σc² / distinct-type
+    count) — output O(users), raw events never converge anywhere."""
+    from ..stages.relops import _WB, _route_by_group
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = (
+            pa.table({"u": t["user_id"], "ty": t["event_type"]})
+            .group_by(["u", "ty"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "user_id": c["u"],
+                "ty": c["ty"],
+                "n": pc.cast(c["count_all"], pa.int64()),
+            }
+        )
+
+    def _rollup(g: pa.Table) -> pa.Table:
+        c = (
+            pa.table({"u": g["user_id"], "ty": g["ty"], "n": g["n"]})
+            .group_by(["u", "ty"])
+            .aggregate([("n", "sum")])
+        )
+        n = np.asarray(c["n_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        t2 = pa.table(
+            {
+                "u": c["u"],
+                "n": pa.array(n),
+                "c2": pa.array(n * n),
+                "one": pa.array(np.ones(len(n), dtype=np.int64)),
+            }
+        )
+        s = t2.group_by("u").aggregate(
+            [("n", "sum"), ("c2", "sum"), ("one", "sum")]
+        )
+        ntot = np.asarray(s["n_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sc2 = np.asarray(s["c2_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        simpson = (ntot * ntot - sc2).astype(np.float64) / (
+            ntot * ntot
+        ).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": pc.cast(s["u"], pa.int64()),
+                "n_events": pa.array(ntot),
+                "n_types": pc.cast(s["one_sum"], pa.int64()),
+                "simpson": pa.array(simpson, pa.float64()),
+            }
+        )
+
+    out = (
+        _route_by_group(
+            ev.map_batches(_partial, batch_format="pyarrow"), "user_id", 32
+        )
+        .groupby(_WB)
+        .map_groups(_rollup, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def hapax_ratio_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language HAPAX LEGOMENA ratio: the share of the language's
+    distinct vocabulary that occurs exactly once — the classic corpus
+    -quality / contamination signal (synthetic or template text craters
+    it; diverse natural text keeps it near half).
+
+    Scale plan: the wordcount shape — per-batch (lang, token) Counter
+    partials, ONE vocabulary groupby, then per-batch (lang, hapax,
+    distinct) partials into a tiny per-lang groupby. Raw tokens never
+    shuffle; the exchange is O(batch vocabularies) then O(langs x
+    blocks)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import textkit
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        langs = t["lang"].to_pylist()
+        for lang, txt in zip(langs, t["text"].to_pylist()):
+            for tok in textkit.tokens_ws(txt or ""):
+                c[(lang, tok)] += 1
+        items = sorted(c.items())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k, _ in items], pa.string()),
+                "token": pa.array([k[1] for k, _ in items], pa.string()),
+                "n": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=1024)
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _lang_partial(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        tl = pa.table(
+            {
+                "lang": t["lang"],
+                "hap": pa.array((n == 1).astype(np.int64)),
+                "one": pa.array(np.ones(len(n), dtype=np.int64)),
+            }
+        )
+        s = tl.group_by("lang").aggregate([("hap", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                "lang": s["lang"],
+                "h": pc.cast(s["hap_sum"], pa.int64()),
+                "d": pc.cast(s["one_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        counts.map_batches(_lang_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("h", alias_name="n_hapax"), Sum("d", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    agg["n_hapax"] = agg["n_hapax"].astype("int64")
+    agg["n_distinct"] = agg["n_distinct"].astype("int64")
+    agg["hapax_ratio"] = agg["n_hapax"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["n_distinct"].to_numpy(dtype="int64").astype(np.float64)
+    out = agg[["lang", "n_distinct", "n_hapax", "hapax_ratio"]]
+    return out.sort_values("lang").reset_index(drop=True)

@@ -629,6 +629,220 @@ def triangle_count(
     return int(closed.count())
 
 
+def _wedge_triangles(
+    a: np.ndarray, b: np.ndarray, ek: np.ndarray, M: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized forward-wedge expansion + closing-edge probe.
+
+    ``a``/``b`` are canonical distinct edges (a < b, int64) of one
+    partition; ``ek`` is the SORTED composite key array ``a*(M+1)+b`` of
+    the FULL edge set. Returns the matched triangle corners
+    ``(ta, tb, tc)`` with ta < tb < tc — each triangle whose apex (low
+    node) lives in this partition is emitted exactly once. Same
+    forward-degree wedge bound as ``triangle_count``."""
+    if len(a) == 0 or len(ek) == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    o = np.lexsort((b, a))
+    a_s, b_s = a[o], b[o]
+    newrun = np.concatenate([[True], a_s[1:] != a_s[:-1]])
+    starts = np.nonzero(newrun)[0]
+    lens = np.diff(np.concatenate([starts, [len(a_s)]]))
+    within = np.arange(len(a_s), dtype=np.int64) - np.repeat(starts, lens)
+    cnt_per = lens[np.cumsum(newrun) - 1] - 1 - within
+    total = int(cnt_per.sum())
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    i_idx = np.repeat(np.arange(len(a_s), dtype=np.int64), cnt_per)
+    joff = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(cnt_per) - cnt_per, cnt_per)
+        + 1
+    )
+    tb, tc = b_s[i_idx], b_s[i_idx + joff]
+    key = tb * (M + 1) + tc
+    pos = np.clip(np.searchsorted(ek, key), 0, len(ek) - 1)
+    hit = ek[pos] == key
+    return a_s[i_idx][hit], tb[hit], tc[hit]
+
+
+def _corner_partials(
+    ta: np.ndarray, tb: np.ndarray, tc: np.ndarray, M: int, emit: str
+) -> pa.Table:
+    """Collapse matched triangle corners to per-node ``(node, tri)`` or
+    per-edge ``(ekey, common)`` partial counts (np.unique — exact int64,
+    order-independent)."""
+    if emit == "nodes":
+        nodes, cnt = np.unique(np.concatenate([ta, tb, tc]), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "tri": pa.array(cnt.astype(np.int64)),
+            }
+        )
+    keys = np.concatenate(
+        [ta * (M + 1) + tb, ta * (M + 1) + tc, tb * (M + 1) + tc]
+    )
+    k, cnt = np.unique(keys, return_counts=True)
+    return pa.table(
+        {
+            "ekey": pa.array(k, pa.int64()),
+            "common": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def triangle_incidences(
+    edges: "ray.data.Dataset",
+    *,
+    max_node_id: int,
+    emit: str = "nodes",
+    num_partitions: int = 32,
+    broadcast_edges_threshold: int = 20_000_000,
+    driver_route_edges: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Per-node or per-edge triangle participation counts over canonical
+    DISTINCT undirected edges (columns ``a`` < ``b``, int64) — the
+    building block for local clustering coefficients (emit='nodes':
+    rows ``node, tri``) and common-neighbor / Jaccard link features
+    (emit='edges': rows ``a, b, common`` — only edges in >=1 triangle
+    appear; callers left-join and coalesce 0).
+
+    SIZE-ROUTED exactly like ``triangle_count`` (driver numpy pass /
+    broadcast-keys bucket shuffle / two hash joins), but each route ends
+    in per-partition ``np.unique`` partial counts + ONE groupby Sum, so
+    the exchange moves O(distinct touched nodes|edges per partition)
+    rows, never the raw triangle stream. Composite keys need
+    ``max_node_id`` < ~3e9 (int64)."""
+    if emit not in ("nodes", "edges"):
+        raise ValueError(f"emit must be 'nodes' or 'edges', got {emit!r}")
+
+    M = max_node_id
+    edges = edges.materialize()
+    n_edges = edges.count()
+
+    def _decompose(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["ekey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "a": pa.array(k // (M + 1), pa.int64()),
+                "b": pa.array(k % (M + 1), pa.int64()),
+                "common": pc.cast(t["common"], pa.int64()),
+            }
+        )
+
+    if n_edges <= driver_route_edges:
+        cols_a, cols_b = [], []
+        for t in ray.get(edges.to_arrow_refs()):
+            if t.num_rows:
+                cols_a.append(np.asarray(t["a"].to_numpy(zero_copy_only=False)))
+                cols_b.append(np.asarray(t["b"].to_numpy(zero_copy_only=False)))
+        if not cols_a:
+            a = b = np.empty(0, np.int64)
+        else:
+            a, b = np.concatenate(cols_a), np.concatenate(cols_b)
+        ek = np.sort(a * (M + 1) + b)
+        ta, tb, tc = _wedge_triangles(a, b, ek, M)
+        out = _corner_partials(ta, tb, tc, M, emit)
+        if emit == "edges":
+            out = _decompose(out)
+        return ray.data.from_arrow(out)
+
+    if n_edges <= broadcast_edges_threshold:
+        parts = []
+        for t in ray.get(edges.to_arrow_refs()):
+            if t.num_rows:
+                a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+                b = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+                parts.append(a * (M + 1) + b)
+        ekeys = (
+            np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        )
+        keys_ref = ray.put(ekeys)
+
+        def _bucket(t: pa.Table) -> pa.Table:
+            a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+            p = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                 >> np.uint64(33)) % np.uint64(num_partitions)
+            return t.append_column("_p", pa.array(p.astype(np.int64)))
+
+        def _partials(g: pa.Table) -> pa.Table:
+            ek = ray.get(keys_ref)
+            a = np.asarray(g["a"].to_numpy(zero_copy_only=False))
+            b = np.asarray(g["b"].to_numpy(zero_copy_only=False))
+            ta, tb, tc = _wedge_triangles(a, b, ek, M)
+            return _corner_partials(ta, tb, tc, M, emit)
+
+        partials = (
+            edges.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(_partials, batch_format="pyarrow")
+        )
+    else:
+        wedges = hash_join(
+            edges, edges, key="a", num_partitions=num_partitions
+        )
+
+        def _closing(t: pa.Table) -> pa.Table:
+            a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+            b1 = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+            b2 = np.asarray(t["b_r"].to_numpy(zero_copy_only=False))
+            keep = b1 < b2
+            return pa.table(
+                {
+                    "key": pa.array(b1[keep] * (M + 1) + b2[keep], pa.int64()),
+                    "ta": pa.array(a[keep], pa.int64()),
+                    "tb": pa.array(b1[keep], pa.int64()),
+                    "tc": pa.array(b2[keep], pa.int64()),
+                }
+            )
+
+        def _ekey(t: pa.Table) -> pa.Table:
+            a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+            b = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+            return pa.table({"ekey": pa.array(a * (M + 1) + b, pa.int64())})
+
+        closed = hash_join(
+            wedges.map_batches(_closing, batch_format="pyarrow"),
+            edges.map_batches(_ekey, batch_format="pyarrow"),
+            key="key",
+            right_key="ekey",
+            how="left_semi",
+            num_partitions=num_partitions,
+        )
+
+        def _batch_partials(t: pa.Table) -> pa.Table:
+            return _corner_partials(
+                np.asarray(t["ta"].to_numpy(zero_copy_only=False)),
+                np.asarray(t["tb"].to_numpy(zero_copy_only=False)),
+                np.asarray(t["tc"].to_numpy(zero_copy_only=False)),
+                M,
+                emit,
+            )
+
+        partials = closed.map_batches(_batch_partials, batch_format="pyarrow")
+
+    if emit == "nodes":
+        out = partials.groupby("node").aggregate(Sum("tri", alias_name="t"))
+        return out.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "tri": pc.cast(t["t"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    out = partials.groupby("ekey").aggregate(Sum("common", alias_name="c"))
+    return out.map_batches(
+        lambda t: _decompose(
+            pa.table({"ekey": t["ekey"], "common": t["c"]})
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def bfs_levels(
     edges: "ray.data.Dataset",
     source: int,
