@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
+        "profit_by_nation_year": q.profit_by_nation_year,
+        "supplier_abc_classes": q.supplier_abc_classes,
         "mutual_edge_pairs": q.mutual_edge_pairs,
         "kcore_customers": q.kcore_customers,
         "doc_type_token_ratio": q.doc_type_token_ratio,
@@ -357,6 +359,41 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "profit_by_nation_year": """
+            SELECT n_name,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                        - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity)
+                        * 100) AS BIGINT)) AS BIGINT) AS profit_c
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year
+        """,
+        "supplier_abc_classes": """
+            WITH x AS (
+                SELECT s_suppkey,
+                       CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_c
+                FROM supplier
+            ),
+            r AS (
+                SELECT s_suppkey, bal_c,
+                       CAST(SUM(bal_c) OVER (
+                           ORDER BY bal_c DESC, s_suppkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS run_c
+                FROM x
+            ),
+            t AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS tot FROM x)
+            SELECT s_suppkey, bal_c, run_c,
+                   CASE WHEN 2 * run_c <= tot THEN 'A'
+                        WHEN 5 * run_c <= 4 * tot THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM r, t ORDER BY s_suppkey
         """,
         "order_price_gini_by_nation": """
             WITH x AS (

@@ -330,6 +330,10 @@ def run_bench() -> dict:
          lambda: q.event_user_diversity(SF_DIR)),
         ("hapax_ratio_per_lang",
          lambda: q.hapax_ratio_per_lang(SF_DIR)),
+        ("profit_by_nation_year",
+         lambda: q.profit_by_nation_year(SF_DIR)),
+        ("supplier_abc_classes",
+         lambda: q.supplier_abc_classes(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

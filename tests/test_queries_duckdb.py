@@ -124,6 +124,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "local_clustering_customers",
         "edge_jaccard_customers",
         "order_price_gini_by_nation",
+        "profit_by_nation_year",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

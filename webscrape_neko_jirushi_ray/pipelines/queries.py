@@ -6603,3 +6603,228 @@ def hapax_ratio_per_lang(sf_dir: str) -> pd.DataFrame:
     ) / agg["n_distinct"].to_numpy(dtype="int64").astype(np.float64)
     out = agg[["lang", "n_distinct", "n_hapax", "hapax_ratio"]]
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def profit_by_nation_year(sf_dir: str) -> pd.DataFrame:
+    """Four-dimension star join (TPC-H Q9 shape, adapted to the columns
+    this corpus has): per (supplier nation, order year) profit =
+    Σ round((l_extendedprice*(1-l_discount) - 0.6*p_retailprice
+    *l_quantity) * 100) — revenue minus an imputed 60%-of-retail cost,
+    in exact integer cents.
+
+    Scale plan: the fact table streams ONCE; part / supplier / orders
+    dims attach size-routed (broadcast searchsorted under
+    _BROADCAST_SIDE_ROUTE_ROWS per side, distributed hash_join above —
+    orders is the side that actually grows, its dim is pre-projected to
+    (orderkey, year) before either route), nation name is a 25-entry
+    lut, and every batch pre-aggregates (nation, year, profit) partials
+    so the final groupby sees O(nations x years x blocks) rows. The
+    per-row double expression is identically parenthesized on both
+    sides; sums are int64."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    def _prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "rev": rev,
+                "l_quantity": t["l_quantity"],
+            }
+        )
+
+    items = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    ).map_batches(_prep, batch_format="pyarrow")
+
+    def _rows(table: str) -> int:
+        try:
+            return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+        except Exception:
+            return _BROADCAST_SIDE_ROUTE_ROWS + 1
+
+    # part dim: partkey -> retail price (double feeds the per-row formula)
+    if _rows("part") <= _BROADCAST_SIDE_ROUTE_ROWS:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+        )
+        part = pa.table(
+            {
+                "p_partkey": pc.cast(part["p_partkey"], pa.int64()),
+                "retail": part["p_retailprice"],
+            }
+        )
+        items = broadcast_join(items, part, key="l_partkey", right_key="p_partkey")
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                    "retail": t["p_retailprice"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        items = hash_join(items, part_ds, key="l_partkey", right_key="p_partkey")
+
+    # supplier dim: suppkey -> nationkey
+    if _rows("supplier") <= _BROADCAST_SIDE_ROUTE_ROWS:
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        supp = pa.table(
+            {
+                "s_suppkey": pc.cast(supp["s_suppkey"], pa.int64()),
+                "nat": pc.cast(supp["s_nationkey"], pa.int64()),
+            }
+        )
+        items = broadcast_join(items, supp, key="l_suppkey", right_key="s_suppkey")
+    else:
+        supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                    "nat": pc.cast(t["s_nationkey"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        items = hash_join(items, supp_ds, key="l_suppkey", right_key="s_suppkey")
+
+    # orders dim: orderkey -> order year (the side that grows with the fact
+    # table — pre-projected to two int64 columns before either route)
+    def _odim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    if _rows("orders") <= _BROADCAST_SIDE_ROUTE_ROWS:
+        odim = _odim(
+            pq.read_table(
+                f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+            )
+        )
+        items = broadcast_join(items, odim, key="l_orderkey", right_key="o_orderkey")
+    else:
+        odim_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+            _odim, batch_format="pyarrow"
+        )
+        items = hash_join(items, odim_ds, key="l_orderkey", right_key="o_orderkey")
+
+    nation_names = {
+        int(k): v
+        for k, v in zip(
+            *pq.read_table(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+            ).to_pydict().values()
+        )
+    }
+    lut = np.empty(max(nation_names) + 1, dtype=object)
+    for k, v in nation_names.items():
+        lut[k] = v
+
+    def _partials(t: pa.Table) -> pa.Table:
+        cost = pc.multiply(
+            pc.multiply(pa.scalar(0.6), t["retail"]), t["l_quantity"]
+        )
+        # this expression lands on exact .5 cents often (money inputs with
+        # exact binary fractions) — DuckDB ROUND is half-AWAY-from-zero,
+        # Arrow defaults to half-to-even, so pin the tie direction
+        profit_c = pc.cast(
+            pc.round(
+                pc.multiply(pc.subtract(t["rev"], cost), pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        keys = np.asarray(t["nat"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        g = (
+            pa.table(
+                {
+                    "n_name": pa.array(lut[keys], pa.string()),
+                    "o_year": t["o_year"],
+                    "p": profit_c,
+                }
+            )
+            .group_by(["n_name", "o_year"])
+            .aggregate([("p", "sum")])
+        )
+        return pa.table(
+            {
+                "n_name": g["n_name"],
+                "o_year": g["o_year"],
+                "p": pc.cast(g["p_sum"], pa.int64()),
+            }
+        )
+
+    out = (
+        items.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("p", alias_name="profit_c"))
+        .to_pandas()
+    )
+    out["o_year"] = out["o_year"].astype("int64")
+    out["profit_c"] = out["profit_c"].astype("int64")
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+def supplier_abc_classes(sf_dir: str) -> pd.DataFrame:
+    """Global ABC CLASSIFICATION of suppliers by cumulative account
+    -balance share (the inventory-management 80/20 cut): suppliers sorted
+    by balance descending, class A while the inclusive running sum stays
+    within 50% of the total, B within 80%, C beyond — the global
+    -prefix-scan shape (functions/enumerate.attach_running_sum: sampled
+    range boundaries, per-range sums, O(ranges) driver scan), classified
+    entirely in exact integer cents (2*run <= tot and 5*run <= 4*tot, no
+    percentage doubles anywhere)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.enumerate import attach_running_sum
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "bal_c": _to_scaled_int(t["s_acctbal"], 100),
+                "neg_c": pc.multiply(
+                    _to_scaled_int(t["s_acctbal"], 100), pa.scalar(-1, pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: total + running sum
+
+    tot = int(supp.aggregate(Sum("bal_c", alias_name="t"))["t"])
+    run = attach_running_sum(
+        supp, ["neg_c", "s_suppkey"], "bal_c", sum_col="run_c"
+    )
+
+    def _classify(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["run_c"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        abc = np.where(
+            2 * r <= tot, "A", np.where(5 * r <= 4 * tot, "B", "C")
+        )
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "bal_c": t["bal_c"],
+                "run_c": pc.cast(t["run_c"], pa.int64()),
+                "abc": pa.array(abc, pa.string()),
+            }
+        )
+
+    out = run.map_batches(_classify, batch_format="pyarrow").to_pandas()
+    return out.sort_values("s_suppkey").reset_index(drop=True)
