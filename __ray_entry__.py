@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
         "profit_by_nation_year": q.profit_by_nation_year,
         "supplier_abc_classes": q.supplier_abc_classes,
+        "user_active_week_mask": q.user_active_week_mask,
+        "customer_rfm_scores": q.customer_rfm_scores,
         "mutual_edge_pairs": q.mutual_edge_pairs,
         "kcore_customers": q.kcore_customers,
         "doc_type_token_ratio": q.doc_type_token_ratio,
@@ -359,6 +361,39 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "user_active_week_mask": """
+            SELECT user_id,
+                   CAST(SUM(DISTINCT (CAST(1 AS BIGINT) << week(ts)))
+                        AS BIGINT) AS week_mask,
+                   CAST(COUNT(DISTINCT week(ts)) AS BIGINT)
+                       AS n_active_weeks,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "customer_rfm_scores": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS sum_c,
+                       MAX(o_orderdate) AS mx
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey AS c_custkey,
+                   CAST(NTILE(4) OVER (ORDER BY mx DESC, o_custkey)
+                        AS BIGINT) AS r_tile,
+                   CAST(NTILE(4) OVER (ORDER BY cnt DESC, o_custkey)
+                        AS BIGINT) AS f_tile,
+                   CAST(NTILE(4) OVER (ORDER BY sum_c DESC, o_custkey)
+                        AS BIGINT) AS m_tile,
+                   CAST(100 * NTILE(4) OVER (ORDER BY mx DESC, o_custkey)
+                        + 10 * NTILE(4) OVER (ORDER BY cnt DESC, o_custkey)
+                        + NTILE(4) OVER (ORDER BY sum_c DESC, o_custkey)
+                        AS BIGINT) AS rfm
+            FROM pc ORDER BY c_custkey
         """,
         "profit_by_nation_year": """
             SELECT n_name,

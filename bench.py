@@ -334,6 +334,10 @@ def run_bench() -> dict:
          lambda: q.profit_by_nation_year(SF_DIR)),
         ("supplier_abc_classes",
          lambda: q.supplier_abc_classes(SF_DIR)),
+        ("user_active_week_mask",
+         lambda: q.user_active_week_mask(SF_DIR)),
+        ("customer_rfm_scores",
+         lambda: q.customer_rfm_scores(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -6828,3 +6828,162 @@ def supplier_abc_classes(sf_dir: str) -> pd.DataFrame:
 
     out = run.map_batches(_classify, batch_format="pyarrow").to_pandas()
     return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def user_active_week_mask(sf_dir: str) -> pd.DataFrame:
+    """Per-user ACTIVITY BITMASK — bitwise-OR aggregate family (the one
+    aggregate shape Ray/Arrow's builtin Sum/Count/Min/Max set lacks):
+    dow_mask-style OR of 1 << iso_week(ts) over each user's events, plus
+    the distinct-week count (popcount of the mask) and total events.
+    ISO weeks 1..53 keep the mask inside int64.
+
+    Scale plan: batch-local lexsort + np.bitwise_or.reduceat partials
+    (one (user, mask, n) row per user per batch), ONE user-hash bucket
+    shuffle, per-bucket OR/sum rollup — raw events never shuffle and the
+    OR is associative/commutative so any partial grouping is exact."""
+    from ..stages.relops import _WB, _route_by_group
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(
+            pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        wk = np.asarray(
+            pc.cast(pc.iso_week(t["ts"]), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        bits = np.int64(1) << wk
+        o = np.argsort(u, kind="stable")
+        us, bs = u[o], bits[o]
+        starts = np.nonzero(
+            np.concatenate([[True], us[1:] != us[:-1]])
+        )[0]
+        mask = np.bitwise_or.reduceat(bs, starts)
+        ends = np.concatenate([starts[1:], [len(us)]])
+        return pa.table(
+            {
+                "user_id": pa.array(us[starts]),
+                "mask": pa.array(mask),
+                "n": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    def _rollup(g: pa.Table) -> pa.Table:
+        u = np.asarray(g["user_id"].to_numpy(zero_copy_only=False))
+        m = np.asarray(g["mask"].to_numpy(zero_copy_only=False))
+        n = np.asarray(g["n"].to_numpy(zero_copy_only=False))
+        o = np.argsort(u, kind="stable")
+        us, ms, ns = u[o], m[o], n[o]
+        starts = np.nonzero(
+            np.concatenate([[True], us[1:] != us[:-1]])
+        )[0]
+        mask = np.bitwise_or.reduceat(ms, starts)
+        n_events = np.add.reduceat(ns, starts)
+        # popcount via uint64 view (np.bit_count needs numpy >= 2)
+        pop = np.array(
+            [int(x).bit_count() for x in mask.tolist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(us[starts]),
+                "week_mask": pa.array(mask),
+                "n_active_weeks": pa.array(pop),
+                "n_events": pa.array(n_events),
+            }
+        )
+
+    out = (
+        _route_by_group(
+            ev.map_batches(_partial, batch_format="pyarrow"), "user_id", 32
+        )
+        .groupby(_WB)
+        .map_groups(_rollup, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _ntile_from_rank(rank0: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from a 0-based dense row number over n rows: the
+    first n % k tiles take floor(n/k)+1 rows, the rest floor(n/k)."""
+    q, rem = divmod(n, k)
+    boundary = rem * (q + 1)
+    small = rank0 < boundary
+    tile = np.empty(len(rank0), dtype=np.int64)
+    tile[small] = rank0[small] // (q + 1) + 1
+    if q > 0:
+        tile[~small] = rem + (rank0[~small] - boundary) // q + 1
+    return tile
+
+
+def customer_rfm_scores(sf_dir: str) -> pd.DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary quartiles) — the
+    classic customer-scoring composite: one per-customer aggregate pass,
+    then THREE distributed global rank passes (functions/enumerate
+    .attach_dense_index: sampled range boundaries, O(ranges) driver
+    state) over the same Dataset — no joins, each pass just attaches an
+    index column — and a final map deriving NTILE(4) tiles from the
+    ranks with SQL's first-tiles-take-the-remainder fill. Ties are
+    pinned by custkey on both sides, so the quartile assignment is
+    deterministic."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.enumerate import attach_dense_index
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "mx_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(_prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("mx_us", alias_name="mx_us"),
+            Count(alias_name="cnt"),
+            Sum("cents", alias_name="sum_c"),
+        )
+        .materialize()
+    )
+    n = per_cust.count()
+    ds = attach_dense_index(
+        per_cust, ["mx_us", "o_custkey"], ascending=[False, True],
+        index_col="r_rank",
+    )
+    ds = attach_dense_index(
+        ds, ["cnt", "o_custkey"], ascending=[False, True], index_col="f_rank"
+    )
+    ds = attach_dense_index(
+        ds, ["sum_c", "o_custkey"], ascending=[False, True], index_col="m_rank"
+    )
+
+    def _tiles(t: pa.Table) -> pa.Table:
+        r = _ntile_from_rank(
+            np.asarray(t["r_rank"].to_numpy(zero_copy_only=False)) - 1, n, 4
+        )
+        f = _ntile_from_rank(
+            np.asarray(t["f_rank"].to_numpy(zero_copy_only=False)) - 1, n, 4
+        )
+        m = _ntile_from_rank(
+            np.asarray(t["m_rank"].to_numpy(zero_copy_only=False)) - 1, n, 4
+        )
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "r_tile": pa.array(r),
+                "f_tile": pa.array(f),
+                "m_tile": pa.array(m),
+                "rfm": pa.array(100 * r + 10 * f + m),
+            }
+        )
+
+    out = ds.map_batches(_tiles, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
