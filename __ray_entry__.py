@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_abc_classes": q.supplier_abc_classes,
         "user_active_week_mask": q.user_active_week_mask,
         "customer_rfm_scores": q.customer_rfm_scores,
+        "doc_bigram_novelty": q.doc_bigram_novelty,
+        "nation_revenue_share_in_region": q.nation_revenue_share_in_region,
+        "avg_neighbor_degree_customers": q.avg_neighbor_degree_customers,
         "mutual_edge_pairs": q.mutual_edge_pairs,
         "kcore_customers": q.kcore_customers,
         "doc_type_token_ratio": q.doc_type_token_ratio,
@@ -361,6 +364,94 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "doc_bigram_novelty": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(CAST(text AS VARCHAR), ' ') AS toks,
+                       len(string_split(CAST(text AS VARCHAR), ' ')) AS nt
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, nt - 1)) AS i
+                FROM t
+            ),
+            pairs AS (
+                SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i + 1] AS bigram
+                FROM ex
+            ),
+            den AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams
+                FROM pairs GROUP BY doc_id
+            ),
+            firstd AS (
+                SELECT bigram, MIN(doc_id) AS first_doc FROM pairs
+                GROUP BY bigram
+            ),
+            num AS (
+                SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+                FROM firstd GROUP BY first_doc
+            )
+            SELECT d.doc_id, d.n_bigrams,
+                   COALESCE(n.n_new, CAST(0 AS BIGINT)) AS n_new,
+                   CAST(COALESCE(n.n_new, 0) AS DOUBLE)
+                       / CAST(d.n_bigrams AS DOUBLE) AS novelty
+            FROM den d LEFT JOIN num n ON d.doc_id = n.doc_id
+            ORDER BY d.doc_id
+        """,
+        "nation_revenue_share_in_region": """
+            WITH nr AS (
+                SELECT n_name, r_name,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                GROUP BY n_name, r_name
+            ),
+            rt AS (
+                SELECT r_name, CAST(SUM(rev_c) AS BIGINT) AS region_c
+                FROM nr GROUP BY r_name
+            )
+            SELECT nr.n_name, nr.r_name, nr.rev_c, rt.region_c,
+                   CAST(nr.rev_c AS DOUBLE) / CAST(rt.region_c AS DOUBLE)
+                       AS share
+            FROM nr JOIN rt ON nr.r_name = rt.r_name
+            ORDER BY nr.n_name
+        """,
+        "avg_neighbor_degree_customers": """
+            WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT DISTINCT
+                       LEAST(CAST(o_custkey AS BIGINT),
+                             CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS a,
+                       GREATEST(CAST(o_custkey AS BIGINT),
+                                CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS b
+                FROM orders
+                WHERE o_custkey <> (o_orderkey % (SELECT m FROM maxc)) + 1
+            ),
+            dirs AS (
+                SELECT a AS v, b AS u FROM e
+                UNION ALL
+                SELECT b AS v, a AS u FROM e
+            ),
+            deg AS (
+                SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM dirs GROUP BY v
+            ),
+            s AS (
+                SELECT d.v, CAST(SUM(g.deg) AS BIGINT) AS sum_deg,
+                       CAST(COUNT(*) AS BIGINT) AS deg
+                FROM dirs d JOIN deg g ON g.node = d.u
+                GROUP BY d.v
+            )
+            SELECT v AS node, deg, sum_deg,
+                   CAST(sum_deg AS DOUBLE) / CAST(deg AS DOUBLE)
+                       AS avg_neighbor_deg
+            FROM s ORDER BY v
         """,
         "user_active_week_mask": """
             SELECT user_id,

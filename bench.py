@@ -338,6 +338,12 @@ def run_bench() -> dict:
          lambda: q.user_active_week_mask(SF_DIR)),
         ("customer_rfm_scores",
          lambda: q.customer_rfm_scores(SF_DIR)),
+        ("doc_bigram_novelty",
+         lambda: q.doc_bigram_novelty(SF_DIR)),
+        ("nation_revenue_share_in_region",
+         lambda: q.nation_revenue_share_in_region(SF_DIR)),
+        ("avg_neighbor_degree_customers",
+         lambda: q.avg_neighbor_degree_customers(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

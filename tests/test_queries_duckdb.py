@@ -125,6 +125,9 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "edge_jaccard_customers",
         "order_price_gini_by_nation",
         "profit_by_nation_year",
+        "doc_bigram_novelty",
+        "nation_revenue_share_in_region",
+        "avg_neighbor_degree_customers",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

@@ -6987,3 +6987,297 @@ def customer_rfm_scores(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(_tiles, batch_format="pyarrow").to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def doc_bigram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-document NOVELTY score — the share of a doc's distinct
+    adjacent-token bigrams whose GLOBAL first occurrence (min doc_id) is
+    this doc: the contribution-attribution statistic a dedup/curation
+    pipeline uses to find template-heavy vs original documents.
+
+    Scale plan: each batch forms its bigrams vectorized (the
+    top_bigrams flat-buffer kernel) and emits batch-local DISTINCT
+    (doc_id, bigram) pairs — a doc lives in exactly one batch row, so
+    batch-distinct IS globally distinct and the per-doc denominator
+    never shuffles at all. The numerator is ONE bigram groupby
+    (Min(doc_id)) followed by per-batch (first_doc, 1) partial counts
+    into a small doc groupby — no join-back of the vocabulary. The two
+    O(docs) tables meet in a size-routed left join."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(offsets[0])
+        flat = words.values.slice(base, int(offsets[-1]) - base)
+        m = len(flat)
+        if m < 2:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bigram": pa.array([], pa.string()),
+                }
+            )
+        valid = np.ones(m - 1, dtype=bool)
+        ends = offsets[1:] - base - 1
+        valid[ends[(ends >= 0) & (ends < m - 1)]] = False
+        doc_ids = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        # bigram at flat position i belongs to the doc whose token range
+        # contains i
+        owner = (
+            np.searchsorted(offsets - base, np.arange(m - 1), side="right") - 1
+        )
+        left = flat.slice(0, m - 1).filter(pa.array(valid))
+        right = flat.slice(1, m - 1).filter(pa.array(valid))
+        big = pc.binary_join_element_wise(left, right, " ")
+        docs = doc_ids[owner[valid]]
+        return (
+            pa.table({"doc_id": pa.array(docs), "bigram": big})
+            .group_by(["doc_id", "bigram"])
+            .aggregate([])
+        )
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow").materialize()
+
+    # denominator: batch-distinct pairs are globally distinct, so the
+    # per-doc count is exact without any shuffle
+    def _den(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("bigram", "count")])
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "n_bigrams": pc.cast(g["bigram_count"], pa.int64()),
+            }
+        )
+
+    den = pairs.map_batches(_den, batch_format="pyarrow")
+
+    first = (
+        pairs.groupby("bigram")
+        .aggregate(Min("doc_id", alias_name="first_doc"))
+    )
+
+    def _num_partials(t: pa.Table) -> pa.Table:
+        g = t.group_by("first_doc").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["first_doc"], pa.int64()),
+                "k": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    num = (
+        first.map_batches(_num_partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("k", alias_name="n_new"))
+    )
+
+    try:
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    except Exception:
+        n_docs = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_docs <= _BROADCAST_SIDE_ROUTE_ROWS:
+        np_ = num.to_pandas()
+        num_tbl = pa.table(
+            {
+                "doc_id": pa.array(np_["doc_id"].to_numpy(dtype="int64")),
+                "n_new": pa.array(np_["n_new"].to_numpy(dtype="int64")),
+            }
+        )
+        j = broadcast_join(den, num_tbl, key="doc_id", how="left_outer")
+    else:
+        j = hash_join(den, num, key="doc_id", how="left_outer")
+
+    def _final(t: pa.Table) -> pa.Table:
+        nb = np.asarray(
+            pc.cast(t["n_bigrams"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        nn = np.asarray(
+            pc.fill_null(pc.cast(t["n_new"], pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(nb),
+                "n_new": pa.array(nn),
+                "novelty": pa.array(
+                    nn.astype(np.float64) / nb.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    out = j.map_batches(_final, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def nation_revenue_share_in_region(sf_dir: str) -> pd.DataFrame:
+    """RATIO-TO-REPORT window shape: each nation's share of its REGION's
+    order revenue — a two-level rollup where the inner group divides by
+    its super-group total. Customer attach is size-routed; every batch
+    pre-aggregates (nationkey, cents) so the exchange is O(nations x
+    blocks); the 25-row nation result takes its region totals on the
+    driver (fixed-cardinality dimension, same contract as
+    nation_revenue's small route). Exact integer cents; one double
+    division per row."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cust_tbl = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        joined = broadcast_join(
+            orders, cust_tbl, key="o_custkey", right_key="c_custkey"
+        )
+    else:
+        joined = hash_join(
+            orders,
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            key="o_custkey",
+            right_key="c_custkey",
+        )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"nat": pc.cast(t["c_nationkey"], pa.int64()),
+                      "c": t["cents"]})
+            .group_by("nat")
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {"nat": g["nat"], "c": pc.cast(g["c_sum"], pa.int64())}
+        )
+
+    per_nat = (
+        joined.map_batches(_partials, batch_format="pyarrow")
+        .groupby("nat")
+        .aggregate(Sum("c", alias_name="rev_c"))
+        .to_pandas()
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    m = per_nat.merge(nation, left_on="nat", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    m["rev_c"] = m["rev_c"].astype("int64")
+    region_tot = m.groupby("r_name")["rev_c"].transform("sum").astype("int64")
+    m["region_c"] = region_tot
+    m["share"] = m["rev_c"].to_numpy(dtype="int64").astype(np.float64) / (
+        region_tot.to_numpy(dtype="int64").astype(np.float64)
+    )
+    out = m[["n_name", "r_name", "rev_c", "region_c", "share"]]
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def avg_neighbor_degree_customers(sf_dir: str) -> pd.DataFrame:
+    """Average NEIGHBOR degree per node (the assortativity feature — one
+    round of message passing: each node averages its neighbors'
+    degrees) over the order-derived customer graph.
+
+    Scale plan: canonical edges once (shared helper), degrees via the
+    batch-partial groupby, neighbor-degree attach size-routed
+    (broadcast searchsorted on the O(nodes) degree table, hash_join
+    above), per-batch (node, sum_deg, cnt) partials into one final
+    groupby. Exact int64 sums; one double division."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    edges, _maxc = _canonical_order_edges(sf_dir)
+    deg = _edge_degrees(edges)
+
+    def _dirs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b])),
+                "u": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    dirs = edges.map_batches(_dirs, batch_format="pyarrow")
+
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        dp = deg.to_pandas()
+        deg_tbl = pa.table(
+            {
+                "node": pa.array(dp["node"].to_numpy(dtype="int64")),
+                "nb_deg": pa.array(dp["deg"].to_numpy(dtype="int64")),
+            }
+        )
+        j = broadcast_join(dirs, deg_tbl, key="u", right_key="node")
+    else:
+        nb = deg.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"], "nb_deg": pc.cast(t["deg"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        j = hash_join(dirs, nb, key="u", right_key="node")
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "v": t["v"],
+                    "s": pc.cast(t["nb_deg"], pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by("v")
+            .aggregate([("s", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {
+                "node": g["v"],
+                "s": pc.cast(g["s_sum"], pa.int64()),
+                "d": pc.cast(g["one_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(_partials, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("s", alias_name="sum_deg"), Sum("d", alias_name="deg"))
+        .to_pandas()
+    )
+    agg["sum_deg"] = agg["sum_deg"].astype("int64")
+    agg["deg"] = agg["deg"].astype("int64")
+    agg["avg_neighbor_deg"] = agg["sum_deg"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["deg"].to_numpy(dtype="int64").astype(np.float64)
+    out = agg[["node", "deg", "sum_deg", "avg_neighbor_deg"]]
+    return out.sort_values("node").reset_index(drop=True)
