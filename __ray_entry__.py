@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_abc_classes": q.supplier_abc_classes,
         "user_active_week_mask": q.user_active_week_mask,
         "customer_rfm_scores": q.customer_rfm_scores,
+        "events_value_forward_fill": q.events_value_forward_fill,
+        "lang_source_chi2_cells": q.lang_source_chi2_cells,
         "doc_bigram_novelty": q.doc_bigram_novelty,
         "nation_revenue_share_in_region": q.nation_revenue_share_in_region,
         "avg_neighbor_degree_customers": q.avg_neighbor_degree_customers,
@@ -364,6 +366,38 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "events_value_forward_fill": """
+            SELECT event_id, user_id,
+                   LAST_VALUE(
+                       CASE WHEN event_type = 'click' THEN NULL ELSE value END
+                       IGNORE NULLS
+                   ) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_value
+            FROM events
+            ORDER BY event_id
+        """,
+        "lang_source_chi2_cells": """
+            WITH o AS (
+                SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+                FROM documents GROUP BY lang, source
+            ),
+            rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM o GROUP BY lang),
+            ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM o GROUP BY source),
+            n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+            x AS (
+                SELECT o.lang, o.source, o.o,
+                       CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS expected
+                FROM o JOIN rt ON o.lang = rt.lang
+                       JOIN ct ON o.source = ct.source
+                       CROSS JOIN n
+            )
+            SELECT lang, source, o, expected,
+                   (CAST(o AS DOUBLE) - expected)
+                       * (CAST(o AS DOUBLE) - expected) / expected AS chi2_cell
+            FROM x ORDER BY lang, source
         """,
         "doc_bigram_novelty": """
             WITH t AS (

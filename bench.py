@@ -344,6 +344,10 @@ def run_bench() -> dict:
          lambda: q.nation_revenue_share_in_region(SF_DIR)),
         ("avg_neighbor_degree_customers",
          lambda: q.avg_neighbor_degree_customers(SF_DIR)),
+        ("events_value_forward_fill",
+         lambda: q.events_value_forward_fill(SF_DIR)),
+        ("lang_source_chi2_cells",
+         lambda: q.lang_source_chi2_cells(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

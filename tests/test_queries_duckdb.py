@@ -128,6 +128,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "doc_bigram_novelty",
         "nation_revenue_share_in_region",
         "avg_neighbor_degree_customers",
+        "customer_rfm_scores",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

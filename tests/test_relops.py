@@ -718,3 +718,45 @@ def test_grouped_ntile_property(ray_session, seed, n_groups, n, k):
             np.arange(1, k + 1), sizes
         )[:m]
     assert (out["b"].to_numpy() == want).all()
+
+
+def test_grouped_forward_fill_matches_pandas_ffill(ray_session):
+    """grouped_forward_fill == pandas groupby.ffill on a randomized
+    null-heavy frame (fixed seed), including all-null and single-row
+    groups."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_forward_fill
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 60, n),
+            "o1": rng.integers(0, 40, n),
+            "rid": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+    df.loc[rng.random(n) < 0.55, "v"] = np.nan
+    # group 61: entirely null; group 62: one row
+    df.loc[0, ["g", "v"]] = [61, np.nan]
+    df.loc[1, "g"] = 62
+
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        grouped_forward_fill(
+            ds, group_col="g", order_cols=["o1", "rid"], value_col="v",
+            out_col="f",
+        )
+        .to_pandas()
+        .sort_values(["g", "o1", "rid"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["g", "o1", "rid"]).reset_index(drop=True)
+    want["f"] = want.groupby("g")["v"].ffill()
+    pd.testing.assert_series_equal(got["f"], want["f"], check_names=False)

@@ -6954,6 +6954,40 @@ def customer_rfm_scores(sf_dir: str) -> pd.DataFrame:
         .materialize()
     )
     n = per_cust.count()
+
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        # small route: the per-customer aggregate is one driver table —
+        # three np.lexsort rank passes beat three range-partition passes
+        # of pure fixed latency (the dense-index plan below is the 10^8+
+        # -customer path, route-forced green by the hash-path test)
+        p = per_cust.to_pandas()
+        ck = p["o_custkey"].to_numpy(dtype="int64")
+        tiles = {}
+        for name, col in (
+            ("r_tile", p["mx_us"].to_numpy(dtype="int64")),
+            ("f_tile", p["cnt"].to_numpy(dtype="int64")),
+            ("m_tile", p["sum_c"].to_numpy(dtype="int64")),
+        ):
+            order = np.lexsort((ck, -col))
+            rank0 = np.empty(len(ck), dtype=np.int64)
+            rank0[order] = np.arange(len(ck), dtype=np.int64)
+            tiles[name] = _ntile_from_rank(rank0, n, 4)
+        out = pd.DataFrame(
+            {
+                "c_custkey": ck,
+                "r_tile": tiles["r_tile"],
+                "f_tile": tiles["f_tile"],
+                "m_tile": tiles["m_tile"],
+                "rfm": 100 * tiles["r_tile"] + 10 * tiles["f_tile"]
+                + tiles["m_tile"],
+            }
+        )
+        return out.sort_values("c_custkey").reset_index(drop=True)
+
     ds = attach_dense_index(
         per_cust, ["mx_us", "o_custkey"], ascending=[False, True],
         index_col="r_rank",
@@ -7281,3 +7315,89 @@ def avg_neighbor_degree_customers(sf_dir: str) -> pd.DataFrame:
     ) / agg["deg"].to_numpy(dtype="int64").astype(np.float64)
     out = agg[["node", "deg", "sum_deg", "avg_neighbor_deg"]]
     return out.sort_values("node").reset_index(drop=True)
+
+
+def events_value_forward_fill(sf_dir: str) -> pd.DataFrame:
+    """Per-user FORWARD FILL (LAST_VALUE ... IGNORE NULLS): click events
+    carry no usable value in this scenario, so each click inherits the
+    latest preceding non-click value of the same user (ordered by ts
+    with event_id tie-break); clicks before any non-click event stay
+    null. Runs on relops.grouped_forward_fill — one bucket shuffle, one
+    lexsort + segment-barrier cummax per bucket; the double payload
+    passes through a take untouched, so values are bit-identical to the
+    SQL oracle."""
+    from ..stages.relops import grouped_forward_fill
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        masked = pc.if_else(
+            pc.equal(t["event_type"], pa.scalar("click")),
+            pa.scalar(None, pa.float64()),
+            t["value"],
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "v": masked,
+            }
+        )
+
+    out = grouped_forward_fill(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        group_col="user_id",
+        order_cols=["us", "event_id"],
+        value_col="v",
+        out_col="filled_value",
+    ).select_columns(["event_id", "user_id", "filled_value"]).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def lang_source_chi2_cells(sf_dir: str) -> pd.DataFrame:
+    """CHI-SQUARE CONTINGENCY cells over the lang x source grid: observed
+    count, expected count under independence (row_total x col_total / N),
+    and the per-cell chi² contribution (o-e)²/e — the
+    distribution-drift / association test a curation pipeline runs
+    between corpus slices. Per-cell output avoids the cross-cell float
+    sum whose order SQL does not pin; margins are exact int64 and every
+    double op is one identical expression on both sides.
+
+    Scale plan: batch-local (lang, source) count partials, one tiny
+    groupby; margins derive from the O(cells) result on the driver
+    (fixed-cardinality dims, the nation_revenue small-route contract)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"], "source": t["source"]})
+            .group_by(["lang", "source"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "source": g["source"],
+                "o": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()
+    )
+    cells["o"] = cells["o"].astype("int64")
+    rt = cells.groupby("lang")["o"].transform("sum").to_numpy(dtype="int64")
+    ct = cells.groupby("source")["o"].transform("sum").to_numpy(dtype="int64")
+    n = int(cells["o"].sum())
+    o = cells["o"].to_numpy(dtype="int64")
+    e = (rt * ct).astype(np.float64) / np.float64(n)
+    d = o.astype(np.float64) - e
+    cells["expected"] = e
+    cells["chi2_cell"] = d * d / e
+    return cells.sort_values(["lang", "source"]).reset_index(drop=True)

@@ -1341,3 +1341,64 @@ def grouped_first_last(
         .groupby(_WB)
         .map_groups(_agg, batch_format="pyarrow")
     )
+
+
+def grouped_forward_fill(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "filled",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY group ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)`` — per-group FORWARD FILL, the
+    gap-filling cleanup op (sensor dropouts, sparse attributes). Rows
+    before a group's first non-null value stay null.
+
+    Scale design: ONE hash-bucket shuffle (:func:`_route_by_group`),
+    per bucket one lexsort by (group, *order_cols) and a single
+    segment-barrier cummax gather: each valid row encodes
+    ``seg*(n+1)+pos``, ``np.maximum.accumulate`` carries the latest
+    valid position forward, and a decoded source from a DIFFERENT
+    segment (or the -1 sentinel) nulls out — no per-key Python, value
+    payloads of any Arrow type pass through a take untouched (so
+    doubles are bit-identical to the SQL oracle). ``order_cols`` must
+    be int64-safe and non-null (:func:`_int64_nonull` raises);
+    ``value_col`` may be null — that is the point."""
+
+    def _ff(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        vtype = g.schema.field(value_col).type
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.nulls(0, vtype))
+        codes = _group_codes(g, group_col)
+        keys = [_int64_nonull(g[c], c) for c in order_cols]
+        order = np.lexsort(tuple(reversed(keys)) + (codes,))
+        g = g.take(pa.array(order, pa.int64()))
+        c_s = codes[order]
+        val = g[value_col]
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        valid = np.asarray(pc.is_valid(val).to_numpy(zero_copy_only=False))
+        n = g.num_rows
+        seg = np.cumsum(
+            np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        ).astype(np.int64) - 1
+        i = np.arange(n, dtype=np.int64)
+        adj = np.where(valid, seg * (n + 1) + i, np.int64(-1))
+        cm = np.maximum.accumulate(adj)
+        ok = (cm >= 0) & ((cm // (n + 1)) == seg)
+        src = np.where(ok, cm % (n + 1), 0)
+        filled = pc.if_else(
+            pa.array(ok), val.take(pa.array(src, pa.int64())),
+            pa.scalar(None, vtype),
+        )
+        return g.append_column(out_col, filled)
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_ff, batch_format="pyarrow")
+    )
