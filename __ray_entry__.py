@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_scores": q.customer_rfm_scores,
         "events_value_forward_fill": q.events_value_forward_fill,
         "lang_source_chi2_cells": q.lang_source_chi2_cells,
+        "user_daily_streaks": q.user_daily_streaks,
+        "events_hourly_dense": q.events_hourly_dense,
+        "embedding_dim_stats": q.embedding_dim_stats,
         "doc_bigram_novelty": q.doc_bigram_novelty,
         "nation_revenue_share_in_region": q.nation_revenue_share_in_region,
         "avg_neighbor_degree_customers": q.avg_neighbor_degree_customers,
@@ -366,6 +369,71 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "user_daily_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS d
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, d,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+                FROM days
+            ),
+            g AS (
+                SELECT user_id, d - rn AS grp, CAST(COUNT(*) AS BIGINT) AS len
+                FROM r GROUP BY user_id, d - rn
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_hourly_dense": """
+            WITH h AS (
+                SELECT CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 3600) AS BIGINT)
+                           AS hr
+                FROM events
+            ),
+            bounds AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM h),
+            spine AS (
+                SELECT unnest(generate_series(
+                    (SELECT mn FROM bounds), (SELECT mx FROM bounds))) AS hr
+            ),
+            c AS (SELECT hr, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY hr)
+            SELECT s.hr, COALESCE(c.n, CAST(0 AS BIGINT)) AS n_events
+            FROM spine s LEFT JOIN c ON s.hr = c.hr
+            ORDER BY s.hr
+        """,
+        "embedding_dim_stats": """
+            WITH q AS (
+                SELECT d,
+                       CAST(ROUND(CAST(embedding[d] AS DOUBLE) * 1000000)
+                            AS BIGINT) AS v
+                FROM (
+                    SELECT embedding,
+                           unnest(generate_series(1, len(embedding))) AS d
+                    FROM embeddings
+                )
+            ),
+            s AS (
+                SELECT d,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(v) AS BIGINT) AS sx,
+                       CAST(SUM(v * v) AS BIGINT) AS sxx
+                FROM q GROUP BY d
+            )
+            SELECT CAST(d AS BIGINT) AS dim, n,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000
+                       AS mean_v,
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                       / 1000000 / 1000000 AS var_v
+            FROM s ORDER BY dim
         """,
         "events_value_forward_fill": """
             SELECT event_id, user_id,

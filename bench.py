@@ -348,6 +348,12 @@ def run_bench() -> dict:
          lambda: q.events_value_forward_fill(SF_DIR)),
         ("lang_source_chi2_cells",
          lambda: q.lang_source_chi2_cells(SF_DIR)),
+        ("user_daily_streaks",
+         lambda: q.user_daily_streaks(SF_DIR)),
+        ("events_hourly_dense",
+         lambda: q.events_hourly_dense(SF_DIR)),
+        ("embedding_dim_stats",
+         lambda: q.embedding_dim_stats(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -7401,3 +7401,208 @@ def lang_source_chi2_cells(sf_dir: str) -> pd.DataFrame:
     cells["expected"] = e
     cells["chi2_cell"] = d * d / e
     return cells.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def user_daily_streaks(sf_dir: str) -> pd.DataFrame:
+    """GAPS-AND-ISLANDS per user: count of consecutive-day activity
+    streaks, the longest streak, and total active days — the classic
+    engagement metric built from the day - row_number() island trick.
+
+    Scale plan: batch-local DISTINCT (user, epoch-day) partials, ONE
+    user-hash bucket shuffle, per bucket one lexsort then fully
+    vectorized island detection (boundary mask -> reduceat island
+    lengths -> per-user reduceat of counts/max) — no per-user Python,
+    output O(users)."""
+    from ..stages.relops import _WB, _route_by_group
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _days(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+            pa.int64(),
+        )
+        return (
+            pa.table({"user_id": t["user_id"], "d": day})
+            .group_by(["user_id", "d"])
+            .aggregate([])
+        )
+
+    def _streaks(g: pa.Table) -> pa.Table:
+        u = np.asarray(g["user_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = np.asarray(g["d"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        # cross-batch duplicates of (user, day) collapse here
+        keep = np.concatenate([[True], (u[1:] != u[:-1]) | (d[1:] != d[:-1])])
+        u, d = u[keep], d[keep]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_streaks": pa.array([], pa.int64()),
+                    "longest_streak": pa.array([], pa.int64()),
+                    "n_active_days": pa.array([], pa.int64()),
+                }
+            )
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        new_isl = new_user | np.concatenate([[True], d[1:] != d[:-1] + 1])
+        isl_starts = np.nonzero(new_isl)[0]
+        isl_len = np.diff(np.concatenate([isl_starts, [n]]))
+        isl_user = u[isl_starts]
+        user_starts = np.nonzero(
+            np.concatenate([[True], isl_user[1:] != isl_user[:-1]])
+        )[0]
+        n_streaks = np.diff(np.concatenate([user_starts, [len(isl_user)]]))
+        longest = np.maximum.reduceat(isl_len, user_starts)
+        active = np.add.reduceat(isl_len, user_starts)
+        return pa.table(
+            {
+                "user_id": pa.array(isl_user[user_starts]),
+                "n_streaks": pa.array(n_streaks.astype(np.int64)),
+                "longest_streak": pa.array(longest.astype(np.int64)),
+                "n_active_days": pa.array(active.astype(np.int64)),
+            }
+        )
+
+    out = (
+        _route_by_group(
+            ev.map_batches(_days, batch_format="pyarrow"), "user_id", 32
+        )
+        .groupby(_WB)
+        .map_groups(_streaks, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_hourly_dense(sf_dir: str) -> pd.DataFrame:
+    """DENSE CALENDAR SPINE: every epoch hour between the corpus's first
+    and last event, with the event count zero-filled for silent hours —
+    the gap-free timeseries a reporting/forecasting stage needs (a plain
+    groupby silently drops empty buckets).
+
+    Scale plan: one streaming min/max aggregate bounds the spine,
+    ``ray.data.range`` GENERATES the hour dimension distributed (no
+    driver list), and the O(span-hours) observed-count table broadcasts
+    onto the spine (left outer searchsorted; the spine never shuffles).
+    The span is data-dependent but sf-independent (~2 years of hours);
+    a multi-decade spine would flip the join direction."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.joins import broadcast_join
+
+    ev = _read(sf_dir, "events", ["ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "hr": pc.cast(
+                    pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: bounds + counts
+    b = ev.aggregate(Min("hr", alias_name="mn"), Max("hr", alias_name="mx"))
+    mn, mx = int(b["mn"]), int(b["mx"])
+
+    counts = ev.groupby("hr").aggregate(Count(alias_name="n")).to_pandas()
+    counts_tbl = pa.table(
+        {
+            "hr": pa.array(counts["hr"].to_numpy(dtype="int64")),
+            "n": pa.array(counts["n"].to_numpy(dtype="int64")),
+        }
+    )
+
+    spine = ray.data.range(mx - mn + 1).map_batches(
+        lambda t: pa.table(
+            {"hr": pc.add(pc.cast(t["id"], pa.int64()), pa.scalar(mn))}
+        ),
+        batch_format="pyarrow",
+    )
+    j = broadcast_join(spine, counts_tbl, key="hr", how="left_outer")
+    out = j.map_batches(
+        lambda t: pa.table(
+            {
+                "hr": t["hr"],
+                "n_events": pc.fill_null(pc.cast(t["n"], pa.int64()), 0),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("hr").reset_index(drop=True)
+
+
+def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-DIMENSION mean and sample variance of the embedding matrix —
+    the feature-drift / whitening profile. Floats are made exact first:
+    each value rounds to int micros per row (ties pinned
+    half-away-from-zero to match SQL ROUND), the six-figure sums are
+    exact int64, and mean/variance come from ONE identical double
+    formula on both sides.
+
+    Scale plan: each batch reshapes the Arrow list column's flat value
+    buffer (zero-copy) to (rows, dim) and emits per-dim (n, sx, sxx)
+    partials — the exchange is O(dims x blocks), the matrix never
+    shuffles. Int64 bound: sxx caps at ~1e12 per row-dim at |v| <= 1,
+    safe past 10^9 rows per dim."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sxx": pa.array([], pa.int64()),
+                }
+            )
+        q = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(col.values, pa.float64()), 1_000_000.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        dim = len(q) // t.num_rows
+        m = np.asarray(q, dtype=np.int64).reshape(t.num_rows, dim)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+                "n": pa.array(np.full(dim, t.num_rows, dtype=np.int64)),
+                "sx": pa.array(m.sum(axis=0, dtype=np.int64)),
+                "sxx": pa.array((m * m).sum(axis=0, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(dtype="int64").astype(np.float64)
+    sx = agg["sx"].to_numpy(dtype="int64").astype(np.float64)
+    sxx = agg["sxx"].to_numpy(dtype="int64").astype(np.float64)
+    out = pd.DataFrame(
+        {
+            "dim": agg["dim"].astype("int64"),
+            "n": agg["n"].astype("int64"),
+            "mean_v": sx / n / 1_000_000.0,
+            "var_v": (n * sxx - sx * sx) / (n * (n - 1))
+            / 1_000_000.0
+            / 1_000_000.0,
+        }
+    )
+    return out.sort_values("dim").reset_index(drop=True)
