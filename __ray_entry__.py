@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_scores": q.customer_rfm_scores,
         "events_value_forward_fill": q.events_value_forward_fill,
         "lang_source_chi2_cells": q.lang_source_chi2_cells,
+        "order_price_p90cont_by_priority": q.order_price_p90cont_by_priority,
+        "user_time_to_first_purchase": q.user_time_to_first_purchase,
         "user_daily_streaks": q.user_daily_streaks,
         "events_hourly_dense": q.events_hourly_dense,
         "embedding_dim_stats": q.embedding_dim_stats,
@@ -369,6 +371,27 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "order_price_p90cont_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                 0.9) AS p90_cents
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "user_time_to_first_purchase": """
+            SELECT user_id,
+                   CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_any_us,
+                   CAST(MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS first_purchase_us,
+                   CAST(MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                        - MIN(epoch_us(ts)) AS BIGINT) AS delta_us
+            FROM events
+            GROUP BY user_id
+            HAVING COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+            ORDER BY user_id
         """,
         "user_daily_streaks": """
             WITH days AS (

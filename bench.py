@@ -354,6 +354,10 @@ def run_bench() -> dict:
          lambda: q.events_hourly_dense(SF_DIR)),
         ("embedding_dim_stats",
          lambda: q.embedding_dim_stats(SF_DIR)),
+        ("order_price_p90cont_by_priority",
+         lambda: q.order_price_p90cont_by_priority(SF_DIR)),
+        ("user_time_to_first_purchase",
+         lambda: q.user_time_to_first_purchase(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -7606,3 +7606,122 @@ def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("dim").reset_index(drop=True)
+
+
+def order_price_p90cont_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Per-priority INTERPOLATED percentile (SQL PERCENTILE_CONT /
+    quantile_cont 0.9) of order price in cents — the continuous
+    complement of the exact DISCRETE quantile family: position
+    (n-1)*q, two-weight lerp lo*(1-frac) + hi*frac between the two
+    straddling order statistics, every double op one identical
+    expression on both sides (pinned against DuckDB's quantile_cont).
+
+    Scale plan: the median_price_per_nation kernel shape — ONE
+    key-routed bucket shuffle, per bucket one lexsort + two
+    segment-offset gathers; priorities bound the key space."""
+    from ..stages.relops import (
+        _WB,
+        _group_codes,
+        _int64_nonull,
+        _route_by_group,
+        _segment_bounds,
+    )
+
+    Q = 0.9
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _p90(g: pa.Table) -> pa.Table:
+        codes = _group_codes(g, "o_orderpriority")
+        cents = _int64_nonull(g["cents"], "cents")
+        order = np.lexsort((cents, codes))
+        sc, sv = codes[order], cents[order]
+        starts, ends, _, _ = _segment_bounds(sc)
+        n = (ends - starts).astype(np.int64)
+        pos = (n - 1) * Q
+        fl = np.floor(pos)
+        frac = pos - fl
+        lo = sv[starts + fl.astype(np.int64)].astype(np.float64)
+        hi = sv[starts + np.ceil(pos).astype(np.int64)].astype(np.float64)
+        # DuckDB's quantile_cont is the TWO-WEIGHT lerp lo*(1-f) + hi*f
+        # (NOT lo + (hi-lo)*f — the two differ in the last ulp)
+        p90 = lo * (1 - frac) + hi * frac
+        names = pc.take(
+            g["o_orderpriority"].combine_chunks()
+            if isinstance(g["o_orderpriority"], pa.ChunkedArray)
+            else g["o_orderpriority"],
+            pa.array(order[starts]),
+        )
+        return pa.table(
+            {
+                "o_orderpriority": names,
+                "n_orders": pa.array(n),
+                "p90_cents": pa.array(p90, pa.float64()),
+            }
+        )
+
+    out = (
+        _route_by_group(orders, "o_orderpriority", 8)
+        .groupby(_WB)
+        .map_groups(_p90, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def user_time_to_first_purchase(sf_dir: str) -> pd.DataFrame:
+    """CONDITIONAL-MIN aggregate (SQL's MIN(...) FILTER): per user, the
+    first event of any type, the first 'purchase', and the activation
+    delay between them — only users who ever purchase qualify (the
+    HAVING FILTER > 0 gate).
+
+    Scale plan: per-batch Arrow group_by partials carrying BOTH mins
+    (the filtered one null when the batch has no purchase — nulls
+    propagate through min untouched), one tiny user groupby, a final
+    vectorized null-gate; exact int64 epoch-micro arithmetic."""
+    from ray.data.aggregate import Min
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        p_us = pc.if_else(
+            pc.equal(t["event_type"], pa.scalar("purchase")),
+            us,
+            pa.scalar(None, pa.int64()),
+        )
+        g = (
+            pa.table({"user_id": t["user_id"], "a": us, "p": p_us})
+            .group_by("user_id")
+            .aggregate([("a", "min"), ("p", "min")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "a": g["a_min"],
+                "p": g["p_min"],
+            }
+        )
+
+    agg = (
+        ev.map_batches(_partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("a", alias_name="first_any_us"),
+                   Min("p", alias_name="first_purchase_us"))
+        .to_pandas()
+    )
+    agg = agg[agg["first_purchase_us"].notna()].copy()
+    agg["first_any_us"] = agg["first_any_us"].astype("int64")
+    agg["first_purchase_us"] = agg["first_purchase_us"].astype("int64")
+    agg["delta_us"] = agg["first_purchase_us"] - agg["first_any_us"]
+    out = agg[["user_id", "first_any_us", "first_purchase_us", "delta_us"]]
+    return out.sort_values("user_id").reset_index(drop=True)
