@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_scores": q.customer_rfm_scores,
         "events_value_forward_fill": q.events_value_forward_fill,
         "lang_source_chi2_cells": q.lang_source_chi2_cells,
+        "events_rolling_max3": q.events_rolling_max3,
+        "event_value_anomalies": q.event_value_anomalies,
         "order_price_p90cont_by_priority": q.order_price_p90cont_by_priority,
         "user_time_to_first_purchase": q.user_time_to_first_purchase,
         "user_daily_streaks": q.user_daily_streaks,
@@ -371,6 +373,40 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "events_rolling_max3": """
+            SELECT event_id, user_id, value,
+                   MAX(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS rmax3
+            FROM events
+            ORDER BY event_id
+        """,
+        "event_value_anomalies": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n,
+                       CAST(SUM(c) AS DOUBLE) AS sx,
+                       CAST(SUM(c * c) AS DOUBLE) AS sxx
+                FROM (
+                    SELECT event_type,
+                           CAST(ROUND(value * 100) AS BIGINT) AS c
+                    FROM events
+                )
+                GROUP BY event_type
+            ),
+            z AS (
+                SELECT e.event_id, e.event_type, e.value,
+                       (e.value - m.sx / m.n / 100.0)
+                           / SQRT((m.n * m.sxx - m.sx * m.sx)
+                                  / (m.n * (m.n - 1))
+                                  / (100.0 * 100.0)) AS z
+                FROM events e JOIN m ON e.event_type = m.event_type
+            )
+            SELECT event_id, event_type, value, z
+            FROM z WHERE ABS(z) > 2.5
+            ORDER BY event_id
         """,
         "order_price_p90cont_by_priority": """
             SELECT o_orderpriority,

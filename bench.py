@@ -358,6 +358,10 @@ def run_bench() -> dict:
          lambda: q.order_price_p90cont_by_priority(SF_DIR)),
         ("user_time_to_first_purchase",
          lambda: q.user_time_to_first_purchase(SF_DIR)),
+        ("events_rolling_max3",
+         lambda: q.events_rolling_max3(SF_DIR)),
+        ("event_value_anomalies",
+         lambda: q.event_value_anomalies(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -760,3 +760,42 @@ def test_grouped_forward_fill_matches_pandas_ffill(ray_session):
     want = df.sort_values(["g", "o1", "rid"]).reset_index(drop=True)
     want["f"] = want.groupby("g")["v"].ffill()
     pd.testing.assert_series_equal(got["f"], want["f"], check_names=False)
+
+
+def test_grouped_rolling_max_matches_pandas(ray_session):
+    """grouped_rolling_max == pandas groupby.rolling(min_periods=1).max
+    on a randomized frame, including window > group size and ties."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_rolling_max
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 50, n),
+            "o1": rng.integers(0, 30, n),
+            "rid": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        grouped_rolling_max(
+            ds, group_col="g", order_cols=["o1", "rid"], value_col="v",
+            window=5, out_col="rm",
+        )
+        .to_pandas()
+        .sort_values(["g", "o1", "rid"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["g", "o1", "rid"]).reset_index(drop=True)
+    want["rm"] = (
+        want.groupby("g")["v"].rolling(5, min_periods=1).max()
+        .reset_index(level=0, drop=True)
+    )
+    pd.testing.assert_series_equal(got["rm"], want["rm"], check_names=False)

@@ -7725,3 +7725,109 @@ def user_time_to_first_purchase(sf_dir: str) -> pd.DataFrame:
     agg["delta_us"] = agg["first_purchase_us"] - agg["first_any_us"]
     out = agg[["user_id", "first_any_us", "first_purchase_us", "delta_us"]]
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_rolling_max3(sf_dir: str) -> pd.DataFrame:
+    """Per-user ROLLING MAX over the last 3 events (ROWS 2 PRECEDING —
+    peak/envelope tracking): relops.grouped_rolling_max — one bucket
+    shuffle, lexsort + two same-segment shift-compare passes. MAX
+    selects rather than computes, so the raw double values are exact on
+    both sides; ordering ties pinned by event_id."""
+    from ..stages.relops import grouped_rolling_max
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_rolling_max(
+        ev,
+        group_col="user_id",
+        order_cols=["us", "event_id"],
+        value_col="value",
+        window=3,
+        out_col="rmax3",
+    ).select_columns(["event_id", "user_id", "value", "rmax3"]).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def event_value_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Z-SCORE ANOMALY gate: events whose value sits more than 2.5
+    sample standard deviations from their type's mean — the
+    moments-then-scan shape (the exact-integer-moments family applied
+    per row). ONE tiny moments groupby (n, Σc, Σc² in integer cents per
+    type), the O(types) table broadcasts by closure, and a second
+    streaming pass computes z per row with the IDENTICAL double formula
+    the oracle uses — corpus never shuffles."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _moment_partials(t: pa.Table) -> pa.Table:
+        c = _to_scaled_int(t["value"], 100)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "sx": c,
+                    "sxx": pc.multiply(c, c),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("one", "sum"), ("sx", "sum"), ("sxx", "sum")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["one_sum"], pa.int64()),
+                "sx": pc.cast(g["sx_sum"], pa.int64()),
+                "sxx": pc.cast(g["sxx_sum"], pa.int64()),
+            }
+        )
+
+    m = (
+        ev.map_batches(_moment_partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    stats: dict[str, tuple[float, float]] = {}
+    for _, r in m.iterrows():
+        n = float(int(r["n"]))
+        sx = float(int(r["sx"]))
+        sxx = float(int(r["sxx"]))
+        mean_v = sx / n / 100.0
+        sd_v = np.sqrt((n * sxx - sx * sx) / (n * (n - 1)) / (100.0 * 100.0))
+        stats[r["event_type"]] = (mean_v, sd_v)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_pylist()
+        mean_v = np.array([stats[ty][0] for ty in types])
+        sd_v = np.array([stats[ty][1] for ty in types])
+        v = np.asarray(t["value"].to_numpy(zero_copy_only=False))
+        z = (v - mean_v) / sd_v
+        keep = np.abs(z) > 2.5
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "event_type": t["event_type"].filter(pa.array(keep)),
+                "value": t["value"].filter(pa.array(keep)),
+                "z": pa.array(z[keep], pa.float64()),
+            }
+        )
+
+    out = ev.map_batches(_scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -1402,3 +1402,64 @@ def grouped_forward_fill(
         .groupby(_WB)
         .map_groups(_ff, batch_format="pyarrow")
     )
+
+
+def grouped_rolling_max(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rmax",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``MAX(value) OVER (PARTITION BY group ORDER BY order_cols ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — per-group rolling
+    maximum (peak detection / envelope tracking). MAX selects, never
+    computes, so any comparable Arrow type is exact.
+
+    Scale design: ONE hash-bucket shuffle, per bucket one lexsort and
+    ``window - 1`` vectorized shift-and-compare passes gated by a
+    same-segment mask — O(window x rows), no per-key Python. Small,
+    fixed ``window`` is the contract (frame sizes in the hundreds
+    should use a monotonic-deque kernel instead; raises > 256).
+    ``order_cols`` must be int64-safe and non-null."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if window > 256:
+        raise ValueError(
+            "grouped_rolling_max is O(window x rows); use a monotonic "
+            "deque kernel for frames this wide"
+        )
+
+    def _rm(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return g.append_column(
+                out_col, pa.nulls(0, g.schema.field(value_col).type)
+            )
+        codes = _group_codes(g, group_col)
+        keys = [_int64_nonull(g[c], c) for c in order_cols]
+        order = np.lexsort(tuple(reversed(keys)) + (codes,))
+        g = g.take(pa.array(order, pa.int64()))
+        c_s = codes[order]
+        v = np.asarray(
+            g[value_col].to_numpy(zero_copy_only=False)
+        )
+        res = v.copy()
+        n = len(v)
+        for s in range(1, window):
+            if s >= n:
+                break
+            same = c_s[s:] == c_s[:-s]
+            np.maximum(
+                res[s:], np.where(same, v[:-s], v[s:]), out=res[s:]
+            )
+        return g.append_column(out_col, pa.array(res))
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_rm, batch_format="pyarrow")
+    )
