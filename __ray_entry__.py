@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_scores": q.customer_rfm_scores,
         "events_value_forward_fill": q.events_value_forward_fill,
         "lang_source_chi2_cells": q.lang_source_chi2_cells,
+        "order_mad_by_priority": q.order_mad_by_priority,
+        "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
         "event_value_anomalies": q.event_value_anomalies,
         "order_price_p90cont_by_priority": q.order_price_p90cont_by_priority,
@@ -373,6 +375,42 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "order_mad_by_priority": """
+            WITH x AS (
+                SELECT o_orderpriority,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+            ),
+            med AS (
+                SELECT o_orderpriority, quantile_cont(c, 0.5) AS med
+                FROM x GROUP BY o_orderpriority
+            ),
+            dev AS (
+                SELECT x.o_orderpriority,
+                       ABS(CAST(x.c AS DOUBLE) - med.med) AS dev
+                FROM x JOIN med ON x.o_orderpriority = med.o_orderpriority
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   quantile_cont(dev, 0.5) AS mad_cents
+            FROM dev GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "top_event_types_with_other": """
+            WITH c AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY event_type
+            ),
+            r AS (
+                SELECT event_type, n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, event_type) AS rn
+                FROM c
+            )
+            SELECT CASE WHEN rn <= 2 THEN event_type ELSE 'OTHER' END
+                       AS bucket,
+                   CAST(SUM(n) AS BIGINT) AS n_events
+            FROM r GROUP BY bucket ORDER BY bucket
         """,
         "events_rolling_max3": """
             SELECT event_id, user_id, value,

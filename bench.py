@@ -362,6 +362,8 @@ def run_bench() -> dict:
          lambda: q.events_rolling_max3(SF_DIR)),
         ("event_value_anomalies",
          lambda: q.event_value_anomalies(SF_DIR)),
+        ("order_mad_by_priority",
+         lambda: q.order_mad_by_priority(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -7831,3 +7831,153 @@ def event_value_anomalies(sf_dir: str) -> pd.DataFrame:
 
     out = ev.map_batches(_scan, batch_format="pyarrow").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def order_mad_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Per-group MEDIAN ABSOLUTE DEVIATION (robust dispersion): MAD =
+    median(|x - median(x)|) per order priority, both medians with the
+    even-count interpolated midpoint. Two grouped selection passes: the
+    first yields the O(groups) median table (broadcast by closure), the
+    second sorts |x - med| per bucket — selection plus ONE exact IEEE
+    halving per level, so doubles match SQL's quantile_cont(0.5)
+    bit-for-bit."""
+    from ..stages.relops import (
+        _WB,
+        _group_codes,
+        _int64_nonull,
+        _route_by_group,
+        _segment_bounds,
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # two passes: group medians, then deviations
+
+    def _median_pass(g: pa.Table) -> pa.Table:
+        codes = _group_codes(g, "o_orderpriority")
+        cents = _int64_nonull(g["cents"], "cents")
+        order = np.lexsort((cents, codes))
+        sc, sv = codes[order], cents[order]
+        starts, ends, _, _ = _segment_bounds(sc)
+        n = ends - starts
+        lo = sv[starts + (n - 1) // 2].astype(np.float64)
+        hi = sv[starts + n // 2].astype(np.float64)
+        names = pc.take(
+            g["o_orderpriority"].combine_chunks()
+            if isinstance(g["o_orderpriority"], pa.ChunkedArray)
+            else g["o_orderpriority"],
+            pa.array(order[starts]),
+        )
+        return pa.table(
+            {"o_orderpriority": names, "med": pa.array(lo * 0.5 + hi * 0.5)}
+        )
+
+    meds = (
+        _route_by_group(orders, "o_orderpriority", 8)
+        .groupby(_WB)
+        .map_groups(_median_pass, batch_format="pyarrow")
+        .to_pandas()
+    )
+    med_map = dict(zip(meds["o_orderpriority"], meds["med"]))
+
+    def _dev(t: pa.Table) -> pa.Table:
+        m = np.array(
+            [med_map[p] for p in t["o_orderpriority"].to_pylist()]
+        )
+        c = np.asarray(t["cents"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "dev": pa.array(np.abs(c - m), pa.float64()),
+            }
+        )
+
+    def _mad_pass(g: pa.Table) -> pa.Table:
+        codes = _group_codes(g, "o_orderpriority")
+        dv = np.asarray(g["dev"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((dv, codes))
+        sc, sv = codes[order], dv[order]
+        starts, ends, _, _ = _segment_bounds(sc)
+        n = ends - starts
+        lo = sv[starts + (n - 1) // 2]
+        hi = sv[starts + n // 2]
+        names = pc.take(
+            g["o_orderpriority"].combine_chunks()
+            if isinstance(g["o_orderpriority"], pa.ChunkedArray)
+            else g["o_orderpriority"],
+            pa.array(order[starts]),
+        )
+        return pa.table(
+            {
+                "o_orderpriority": names,
+                "n_orders": pa.array(n.astype(np.int64)),
+                "mad_cents": pa.array(lo * 0.5 + hi * 0.5, pa.float64()),
+            }
+        )
+
+    out = (
+        _route_by_group(
+            orders.map_batches(_dev, batch_format="pyarrow"),
+            "o_orderpriority",
+            8,
+        )
+        .groupby(_WB)
+        .map_groups(_mad_pass, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def top_event_types_with_other(sf_dir: str) -> pd.DataFrame:
+    """DATA-DEPENDENT RECODE (top-k + 'OTHER' rollup): the two most
+    frequent event types keep their names, everything else folds into
+    an OTHER bucket — the reporting recode whose category set is itself
+    a query result. Pass 1: tiny combiner-reduced type counts; the
+    winner set (count desc, type asc tie-break) broadcasts by closure;
+    pass 2 recodes and re-aggregates. Both passes exchange O(types)
+    rows."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(_counts, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(
+        ["n", "event_type"], ascending=[False, True]
+    ).reset_index(drop=True)
+    top = set(counts["event_type"].head(2))
+
+    out = counts.copy()
+    out["bucket"] = np.where(
+        out["event_type"].isin(sorted(top)), out["event_type"], "OTHER"
+    )
+    agg = (
+        out.groupby("bucket", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_events"})
+    )
+    agg["n_events"] = agg["n_events"].astype("int64")
+    return agg.sort_values("bucket").reset_index(drop=True)
