@@ -6170,6 +6170,41 @@ def _edge_degrees(edges):
     )
 
 
+def _order_edges_driver(sf_dir: str):
+    """DRIVER SMALL ROUTE for the order-derived graph queries: below
+    ``min(_COMPONENTS_DRIVER_ROUTE_EDGES, _BROADCAST_SIDE_ROUTE_ROWS)``
+    order rows, the edge derivation + canonical dedup run as one numpy
+    pass over a driver-side parquet read — the pagerank / triangle_count
+    driver-route precedent (the distributed plan's exchanges are pure
+    fixed latency at this size, and its broadcast attaches pull the same
+    O(nodes) tables to the driver anyway). Returns ``(a, b, maxc)``
+    canonical unique arrays, or ``None`` to take the distributed plan
+    (including when tests force the route knobs to 0)."""
+    try:
+        n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    except Exception:
+        return None
+    if n_orders > min(
+        _COMPONENTS_DRIVER_ROUTE_EDGES, _BROADCAST_SIDE_ROUTE_ROWS
+    ):
+        return None
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    maxc = int(pc.max(cust["c_custkey"]).as_py())
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    src = np.asarray(
+        pc.cast(t["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    okey = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+    dst = (okey % maxc) + 1
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    uk = np.unique(a * (maxc + 1) + b)
+    return uk // (maxc + 1), uk % (maxc + 1), maxc
+
+
 def local_clustering_customers(sf_dir: str) -> pd.DataFrame:
     """Per-node LOCAL CLUSTERING COEFFICIENT of the order-derived
     customer graph: 2*tri(v) / (deg(v) * (deg(v)-1)) for deg >= 2 — the
@@ -6184,9 +6219,29 @@ def local_clustering_customers(sf_dir: str) -> pd.DataFrame:
     (broadcast <= _BROADCAST_SIDE_ROUTE_ROWS else hash_join). Both
     factors are exact int64; the coefficient is ONE identically
     -parenthesized double division on both sides, so Ray and DuckDB
-    agree bit-for-bit."""
-    from ..stages.graph import triangle_incidences
+    agree bit-for-bit. Below the _order_edges_driver bound the whole
+    query runs as one numpy pass (distributed plan route-forced by the
+    hash-path test)."""
+    from ..stages.graph import _wedge_triangles, triangle_incidences
     from ..stages.joins import broadcast_join, hash_join
+
+    drv = _order_edges_driver(sf_dir)
+    if drv is not None:
+        a, b, maxc = drv
+        deg_nodes, deg_cnt = np.unique(
+            np.concatenate([a, b]), return_counts=True
+        )
+        ek = a * (maxc + 1) + b  # already sorted-unique by construction
+        ta, tb, tc = _wedge_triangles(a, b, ek, maxc)
+        tn, tcnt = np.unique(np.concatenate([ta, tb, tc]), return_counts=True)
+        tri_full = np.zeros(len(deg_nodes), dtype=np.int64)
+        tri_full[np.searchsorted(deg_nodes, tn)] = tcnt
+        keep = deg_cnt >= 2
+        node, d, tr = deg_nodes[keep], deg_cnt[keep].astype(np.int64), tri_full[keep]
+        coeff = (2 * tr).astype(np.float64) / (d * (d - 1)).astype(np.float64)
+        return pd.DataFrame(
+            {"node": node, "deg": d, "tri": tr, "coeff": coeff}
+        ).sort_values("node").reset_index(drop=True)
 
     edges, maxc = _canonical_order_edges(sf_dir)
     deg = _edge_degrees(edges)
@@ -6250,9 +6305,42 @@ def edge_jaccard_customers(sf_dir: str) -> pd.DataFrame:
     _BROADCAST_SIDE_ROUTE_ROWS (hash_join route above — composite int64
     edge key a*(M+1)+b, node-id domain < ~3e9). All inputs to the final
     formula are exact int64; the division is one identical double op on
-    both sides."""
-    from ..stages.graph import triangle_incidences
+    both sides. Below the _order_edges_driver bound the whole query is
+    one numpy pass (distributed plan route-forced by the hash-path
+    test)."""
+    from ..stages.graph import _wedge_triangles, triangle_incidences
     from ..stages.joins import broadcast_join, hash_join
+
+    drv = _order_edges_driver(sf_dir)
+    if drv is not None:
+        a, b, maxc = drv
+        M = maxc
+        deg_nodes, deg_cnt = np.unique(
+            np.concatenate([a, b]), return_counts=True
+        )
+        ek = a * (M + 1) + b  # sorted-unique by construction
+        ta, tb, tc = _wedge_triangles(a, b, ek, M)
+        ckeys, ccnt = np.unique(
+            np.concatenate(
+                [ta * (M + 1) + tb, ta * (M + 1) + tc, tb * (M + 1) + tc]
+            ),
+            return_counts=True,
+        )
+        common_full = np.zeros(len(ek), dtype=np.int64)
+        common_full[np.searchsorted(ek, ckeys)] = ccnt
+        da = deg_cnt[np.searchsorted(deg_nodes, a)].astype(np.int64)
+        db = deg_cnt[np.searchsorted(deg_nodes, b)].astype(np.int64)
+        denom = (da - 1) + (db - 1) - common_full
+        keep = denom > 0
+        return pd.DataFrame(
+            {
+                "a": a[keep],
+                "b": b[keep],
+                "common": common_full[keep],
+                "jaccard": common_full[keep].astype(np.float64)
+                / denom[keep].astype(np.float64),
+            }
+        ).sort_values(["a", "b"]).reset_index(drop=True)
 
     edges, maxc = _canonical_order_edges(sf_dir)
     M = maxc
@@ -7240,10 +7328,37 @@ def avg_neighbor_degree_customers(sf_dir: str) -> pd.DataFrame:
     batch-partial groupby, neighbor-degree attach size-routed
     (broadcast searchsorted on the O(nodes) degree table, hash_join
     above), per-batch (node, sum_deg, cnt) partials into one final
-    groupby. Exact int64 sums; one double division."""
+    groupby. Exact int64 sums; one double division. Below the
+    _order_edges_driver bound the whole query is one numpy pass
+    (distributed plan route-forced by the hash-path test)."""
     from ray.data.aggregate import Sum
 
     from ..stages.joins import broadcast_join, hash_join
+
+    drv = _order_edges_driver(sf_dir)
+    if drv is not None:
+        a, b, _maxc = drv
+        deg_nodes, deg_cnt = np.unique(
+            np.concatenate([a, b]), return_counts=True
+        )
+        u = np.concatenate([b, a])  # neighbor of v = concat(a, b)
+        v_codes = np.searchsorted(deg_nodes, np.concatenate([a, b]))
+        nb_deg = deg_cnt[np.searchsorted(deg_nodes, u)]
+        # float64 bincount sums are exact here: sum_deg <= deg^2 << 2^53
+        # at the 1M-edge driver bound
+        sum_deg = np.bincount(
+            v_codes, weights=nb_deg, minlength=len(deg_nodes)
+        ).astype(np.int64)
+        d = deg_cnt.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "node": deg_nodes,
+                "deg": d,
+                "sum_deg": sum_deg,
+                "avg_neighbor_deg": sum_deg.astype(np.float64)
+                / d.astype(np.float64),
+            }
+        ).sort_values("node").reset_index(drop=True)
 
     edges, _maxc = _canonical_order_edges(sf_dir)
     deg = _edge_degrees(edges)
