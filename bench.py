@@ -252,6 +252,7 @@ def run_bench() -> dict:
         ("dup_span_removal_docs", lambda: q.dup_span_removal_docs(SF_DIR)),
         ("webtext_pipeline", lambda: q.webtext_pipeline(SF_DIR)),
         ("webtext_pipeline_v2", lambda: q.webtext_pipeline_v2(SF_DIR)),
+        ("webtext_pipeline_v3", lambda: q.webtext_pipeline_v3(SF_DIR)),
         ("pii_redact_docs", lambda: q.pii_redact_docs(SF_DIR)),
         ("gopher_quality_filter", lambda: q.gopher_quality_filter(SF_DIR)),
         ("c4_line_filter_docs", lambda: q.c4_line_filter_docs(SF_DIR)),

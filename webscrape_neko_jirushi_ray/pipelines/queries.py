@@ -7125,11 +7125,59 @@ def doc_bigram_novelty(sf_dir: str) -> pd.DataFrame:
     (Min(doc_id)) followed by per-batch (first_doc, 1) partial counts
     into a small doc groupby — no join-back of the vocabulary. The two
     O(docs) tables meet in a size-routed left join."""
-    from ray.data.aggregate import Min, Sum
-
     from ..stages.joins import broadcast_join, hash_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    den, num = _bigram_novelty_parts(ds)
+
+    try:
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    except Exception:
+        n_docs = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_docs <= _BROADCAST_SIDE_ROUTE_ROWS:
+        np_ = num.to_pandas()
+        num_tbl = pa.table(
+            {
+                "doc_id": pa.array(np_["doc_id"].to_numpy(dtype="int64")),
+                "n_new": pa.array(np_["n_new"].to_numpy(dtype="int64")),
+            }
+        )
+        j = broadcast_join(den, num_tbl, key="doc_id", how="left_outer")
+    else:
+        j = hash_join(den, num, key="doc_id", how="left_outer")
+
+    def _final(t: pa.Table) -> pa.Table:
+        nb = np.asarray(
+            pc.cast(t["n_bigrams"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        nn = np.asarray(
+            pc.fill_null(pc.cast(t["n_new"], pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(nb),
+                "n_new": pa.array(nn),
+                "novelty": pa.array(
+                    nn.astype(np.float64) / nb.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    out = j.map_batches(_final, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bigram_novelty_parts(ds):
+    """Shared builder for the bigram first-occurrence novelty family:
+    returns ``(den, num)`` Datasets — per-doc distinct-bigram counts
+    (no shuffle: a doc lives in one batch row, so batch-distinct IS
+    globally distinct) and per-doc first-occurrence counts (ONE
+    vocabulary Min-groupby, no vocabulary join-back). Docs with < 2
+    tokens have no bigrams and appear in neither table."""
+    from ray.data.aggregate import Min, Sum
 
     def _pairs(batch: pa.Table) -> pa.Table:
         words = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
@@ -7201,24 +7249,26 @@ def doc_bigram_novelty(sf_dir: str) -> pd.DataFrame:
         .groupby("doc_id")
         .aggregate(Sum("k", alias_name="n_new"))
     )
+    return den, num
 
-    try:
-        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    except Exception:
-        n_docs = _BROADCAST_SIDE_ROUTE_ROWS + 1
-    if n_docs <= _BROADCAST_SIDE_ROUTE_ROWS:
-        np_ = num.to_pandas()
-        num_tbl = pa.table(
-            {
-                "doc_id": pa.array(np_["doc_id"].to_numpy(dtype="int64")),
-                "n_new": pa.array(np_["n_new"].to_numpy(dtype="int64")),
-            }
-        )
-        j = broadcast_join(den, num_tbl, key="doc_id", how="left_outer")
-    else:
-        j = hash_join(den, num, key="doc_id", how="left_outer")
 
-    def _final(t: pa.Table) -> pa.Table:
+def _novelty_gate(ds, thr: float):
+    """Bigram-novelty NOISE SCREEN for pipeline composition: keep docs
+    whose first-occurrence bigram share is <= ``thr`` — documents whose
+    bigrams are overwhelmingly never-seen-again are the OCR-garbage /
+    gibberish tail a curation pass drops (docs with < 2 tokens have no
+    bigrams and drop too). The O(docs) novelty table is computed by
+    :func:`_bigram_novelty_parts`; the keep-set attaches back size
+    -routed — broadcast isin below _BROADCAST_SIDE_ROUTE_ROWS docs,
+    left-semi hash_join above. Input must be deterministic (it streams
+    twice: novelty + filter)."""
+    from ..stages.joins import broadcast_join, hash_join
+
+    ds = ds.materialize()
+    den, num = _bigram_novelty_parts(ds)
+    joined = hash_join(den, num, key="doc_id", how="left_outer")
+
+    def _keep_ids(t: pa.Table) -> pa.Table:
         nb = np.asarray(
             pc.cast(t["n_bigrams"], pa.int64()).to_numpy(zero_copy_only=False)
         )
@@ -7227,19 +7277,28 @@ def doc_bigram_novelty(sf_dir: str) -> pd.DataFrame:
                 zero_copy_only=False
             )
         )
+        nov = nn.astype(np.float64) / nb.astype(np.float64)
+        m = nov <= thr
         return pa.table(
             {
-                "doc_id": t["doc_id"],
-                "n_bigrams": pa.array(nb),
-                "n_new": pa.array(nn),
-                "novelty": pa.array(
-                    nn.astype(np.float64) / nb.astype(np.float64), pa.float64()
-                ),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(m))
             }
         )
 
-    out = j.map_batches(_final, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    keep = joined.map_batches(_keep_ids, batch_format="pyarrow").materialize()
+    if keep.count() <= _BROADCAST_SIDE_ROUTE_ROWS:
+        ids = np.sort(keep.to_pandas()["doc_id"].to_numpy(dtype="int64"))
+
+        def _filter(t: pa.Table) -> pa.Table:
+            d = np.asarray(
+                pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            pos = np.clip(np.searchsorted(ids, d), 0, max(len(ids) - 1, 0))
+            m = (ids[pos] == d) if len(ids) else np.zeros(len(d), bool)
+            return t.filter(pa.array(m))
+
+        return ds.map_batches(_filter, batch_format="pyarrow")
+    return hash_join(ds, keep, key="doc_id", how="left_semi")
 
 
 def nation_revenue_share_in_region(sf_dir: str) -> pd.DataFrame:
@@ -8096,3 +8155,24 @@ def top_event_types_with_other(sf_dir: str) -> pd.DataFrame:
     )
     agg["n_events"] = agg["n_events"].astype("int64")
     return agg.sort_values("bucket").reset_index(drop=True)
+
+
+def webtext_pipeline_v3(sf_dir: str) -> pd.DataFrame:
+    """The flagship chain with the bigram-novelty NOISE SCREEN inserted
+    after decontamination (decontaminate → novelty<=0.2 gibberish gate →
+    C4 line gate → line dedup → Gopher gate → shard packing) — SIX
+    stages hash-checked by one nested SQL oracle. The novelty gate drops
+    documents whose distinct bigrams are overwhelmingly first-occurrence
+    (the OCR-garbage tail); its vocabulary Min-groupby runs over the
+    decontaminated corpus BEFORE the chunking stages so the screen sees
+    original text."""
+    from ..stages.spandedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench, train = _bench_train_split(ds)
+    clean = decontaminate(train, bench, n=4)
+    screened = _novelty_gate(clean, 0.2)
+    gated = linededup.c4_line_filter(
+        screened, width=8, line_blacklist=("spark", "vector"), min_lines=3
+    )
+    return _webtext_tail(gated)
