@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_forward_fill": q.events_value_forward_fill,
         "lang_source_chi2_cells": q.lang_source_chi2_cells,
         "webtext_pipeline_v3": q.webtext_pipeline_v3,
+        "events_daily_ohlc": q.events_daily_ohlc,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
@@ -376,6 +377,30 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "events_daily_ohlc": """
+            WITH x AS (
+                SELECT user_id,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS day,
+                       ts, event_id, value
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, day, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                          ORDER BY ts, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id, day) AS n
+                FROM x
+            )
+            SELECT user_id, day,
+                   MAX(CASE WHEN rn = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rn = n THEN value END) AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w GROUP BY user_id, day
+            ORDER BY user_id, day
         """,
         "webtext_pipeline_v3": """
             WITH w0 AS (

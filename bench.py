@@ -365,6 +365,8 @@ def run_bench() -> dict:
          lambda: q.event_value_anomalies(SF_DIR)),
         ("order_mad_by_priority",
          lambda: q.order_mad_by_priority(SF_DIR)),
+        ("events_daily_ohlc",
+         lambda: q.events_daily_ohlc(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

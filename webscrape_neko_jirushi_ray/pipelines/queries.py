@@ -8176,3 +8176,61 @@ def webtext_pipeline_v3(sf_dir: str) -> pd.DataFrame:
         screened, width=8, line_blacklist=("spark", "vector"), min_lines=3
     )
     return _webtext_tail(gated)
+
+
+def events_daily_ohlc(sf_dir: str) -> pd.DataFrame:
+    """OHLC BARS per (user, day): open/close = first/last value in
+    (ts, event_id) order, high/low = extremes, plus the tick count —
+    the timeseries-bar rollup (finance OHLC, telemetry roll-ups). Every
+    output is a SELECTION of an input double (no arithmetic), so values
+    are bit-exact on both sides.
+
+    Scale plan: ONE user-hash bucket shuffle; per bucket one lexsort by
+    (user, day, ts, event_id) and a composite-boundary segment pass —
+    open/close by offset gather, high/low via maximum/minimum.reduceat.
+    Output O(user-days)."""
+    from ..stages.relops import _WB, _route_by_group
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _ohlc(g: pa.Table) -> pa.Table:
+        u = np.asarray(g["user_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        us = np.asarray(g["us"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        eid = np.asarray(g["event_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        v = np.asarray(g["value"].to_numpy(zero_copy_only=False))
+        d = us // 86_400_000_000
+        order = np.lexsort((eid, us, d, u))
+        u, d, v = u[order], d[order], v[order]
+        n = len(u)
+        new = np.concatenate([[True], (u[1:] != u[:-1]) | (d[1:] != d[:-1])])
+        starts = np.nonzero(new)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "day": pa.array(d[starts]),
+                "open": pa.array(v[starts], pa.float64()),
+                "high": pa.array(np.maximum.reduceat(v, starts), pa.float64()),
+                "low": pa.array(np.minimum.reduceat(v, starts), pa.float64()),
+                "close": pa.array(v[ends - 1], pa.float64()),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    out = (
+        _route_by_group(ev, "user_id", 32)
+        .groupby(_WB)
+        .map_groups(_ohlc, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
