@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_chi2_cells": q.lang_source_chi2_cells,
         "webtext_pipeline_v3": q.webtext_pipeline_v3,
         "events_daily_ohlc": q.events_daily_ohlc,
+        "vocab_growth_curve": q.vocab_growth_curve,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
@@ -377,6 +378,29 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "vocab_growth_curve": """
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS w
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            pertok AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+                FROM tok GROUP BY doc_id
+            ),
+            firstw AS (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w),
+            newk AS (
+                SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+                FROM firstw GROUP BY fd
+            )
+            SELECT p.doc_id,
+                   CAST(SUM(p.n_tok) OVER (ORDER BY p.doc_id) AS BIGINT)
+                       AS cum_tokens,
+                   CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY p.doc_id)
+                        AS BIGINT) AS cum_distinct
+            FROM pertok p LEFT JOIN newk n ON p.doc_id = n.doc_id
+            ORDER BY p.doc_id
         """,
         "events_daily_ohlc": """
             WITH x AS (

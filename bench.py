@@ -367,6 +367,8 @@ def run_bench() -> dict:
          lambda: q.order_mad_by_priority(SF_DIR)),
         ("events_daily_ohlc",
          lambda: q.events_daily_ohlc(SF_DIR)),
+        ("vocab_growth_curve",
+         lambda: q.vocab_growth_curve(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

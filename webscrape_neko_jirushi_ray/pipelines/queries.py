@@ -8234,3 +8234,109 @@ def events_daily_ohlc(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:
+    """HEAPS'-LAW vocabulary growth curve: after each document (in
+    doc_id order), the cumulative token count and the cumulative
+    DISTINCT-token count — the corpus-diversity diagnostic that shows
+    where a crawl stops contributing new vocabulary.
+
+    Scale plan: per-doc token counts need no shuffle (a doc lives in one
+    batch row); the distinct curve is first-occurrence attribution (ONE
+    vocabulary Min-groupby + per-doc partial counts — the
+    doc_bigram_novelty machinery on unigrams); the two O(docs) tables
+    join size-routed and BOTH cumulative columns come from the
+    distributed range-partitioned prefix scan (attach_running_sum),
+    O(ranges) driver state."""
+    from collections import Counter
+
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions import textkit
+    from ..functions.enumerate import attach_running_sum
+    from ..stages.joins import broadcast_join, hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _pertok(t: pa.Table) -> pa.Table:
+        docs, ns = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = textkit.tokens_ws(txt or "")
+            if toks:
+                docs.append(did)
+                ns.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "n_tok": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def _first_pairs(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in set(textkit.tokens_ws(txt or "")):
+                c[(w, did)] = 1
+        items = sorted(c)
+        return pa.table(
+            {
+                "w": pa.array([k[0] for k in items], pa.string()),
+                "doc_id": pa.array([k[1] for k in items], pa.int64()),
+            }
+        )
+
+    pertok = ds.map_batches(_pertok, batch_format="pyarrow")
+    firstw = (
+        ds.map_batches(_first_pairs, batch_format="pyarrow", batch_size=1024)
+        .groupby("w")
+        .aggregate(Min("doc_id", alias_name="fd"))
+    )
+
+    def _new_partials(t: pa.Table) -> pa.Table:
+        g = t.group_by("fd").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["fd"], pa.int64()),
+                "k": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    newk = (
+        firstw.map_batches(_new_partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("k", alias_name="n_new"))
+    )
+
+    try:
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    except Exception:
+        n_docs = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_docs <= _BROADCAST_SIDE_ROUTE_ROWS:
+        np_ = newk.to_pandas()
+        newk_tbl = pa.table(
+            {
+                "doc_id": pa.array(np_["doc_id"].to_numpy(dtype="int64")),
+                "n_new": pa.array(np_["n_new"].to_numpy(dtype="int64")),
+            }
+        )
+        j = broadcast_join(pertok, newk_tbl, key="doc_id", how="left_outer")
+    else:
+        j = hash_join(pertok, newk, key="doc_id", how="left_outer")
+
+    j = j.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "n_new": pc.fill_null(pc.cast(t["n_new"], pa.int64()), 0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = attach_running_sum(j, ["doc_id"], "n_tok", sum_col="cum_tokens")
+    j = attach_running_sum(j, ["doc_id"], "n_new", sum_col="cum_distinct")
+    out = j.select_columns(["doc_id", "cum_tokens", "cum_distinct"]).to_pandas()
+    out["cum_tokens"] = out["cum_tokens"].astype("int64")
+    out["cum_distinct"] = out["cum_distinct"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
