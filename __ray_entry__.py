@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webtext_pipeline_v3": q.webtext_pipeline_v3,
         "events_daily_ohlc": q.events_daily_ohlc,
         "vocab_growth_curve": q.vocab_growth_curve,
+        "training_mix_order": q.training_mix_order,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
@@ -378,6 +379,23 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "training_mix_order": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+                           AS rn
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, lang,
+                       rn * (CASE WHEN lang = 'en' THEN 1 ELSE 3 END) AS key
+                FROM r
+            )
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (ORDER BY key, lang, doc_id)
+                        AS BIGINT) AS mix_rank
+            FROM k ORDER BY doc_id
         """,
         "vocab_growth_curve": """
             WITH tok AS (

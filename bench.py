@@ -369,6 +369,8 @@ def run_bench() -> dict:
          lambda: q.events_daily_ohlc(SF_DIR)),
         ("vocab_growth_curve",
          lambda: q.vocab_growth_curve(SF_DIR)),
+        ("training_mix_order",
+         lambda: q.training_mix_order(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -8340,3 +8340,66 @@ def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:
     out["cum_tokens"] = out["cum_tokens"].astype("int64")
     out["cum_distinct"] = out["cum_distinct"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def training_mix_order(sf_dir: str) -> pd.DataFrame:
+    """TRAINING-MIX INTERLEAVING: a deterministic global sampling order
+    that up-weights English 3:1 over every other language (the data
+    -mixture scheduling step before shard packing) — stride scheduling
+    with EXACT integer keys: doc j of language L gets
+    key = rn_L(j) x (LCM / weight_L), and the mix order sorts by
+    (key, lang, doc_id), so weighted languages surface proportionally
+    often with zero RNG.
+
+    Scale plan: per-language row numbers from ONE lang-bucket shuffle
+    (lexsort + segment positions), then the global mix rank from the
+    distributed range-partitioned dense index — no driver state beyond
+    O(ranges)."""
+    from ..functions.enumerate import attach_dense_index
+    from ..stages.relops import _WB, _route_by_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _rn(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        lang = g["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        codes = lang.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        did = np.asarray(g["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((did, codes))
+        c_s = codes[order]
+        starts = np.nonzero(
+            np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        )[0]
+        lens = np.diff(np.concatenate([starts, [len(c_s)]]))
+        rn = (
+            np.arange(len(c_s), dtype=np.int64)
+            - np.repeat(starts, lens)
+            + 1
+        )
+        g = g.take(pa.array(order, pa.int64()))
+        mult = np.where(
+            np.asarray(g["lang"].to_pylist(), dtype=object) == "en", 1, 3
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "lang": g["lang"],
+                "key": pa.array(rn * mult),
+            }
+        )
+
+    keyed = (
+        _route_by_group(ds, "lang", 8)
+        .groupby(_WB)
+        .map_groups(_rn, batch_format="pyarrow")
+    )
+    ranked = attach_dense_index(
+        keyed, ["key", "lang", "doc_id"], index_col="mix_rank"
+    )
+    out = ranked.select_columns(["doc_id", "lang", "mix_rank"]).to_pandas()
+    out["mix_rank"] = out["mix_rank"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
