@@ -189,7 +189,10 @@ def run_bench() -> dict:
     reps = int(os.environ.get("GRAFT_BENCH_FETCH_REPS", "3"))
     t_fetch = None
     fetch_runs: list[float] = []
+    seen_pool = None
     for it in range(reps):
+        if seen_pool is not None:
+            seen_pool.shutdown()
         seen_pool = ShardedSeenSet(fetch_cfg.seen_shards, fetch_cfg.seen_mode)
         seen_pool.size()  # block until actors are live
         t_i, res_fetch = _timed(
@@ -201,12 +204,39 @@ def run_bench() -> dict:
                 seen_set=seen_pool,
             )
         )
-        seen_pool.shutdown()
         fetch_runs.append(round(t_i, 3))
         t_fetch = t_i if t_fetch is None else min(t_fetch, t_i)
     n_urls = res_fetch.visits_count
     results["fetch_extract_all"] = round(t_fetch, 3)
     urls_per_sec = round(n_urls / t_fetch, 1)
+
+    # ---- incremental recrawl: seen-set at steady state --------------------
+    # Re-submit the SAME frontier against the last run's populated seen
+    # shards: every URL must be skipped by the claim/resolve anti-join, so
+    # this row isolates dedup throughput (the dominant cost of a
+    # continuous-recrawl job) from fetch+extract work. Skipped in the
+    # scaling legs (GRAFT_BENCH_MODE=fetch), which only compare the
+    # headline throughput.
+    if os.environ.get("GRAFT_BENCH_MODE") != "fetch":
+        t_re, res_re = _timed(
+            lambda: crawl_fetch_list(
+                big_store,
+                frontier_dir,
+                os.path.join(tmp_root, "recrawl"),
+                fetch_cfg,
+                seen_set=seen_pool,
+                # next epoch: same-epoch keys stay "fresh" for task-retry
+                # idempotence, so an incremental job must advance it
+                seen_epoch=1,
+            )
+        )
+        if res_re.visits_count != 0:
+            raise AssertionError(
+                f"recrawl visited {res_re.visits_count} URLs — the "
+                "populated seen set must skip the entire frontier"
+            )
+        results["recrawl_skip_all"] = round(t_re, 3)
+    seen_pool.shutdown()
 
     if os.environ.get("GRAFT_BENCH_MODE") == "fetch":
         ray.shutdown()

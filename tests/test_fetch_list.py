@@ -532,3 +532,42 @@ def test_host_partials_distributed_route_parity_and_bounds(
         ).all(), col
     for a, b in zip(w["samples"], g["samples"]):
         assert list(a) == list(b)
+
+
+def test_incremental_recrawl_skips_seen(ray_session, site, tmp_path):
+    """A second fetch-list job against the SAME seen pool must skip the
+    whole frontier when it advances seen_epoch (incremental recrawl),
+    and must REVISIT everything when it reuses the same epoch (the
+    task-retry freshness contract)."""
+    from webscrape_neko_jirushi_ray.state.seen import ShardedSeenSet
+
+    pages, _ = site
+    urls = pages["url"].to_pylist()
+    frontier = seeds_to_frontier(urls)
+    cfg = CrawlConfig(
+        host_budget_per_round=10**9, max_rounds=3, seen_shards=2,
+        expand_links=False, fetch_batch_size=32,
+    )
+    pool = ShardedSeenSet(cfg.seen_shards, cfg.seen_mode)
+    try:
+        store = BroadcastPageStore(pages)
+        res1 = crawl_fetch_list(
+            store, frontier, str(tmp_path / "c1"), cfg, seen_set=pool
+        )
+        assert res1.visits_count == len(urls)
+        res2 = crawl_fetch_list(
+            store, frontier, str(tmp_path / "c2"), cfg, seen_set=pool,
+            seen_epoch=1,
+        )
+        assert res2.visits_count == 0
+        # replaying the ORIGINAL epoch (one round old, retained state)
+        # reconstructs that run's answers: every key was inserted during
+        # epoch 0, so it is still "fresh" there and gets revisited — the
+        # task-retry idempotence contract
+        res3 = crawl_fetch_list(
+            store, frontier, str(tmp_path / "c3"), cfg, seen_set=pool,
+            seen_epoch=0,
+        )
+        assert res3.visits_count == len(urls)
+    finally:
+        pool.shutdown()

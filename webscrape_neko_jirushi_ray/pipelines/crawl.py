@@ -592,6 +592,7 @@ def crawl_fetch_list(
     cfg: CrawlConfig = CrawlConfig(),
     resume: bool = False,
     seen_set: ShardedSeenSet | None = None,
+    seen_epoch: int = 0,
 ) -> CrawlResult:
     """Streamed fetch-list crawl: visit every frontier URL (per-host budget
     per round, priority order) WITHOUT link expansion, never materializing
@@ -603,7 +604,9 @@ def crawl_fetch_list(
         cfg.seen_shards, cfg.seen_mode, cfg.seen_capacity_per_shard
     )
     try:
-        return _fetch_list_inner(page_store, frontier, out_dir, cfg, resume, seen)
+        return _fetch_list_inner(
+            page_store, frontier, out_dir, cfg, resume, seen, seen_epoch
+        )
     finally:
         if own:
             seen.shutdown()
@@ -1452,7 +1455,7 @@ def _expand_links_streamed(
 
 
 def _fetch_list_inner(
-    page_store, frontier, out_dir, cfg, resume, seen
+    page_store, frontier, out_dir, cfg, resume, seen, seen_epoch: int = 0
 ) -> CrawlResult:
     """The scale path of the engine. Per round, ALL of:
     frontier-entry seen anti-join (J1), per-host budget split, host
@@ -1524,7 +1527,7 @@ def _fetch_list_inner(
         # deterministically to min discovery_seq, previously-seen keys
         # drop, and the frontier never crosses a shuffle
         pending_ds = _dedup_antijoin_streamed(
-            fds, seen, "discovery_seq", epoch=0
+            fds, seen, "discovery_seq", epoch=seen_epoch
         ).materialize()
         n_pending = pending_ds.count()
         seed_sec = round(_time.perf_counter() - _seed_t0, 3)
