@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_ohlc": q.events_daily_ohlc,
         "vocab_growth_curve": q.vocab_growth_curve,
         "training_mix_order": q.training_mix_order,
+        "order_reconciliation_audit": q.order_reconciliation_audit,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
@@ -379,6 +380,25 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "order_reconciliation_audit": """
+            WITH s AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS lines_cents
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o.o_orderkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+                   s.lines_cents,
+                   s.lines_cents
+                       - CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                       AS diff_cents
+            FROM s JOIN orders o ON s.o_orderkey = o.o_orderkey
+            WHERE ABS(s.lines_cents
+                      - CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) * 20
+                  > CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+            ORDER BY o.o_orderkey
         """,
         "training_mix_order": """
             WITH r AS (

@@ -401,6 +401,8 @@ def run_bench() -> dict:
          lambda: q.vocab_growth_curve(SF_DIR)),
         ("training_mix_order",
          lambda: q.training_mix_order(SF_DIR)),
+        ("order_reconciliation_audit",
+         lambda: q.order_reconciliation_audit(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -8403,3 +8403,96 @@ def training_mix_order(sf_dir: str) -> pd.DataFrame:
     out = ranked.select_columns(["doc_id", "lang", "mix_rank"]).to_pandas()
     out["mix_rank"] = out["mix_rank"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def order_reconciliation_audit(sf_dir: str) -> pd.DataFrame:
+    """LEDGER RECONCILIATION audit: orders whose header total disagrees
+    with the sum of their line-item extended prices by more than 5% —
+    the cross-table consistency gate an ingest pipeline runs between
+    fact tables. Comparison is ALL-integer: |diff| * 20 > total_cents
+    (no percentage doubles).
+
+    Scale plan: lineitem collapses to per-order cent sums (batch-local
+    Arrow group_by partials, ONE orderkey groupby); the orders header
+    attaches size-routed (broadcast searchsorted under the threshold,
+    hash_join above); the gate is one vectorized filter. Exchange is
+    O(orders), never O(lineitems)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                    "c": _to_scaled_int(t["l_extendedprice"], 100),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "c": pc.cast(g["c_sum"], pa.int64())}
+        )
+
+    per_order = (
+        items.map_batches(_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("c", alias_name="lines_cents"))
+    )
+
+    try:
+        n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    except Exception:
+        n_orders = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_orders <= _BROADCAST_SIDE_ROUTE_ROWS:
+        hdr = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+        hdr = pa.table(
+            {
+                "o_orderkey": pc.cast(hdr["o_orderkey"], pa.int64()),
+                "total_cents": _to_scaled_int(hdr["o_totalprice"], 100),
+            }
+        )
+        j = broadcast_join(
+            per_order, hdr, key="l_orderkey", right_key="o_orderkey"
+        )
+    else:
+        hdr_ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                    "total_cents": _to_scaled_int(t["o_totalprice"], 100),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j = hash_join(per_order, hdr_ds, key="l_orderkey", right_key="o_orderkey")
+
+    def _gate(t: pa.Table) -> pa.Table:
+        lc = np.asarray(
+            pc.cast(t["lines_cents"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        tc = np.asarray(
+            pc.cast(t["total_cents"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        ok = np.asarray(
+            pc.cast(t["l_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        diff = lc - tc
+        keep = np.abs(diff) * 20 > tc
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[keep]),
+                "total_cents": pa.array(tc[keep]),
+                "lines_cents": pa.array(lc[keep]),
+                "diff_cents": pa.array(diff[keep]),
+            }
+        )
+
+    out = j.map_batches(_gate, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
