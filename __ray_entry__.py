@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_curve": q.vocab_growth_curve,
         "training_mix_order": q.training_mix_order,
         "order_reconciliation_audit": q.order_reconciliation_audit,
+        "dup_rate_by_length_decile": q.dup_rate_by_length_decile,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
@@ -380,6 +381,34 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "dup_rate_by_length_decile": """
+            WITH f AS (
+                SELECT doc_id, n_chars,
+                       MD5(ARRAY_TO_STRING(
+                           (string_split(
+                               TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')),
+                               ' '))[1:8],
+                           ' ')) AS fp
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY fp)
+                            THEN 1 ELSE 0 END AS dupe
+                FROM f
+            ),
+            d AS (
+                SELECT dupe,
+                       NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+                FROM m
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dupe) AS BIGINT) AS n_dupes,
+                   CAST(SUM(dupe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS dup_rate
+            FROM d GROUP BY decile ORDER BY decile
         """,
         "order_reconciliation_audit": """
             WITH s AS (

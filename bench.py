@@ -403,6 +403,8 @@ def run_bench() -> dict:
          lambda: q.training_mix_order(SF_DIR)),
         ("order_reconciliation_audit",
          lambda: q.order_reconciliation_audit(SF_DIR)),
+        ("dup_rate_by_length_decile",
+         lambda: q.dup_rate_by_length_decile(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

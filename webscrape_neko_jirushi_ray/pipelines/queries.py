@@ -8496,3 +8496,132 @@ def order_reconciliation_audit(sf_dir: str) -> pd.DataFrame:
 
     out = j.map_batches(_gate, batch_format="pyarrow").to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def dup_rate_by_length_decile(sf_dir: str) -> pd.DataFrame:
+    """CURATION CROSS-TAB: near-duplicate rate as a function of document
+    length — prefix-fingerprint keep-first dupe flags (the
+    dedup_loss_by_source gate) crossed with global length DECILES
+    (NTILE(10) by (n_chars, doc_id)); answers "are short docs the
+    duplicate-heavy tail?".
+
+    Scale plan: one fp-bucket shuffle emits O(docs) dupe flags (global
+    first is bucket-local); deciles come from the distributed dense
+    index + the SQL remainder-fill; the two O(docs) tables meet in a
+    size-routed join and collapse to 10 rows."""
+    import hashlib
+
+    from ..functions import textkit
+    from ..functions.enumerate import attach_dense_index
+    from ..stages.joins import broadcast_join, hash_join
+    from ..stages.relops import _WB
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(
+                " ".join(
+                    textkit.normalize_for_fingerprint(t or "").split(" ")[:8]
+                ).encode("utf-8")
+            ).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        fp_u64 = np.array([int(f[:16], 16) for f in fps], dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "fp_md5": pa.array(fps, pa.string()),
+                _WB: pa.array((fp_u64 % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def _flags(g: pa.Table) -> pa.Table:
+        fps = np.asarray(g["fp_md5"].to_pylist(), dtype=object)
+        ids = np.asarray(g["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((ids, fps))
+        sfp = fps[order]
+        first = np.concatenate([[True], sfp[1:] != sfp[:-1]])
+        dupe = np.zeros(len(ids), dtype=np.int64)
+        dupe[order] = (~first).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids), "dupe": pa.array(dupe)}
+        )
+
+    flags = (
+        ds.map_batches(_fp, batch_format="pyarrow")
+        .groupby(_WB)
+        .map_groups(_flags, batch_format="pyarrow")
+    )
+
+    lens = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = attach_dense_index(
+        lens, ["n_chars", "doc_id"], index_col="_rank"
+    ).materialize()
+    n = ranked.count()
+
+    def _decile(t: pa.Table) -> pa.Table:
+        r0 = np.asarray(t["_rank"].to_numpy(zero_copy_only=False)) - 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "decile": pa.array(_ntile_from_rank(r0, n, 10)),
+            }
+        )
+
+    deciles = ranked.map_batches(_decile, batch_format="pyarrow")
+
+    if n <= _BROADCAST_SIDE_ROUTE_ROWS:
+        dp = deciles.to_pandas()
+        dec_tbl = pa.table(
+            {
+                "doc_id": pa.array(dp["doc_id"].to_numpy(dtype="int64")),
+                "decile": pa.array(dp["decile"].to_numpy(dtype="int64")),
+            }
+        )
+        j = broadcast_join(flags, dec_tbl, key="doc_id")
+    else:
+        j = hash_join(flags, deciles, key="doc_id")
+
+    def _rollup(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "decile": pc.cast(t["decile"], pa.int64()),
+                    "dupe": pc.cast(t["dupe"], pa.int64()),
+                }
+            )
+            .group_by("decile")
+            .aggregate([("dupe", "sum"), ("dupe", "count")])
+        )
+        return pa.table(
+            {
+                "decile": g["decile"],
+                "d": pc.cast(g["dupe_sum"], pa.int64()),
+                "c": pc.cast(g["dupe_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        j.map_batches(_rollup, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("d", alias_name="n_dupes"), Sum("c", alias_name="n_docs"))
+        .to_pandas()
+    )
+    agg["n_dupes"] = agg["n_dupes"].astype("int64")
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["dup_rate"] = agg["n_dupes"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["n_docs"].to_numpy(dtype="int64").astype(np.float64)
+    out = agg[["decile", "n_docs", "n_dupes", "dup_rate"]]
+    return out.sort_values("decile").reset_index(drop=True)
