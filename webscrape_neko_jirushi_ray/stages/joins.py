@@ -46,6 +46,32 @@ def _partition_of(keys: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.A
     return pa.array((mixed % np.uint64(num_partitions)).astype(np.int64))
 
 
+def _pin_before_schema_probe(ds: "ray.data.Dataset"):
+    """``ds.schema()`` EXECUTES the full upstream plan when it contains
+    an all-to-all stage (aggregate / sort / shuffle) and the executed
+    result is NOT reused by the later consume — a join fed by a lazy
+    groupby silently paid its input twice (measured: a 147k-group
+    aggregate cost ~5 s for the probe and ~5 s again for the join).
+    Materialize first in that case so the probe's execution IS the
+    join's input; map-only chains keep streaming (their probe runs a
+    single block)."""
+    try:
+        stack = [ds._logical_plan.dag]
+        has_a2a = False
+        while stack:
+            op = stack.pop()
+            if any(
+                k in type(op).__name__
+                for k in ("Aggregate", "Sort", "RandomShuffle", "Repartition")
+            ):
+                has_a2a = True
+                break
+            stack.extend(op.input_dependencies)
+    except Exception:
+        has_a2a = False
+    return ds.materialize() if has_a2a else ds
+
+
 def _ensure_arrow_schema(ds: "ray.data.Dataset"):
     """(dataset, schema) with every schema type a real pa.DataType.
 
@@ -54,7 +80,9 @@ def _ensure_arrow_schema(ds: "ray.data.Dataset"):
     ``schema().types`` — ``pa.nulls(n, <class 'object'>)`` then raises
     inside the pad functions. Normalizing through an identity Arrow
     map_batches (fused by the planner, no extra pass at execution) makes
-    the schema Arrow-typed."""
+    the schema Arrow-typed. The schema probe pins all-to-all upstreams
+    first (:func:`_pin_before_schema_probe`)."""
+    ds = _pin_before_schema_probe(ds)
     s = ds.schema()
     if s is None or all(isinstance(t, pa.DataType) for t in s.types):
         return ds, s
@@ -304,6 +332,7 @@ def broadcast_join(
     rkeys = np.asarray(rt[rk].to_numpy(zero_copy_only=False))
     if len(np.unique(rkeys)) != len(rkeys):
         raise ValueError("broadcast_join right side has duplicate keys")
+    left = _pin_before_schema_probe(left)
     lschema = left.schema()
     if lschema is None:
         # all blocks empty and schema-less (a fully-filtering upstream
