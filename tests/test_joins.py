@@ -410,3 +410,39 @@ def test_bloom_prefilter_prunes_most_nonmatches(ray_session):
     ).count()
     assert pruned >= 400  # every true match survives (200 keys x 2 dups)
     assert pruned < 2_000  # and the 19.6k non-matches are mostly gone
+
+
+def test_pin_before_schema_probe_routes(ray_session):
+    """All-to-all upstreams materialize before a schema probe (so the
+    probe's execution is reused); map-only chains pass through
+    untouched (they keep streaming)."""
+    import pyarrow as pa
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from webscrape_neko_jirushi_ray.stages.joins import (
+        _pin_before_schema_probe,
+    )
+
+    base = ray.data.range(1000).map_batches(
+        lambda t: pa.table(
+            {"k": pa.array([int(x) % 7 for x in t["id"].to_pylist()],
+                           pa.int64()),
+             "v": pa.array([1] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.dataset import MaterializedDataset
+
+    mapped = _pin_before_schema_probe(base)
+    assert not isinstance(mapped, MaterializedDataset)
+
+    agg = base.groupby("k").aggregate(Sum("v", alias_name="s"))
+    pinned = _pin_before_schema_probe(agg)
+    assert isinstance(pinned, MaterializedDataset)
+    assert pinned.count() == 7
+
+    # an already-materialized dataset is not re-materialized
+    again = _pin_before_schema_probe(pinned)
+    assert again is pinned
