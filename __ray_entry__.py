@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix_order": q.training_mix_order,
         "order_reconciliation_audit": q.order_reconciliation_audit,
         "dup_rate_by_length_decile": q.dup_rate_by_length_decile,
+        "top_bigram_per_lang": q.top_bigram_per_lang,
+        "customer_quartile_migration": q.customer_quartile_migration,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
@@ -381,6 +383,50 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "top_bigram_per_lang": """
+            WITH t AS (
+                SELECT lang, string_split(CAST(text AS VARCHAR), ' ') AS toks,
+                       len(string_split(CAST(text AS VARCHAR), ' ')) AS nt
+                FROM documents
+            ),
+            ex AS (
+                SELECT lang, toks, unnest(generate_series(1, nt - 1)) AS i
+                FROM t
+            ),
+            c AS (
+                SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM ex GROUP BY lang, bigram
+            )
+            SELECT lang, bigram, n FROM c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY n DESC, bigram
+            ) = 1
+            ORDER BY lang
+        """,
+        "customer_quartile_migration": """
+            WITH pc2 AS (
+                SELECT o_custkey,
+                       CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) <= 1997
+                                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS rev_a,
+                       CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1999
+                                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS rev_b
+                FROM orders GROUP BY o_custkey
+            ),
+            act AS (
+                SELECT * FROM pc2 WHERE rev_a > 0 AND rev_b > 0
+            ),
+            q AS (
+                SELECT NTILE(4) OVER (ORDER BY rev_a DESC, o_custkey) AS qa,
+                       NTILE(4) OVER (ORDER BY rev_b DESC, o_custkey) AS qb
+                FROM act
+            )
+            SELECT CAST(qa AS BIGINT) AS qa, CAST(qb AS BIGINT) AS qb,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM q GROUP BY qa, qb ORDER BY qa, qb
         """,
         "dup_rate_by_length_decile": """
             WITH f AS (

@@ -405,6 +405,10 @@ def run_bench() -> dict:
          lambda: q.order_reconciliation_audit(SF_DIR)),
         ("dup_rate_by_length_decile",
          lambda: q.dup_rate_by_length_decile(SF_DIR)),
+        ("top_bigram_per_lang",
+         lambda: q.top_bigram_per_lang(SF_DIR)),
+        ("customer_quartile_migration",
+         lambda: q.customer_quartile_migration(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -129,6 +129,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "nation_revenue_share_in_region",
         "avg_neighbor_degree_customers",
         "customer_rfm_scores",
+        "customer_quartile_migration",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

@@ -8625,3 +8625,178 @@ def dup_rate_by_length_decile(sf_dir: str) -> pd.DataFrame:
     ) / agg["n_docs"].to_numpy(dtype="int64").astype(np.float64)
     out = agg[["decile", "n_docs", "n_dupes", "dup_rate"]]
     return out.sort_values("decile").reset_index(drop=True)
+
+
+def top_bigram_per_lang(sf_dir: str) -> pd.DataFrame:
+    """GROUPED ARGMAX over a derived vocabulary: each language's most
+    frequent adjacent-token bigram (count desc, bigram asc tie-break) —
+    the per-slice collocation signature. Per-batch vectorized bigram
+    expansion (the top_bigrams flat-buffer kernel with a lang owner
+    map) collapsing to (lang, bigram) partials, ONE vocabulary groupby,
+    batch-local argmax partials per lang, final O(langs) driver pick —
+    the vocabulary never converges anywhere."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(offsets[0])
+        flat = words.values.slice(base, int(offsets[-1]) - base)
+        m = len(flat)
+        if m < 2:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        valid = np.ones(m - 1, dtype=bool)
+        ends = offsets[1:] - base - 1
+        valid[ends[(ends >= 0) & (ends < m - 1)]] = False
+        owner = (
+            np.searchsorted(offsets - base, np.arange(m - 1), side="right") - 1
+        )
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        left = flat.slice(0, m - 1).filter(pa.array(valid))
+        right = flat.slice(1, m - 1).filter(pa.array(valid))
+        big = pc.binary_join_element_wise(left, right, " ")
+        g = (
+            pa.table(
+                {
+                    "lang": pa.array(langs[owner[valid]], pa.string()),
+                    "bigram": big,
+                }
+            )
+            .group_by(["lang", "bigram"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "bigram": g["bigram"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=1024)
+        .groupby(["lang", "bigram"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _local_argmax(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        big = np.asarray(t["bigram"].to_pylist(), dtype=object)
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((big, -n, lang))
+        sl = lang[order]
+        starts = np.nonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))[0]
+        pick = order[starts]
+        return pa.table(
+            {
+                "lang": pa.array(lang[pick], pa.string()),
+                "bigram": pa.array(big[pick], pa.string()),
+                "n": pa.array(n[pick]),
+            }
+        )
+
+    cand = counts.map_batches(_local_argmax, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["lang", "n", "bigram"], ascending=[True, False, True]
+    )
+    out = cand.groupby("lang", as_index=False).first()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def customer_quartile_migration(sf_dir: str) -> pd.DataFrame:
+    """RANK-MIGRATION transition matrix: customers active in BOTH halves
+    of the corpus's history (orders in <= 1997 AND >= 1999) are
+    quartiled by revenue within each half, and the 4x4 matrix counts who
+    moved where — the churn/upsell drift report.
+
+    Scale plan: ONE conditional-sum aggregate pass (period tags per
+    batch), the both-active filter is vectorized, and the two quartile
+    assignments reuse the NTILE remainder-fill from ranks — driver
+    numpy lexsort under _BROADCAST_SIDE_ROUTE_ROWS customers (the rfm
+    small route), attach_dense_index passes above. Output is 16 rows."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.enumerate import attach_dense_index
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        cents = _to_scaled_int(t["o_totalprice"], 100)
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "a": pc.if_else(pc.less_equal(yr, 1997), cents, zero),
+                "b": pc.if_else(pc.greater_equal(yr, 1999), cents, zero),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(_prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("a", alias_name="rev_a"), Sum("b", alias_name="rev_b"))
+        .materialize()
+    )
+
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        p = per_cust.to_pandas()
+        p = p[(p["rev_a"] > 0) & (p["rev_b"] > 0)].reset_index(drop=True)
+        ck = p["o_custkey"].to_numpy(dtype="int64")
+        n = len(p)
+        tiles = {}
+        for name, col in (
+            ("qa", p["rev_a"].to_numpy(dtype="int64")),
+            ("qb", p["rev_b"].to_numpy(dtype="int64")),
+        ):
+            order = np.lexsort((ck, -col))
+            rank0 = np.empty(n, dtype=np.int64)
+            rank0[order] = np.arange(n, dtype=np.int64)
+            tiles[name] = _ntile_from_rank(rank0, n, 4)
+        m = pd.DataFrame({"qa": tiles["qa"], "qb": tiles["qb"]})
+    else:
+        both = per_cust.filter(
+            lambda r: r["rev_a"] > 0 and r["rev_b"] > 0
+        ).materialize()
+        n = both.count()
+        ds2 = attach_dense_index(
+            both, ["rev_a", "o_custkey"], ascending=[False, True],
+            index_col="ra",
+        )
+        ds2 = attach_dense_index(
+            ds2, ["rev_b", "o_custkey"], ascending=[False, True],
+            index_col="rb",
+        )
+        mm = ds2.to_pandas()
+        m = pd.DataFrame(
+            {
+                "qa": _ntile_from_rank(
+                    mm["ra"].to_numpy(dtype="int64") - 1, n, 4
+                ),
+                "qb": _ntile_from_rank(
+                    mm["rb"].to_numpy(dtype="int64") - 1, n, 4
+                ),
+            }
+        )
+    out = (
+        m.groupby(["qa", "qb"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_customers"})
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values(["qa", "qb"]).reset_index(drop=True)
