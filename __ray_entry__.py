@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_length_decile": q.dup_rate_by_length_decile,
         "top_bigram_per_lang": q.top_bigram_per_lang,
         "customer_quartile_migration": q.customer_quartile_migration,
+        "customer_spend_trend": q.customer_spend_trend,
+        "party_directory": q.party_directory,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
@@ -383,6 +385,43 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "customer_spend_trend": """
+            WITH r AS (
+                SELECT o_custkey AS c,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                       ) AS BIGINT) AS x
+                FROM orders
+            ),
+            m AS (
+                SELECT c,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx
+                FROM r GROUP BY c
+            )
+            SELECT c AS c_custkey, n AS n_orders,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents
+            FROM m WHERE n >= 2
+            ORDER BY c
+        """,
+        "party_directory": """
+            SELECT 'customer' AS kind, CAST(c_custkey AS BIGINT) AS key,
+                   c_name AS name, CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+            FROM customer
+            UNION ALL
+            SELECT 'supplier', CAST(s_suppkey AS BIGINT), s_name,
+                   CAST(s_nationkey AS BIGINT),
+                   CAST(ROUND(s_acctbal * 100) AS BIGINT)
+            FROM supplier
+            ORDER BY kind, key
         """,
         "top_bigram_per_lang": """
             WITH t AS (

@@ -409,6 +409,8 @@ def run_bench() -> dict:
          lambda: q.top_bigram_per_lang(SF_DIR)),
         ("customer_quartile_migration",
          lambda: q.customer_quartile_migration(SF_DIR)),
+        ("customer_spend_trend",
+         lambda: q.customer_spend_trend(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

@@ -8800,3 +8800,116 @@ def customer_quartile_migration(sf_dir: str) -> pd.DataFrame:
     )
     out["n_customers"] = out["n_customers"].astype("int64")
     return out.sort_values(["qa", "qb"]).reset_index(drop=True)
+
+
+def customer_spend_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-customer OLS TREND SLOPE of order value over the order
+    sequence (1, 2, ... in date order): the spend-trajectory feature
+    (growing vs shrinking accounts) — the grouped-regression member of
+    the exact-integer-moments family. slope = (nΣxy - ΣxΣy) /
+    (nΣx² - (Σx)²) with x = per-customer ROW_NUMBER (date, orderkey tie
+    -break) and y = exact cents; customers need >= 2 orders (the
+    denominator is 0 otherwise).
+
+    Scale plan: ONE custkey-hash bucket shuffle; per bucket one lexsort
+    + within-segment positions + np.add.reduceat for all four moments —
+    no per-key Python; the final slope is one identical double formula
+    on both sides. Int64 bound: Σxy <= n² x max_cents / 2 — safe past
+    10^4 orders/customer at 10^8-cent orders (documented)."""
+    from ..stages.relops import (
+        _WB,
+        _int64_nonull,
+        _route_by_group,
+        _segment_bounds,
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c": pc.cast(t["o_custkey"], pa.int64()),
+                "d": pc.cast(t["o_orderdate"], pa.int64()),
+                "k": pc.cast(t["o_orderkey"], pa.int64()),
+                "y": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _slope(g: pa.Table) -> pa.Table:
+        c = _int64_nonull(g["c"], "c")
+        d = _int64_nonull(g["d"], "d")
+        k = _int64_nonull(g["k"], "k")
+        y = _int64_nonull(g["y"], "y")
+        order = np.lexsort((k, d, c))
+        cs, ys = c[order], y[order]
+        starts, ends, seg_start, _ = _segment_bounds(cs)
+        n = (ends - starts).astype(np.int64)
+        x = (
+            np.arange(len(cs), dtype=np.int64)
+            - np.repeat(starts, n)
+            + 1
+        )
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(ys, starts)
+        sxy = np.add.reduceat(x * ys, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        keep = n >= 2
+        num = (n * sxy - sx * sy).astype(np.float64)
+        den = (n * sxx - sx * sx).astype(np.float64)
+        slope = np.zeros(len(n))
+        slope[keep] = num[keep] / den[keep]
+        return pa.table(
+            {
+                "c_custkey": pa.array(cs[starts][keep]),
+                "n_orders": pa.array(n[keep]),
+                "slope_cents": pa.array(slope[keep], pa.float64()),
+            }
+        )
+
+    out = (
+        _route_by_group(orders, "c", 32)
+        .groupby(_WB)
+        .map_groups(_slope, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def party_directory(sf_dir: str) -> pd.DataFrame:
+    """Schema-aligned MULTI-SOURCE UNION with lineage tags: customers
+    and suppliers projected to one (kind, key, name, nationkey, bal_c)
+    directory — the heterogeneous-source consolidation shape (the
+    frontier-union D3 analog as a relational operator). Two projected
+    streams, one Dataset union, no shuffle at all."""
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "kind": pa.array(["customer"] * t.num_rows, pa.string()),
+                "key": pc.cast(t["c_custkey"], pa.int64()),
+                "name": t["c_name"],
+                "nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "bal_c": _to_scaled_int(t["c_acctbal"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "kind": pa.array(["supplier"] * t.num_rows, pa.string()),
+                "key": pc.cast(t["s_suppkey"], pa.int64()),
+                "name": t["s_name"],
+                "nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                "bal_c": _to_scaled_int(t["s_acctbal"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = cust.union(supp).to_pandas()
+    return out.sort_values(["kind", "key"]).reset_index(drop=True)
