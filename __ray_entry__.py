@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_quartile_migration": q.customer_quartile_migration,
         "customer_spend_trend": q.customer_spend_trend,
         "party_directory": q.party_directory,
+        "stopword_density_per_lang": q.stopword_density_per_lang,
+        "dup_cluster_size_histogram": q.dup_cluster_size_histogram,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
@@ -385,6 +387,40 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "stopword_density_per_lang": """
+            WITH tok AS (
+                SELECT lang,
+                       UNNEST(string_split(CAST(text AS VARCHAR), ' ')) AS w
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN LOWER(w) IN (
+                       'the','a','an','and','or','of','to','in','is','are',
+                       'was','were','be','been','it','this','that','for',
+                       'on','with','as','at','by','from'
+                   ) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                   CAST(SUM(CASE WHEN LOWER(w) IN (
+                       'the','a','an','and','or','of','to','in','is','are',
+                       'was','were','be','been','it','this','that','for',
+                       'on','with','as','at','by','from'
+                   ) THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS stop_density
+            FROM tok GROUP BY lang ORDER BY lang
+        """,
+        "dup_cluster_size_histogram": """
+            WITH f AS (
+                SELECT MD5(ARRAY_TO_STRING(
+                           (string_split(
+                               TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')),
+                               ' '))[1:8],
+                           ' ')) AS fp
+                FROM documents
+            ),
+            c AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS sz FROM f GROUP BY fp)
+            SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM c GROUP BY sz ORDER BY sz
         """,
         "customer_spend_trend": """
             WITH r AS (

@@ -411,6 +411,8 @@ def run_bench() -> dict:
          lambda: q.customer_quartile_migration(SF_DIR)),
         ("customer_spend_trend",
          lambda: q.customer_spend_trend(SF_DIR)),
+        ("stopword_density_per_lang",
+         lambda: q.stopword_density_per_lang(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

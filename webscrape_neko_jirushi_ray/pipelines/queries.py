@@ -8913,3 +8913,131 @@ def party_directory(sf_dir: str) -> pd.DataFrame:
     )
     out = cust.union(supp).to_pandas()
     return out.sort_values(["kind", "key"]).reset_index(drop=True)
+
+
+def stopword_density_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language STOPWORD DENSITY from exact integer counts
+    (Σ stopword tokens / Σ tokens — NOT an average of per-doc ratios,
+    whose float sum order SQL does not pin): the language-model
+    fluency/quality signal at corpus grain.
+
+    Scale plan: fully vectorized — one Arrow split to the flat token
+    buffer, pc.utf8_lower + pc.is_in against the 22-word broadcast list,
+    np.bincount by batch-local lang codes; the exchange is O(langs x
+    blocks) int64 partials."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.textkit import STOPWORDS
+
+    stop_arr = pa.array(sorted(STOPWORDS), pa.string())
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(offsets[0])
+        flat = words.values.slice(base, int(offsets[-1]) - base)
+        is_stop = np.asarray(
+            pc.is_in(pc.utf8_lower(flat), value_set=stop_arr).to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        codes_arr = lang.dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        owner = codes[
+            np.searchsorted(
+                offsets - base, np.arange(len(flat)), side="right"
+            )
+            - 1
+        ]
+        k = len(codes_arr.dictionary)
+        n_tok = np.bincount(owner, minlength=k).astype(np.int64)
+        n_stop = np.bincount(owner, weights=is_stop, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "lang": codes_arr.dictionary,
+                "t": pa.array(n_tok),
+                "s": pa.array(n_stop),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("t", alias_name="n_tokens"), Sum("s", alias_name="n_stop"))
+        .to_pandas()
+    )
+    agg["n_tokens"] = agg["n_tokens"].astype("int64")
+    agg["n_stop"] = agg["n_stop"].astype("int64")
+    agg["stop_density"] = agg["n_stop"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["n_tokens"].to_numpy(dtype="int64").astype(np.float64)
+    out = agg[["lang", "n_tokens", "n_stop", "stop_density"]]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def dup_cluster_size_histogram(sf_dir: str) -> pd.DataFrame:
+    """DUPLICATE-CLUSTER SIZE distribution: how many prefix-fingerprint
+    clusters have exactly k members — the count-of-counts (TPC-H Q13
+    shape) applied to dedup analysis (a heavy tail of large clusters
+    means boilerplate floods the corpus).
+
+    Scale plan: per-batch fp partial counts, ONE vocabulary groupby to
+    cluster sizes, per-batch size-histogram partials into a tiny final
+    groupby — the fp table never converges anywhere."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import textkit
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(
+                " ".join(
+                    textkit.normalize_for_fingerprint(t or "").split(" ")[:8]
+                ).encode("utf-8")
+            ).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        g = (
+            pa.table({"fp": pa.array(fps, pa.string())})
+            .group_by("fp")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"fp": g["fp"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    sizes = (
+        ds.map_batches(_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Sum("n", alias_name="sz"))
+    )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        sz = np.asarray(t["sz"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        u, c = np.unique(sz, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(u),
+                "k": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    out = (
+        sizes.map_batches(_hist, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("k", alias_name="n_clusters"))
+        .to_pandas()
+    )
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out.sort_values("cluster_size").reset_index(drop=True)
