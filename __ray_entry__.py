@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_trend": q.customer_spend_trend,
         "party_directory": q.party_directory,
         "stopword_density_per_lang": q.stopword_density_per_lang,
+        "time_to_next_purchase_by_type": q.time_to_next_purchase_by_type,
         "dup_cluster_size_histogram": q.dup_cluster_size_histogram,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
@@ -387,6 +388,26 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "time_to_next_purchase_by_type": """
+            WITH x AS (
+                SELECT event_type, epoch_us(ts) AS us,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS nxt
+                FROM events
+            ),
+            d AS (
+                SELECT event_type, CAST(nxt - us AS BIGINT) AS delta
+                FROM x WHERE nxt IS NOT NULL
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   quantile_cont(delta, 0.5) AS median_delta_us
+            FROM d GROUP BY event_type ORDER BY event_type
         """,
         "stopword_density_per_lang": """
             WITH tok AS (

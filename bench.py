@@ -413,6 +413,8 @@ def run_bench() -> dict:
          lambda: q.customer_spend_trend(SF_DIR)),
         ("stopword_density_per_lang",
          lambda: q.stopword_density_per_lang(SF_DIR)),
+        ("time_to_next_purchase_by_type",
+         lambda: q.time_to_next_purchase_by_type(SF_DIR)),
     ]:
         t, _ = _timed(fn)
         results[name] = round(t, 3)

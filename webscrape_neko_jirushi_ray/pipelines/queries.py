@@ -9041,3 +9041,99 @@ def dup_cluster_size_histogram(sf_dir: str) -> pd.DataFrame:
     out["cluster_size"] = out["cluster_size"].astype("int64")
     out["n_clusters"] = out["n_clusters"].astype("int64")
     return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+def time_to_next_purchase_by_type(sf_dir: str) -> pd.DataFrame:
+    """SEQUENCE feature via BACKWARD FILL: for every event, the time to
+    the user's next purchase at-or-after it (purchases map to 0), then
+    the exact per-type median — the conversion-latency profile. The
+    backward fill is relops.grouped_forward_fill run on NEGATED order
+    keys (the nearest following purchase IS the min over the following
+    frame, because timestamps ascend); the median is one key-routed
+    lexsort + segment-midpoint pass. Exact int64 micros everywhere; the
+    midpoint halving is the one IEEE double op (matches SQL
+    quantile_cont(0.5))."""
+    from ..stages.relops import (
+        _WB,
+        _group_codes,
+        _int64_nonull,
+        _route_by_group,
+        _segment_bounds,
+        grouped_forward_fill,
+    )
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "neg_us": pc.multiply(
+                    pc.cast(t["ts"], pa.int64()), pa.scalar(-1, pa.int64())
+                ),
+                "neg_id": pc.multiply(
+                    pc.cast(t["event_id"], pa.int64()), pa.scalar(-1, pa.int64())
+                ),
+                "pts": pc.if_else(
+                    pc.equal(t["event_type"], pa.scalar("purchase")),
+                    pc.cast(t["ts"], pa.int64()),
+                    pa.scalar(None, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    filled = grouped_forward_fill(
+        ev,
+        group_col="user_id",
+        order_cols=["neg_us", "neg_id"],
+        value_col="pts",
+        out_col="nxt",
+    )
+
+    def _delta(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["nxt"]))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "delta": pc.subtract(
+                    pc.cast(t["nxt"], pa.int64()), t["us"]
+                ),
+            }
+        )
+
+    deltas = filled.map_batches(_delta, batch_format="pyarrow")
+
+    def _median(g: pa.Table) -> pa.Table:
+        codes = _group_codes(g, "event_type")
+        d = _int64_nonull(g["delta"], "delta")
+        order = np.lexsort((d, codes))
+        sc, sv = codes[order], d[order]
+        starts, ends, _, _ = _segment_bounds(sc)
+        n = ends - starts
+        lo = sv[starts + (n - 1) // 2].astype(np.float64)
+        hi = sv[starts + n // 2].astype(np.float64)
+        names = pc.take(
+            g["event_type"].combine_chunks()
+            if isinstance(g["event_type"], pa.ChunkedArray)
+            else g["event_type"],
+            pa.array(order[starts]),
+        )
+        return pa.table(
+            {
+                "event_type": names,
+                "n_events": pa.array(n.astype(np.int64)),
+                "median_delta_us": pa.array((lo + hi) / 2.0, pa.float64()),
+            }
+        )
+
+    out = (
+        _route_by_group(deltas, "event_type", 8)
+        .groupby(_WB)
+        .map_groups(_median, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
