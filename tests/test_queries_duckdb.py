@@ -130,6 +130,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "avg_neighbor_degree_customers",
         "customer_rfm_scores",
         "customer_quartile_migration",
+        "training_mix_order",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

@@ -8397,6 +8397,26 @@ def training_mix_order(sf_dir: str) -> pd.DataFrame:
         .groupby(_WB)
         .map_groups(_rn, batch_format="pyarrow")
     )
+    try:
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    except Exception:
+        n_docs = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_docs <= _BROADCAST_SIDE_ROUTE_ROWS:
+        # small route: the keyed table is one driver frame — a numpy
+        # lexsort beats a range-partition pass of pure fixed latency
+        # (the dense-index plan below is the 10^8+-doc path, pinned by
+        # the hash-path route test)
+        p = keyed.to_pandas()
+        key = p["key"].to_numpy(dtype="int64")
+        did = p["doc_id"].to_numpy(dtype="int64")
+        lang = p["lang"].to_numpy(dtype=object)
+        order = np.lexsort((did, lang, key))
+        rank = np.empty(len(p), dtype=np.int64)
+        rank[order] = np.arange(1, len(p) + 1, dtype=np.int64)
+        out = pd.DataFrame(
+            {"doc_id": did, "lang": lang, "mix_rank": rank}
+        )
+        return out.sort_values("doc_id").reset_index(drop=True)
     ranked = attach_dense_index(
         keyed, ["key", "lang", "doc_id"], index_col="mix_rank"
     )
