@@ -156,9 +156,9 @@ def attach_dense_index(
 def attach_running_sum(
     ds: "ray.data.Dataset",
     key_cols: list[str],
-    value_col: str,
+    value_col: "str | list[str]",
     *,
-    sum_col: str = "running_sum",
+    sum_col: "str | list[str]" = "running_sum",
     num_ranges: int = 32,
     sample_size: int = 10_000,
 ) -> "ray.data.Dataset":
@@ -166,7 +166,15 @@ def attach_running_sum(
     ascending ``key_cols`` order — the distributed prefix-scan sibling of
     :func:`attach_dense_index` (same plan: sampled range boundaries →
     per-range SUM → driver exclusive scan over <= R partials → per-range
-    local cumsum + offset). Keys must be unique; driver state is O(R)."""
+    local cumsum + offset). Keys must be unique; driver state is O(R).
+    ``value_col``/``sum_col`` accept parallel LISTS to fuse several
+    prefix scans into the one range pass (one sample, one tag, one
+    partial aggregate — a caller scanning two columns previously paid
+    the whole machinery twice)."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    sum_cols = [sum_col] if isinstance(sum_col, str) else list(sum_col)
+    if len(value_cols) != len(sum_cols):
+        raise ValueError("value_col and sum_col lists must be parallel")
     asc = [True] * len(key_cols)
     per_block = max(8, sample_size // 256)
 
@@ -183,12 +191,12 @@ def attach_running_sum(
         _block_sample, batch_format="pyarrow", batch_size=65536
     ).to_pandas()[key_cols]
     if len(sample) == 0:
-        return ds.map_batches(
-            lambda t: t.append_column(
-                sum_col, pa.nulls(t.num_rows, pa.int64())
-            ),
-            batch_format="pyarrow",
-        )
+        def _empty(t: pa.Table) -> pa.Table:
+            for sc in sum_cols:
+                t = t.append_column(sc, pa.nulls(t.num_rows, pa.int64()))
+            return t
+
+        return ds.map_batches(_empty, batch_format="pyarrow")
     keys_sorted = sorted(_key_tuples(sample, key_cols, asc))
     r = min(num_ranges, len(keys_sorted))
     bounds = [keys_sorted[int(i * len(keys_sorted) / r)] for i in range(1, r)]
@@ -204,24 +212,33 @@ def attach_running_sum(
 
     partials = (
         tagged.groupby("_range_id")
-        .aggregate(Sum(value_col, alias_name="_s"))
+        .aggregate(
+            *[Sum(v, alias_name=f"_s{i}") for i, v in enumerate(value_cols)]
+        )
         .to_pandas()
         .sort_values("_range_id")
     )
-    offsets = dict(
-        zip(
-            partials["_range_id"].astype(int),
-            np.concatenate([[0], np.cumsum(partials["_s"].to_numpy())[:-1]])
-            .astype(np.int64),
+    rids = partials["_range_id"].astype(int)
+    offsets = {
+        int(rid): np.array(
+            [
+                np.concatenate(
+                    [[0], np.cumsum(partials[f"_s{i}"].to_numpy())[:-1]]
+                ).astype(np.int64)[j]
+                for i in range(len(value_cols))
+            ],
+            dtype=np.int64,
         )
-    )
+        for j, rid in enumerate(rids)
+    }
     offsets_ref = ray.put(offsets)
 
     def _scan(group: pd.DataFrame) -> pd.DataFrame:
         offs = ray.get(offsets_ref)
         rid = int(group["_range_id"].iloc[0])
         g = group.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
-        g[sum_col] = g[value_col].cumsum().astype(np.int64) + offs[rid]
+        for i, (v, sc) in enumerate(zip(value_cols, sum_cols)):
+            g[sc] = g[v].cumsum().astype(np.int64) + offs[rid][i]
         return g.drop(columns=["_range_id"])
 
     return tagged.groupby("_range_id").map_groups(_scan, batch_format="pandas")

@@ -8334,8 +8334,12 @@ def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    j = attach_running_sum(j, ["doc_id"], "n_tok", sum_col="cum_tokens")
-    j = attach_running_sum(j, ["doc_id"], "n_new", sum_col="cum_distinct")
+    j = attach_running_sum(
+        j,
+        ["doc_id"],
+        ["n_tok", "n_new"],
+        sum_col=["cum_tokens", "cum_distinct"],
+    )
     out = j.select_columns(["doc_id", "cum_tokens", "cum_distinct"]).to_pandas()
     out["cum_tokens"] = out["cum_tokens"].astype("int64")
     out["cum_distinct"] = out["cum_distinct"].astype("int64")
