@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "party_directory": q.party_directory,
         "stopword_density_per_lang": q.stopword_density_per_lang,
         "time_to_next_purchase_by_type": q.time_to_next_purchase_by_type,
+        "benford_first_digit_orders": q.benford_first_digit_orders,
         "dup_cluster_size_histogram": q.dup_cluster_size_histogram,
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
@@ -388,6 +389,23 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tri t ON d.node = t.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "benford_first_digit_orders": """
+            WITH d AS (
+                SELECT SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS digit
+                FROM orders
+            ),
+            c AS (
+                SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM d GROUP BY digit
+            ),
+            t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM c)
+            SELECT c.digit, c.n_orders,
+                   CAST(c.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE)
+                       AS share
+            FROM c CROSS JOIN t
+            ORDER BY c.digit
         """,
         "time_to_next_purchase_by_type": """
             WITH x AS (

@@ -9187,3 +9187,41 @@ def time_to_next_purchase_by_type(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def benford_first_digit_orders(sf_dir: str) -> pd.DataFrame:
+    """BENFORD'S-LAW first-digit audit of order totals (the forensic
+    -accounting screen for fabricated values): counts and observed
+    shares per leading digit, extracted via STRING slicing of the exact
+    integer cents — no log10 whose last-ulp boundary SQL and numpy could
+    disagree on. One vectorized map + a 9-row combiner-reduced groupby;
+    the share division is the only double op."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def _digits(t: pa.Table) -> pa.Table:
+        cents = _to_scaled_int(t["o_totalprice"], 100)
+        d = pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), start=0, stop=1
+        )
+        g = pa.table({"digit": d}).group_by("digit").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"digit": g["digit"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(_digits, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    total = int(agg["n_orders"].sum())
+    agg["share"] = agg["n_orders"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / np.float64(total)
+    out = agg[["digit", "n_orders", "share"]]
+    return out.sort_values("digit").reset_index(drop=True)
