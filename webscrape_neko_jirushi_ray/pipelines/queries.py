@@ -7176,10 +7176,30 @@ def _bigram_novelty_parts(ds):
     (no shuffle: a doc lives in one batch row, so batch-distinct IS
     globally distinct) and per-doc first-occurrence counts (ONE
     vocabulary Min-groupby, no vocabulary join-back). Docs with < 2
-    tokens have no bigrams and appear in neither table."""
+    tokens have no bigrams and appear in neither table.
+
+    Scale plan (round-4: the string-shuffle fix VERDICT flagged):
+    bigram IDENTITY is a 128-bit hash — two independent siphash-64
+    values of the bigram string (distinct ``hash_key``s) — computed
+    once per batch-distinct bigram via dictionary-encode, so the
+    materialized pair table and the vocabulary exchange carry three
+    int64s per row instead of a variable-width string (~2-4x smaller
+    at web-corpus bigram lengths). A collision needs BOTH 64-bit
+    hashes to collide on two distinct bigrams (~2^-128 per pair — the
+    same identity-trust model as the md5 fingerprints the exact-dedup
+    family keys on). The Min-groupby additionally pre-combines
+    batch-locally, so the shuffle ships each batch's vocabulary once,
+    not every (doc, bigram) pair."""
     from ray.data.aggregate import Min, Sum
 
     def _pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "b1": pa.array([], pa.int64()),
+                "b2": pa.array([], pa.int64()),
+            }
+        )
         words = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
@@ -7188,12 +7208,7 @@ def _bigram_novelty_parts(ds):
         flat = words.values.slice(base, int(offsets[-1]) - base)
         m = len(flat)
         if m < 2:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "bigram": pa.array([], pa.string()),
-                }
-            )
+            return empty
         valid = np.ones(m - 1, dtype=bool)
         ends = offsets[1:] - base - 1
         valid[ends[(ends >= 0) & (ends < m - 1)]] = False
@@ -7209,9 +7224,30 @@ def _bigram_novelty_parts(ds):
         right = flat.slice(1, m - 1).filter(pa.array(valid))
         big = pc.binary_join_element_wise(left, right, " ")
         docs = doc_ids[owner[valid]]
+        if len(big) == 0:
+            return empty
+        # hash once per batch-distinct bigram (dictionary-encode first —
+        # zipfian streams repeat heavily), two independent siphash keys
+        enc = pc.dictionary_encode(big)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = pd.util.hash_array(
+            vocab, hash_key="nkj.bigram.key.1", categorize=False
+        ).view(np.int64)
+        h2 = pd.util.hash_array(
+            vocab, hash_key="nkj.bigram.key.2", categorize=False
+        ).view(np.int64)
         return (
-            pa.table({"doc_id": pa.array(docs), "bigram": big})
-            .group_by(["doc_id", "bigram"])
+            pa.table(
+                {
+                    "doc_id": pa.array(docs),
+                    "b1": pa.array(h1[idx]),
+                    "b2": pa.array(h2[idx]),
+                }
+            )
+            .group_by(["doc_id", "b1", "b2"])
             .aggregate([])
         )
 
@@ -7220,19 +7256,26 @@ def _bigram_novelty_parts(ds):
     # denominator: batch-distinct pairs are globally distinct, so the
     # per-doc count is exact without any shuffle
     def _den(t: pa.Table) -> pa.Table:
-        g = t.group_by("doc_id").aggregate([("bigram", "count")])
+        g = t.group_by("doc_id").aggregate([("b1", "count")])
         return pa.table(
             {
                 "doc_id": pc.cast(g["doc_id"], pa.int64()),
-                "n_bigrams": pc.cast(g["bigram_count"], pa.int64()),
+                "n_bigrams": pc.cast(g["b1_count"], pa.int64()),
             }
         )
 
     den = pairs.map_batches(_den, batch_format="pyarrow")
 
+    # numerator: batch-local pre-Min (each batch's vocabulary once),
+    # then the ONE global Min-groupby over 128-bit bigram identities
+    def _pre_min(t: pa.Table) -> pa.Table:
+        g = t.group_by(["b1", "b2"]).aggregate([("doc_id", "min")])
+        return g.rename_columns(["b1", "b2", "doc_min"])
+
     first = (
-        pairs.groupby("bigram")
-        .aggregate(Min("doc_id", alias_name="first_doc"))
+        pairs.map_batches(_pre_min, batch_format="pyarrow")
+        .groupby(["b1", "b2"])
+        .aggregate(Min("doc_min", alias_name="first_doc"))
     )
 
     def _num_partials(t: pa.Table) -> pa.Table:

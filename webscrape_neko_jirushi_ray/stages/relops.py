@@ -118,6 +118,10 @@ def asof_join(
     — still the vectorized kernel, but run once per HASH BUCKET of keys
     with ``merge_asof(by=...)`` matching all of the bucket's groups in
     one call, not once per key; see :func:`_route_by_group`)."""
+    from .joins import _pin_before_schema_probe
+
+    left = _pin_before_schema_probe(left)
+    right = _pin_before_schema_probe(right)
     lschema = left.schema()
     lnames = list(lschema.names)
     ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
@@ -480,6 +484,10 @@ def range_join_bucketed(
     be disjoint between the two sides.
     """
     _B = "_rbucket"
+    from .joins import _pin_before_schema_probe
+
+    values = _pin_before_schema_probe(values)
+    ranges = _pin_before_schema_probe(ranges)
     vschema = values.schema()
     rschema = ranges.schema()
     vnames = list(vschema.names)
