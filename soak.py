@@ -302,8 +302,68 @@ def soak_bucketed_quantiles(tmp: str) -> dict:
     }
 
 
+def soak_token_shuffle(tmp: str) -> dict:
+    """hapax_ratio_per_lang + vocab_growth_curve over 300k docs x ~60
+    zipfian tokens (~18M token instances, ~200k-word vocabulary) — the
+    unigram families whose r4 rewrite shuffles (h1, h2) int64 identities
+    instead of token strings, with fully vectorized batch partials."""
+    from webscrape_neko_jirushi_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(23)
+    n_docs, vocab_n = 300_000, 200_000
+    vocab = np.array(
+        ["w%06d" % i for i in range(vocab_n)], dtype=object
+    )
+    lens = rng.integers(20, 100, n_docs)
+    total = int(lens.sum())
+    # zipf-ish: square a uniform to skew toward low ids
+    ids = (rng.random(total) ** 2 * vocab_n).astype(np.int64)
+    flat = vocab[ids]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    texts = np.array(
+        [" ".join(flat[offs[i] : offs[i + 1]]) for i in range(n_docs)],
+        dtype=object,
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "lang": pa.array(
+                np.array(["en", "ja", "de", "fr"], dtype=object)[
+                    rng.integers(0, 4, n_docs)
+                ]
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    # 16 shard FILES, not one: ray.data.read_parquet schedules one read
+    # task per file, so a single-file text corpus serializes the fused
+    # read->tokenize stage behind one task (measured 3x slower here).
+    # A real crawl corpus is always many shards; model that shape.
+    shard = (n_docs + 15) // 16
+    for i in range(16):
+        _write(
+            tmp,
+            f"tok/documents.parquet/part-{i:02d}.parquet",
+            tbl.slice(i * shard, shard),
+            row_group_size=20_000,
+        )
+    d = os.path.join(tmp, "tok")
+    t0 = time.perf_counter()
+    hap = q.hapax_ratio_per_lang(d)
+    t1 = time.perf_counter()
+    vg = q.vocab_growth_curve(d)
+    t2 = time.perf_counter()
+    return {
+        "hapax_sec": round(t1 - t0, 2),
+        "vocab_growth_sec": round(t2 - t1, 2),
+        "langs": len(hap),
+        "docs": len(vg),
+    }
+
+
 SOAKS = {
     "sessionize": soak_sessionize,
+    "token_shuffle": soak_token_shuffle,
     "count_distinct": soak_count_distinct,
     "dense_index": soak_dense_index,
     "exact_dedup": soak_exact_dedup,

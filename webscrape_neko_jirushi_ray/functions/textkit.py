@@ -46,6 +46,94 @@ def token_count_ws(text: str) -> int:
     return len(tokens_ws(text))
 
 
+# Unicode whitespace beyond ASCII (the chars Python's \s matches above
+# 0x7f). Batches containing ANY of these take the exact row-wise path:
+# pyarrow 16.1's utf8_split_whitespace can MIS-SPLIT a batch containing
+# multi-byte whitespace — identical rows in one call come back with
+# different tokenizations (allocation-dependent; found by the
+# test_textkit_vec hypothesis sweep, e.g. a trailing '\\x1d\\x1d' run
+# surviving as a token only in the batch's last row).
+_EXOTIC_WS_RE2 = (
+    "[\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}"
+    "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+)
+
+
+def flat_tokens_ws_arrow(col):
+    """Vectorized :func:`tokens_ws` over an Arrow string column — NO
+    Python row loop on the hot path. Returns ``(flat, ptr)``: ``flat``
+    is the concatenation of every row's whitespace tokens (Arrow string
+    array) and ``ptr`` the int64 row-pointer array (len = nrows+1; row
+    i's tokens are ``flat[ptr[i]:ptr[i+1]]``). Null/blank rows
+    contribute zero tokens, matching ``tokens_ws(txt or '')`` exactly
+    (Arrow's whitespace split emits empty strings at the trim edges and
+    inside runs; they are filtered here, leaving precisely the maximal
+    non-whitespace runs). Batches containing non-ASCII whitespace fall
+    back to row-wise :func:`tokens_ws` (see ``_EXOTIC_WS_RE2`` — a
+    pyarrow 16.1 splitter bug makes the vectorized kernel unreliable
+    there); ASCII-whitespace text, i.e. every real corpus this engine
+    benches, stays fully vectorized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(pc.cast(col, pa.string()), "")
+    exotic = pc.any(pc.match_substring_regex(s, _EXOTIC_WS_RE2)).as_py()
+    if exotic:
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        rows = [tokens_ws(x) for x in s.to_pylist()]
+        counts = np.fromiter((len(r) for r in rows), dtype=np.int64, count=len(rows))
+        ptr = np.concatenate(([0], np.cumsum(counts, dtype=np.int64)))
+        flat = pa.array(
+            [t for r in rows for t in r], pa.string()
+        )
+        return flat, ptr
+    words = pc.utf8_split_whitespace(s)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    nrows = len(words)
+    # list_flatten + repeat(list_value_length), NOT manual
+    # .values.slice(offsets) arithmetic: list_flatten is the documented
+    # offset-honoring flatten, and the repeat gives each flat token its
+    # row id without searchsorted edge cases
+    lens = np.asarray(
+        pc.list_value_length(words).to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    m = len(flat)
+    if m == 0:
+        return flat, np.zeros(nrows + 1, dtype=np.int64)
+    keep = np.asarray(pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+    row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    counts = np.bincount(row_of[keep], minlength=nrows)
+    flat2 = flat.filter(pa.array(keep))
+    ptr = np.concatenate(([0], np.cumsum(counts, dtype=np.int64)))
+    return flat2, ptr
+
+
+def hash2_strings(vocab: np.ndarray, salt: str = "") -> tuple[np.ndarray, np.ndarray]:
+    """TWO independent siphash-64 values (int64 arrays) of each string in
+    ``vocab`` (object dtype) — a 128-bit string identity for string-free
+    shuffles. A collision needs two distinct strings to collide on BOTH
+    keyed hashes (~2^-128 per pair) — the same identity-trust model as
+    the md5 fingerprints the exact-dedup family keys on. ``salt`` (<= 4
+    chars) decorates the pandas 16-byte hash keys so different operator
+    families occupy independent hash spaces."""
+    import pandas as _pd2
+
+    if len(vocab) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    k1 = (f"nkj.h2a.{salt}" + "0" * 16)[:16]
+    k2 = (f"nkj.h2b.{salt}" + "1" * 16)[:16]
+    h1 = _pd2.util.hash_array(vocab, hash_key=k1, categorize=False).view(np.int64)
+    h2 = _pd2.util.hash_array(vocab, hash_key=k2, categorize=False).view(np.int64)
+    return h1, h2
+
+
 def tokens_bpeish(text: str) -> list[str]:
     """BPE-style pretokens (regex only, no merges) — the 'token counting'
     slot of a training-data pipeline; NOT SQL-oracled."""
