@@ -131,6 +131,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "customer_rfm_scores",
         "customer_quartile_migration",
         "training_mix_order",
+        "nation_trade_matrix",
     ],
 )
 def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch):

@@ -4027,11 +4027,20 @@ def first_last_event_per_user(sf_dir: str) -> pd.DataFrame:
 def nation_trade_matrix(sf_dir: str) -> pd.DataFrame:
     """International trade volume (TPC-H Q7 generalized): revenue per
     (supplier nation, customer nation, ship year) for every CROSS-nation
-    pair. Same scale plan as local_supplier_volume — supplier and
-    customer nation attaches are broadcast / size-routed dims, orders x
-    lineitem is the one big-big hash_join, the year is a vectorized
-    Arrow extraction, and the rollup grain is O(nations^2 x years)."""
-    from ray.data.aggregate import Count, Sum
+    pair.
+
+    Scale plan (r4 rework): the orders -> customer-nation map is the
+    SMALL side. Below the size route it is built driver-side in one
+    vectorized searchsorted pass (O(orders) int64s, ~16 bytes/row) and
+    broadcast, so the lineitem corpus streams ONCE with ZERO shuffles —
+    supplier and order attaches are broadcast lookups and every batch
+    pre-aggregates to the O(nations^2 x years) grain before one tiny
+    groupby. Above the route (orders or customer > threshold) the
+    distributed plan runs: size-routed customer attach, big-big
+    hash_join on orderkey, then the SAME batch partial aggregation so
+    the final all-to-all moves O(grain x blocks) rows, not the joined
+    corpus."""
+    from ray.data.aggregate import Sum
 
     from ..stages.joins import broadcast_join, hash_join
 
@@ -4042,35 +4051,6 @@ def nation_trade_matrix(sf_dir: str) -> pd.DataFrame:
             nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
         )
     }
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    try:
-        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
-    except Exception:
-        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
-    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
-        cust = pq.read_table(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-        )
-        cust = pa.table(
-            {
-                "c_custkey": pc.cast(cust["c_custkey"], pa.int64()),
-                "cust_nat": pc.cast(cust["c_nationkey"], pa.int64()),
-            }
-        )
-        orders = broadcast_join(orders, cust, key="o_custkey", right_key="c_custkey")
-    else:
-        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-            lambda t: pa.table(
-                {
-                    "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
-                    "cust_nat": pc.cast(t["c_nationkey"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        orders = hash_join(orders, cust_ds, key="o_custkey", right_key="c_custkey")
-    orders = orders.select_columns(["o_orderkey", "cust_nat"])
 
     supp = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
@@ -4095,21 +4075,100 @@ def nation_trade_matrix(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["supp_nat"], t["cust_nat"]))
+        t = pa.table(
+            {
+                "supp_nat": pc.cast(t["supp_nat"], pa.int64()),
+                "cust_nat": pc.cast(t["cust_nat"], pa.int64()),
+                "l_year": pc.cast(t["l_year"], pa.int64()),
+                "rev_dmc": pc.cast(t["rev_dmc"], pa.int64()),
+            }
+        )
+        g = t.group_by(["supp_nat", "cust_nat", "l_year"]).aggregate(
+            [("rev_dmc", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "supp_nat": g["supp_nat"],
+                "cust_nat": g["cust_nat"],
+                "l_year": g["l_year"],
+                "rev": pc.cast(g["rev_dmc_sum"], pa.int64()),
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
     items = _read(
         sf_dir, "lineitem",
         ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
     ).map_batches(_prep_items, batch_format="pyarrow")
     items = broadcast_join(items, supp, key="l_suppkey", right_key="s_suppkey")
-    joined = hash_join(items, orders, key="l_orderkey", right_key="o_orderkey")
-    joined = joined.map_batches(
-        lambda t: t.filter(pc.not_equal(t["supp_nat"], t["cust_nat"])),
-        batch_format="pyarrow",
-    )
+
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+        n_ord = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    except Exception:
+        n_cust = n_ord = _BROADCAST_SIDE_ROUTE_ROWS + 1
+
+    if max(n_cust, n_ord) <= _BROADCAST_SIDE_ROUTE_ROWS:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        ckey = np.asarray(cust["c_custkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cnat = np.asarray(cust["c_nationkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(ckey, kind="stable")
+        ckey, cnat = ckey[order], cnat[order]
+        otbl = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        okey = np.asarray(otbl["o_orderkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ocust = np.asarray(otbl["o_custkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        orders_map = pa.table(
+            {
+                "o_orderkey": pa.array(okey),
+                "cust_nat": pa.array(cnat[np.searchsorted(ckey, ocust)]),
+            }
+        )
+        joined = broadcast_join(
+            items, orders_map, key="l_orderkey", right_key="o_orderkey"
+        )
+    else:
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+            cust = pq.read_table(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+            )
+            cust = pa.table(
+                {
+                    "c_custkey": pc.cast(cust["c_custkey"], pa.int64()),
+                    "cust_nat": pc.cast(cust["c_nationkey"], pa.int64()),
+                }
+            )
+            orders = broadcast_join(
+                orders, cust, key="o_custkey", right_key="c_custkey"
+            )
+        else:
+            cust_ds = _read(
+                sf_dir, "customer", ["c_custkey", "c_nationkey"]
+            ).map_batches(
+                lambda t: pa.table(
+                    {
+                        "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                        "cust_nat": pc.cast(t["c_nationkey"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            orders = hash_join(orders, cust_ds, key="o_custkey", right_key="c_custkey")
+        orders = orders.select_columns(["o_orderkey", "cust_nat"])
+        joined = hash_join(items, orders, key="l_orderkey", right_key="o_orderkey")
+
     out = (
-        joined.groupby(["supp_nat", "cust_nat", "l_year"])
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["supp_nat", "cust_nat", "l_year"])
         .aggregate(
-            Sum("rev_dmc", alias_name="revenue_dmc"),
-            Count(alias_name="n_items"),
+            Sum("rev", alias_name="revenue_dmc"),
+            Sum("n", alias_name="n_items"),
         )
         .to_pandas()
     )
