@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "similar_supplier_names": q.similar_supplier_names,
+        "tax_charge_summary": q.tax_charge_summary,
         "local_clustering_customers": q.local_clustering_customers,
         "edge_jaccard_customers": q.edge_jaccard_customers,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
@@ -356,6 +358,33 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "similar_supplier_names": """
+            WITH g AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS k,
+                     list_distinct(list_transform(generate_series(1, length(s_name)-2),
+                                                  i -> substr(s_name, i, 3))) AS grams
+              FROM supplier WHERE length(s_name) >= 3
+            )
+            SELECT a.k AS key_a, b.k AS key_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+                   CAST(len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_union
+            FROM g a JOIN g b
+              ON a.k < b.k
+             AND len(a.grams) * 5 >= len(b.grams) * 4
+             AND len(b.grams) * 5 >= len(a.grams) * 4
+            WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
+                  4 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            ORDER BY key_a, key_b
+        """,
+        "tax_charge_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
         "local_clustering_customers": """
             WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),
             e AS (

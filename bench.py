@@ -361,6 +361,10 @@ def run_bench() -> dict:
          lambda: q.event_user_diversity(SF_DIR)),
         ("hapax_ratio_per_lang",
          lambda: q.hapax_ratio_per_lang(SF_DIR)),
+        ("similar_supplier_names",
+         lambda: q.similar_supplier_names(SF_DIR)),
+        ("tax_charge_summary",
+         lambda: q.tax_charge_summary(SF_DIR)),
         ("profit_by_nation_year",
          lambda: q.profit_by_nation_year(SF_DIR)),
         ("supplier_abc_classes",

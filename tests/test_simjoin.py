@@ -1,0 +1,95 @@
+"""Exact n-gram similarity self-join: prefix-filter completeness and
+threshold exactness against an all-pairs brute-force oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from webscrape_neko_jirushi_ray.stages.simjoin import (
+    _char_grams_raw_batch,
+    ngram_similarity_selfjoin,
+)
+
+
+def _brute(texts, n, tn, td):
+    grams = [set() for _ in texts]
+    for i, t in enumerate(texts):
+        t = t or ""
+        grams[i] = {t[j : j + n] for j in range(len(t) - n + 1)} if len(t) >= n else set()
+    out = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if not grams[i] or not grams[j]:
+                continue
+            k = len(grams[i] & grams[j])
+            u = len(grams[i] | grams[j])
+            if k * td >= tn * u:
+                out.append((i, j, k, u))
+    return sorted(out)
+
+
+def _run(ray_session, texts, threshold, tn, td, n=3):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "txt": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = (
+        ngram_similarity_selfjoin(
+            ds, id_col="rid", text_col="txt", n=n, threshold=threshold
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+    )
+    return sorted(
+        zip(
+            got["a"].astype(int),
+            got["b"].astype(int),
+            got["n_inter"].astype(int),
+            got["n_union"].astype(int),
+        )
+    )
+
+
+def test_simjoin_matches_bruteforce_random(ray_session):
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "zeta"]
+    texts = []
+    for _ in range(120):
+        k = rng.integers(1, 4)
+        texts.append(" ".join(rng.choice(words, k)))
+    texts += ["ab", "", "xyz", "xyz", "xyzw"]  # short / empty / exact-dup
+    assert _run(None, texts, 0.5, 1, 2) == _brute(texts, 3, 1, 2)
+
+
+def test_simjoin_exact_threshold_tie(ray_session):
+    # J exactly 0.6: |inter|=3, |union|=5 — the float-0.6 trap
+    # (0.6*5 = 3.0000000000000004 would drop it). grams("abcde")=
+    # {abc,bcd,cde}; "abcdefg" adds def,efg -> inter 3, union 5.
+    texts = ["abcde", "abcdefg"]
+    got = _run(None, texts, 0.6, 3, 5)
+    assert got == [(0, 1, 3, 5)]
+
+
+def test_simjoin_zero_pad_structure(ray_session):
+    # the supplier-name shape: shared long prefix, varying tail
+    texts = [f"Supplier#{i:09d}" for i in range(60)]
+    assert _run(None, texts, 0.8, 4, 5) == _brute(texts, 3, 4, 5)
+
+
+def test_simjoin_threshold_one_is_exact_dup_only(ray_session):
+    texts = ["hello world", "hello world", "hello worle"]
+    assert _run(None, texts, 1.0, 1, 1) == _brute(texts, 3, 1, 1)
+
+
+def test_char_grams_raw_batch_edges():
+    out = _char_grams_raw_batch(["", None, "ab", "abc", "aaaa"], 3)
+    assert [len(x) for x in out] == [0, 0, 0, 1, 1]  # "aaaa" -> {"aaa"}
+    for arr in out:
+        assert arr.dtype == np.uint64
+        assert (np.sort(arr) == arr).all()

@@ -102,6 +102,80 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def tax_charge_summary(sf_dir: str) -> pd.DataFrame:
+    """Tax-inclusive charge rollup — the full TPC-H Q1 charge expression
+    ``extendedprice * (1 - discount) * (1 + tax)`` per (returnflag,
+    linestatus), in exact 1e-6-scaled integer units (2+2+2 decimal
+    factors make the true product a multiple of 1e-6, so the per-row
+    scaled value sits epsilon-from-integer and Arrow/DuckDB round modes
+    cannot diverge). The only consumer of ``l_tax`` in the corpus.
+    Shuffle-free per-batch partials into a 6-group aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        charge = pc.multiply(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+            pc.add(pa.scalar(1.0), t["l_tax"]),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "charge_e6": _to_scaled_int(charge, 1_000_000),
+            }
+        )
+
+    out = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("charge_e6", alias_name="sum_charge_e6"),
+            Count(alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    out["sum_charge_e6"] = out["sum_charge_e6"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def similar_supplier_names(sf_dir: str) -> pd.DataFrame:
+    """EXACT string-similarity self-join (fuzzy join family): every
+    supplier pair whose raw char-3-gram Jaccard >= 0.8, with exact
+    intersection/union sizes — the AllPairs/PPJoin prefix-filter kernel
+    (:func:`..stages.simjoin.ngram_similarity_selfjoin`), not an LSH
+    approximation, so a full O(n^2) SQL cross join reproduces it
+    verbatim. The engine's zero-pad id naming makes near-identical
+    names structurally common, which is exactly the entity-resolution
+    shape this operator exists for."""
+    from ..stages.simjoin import ngram_similarity_selfjoin
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_name": pc.cast(t["s_name"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ngram_similarity_selfjoin(
+        ds, id_col="s_suppkey", text_col="s_name", n=3, threshold=0.8
+    ).to_pandas()
+    out = out.rename(columns={"a": "key_a", "b": "key_b"})
+    for c in ("key_a", "key_b", "n_inter", "n_union"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
 def filtered_lineitems(sf_dir: str) -> "ray.data.Dataset":
     """Row-level filter + computed projection (F-family/M-family analog):
     per-row arithmetic, no rounding needed."""

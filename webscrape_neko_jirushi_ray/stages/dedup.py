@@ -144,6 +144,8 @@ def _verify_pairs_cogroup(
     blob_col: str = "sh",
     num_partitions: int = _JOIN_PARTITIONS,
     batch_predicate=None,
+    batch_result=None,
+    extra_cols: dict | None = None,
 ) -> "ray.data.Dataset":
     """Distributed pair verification in TWO co-group shuffles (cheaper and
     empty-block-proof vs the 3-join plan it replaces):
@@ -161,10 +163,19 @@ def _verify_pairs_cogroup(
     a matrix); a scalar ``predicate(blob_a, blob_b)`` is wrapped in a loop
     over complete pairs only. The blob dataset streams through shuffle 1
     exactly once — same volume as the semi-join plan — and the driver
-    never sees a blob."""
-    if batch_predicate is None:
+    never sees a blob.
+
+    ``batch_result(blobs_a, blobs_b) -> (ok ndarray, extras dict)``
+    additionally RETURNS per-pair columns (full-length arrays, masked by
+    ``ok`` here) — the similarity-join path uses it to carry exact
+    intersection/union sizes out of the verify. Requires ``extra_cols``
+    ({name: pa.DataType}) so empty partitions emit the same schema."""
+    if batch_result is not None:
+        if extra_cols is None:
+            raise ValueError("batch_result requires extra_cols")
+    elif batch_predicate is None:
         if predicate is None:
-            raise ValueError("need predicate or batch_predicate")
+            raise ValueError("need predicate, batch_predicate or batch_result")
         _scalar = predicate
 
         def batch_predicate(blobs_a, blobs_b):  # noqa: F811
@@ -172,6 +183,15 @@ def _verify_pairs_cogroup(
             for i, (ba, bb) in enumerate(zip(blobs_a, blobs_b)):
                 out[i] = bool(_scalar(ba, bb))
             return out
+
+    extra_cols = extra_cols or {}
+    empty_out = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            **{nm: pa.array([], type=tp) for nm, tp in extra_cols.items()},
+        }
+    )
 
     nulls_bin = lambda n: pa.nulls(n, pa.binary())  # noqa: E731
 
@@ -271,7 +291,7 @@ def _verify_pairs_cogroup(
         keep_idx = order[first]
         a_u, b_u, ia_u = a_s[first], b_s[first], ia_s[first]
         if len(a_u) < 2:
-            return _EMPTY_PAIRS
+            return empty_out
         cand = (
             (a_u[:-1] == a_u[1:])
             & (b_u[:-1] == b_u[1:])
@@ -280,15 +300,26 @@ def _verify_pairs_cogroup(
         )
         ai = np.nonzero(cand)[0]
         if not len(ai):
-            return _EMPTY_PAIRS
+            return empty_out
         blobs_u = g["_blob"].combine_chunks().take(
             pa.array(keep_idx, type=pa.int64())
         )
-        ok = batch_predicate(
-            blobs_u.take(pa.array(ai, type=pa.int64())).to_pylist(),
-            blobs_u.take(pa.array(ai + 1, type=pa.int64())).to_pylist(),
-        )
-        ok = np.asarray(ok, dtype=bool)
+        ba = blobs_u.take(pa.array(ai, type=pa.int64())).to_pylist()
+        bb = blobs_u.take(pa.array(ai + 1, type=pa.int64())).to_pylist()
+        if batch_result is not None:
+            ok, extras = batch_result(ba, bb)
+            ok = np.asarray(ok, dtype=bool)
+            return pa.table(
+                {
+                    "a": pa.array(a_u[ai][ok], type=pa.int64()),
+                    "b": pa.array(b_u[ai][ok], type=pa.int64()),
+                    **{
+                        nm: pa.array(np.asarray(extras[nm])[ok], type=tp)
+                        for nm, tp in extra_cols.items()
+                    },
+                }
+            )
+        ok = np.asarray(batch_predicate(ba, bb), dtype=bool)
         return pa.table(
             {"a": pa.array(a_u[ai][ok], type=pa.int64()),
              "b": pa.array(b_u[ai][ok], type=pa.int64())}

@@ -1,0 +1,235 @@
+"""Exact set-similarity self-join (AllPairs/PPJoin prefix filtering).
+
+Finds every pair of rows whose char n-gram sets have Jaccard >= t,
+EXACTLY — no LSH recall loss — using the classic prefix-filter bound
+(Chaudhuri et al. SSJoin ICDE'06; Bayardo et al. WWW'07, public
+knowledge): under any global total order of grams, two sets with
+Jaccard(a, b) >= t must share at least one gram within their first
+``|x| - ceil(t * |x|) + 1`` grams. Ordering grams by ascending document
+frequency makes those prefixes the RAREST grams, so candidate buckets
+stay small.
+
+Scale plan: three passes over the (small-dim) input — gram partial-df,
+blob build, prefix emission — then ONE gram-bucket shuffle for
+candidate generation and the dedup machinery's two co-group shuffles
+for exact verification (:func:`dedup._verify_pairs_cogroup` with the
+``batch_result`` extension carrying exact intersection/union counts).
+Driver state is the gram document-frequency map, bounded by the char
+n-gram vocabulary (<= charset^n, ~10^5 for n=3 — document this bound
+before reusing the kernel on word grams, whose vocabulary is corpus-
+sized). Pairs never exist outside workers.
+
+Gram identity is the 64-bit keyed siphash the shingle/ngram dedup
+family already trusts (textkit._hash_strings): a miscount needs two
+distinct grams of the SAME pair of names to collide, ~2^-64 per gram
+pair — the same model the DuckDB-oracled ngram_dedup_docs runs under.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions import textkit
+from .dedup import _JOIN_PARTITIONS, _part_of, _verify_pairs_cogroup
+
+
+def _char_grams_raw_batch(texts: list[str | None], n: int) -> list[np.ndarray]:
+    """Per-row sorted unique uint64 hashes of the RAW char n-grams
+    (``text[i:i+n]`` for every position; no normalization, no short-text
+    fallback — rows shorter than n get an empty set), mirroring the SQL
+    ``substr(text, i, n) for i in 1..len-n+1`` definition exactly."""
+    grams_per_row: list[list[str]] = []
+    for t in texts:
+        t = t or ""
+        if len(t) < n:
+            grams_per_row.append([])
+        else:
+            grams_per_row.append([t[i : i + n] for i in range(len(t) - n + 1)])
+    gh = textkit._hash_strings([g for grams in grams_per_row for g in grams])
+    out: list[np.ndarray] = []
+    pos = 0
+    for grams in grams_per_row:
+        m = len(grams)
+        out.append(np.unique(gh[pos : pos + m]))
+        pos += m
+    return out
+
+
+def ngram_similarity_selfjoin(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    num_partitions: int = _JOIN_PARTITIONS,
+) -> "ray.data.Dataset":
+    """All (a < b) id pairs whose char n-gram Jaccard >= ``threshold``,
+    with exact ``n_inter`` / ``n_union`` columns. Rows with no grams
+    (text shorter than n) never pair."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    # exact rational threshold: every comparison below is integer math.
+    # Float t breaks ties catastrophically here — 0.6 * 5 is
+    # 3.0000000000000004 in IEEE, which flips BOTH the prefix length
+    # (ceil too big -> prefix too short -> MISSED pairs) and the final
+    # Jaccard test (k >= t*u false on exactly-threshold pairs the SQL
+    # oracle's integer cross-multiplication keeps).
+    from fractions import Fraction
+
+    _fr = Fraction(str(threshold))
+    tn, td = _fr.numerator, _fr.denominator
+
+    def _blob_fn(t: pa.Table) -> pa.Table:
+        hashes = _char_grams_raw_batch(t[text_col].to_pylist(), n)
+        keep = [i for i, h in enumerate(hashes) if len(h)]
+        ids = np.asarray(
+            t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "sh": pa.array(
+                    [hashes[i].tobytes() for i in keep], type=pa.binary()
+                ),
+            }
+        )
+
+    blobs = ds.map_batches(_blob_fn, batch_format="pyarrow").materialize()
+
+    # global gram document frequency: batch-local distinct already holds
+    # (blobs are per-row unique), so partials are (gram, 1) rows
+    def _df_partials(t: pa.Table) -> pa.Table:
+        gs = [np.frombuffer(b, dtype=np.uint64) for b in t["sh"].to_pylist()]
+        if not gs:
+            return pa.table(
+                {"g": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        allg = np.concatenate(gs)
+        uniq, cnt = np.unique(allg, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(uniq.view(np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        blobs.map_batches(_df_partials, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("c", alias_name="df"))
+        .to_pandas()
+    )
+    # driver state bound: char n-gram vocabulary (docstring contract)
+    gram_order = np.asarray(df_tbl["g"].to_numpy(), dtype=np.int64).view(np.uint64)
+    gram_df = np.asarray(df_tbl["df"].to_numpy(), dtype=np.int64)
+    sort_g = np.argsort(gram_order, kind="stable")
+    gram_order, gram_df = gram_order[sort_g], gram_df[sort_g]
+    import ray as _ray
+
+    df_ref = _ray.put((gram_order, gram_df))
+
+    def _prefix_rows(t: pa.Table) -> pa.Table:
+        go, gd = _ray.get(df_ref)
+        gs_out, id_out, len_out = [], [], []
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        for rid, blob in zip(ids, t["sh"].to_pylist()):
+            g = np.frombuffer(blob, dtype=np.uint64)
+            L = len(g)
+            p = L - (-(-tn * L) // td) + 1  # exact ceil(t*L)
+            dfs = gd[np.searchsorted(go, g)]
+            order = np.lexsort((g, dfs))
+            pref = g[order[:p]]
+            gs_out.append(pref)
+            id_out.append(np.full(len(pref), rid, dtype=np.int64))
+            len_out.append(np.full(len(pref), L, dtype=np.int64))
+        if not gs_out:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "L": pa.array([], pa.int64()),
+                    "_p": pa.array([], pa.int64()),
+                }
+            )
+        g_all = np.concatenate(gs_out)
+        return pa.table(
+            {
+                "g": pa.array(g_all.view(np.int64)),
+                "doc_id": pa.array(np.concatenate(id_out)),
+                "L": pa.array(np.concatenate(len_out)),
+                "_p": pa.array(_part_of(g_all, num_partitions)),
+            }
+        )
+
+    prefixes = blobs.map_batches(_prefix_rows, batch_format="pyarrow")
+
+    _EMPTY_CAND = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+
+    def _cand_pairs(grp: pa.Table) -> pa.Table:
+        g = grp["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = grp["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Ls = grp["L"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, g))
+        g, ids, Ls = g[order], ids[order], Ls[order]
+        bounds = np.nonzero(np.concatenate([[True], g[1:] != g[:-1]]))[0]
+        bounds = np.append(bounds, len(g))
+        a_out, b_out = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if hi - lo < 2:
+                continue
+            bids, bls = ids[lo:hi], Ls[lo:hi]
+            ii, jj = np.triu_indices(hi - lo, k=1)
+            # length filter: Jaccard >= t forces t*|x| <= |y| <= |x|/t
+            la, lb = bls[ii], bls[jj]
+            okl = (np.minimum(la, lb) * td >= tn * np.maximum(la, lb)) & (
+                bids[ii] != bids[jj]
+            )
+            if not okl.any():
+                continue
+            a_out.append(np.minimum(bids[ii][okl], bids[jj][okl]))
+            b_out.append(np.maximum(bids[ii][okl], bids[jj][okl]))
+        if not a_out:
+            return _EMPTY_CAND
+        stacked = np.unique(
+            np.stack([np.concatenate(a_out), np.concatenate(b_out)], axis=1),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "a": pa.array(stacked[:, 0], type=pa.int64()),
+                "b": pa.array(stacked[:, 1], type=pa.int64()),
+            }
+        )
+
+    cands = prefixes.groupby("_p").map_groups(_cand_pairs, batch_format="pyarrow")
+
+    def _jaccard_counts(blobs_a, blobs_b):
+        m = len(blobs_a)
+        ok = np.empty(m, dtype=bool)
+        inter = np.empty(m, dtype=np.int64)
+        union = np.empty(m, dtype=np.int64)
+        for i, (ba, bb) in enumerate(zip(blobs_a, blobs_b)):
+            a = np.frombuffer(ba, dtype=np.uint64)
+            b = np.frombuffer(bb, dtype=np.uint64)
+            k = len(np.intersect1d(a, b, assume_unique=True))
+            u = len(a) + len(b) - k
+            inter[i], union[i] = k, u
+            ok[i] = k * td >= tn * u  # integer-exact threshold test
+        return ok, {"n_inter": inter, "n_union": union}
+
+    return _verify_pairs_cogroup(
+        cands,
+        blobs,
+        num_partitions=num_partitions,
+        batch_result=_jaccard_counts,
+        extra_cols={"n_inter": pa.int64(), "n_union": pa.int64()},
+    )
