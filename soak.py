@@ -361,9 +361,58 @@ def soak_token_shuffle(tmp: str) -> dict:
     }
 
 
+def soak_simjoin(tmp: str) -> dict:
+    """Exact prefix-filtered similarity self-join over 150k 24-char
+    entity strings (62-char alphabet, ~216k-trigram vocabulary) with 5%
+    planted near-duplicates (1-char mutations, Jaccard ~0.84) — the
+    entity-resolution shape at 150x the bench supplier table. Random
+    non-dup strings land far below t, so the prefix filter must prune
+    ~11G raw pairs down to the planted ones."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.simjoin import (
+        ngram_similarity_selfjoin,
+    )
+
+    rng = np.random.default_rng(31)
+    n, slen = 150_000, 24
+    alpha = np.array(
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+    )
+    chars = alpha[rng.integers(0, len(alpha), (n, slen))]
+    # plant near-dups: last 5% of rows copy a random earlier row with
+    # one mutated position
+    n_dup = n // 20
+    src = rng.integers(0, n - n_dup, n_dup)
+    chars[n - n_dup :] = chars[src]
+    pos = rng.integers(0, slen, n_dup)
+    chars[np.arange(n - n_dup, n), pos] = alpha[
+        rng.integers(0, len(alpha), n_dup)
+    ]
+    texts = np.array(["".join(row) for row in chars], dtype=object)
+    _write(
+        tmp,
+        "sj/rows.parquet",
+        pa.table(
+            {
+                "rid": pa.array(np.arange(n, dtype=np.int64)),
+                "txt": pa.array(texts, pa.string()),
+            }
+        ),
+        row_group_size=10_000,
+    )
+    ds = ray.data.read_parquet(os.path.join(tmp, "sj"))
+    t0 = time.perf_counter()
+    out = ngram_similarity_selfjoin(
+        ds, id_col="rid", text_col="txt", n=3, threshold=0.7
+    ).to_pandas()
+    return {"sec": round(time.perf_counter() - t0, 2), "pairs": len(out)}
+
+
 SOAKS = {
     "sessionize": soak_sessionize,
     "token_shuffle": soak_token_shuffle,
+    "simjoin": soak_simjoin,
     "count_distinct": soak_count_distinct,
     "dense_index": soak_dense_index,
     "exact_dedup": soak_exact_dedup,

@@ -87,6 +87,26 @@ def test_simjoin_threshold_one_is_exact_dup_only(ray_session):
     assert _run(None, texts, 1.0, 1, 1) == _brute(texts, 3, 1, 1)
 
 
+def test_simjoin_all_texts_too_short(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array([1, 2, 3], pa.int64()),
+                "txt": pa.array(["a", "xy", ""], pa.string()),
+            }
+        )
+    )
+    res = ngram_similarity_selfjoin(
+        ds, id_col="rid", text_col="txt", n=3, threshold=0.5
+    )
+    assert res.count() == 0
+    # Ray's to_pandas drops the schema of an all-empty dataset, so pin
+    # the Arrow schema instead
+    assert [f.name for f in res.schema().base_schema] == [
+        "a", "b", "n_inter", "n_union",
+    ]
+
+
 def test_char_grams_raw_batch_edges():
     out = _char_grams_raw_batch(["", None, "ab", "abc", "aaaa"], 3)
     assert [len(x) for x in out] == [0, 0, 0, 1, 1]  # "aaaa" -> {"aaa"}

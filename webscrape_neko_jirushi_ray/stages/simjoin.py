@@ -125,6 +125,19 @@ def ngram_similarity_selfjoin(
         .aggregate(Sum("c", alias_name="df"))
         .to_pandas()
     )
+    if len(df_tbl) == 0 or "g" not in df_tbl.columns:
+        # no row has any gram (every text shorter than n): no pairs. The
+        # empty aggregate is also schema-less, so bail before indexing.
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n_inter": pa.array([], pa.int64()),
+                    "n_union": pa.array([], pa.int64()),
+                }
+            )
+        )
     # driver state bound: char n-gram vocabulary (docstring contract)
     gram_order = np.asarray(df_tbl["g"].to_numpy(), dtype=np.int64).view(np.uint64)
     gram_df = np.asarray(df_tbl["df"].to_numpy(), dtype=np.int64)
