@@ -23,6 +23,17 @@ Gram identity is the 64-bit keyed siphash the shingle/ngram dedup
 family already trusts (textkit._hash_strings): a miscount needs two
 distinct grams of the SAME pair of names to collide, ~2^-64 per gram
 pair — the same model the DuckDB-oracled ngram_dedup_docs runs under.
+
+Honest bounds (exactness forbids the caps the LSH family uses):
+- A clique of k IDENTICAL strings emits all k(k-1)/2 pairs — the
+  OUTPUT is quadratic in clique size because the answer is. Corpora
+  with massive exact-dup cliques (the part table: 64 distinct names
+  over 20k rows) should run exact_dedup first; this was measured, and
+  is why the registered query joins supplier names instead.
+- Low thresholds weaken the filter (prefix length ~ (1-t)L + 1), and
+  a tiny gram alphabet concentrates df — candidate volume is
+  O(sum over prefix-grams of bucket^2). The 150k-row soak (62-char
+  alphabet, t=0.7) is the reference point: ~11G raw pairs -> 31 s.
 """
 
 from __future__ import annotations
