@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "supplier_name_components": q.supplier_name_components,
         "similar_supplier_names": q.similar_supplier_names,
         "tax_charge_summary": q.tax_charge_summary,
         "local_clustering_customers": q.local_clustering_customers,
@@ -358,6 +359,41 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "supplier_name_components": """
+            WITH RECURSIVE
+            g AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS k,
+                     list_distinct(list_transform(generate_series(1, length(s_name)-2),
+                                                  i -> substr(s_name, i, 3))) AS grams
+              FROM supplier WHERE length(s_name) >= 3
+            ),
+            e AS (
+              SELECT a.k AS src, b.k AS dst
+              FROM g a JOIN g b
+                ON a.k < b.k
+               AND len(a.grams) * 5 >= len(b.grams) * 4
+               AND len(b.grams) * 5 >= len(a.grams) * 4
+              WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
+                    4 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            ),
+            sym AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT dst, src FROM e
+            ),
+            walk AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS node,
+                     CAST(s_suppkey AS BIGINT) AS reach
+              FROM supplier
+              UNION
+              SELECT w.node, s.dst
+              FROM walk w JOIN sym s ON s.src = w.reach
+            )
+            SELECT node AS s_suppkey, MIN(reach) AS component
+            FROM walk
+            GROUP BY node
+            ORDER BY s_suppkey
+        """,
         "similar_supplier_names": """
             WITH g AS (
               SELECT CAST(s_suppkey AS BIGINT) AS k,

@@ -363,6 +363,8 @@ def run_bench() -> dict:
          lambda: q.hapax_ratio_per_lang(SF_DIR)),
         ("similar_supplier_names",
          lambda: q.similar_supplier_names(SF_DIR)),
+        ("supplier_name_components",
+         lambda: q.supplier_name_components(SF_DIR)),
         ("tax_charge_summary",
          lambda: q.tax_charge_summary(SF_DIR)),
         ("profit_by_nation_year",

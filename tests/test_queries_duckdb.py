@@ -155,12 +155,12 @@ def test_components_distributed_route(ray_session, con, monkeypatch):
     from webscrape_neko_jirushi_ray.pipelines import queries as qmod
 
     monkeypatch.setattr(qmod, "_COMPONENTS_DRIVER_ROUTE_EDGES", 0)
-    name = "connected_components_customers"
-    got = _canon(_to_df(entrymod.queries()[name](SF_DIR)))
-    want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
-    assert len(got) == len(want)
-    for c in got.columns:
-        assert got[c].astype(str).equals(want[c].astype(str)), c
+    for name in ("connected_components_customers", "supplier_name_components"):
+        got = _canon(_to_df(entrymod.queries()[name](SF_DIR)))
+        want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+        assert len(got) == len(want), name
+        for c in got.columns:
+            assert got[c].astype(str).equals(want[c].astype(str)), (name, c)
 
 
 @pytest.mark.parametrize(

@@ -176,6 +176,45 @@ def similar_supplier_names(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
 
+def supplier_name_components(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END ENTITY RESOLUTION: group suppliers whose names are
+    near-identical (char-3-gram Jaccard >= 0.8) into canonical
+    components — the exact prefix-filtered similarity join
+    (:func:`..stages.simjoin.ngram_similarity_selfjoin`) feeding the
+    components machinery (:func:`_attach_components`: driver union-find
+    under the edge-count route, min-label pointer jumping above).
+    component = MIN suppkey reachable; suppliers with no similar name
+    keep their own id. Oracle: the O(n^2) gram join + recursive
+    transitive closure. Note the classic ER hazard this surfaces
+    honestly: zero-padded consecutive names chain (i ~ i+1 at t=0.8),
+    so the closure can merge far-apart ids through intermediate links —
+    at sf0.1 the whole supplier table collapses to one component, and
+    the oracle agrees; real deployments pick t per the linkage policy."""
+    from ..stages.simjoin import ngram_similarity_selfjoin
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_name": pc.cast(t["s_name"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        ngram_similarity_selfjoin(
+            supp, id_col="s_suppkey", text_col="s_name", n=3, threshold=0.8
+        )
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    nodes = supp.map_batches(
+        lambda t: pa.table({"node": t["s_suppkey"]}), batch_format="pyarrow"
+    )
+    out = _attach_components(nodes, pairs)
+    return out.rename(columns={"node": "s_suppkey"})
+
+
 def filtered_lineitems(sf_dir: str) -> "ray.data.Dataset":
     """Row-level filter + computed projection (F-family/M-family analog):
     per-row arithmetic, no rounding needed."""
@@ -2636,6 +2675,20 @@ def connected_components_customers(sf_dir: str) -> pd.DataFrame:
         lambda t: pa.table({"node": pc.cast(t["c_custkey"], pa.int64())}),
         batch_format="pyarrow",
     )
+    return _attach_components(nodes, pairs)
+
+
+def _attach_components(nodes, pairs) -> pd.DataFrame:
+    """(node, component) for every node, where component = MIN id
+    reachable over the (a, b) edge Dataset; isolated nodes keep their
+    own id. Size-routed on the EDGE count: a small edge list union-finds
+    on the driver and broadcasts the node→component map (distributed
+    rounds are pure fixed latency on tiny graphs); big graphs take the
+    dedup engine's min-label pointer-jumping kernel. ``pairs`` must be
+    materialized (counted + consumed)."""
+    from ..stages.dedup import components_label_propagation
+    from ..stages.joins import broadcast_join, hash_join
+
     if pairs.count() <= _COMPONENTS_DRIVER_ROUTE_EDGES:
         df = pairs.to_pandas()
         parent: dict[int, int] = {}
