@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "events_rolling_anomaly": q.events_rolling_anomaly,
         "supplier_name_components": q.supplier_name_components,
         "similar_supplier_names": q.similar_supplier_names,
         "tax_charge_summary": q.tax_charge_summary,
@@ -359,6 +360,25 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_rolling_anomaly": """
+            WITH w AS (
+              SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS v,
+                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER win AS BIGINT) AS s,
+                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                              * CAST(ROUND(value * 100) AS BIGINT)) OVER win AS BIGINT) AS ss,
+                     CAST(COUNT(*) OVER win AS BIGINT) AS n
+              FROM events
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+                   v AS v_cents, n AS n_window
+            FROM w
+            WHERE n >= 3 AND (v*n - s)*(v*n - s) > 4*(n*ss - s*s)
+            ORDER BY event_id
+        """,
         "supplier_name_components": """
             WITH RECURSIVE
             g AS (

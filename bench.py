@@ -365,6 +365,8 @@ def run_bench() -> dict:
          lambda: q.similar_supplier_names(SF_DIR)),
         ("supplier_name_components",
          lambda: q.supplier_name_components(SF_DIR)),
+        ("events_rolling_anomaly",
+         lambda: q.events_rolling_anomaly(SF_DIR)),
         ("tax_charge_summary",
          lambda: q.tax_charge_summary(SF_DIR)),
         ("profit_by_nation_year",

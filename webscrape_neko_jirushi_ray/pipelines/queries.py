@@ -1985,6 +1985,79 @@ def events_moving_sum(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_rolling_anomaly(sf_dir: str) -> pd.DataFrame:
+    """ROLLING z-score anomaly gate: events whose value lies beyond 2
+    rolling standard deviations of the SAME user's 4 PRECEDING events
+    (frame EXCLUDES the current row — including it caps the max
+    standardized deviation at sqrt(n-1) = 2, so a strict 2-sigma gate
+    over an inclusive 5-frame is provably empty; the streaming
+    complement of the global-moments ``event_value_anomalies``). All
+    integer math: with preceding-frame sums s = Σv, ss = Σv², n = frame
+    length, the |v - s/n| > 2σ test cross-multiplies to
+    ``(v*n - s)² > 4*(n*ss - s²)`` — exact on both sides (cents keep
+    every term ≤ ~1e12, far under int64). Frames shorter than 3
+    preceding events are skipped (a 2-sample σ flags noise).
+
+    Scale plan: Σv, Σv² and n come from ONE fused
+    :func:`relops.grouped_rolling_sum` pass (multi-column + count_col —
+    one bucket shuffle, one lexsort), then a shuffle-free vectorized
+    filter."""
+    from ..stages.relops import grouped_rolling_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = _to_scaled_int(t["value"], 100)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "v": v,
+                "v2": pc.multiply(v, v),
+            }
+        )
+
+    rolled = grouped_rolling_sum(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        group_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col=["v", "v2"],
+        out_col=["s", "ss"],
+        count_col="n",
+        preceding=4,
+    )
+
+    def _flag(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # kernel frames are current-inclusive; subtract the current row
+        # to get the 4-PRECEDING-to-1-PRECEDING moments
+        s = np.asarray(t["s"].to_numpy(zero_copy_only=False), dtype=np.int64) - v
+        ss = np.asarray(
+            t["ss"].to_numpy(zero_copy_only=False), dtype=np.int64
+        ) - v * v
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype=np.int64) - 1
+        d = v * n - s
+        keep = (n >= 3) & (d * d > 4 * (n * ss - s * s))
+        return pa.table(
+            {
+                "event_id": t["event_id"].filter(pa.array(keep)),
+                "user_id": t["user_id"].filter(pa.array(keep)),
+                "v_cents": t["v"].filter(pa.array(keep)),
+                "n_window": pa.array(n[keep]),
+            }
+        )
+
+    out = rolled.map_batches(_flag, batch_format="pyarrow").to_pandas()
+    cols = ["event_id", "user_id", "v_cents", "n_window"]
+    if out.empty:
+        # Ray's to_pandas drops the schema of an all-empty dataset
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[cols].sort_values("event_id").reset_index(drop=True)
+
+
 def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
     """Distributed interval join with BOTH sides large and OVERLAPPING
     ranges (stages/relops.range_join_bucketed): customers' balance values

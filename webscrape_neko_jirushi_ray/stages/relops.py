@@ -356,9 +356,10 @@ def grouped_rolling_sum(
     *,
     group_col: str,
     order_cols: list[str],
-    value_col: str,
-    out_col: str,
+    value_col: str | list[str],
+    out_col: str | list[str],
     preceding: int,
+    count_col: str | None = None,
     num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """``SUM(value_col) OVER (PARTITION BY group_col ORDER BY order_cols
@@ -373,7 +374,12 @@ def grouped_rolling_sum(
     int64 (scaled units) so the sums are order-independent and
     oracle-exact. Partitioning assumption: one bucket's rows fit in a
     worker.
-    """
+
+    ``value_col``/``out_col`` accept matched LISTS to fuse several
+    rolling sums into the one shuffle + lexsort (the attach_running_sum
+    fusion pattern — rolling moments need Σv and Σv² over the same
+    frame). ``count_col`` additionally emits the actual frame length
+    (``COUNT(*) OVER`` the same window), free from the shared bounds."""
     return _bucketed_prefix_sum(
         ds,
         group_col=group_col,
@@ -382,6 +388,7 @@ def grouped_rolling_sum(
         out_col=out_col,
         preceding=preceding,
         rank_col=None,
+        count_col=count_col,
         num_partitions=num_partitions,
     )
 
@@ -418,18 +425,27 @@ def _bucketed_prefix_sum(
     *,
     group_col: str,
     order_cols: list[str],
-    value_col: str,
-    out_col: str,
+    value_col: str | list[str],
+    out_col: str | list[str],
     preceding: int | None,
     rank_col: str | None,
     num_partitions: int,
+    count_col: str | None = None,
 ) -> "ray.data.Dataset":
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lists must match in length")
+
     def _window(g: pa.Table) -> pa.Table:
         g = g.drop_columns([_WB])
         if g.num_rows == 0:
-            g = g.append_column(out_col, pa.nulls(0, pa.int64()))
+            for oc in out_cols:
+                g = g.append_column(oc, pa.nulls(0, pa.int64()))
             if rank_col is not None:
                 g = g.append_column(rank_col, pa.nulls(0, pa.int64()))
+            if count_col is not None:
+                g = g.append_column(count_col, pa.nulls(0, pa.int64()))
             return g
         codes = _group_codes(g, group_col)
         order = np.lexsort(
@@ -437,16 +453,19 @@ def _bucketed_prefix_sum(
         )
         g = g.take(pa.array(order, pa.int64()))
         _, _, seg_start, _ = _segment_bounds(codes[order])
-        v = _int64_nonull(g[value_col], value_col)
-        cs0 = np.concatenate(([0], np.cumsum(v)))
         pos = np.arange(g.num_rows, dtype=np.int64)
         if preceding is None:
             lo = seg_start
         else:
             lo = np.maximum(pos + 1 - (preceding + 1), seg_start)
-        g = g.append_column(out_col, pa.array(cs0[pos + 1] - cs0[lo]))
+        for vc, oc in zip(value_cols, out_cols):
+            v = _int64_nonull(g[vc], vc)
+            cs0 = np.concatenate(([0], np.cumsum(v)))
+            g = g.append_column(oc, pa.array(cs0[pos + 1] - cs0[lo]))
         if rank_col is not None:
             g = g.append_column(rank_col, pa.array(pos - seg_start + 1))
+        if count_col is not None:
+            g = g.append_column(count_col, pa.array(pos + 1 - lo))
         return g
 
     return (
