@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "incremental_dedup_docs": q.incremental_dedup_docs,
         "events_rolling_anomaly": q.events_rolling_anomaly,
         "supplier_name_components": q.supplier_name_components,
         "similar_supplier_names": q.similar_supplier_names,
@@ -360,6 +361,29 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "incremental_dedup_docs": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       MD5(ARRAY_TO_STRING(
+                           (string_split(
+                               TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')),
+                               ' '))[1:8],
+                           ' ')) AS fp,
+                       CAST(substr(source, 4) AS INT) >= 10 AS is_new
+                FROM documents
+            ),
+            old_fps AS (SELECT DISTINCT fp FROM f WHERE NOT is_new),
+            nw AS (
+                SELECT doc_id, source, fp FROM f
+                WHERE is_new AND fp NOT IN (SELECT fp FROM old_fps)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+            FROM (SELECT doc_id, source,
+                         MIN(doc_id) OVER (PARTITION BY fp) AS md
+                  FROM nw)
+            WHERE doc_id = md
+            ORDER BY doc_id
+        """,
         "events_rolling_anomaly": """
             WITH w AS (
               SELECT event_id, CAST(user_id AS BIGINT) AS user_id,

@@ -367,6 +367,8 @@ def run_bench() -> dict:
          lambda: q.supplier_name_components(SF_DIR)),
         ("events_rolling_anomaly",
          lambda: q.events_rolling_anomaly(SF_DIR)),
+        ("incremental_dedup_docs",
+         lambda: q.incremental_dedup_docs(SF_DIR)),
         ("tax_charge_summary",
          lambda: q.tax_charge_summary(SF_DIR)),
         ("profit_by_nation_year",

@@ -2058,6 +2058,92 @@ def events_rolling_anomaly(sf_dir: str) -> pd.DataFrame:
     return out[cols].sort_values("event_id").reset_index(drop=True)
 
 
+def incremental_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL corpus dedup — the production "new dump vs existing
+    corpus" shape: sources src0-src9 are the EXISTING corpus, src10+
+    the NEW dump; a new doc survives iff its prefix fingerprint (same
+    8-token-head md5 as ``dedup_loss_by_source``) appears NOWHERE in
+    the existing corpus AND it is the first (min doc_id) among the new
+    dump's copies. The existing corpus is never rewritten — only its
+    fingerprints ride the shuffle.
+
+    Scale plan: ONE fingerprint-hash bucket shuffle co-locates every
+    copy of a fingerprint (old and new), so the anti-join AND the
+    keep-first collapse are bucket-local: per bucket one lexsort +
+    boundary masks (run-level any(old) via np.maximum.reduceat,
+    first-new via the run-start gather) — no driver state, no second
+    shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..functions import textkit
+
+        fps = [
+            hashlib.md5(
+                " ".join(
+                    textkit.normalize_for_fingerprint(t or "").split(" ")[:8]
+                ).encode("utf-8")
+            ).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        fp_u64 = np.array([int(f[:16], 16) for f in fps], dtype=np.uint64)
+        srcs = batch["source"].to_pylist()
+        is_new = np.array([int(s[3:]) >= 10 for s in srcs], dtype=bool)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "fp_md5": pa.array(fps, pa.string()),
+                "is_new": pa.array(is_new),
+                "_p": pa.array((fp_u64 % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def _keep(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        fps = np.asarray(g["fp_md5"].to_pylist(), dtype=object)
+        ids = np.asarray(
+            g["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        new = np.asarray(g["is_new"].to_numpy(zero_copy_only=False), dtype=bool)
+        order = np.lexsort((ids, fps))
+        sfp, sid, snew = fps[order], ids[order], new[order]
+        starts = np.nonzero(np.concatenate([[True], sfp[1:] != sfp[:-1]]))[0]
+        run_id = np.cumsum(np.concatenate([[True], sfp[1:] != sfp[:-1]])) - 1
+        has_old = np.maximum.reduceat((~snew).astype(np.int64), starts) > 0
+        # first new row of each run: rows are (fp, id)-sorted, so it is
+        # the earliest position in the run where is_new holds
+        cnew = np.cumsum(snew.astype(np.int64))
+        cnew0 = np.concatenate(([0], cnew))
+        new_before_in_run = cnew0[np.arange(len(sfp))] - cnew0[starts[run_id]]
+        keep = snew & (new_before_in_run == 0) & ~has_old[run_id]
+        kept_pos = order[keep]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].take(pa.array(kept_pos, pa.int64())),
+                "source": g["source"].take(pa.array(kept_pos, pa.int64())),
+            }
+        )
+
+    out = (
+        ds.map_batches(_fp, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(_keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
     """Distributed interval join with BOTH sides large and OVERLAPPING
     ranges (stages/relops.range_join_bucketed): customers' balance values
