@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "fuzzy_decontaminate_docs": q.fuzzy_decontaminate_docs,
         "incremental_dedup_docs": q.incremental_dedup_docs,
         "events_rolling_anomaly": q.events_rolling_anomaly,
         "supplier_name_components": q.supplier_name_components,
@@ -361,6 +362,31 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fuzzy_decontaminate_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(toks)-2),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+              FROM tok WHERE len(toks) >= 3
+            ),
+            bench AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+            hits AS (
+              SELECT DISTINCT c.doc_id
+              FROM corpus c JOIN bench b
+                ON len(list_intersect(c.g, b.g)) * 2 >=
+                   (len(c.g) + len(b.g) - len(list_intersect(c.g, b.g)))
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id
+            FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            ORDER BY doc_id
+        """,
         "incremental_dedup_docs": """
             WITH f AS (
                 SELECT doc_id, source,

@@ -369,6 +369,8 @@ def run_bench() -> dict:
          lambda: q.events_rolling_anomaly(SF_DIR)),
         ("incremental_dedup_docs",
          lambda: q.incremental_dedup_docs(SF_DIR)),
+        ("fuzzy_decontaminate_docs",
+         lambda: q.fuzzy_decontaminate_docs(SF_DIR)),
         ("tax_charge_summary",
          lambda: q.tax_charge_summary(SF_DIR)),
         ("profit_by_nation_year",

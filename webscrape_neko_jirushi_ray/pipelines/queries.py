@@ -2144,6 +2144,39 @@ def incremental_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def fuzzy_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy benchmark decontamination over the documents table: drop
+    corpus docs whose word-3-gram Jaccard with ANY benchmark doc
+    reaches 0.5 (paraphrase leakage the exact window matcher misses).
+    The fixture's stand-in benchmark = every 7th doc_id — at corpus
+    scale the benchmark is an external small set, which is exactly the
+    kernel's contract (:func:`..stages.spandedup.fuzzy_decontaminate`:
+    broadcast inverted index, zero corpus shuffle). Returns the kept
+    doc ids."""
+    from ..stages.spandedup import fuzzy_decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(want_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            is_b = ids % 7 == 0
+            return t.filter(pa.array(is_b if want_bench else ~is_b))
+
+        return _f
+
+    bench = ds.map_batches(_split(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_split(False), batch_format="pyarrow")
+    kept = fuzzy_decontaminate(corpus, bench, k=3, threshold=0.5)
+    out = kept.select_columns(["doc_id"]).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def range_join_price_bands(sf_dir: str) -> pd.DataFrame:
     """Distributed interval join with BOTH sides large and OVERLAPPING
     ranges (stages/relops.range_join_bucketed): customers' balance values

@@ -347,3 +347,130 @@ def decontaminate(
         return batch.filter(pa.array(keep))
 
     return docs.map_batches(_clean, batch_format="pyarrow", batch_size=1024)
+
+
+def _shingle_sets_ws_batch(col, k: int):
+    """Vectorized per-row DISTINCT word-k-gram shingle hashes over an
+    Arrow string column (RAW ``\\s+`` tokens — no normalization, the SQL
+    ``string_split(trim(regexp_replace(text,'\\s+',' ','g')),' ')``
+    convention). Returns ``(own_u, h_u, nrows)``: parallel arrays of
+    (row index, shingle hash) over the batch's distinct (row, shingle)
+    pairs — rows with fewer than k tokens contribute nothing."""
+    from ..functions.textkit import flat_tokens_ws_arrow
+
+    flat, ptr = flat_tokens_ws_arrow(col)
+    nrows = len(ptr) - 1
+    m = len(flat)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64), nrows)
+    if m < k:
+        return empty
+    owner = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(ptr))
+    valid = owner[: m - k + 1] == owner[k - 1 :]
+    if not valid.any():
+        return empty
+    parts = [flat.slice(j, m - k + 1) for j in range(k)]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    if isinstance(sh, pa.ChunkedArray):
+        sh = sh.combine_chunks()
+    sh = sh.filter(pa.array(valid))
+    own = owner[: m - k + 1][valid]
+    enc = pc.dictionary_encode(sh)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    h = _hash_strings(list(vocab))[idx]
+    # distinct (row, shingle) pairs via one lexsort + boundary mask
+    order = np.lexsort((h, own))
+    own_s, h_s = own[order], h[order]
+    first = np.concatenate(
+        [[True], (own_s[1:] != own_s[:-1]) | (h_s[1:] != h_s[:-1])]
+    )
+    return own_s[first], h_s[first], nrows
+
+
+def fuzzy_decontaminate(
+    docs: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """FUZZY benchmark decontamination — the near-duplicate complement
+    of :func:`decontaminate`: drop every training doc whose word-k-gram
+    shingle-set Jaccard with ANY benchmark doc reaches ``threshold``
+    (paraphrased / lightly-edited leakage that exact window matching
+    misses). Docs with fewer than k tokens are dropped (no shingle set
+    to clear them — the conservative call, matching the SQL oracle's
+    ``len(toks) >= k`` corpus definition).
+
+    Scale plan: the benchmark is SMALL by contract (eval suites vs a
+    100-TB corpus), so its shingle INVERTED INDEX (one sorted hash
+    array + parallel bench-doc owner ids + per-bench set sizes) is
+    built once and shipped once via ``ray.put``; each corpus batch then
+    runs ONE searchsorted of its distinct (row, shingle) pairs against
+    the index, expands only the matches, and accumulates per
+    (doc, bench) intersection counts with a bincount-style unique —
+    zero corpus shuffle, work linear in matches, not in
+    |corpus| x |benchmark|. Threshold math is exact rational
+    cross-multiplication (the simjoin float-tie lesson)."""
+    from fractions import Fraction
+
+    _fr = Fraction(str(threshold))
+    tn, td = _fr.numerator, _fr.denominator
+
+    bench_hash: list[np.ndarray] = []
+    bench_owner: list[np.ndarray] = []
+    lens_b: list[int] = []
+    n_bench = 0
+    for b in benchmark.map_batches(
+        lambda t: t.select([text_col]), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        own_u, h_u, nrows = _shingle_sets_ws_batch(b[text_col], k)
+        counts = np.bincount(own_u, minlength=nrows)
+        for r in range(nrows):
+            lens_b.append(int(counts[r]))
+        bench_hash.append(h_u)
+        bench_owner.append(own_u + n_bench)
+        n_bench += nrows
+    if n_bench and bench_hash:
+        H = np.concatenate(bench_hash)
+        O = np.concatenate(bench_owner)
+        s = np.argsort(H, kind="stable")
+        H, O = H[s], O[s]
+    else:
+        H = np.empty(0, dtype=np.uint64)
+        O = np.empty(0, dtype=np.int64)
+    LB = np.asarray(lens_b, dtype=np.int64)
+    idx_ref = ray.put((H, O, LB))
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        H, O, LB = ray.get(idx_ref)
+        own_u, h_u, nrows = _shingle_sets_ws_batch(batch[text_col], k)
+        doc_len = np.bincount(own_u, minlength=nrows)
+        hit = np.zeros(nrows, dtype=bool)
+        if len(H) and len(h_u):
+            lo = np.searchsorted(H, h_u, side="left")
+            hi = np.searchsorted(H, h_u, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot:
+                doc_rep = np.repeat(own_u, cnt)
+                base = np.repeat(lo, cnt)
+                off = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                bench_rep = O[base + off]
+                pair = doc_rep * np.int64(len(LB)) + bench_rep
+                upair, inter = np.unique(pair, return_counts=True)
+                d_i = (upair // len(LB)).astype(np.int64)
+                b_i = (upair % len(LB)).astype(np.int64)
+                union = doc_len[d_i] + LB[b_i] - inter
+                bad = inter * td >= tn * union
+                hit[np.unique(d_i[bad])] = True
+        keep = (~hit) & (doc_len > 0)
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(_clean, batch_format="pyarrow")
