@@ -409,10 +409,67 @@ def soak_simjoin(tmp: str) -> dict:
     return {"sec": round(time.perf_counter() - t0, 2), "pairs": len(out)}
 
 
+def soak_fuzzy_decon(tmp: str) -> dict:
+    """fuzzy_decontaminate over 300k docs x ~60 zipfian tokens vs a
+    1,000-doc benchmark (every 300th doc verbatim -> those dup rows and
+    near-identical neighbors must drop): the broadcast-inverted-index
+    probe at 600x the bench corpus. Work should be linear in matches —
+    random zipfian docs rarely clear Jaccard 0.5."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.spandedup import (
+        fuzzy_decontaminate,
+    )
+
+    rng = np.random.default_rng(29)
+    n_docs, vocab_n = 300_000, 200_000
+    vocab = np.array(["w%06d" % i for i in range(vocab_n)], dtype=object)
+    lens = rng.integers(20, 100, n_docs)
+    total = int(lens.sum())
+    ids = (rng.random(total) ** 2 * vocab_n).astype(np.int64)
+    flat = vocab[ids]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    texts = np.array(
+        [" ".join(flat[offs[i] : offs[i + 1]]) for i in range(n_docs)],
+        dtype=object,
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    shard = (n_docs + 15) // 16
+    for i in range(16):
+        _write(
+            tmp,
+            f"fd/docs.parquet/part-{i:02d}.parquet",
+            tbl.slice(i * shard, shard),
+            row_group_size=10_000,
+        )
+    docs = ray.data.read_parquet(os.path.join(tmp, "fd"))
+
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        did = np.asarray(
+            t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        return t.filter(pa.array(did % 300 == 0))
+
+    bench = docs.map_batches(_bench_rows, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    kept = fuzzy_decontaminate(docs, bench, k=3, threshold=0.5).count()
+    return {
+        "sec": round(time.perf_counter() - t0, 2),
+        "kept": kept,
+        "dropped": n_docs - kept,
+    }
+
+
 SOAKS = {
     "sessionize": soak_sessionize,
     "token_shuffle": soak_token_shuffle,
     "simjoin": soak_simjoin,
+    "fuzzy_decon": soak_fuzzy_decon,
     "count_distinct": soak_count_distinct,
     "dense_index": soak_dense_index,
     "exact_dedup": soak_exact_dedup,
