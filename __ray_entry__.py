@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pairing.
     return {
         # --- round-4 additions (newest first) ----------------------------
+        "supplier_name_typos": q.supplier_name_typos,
         "fuzzy_decontaminate_docs": q.fuzzy_decontaminate_docs,
         "incremental_dedup_docs": q.incremental_dedup_docs,
         "events_rolling_anomaly": q.events_rolling_anomaly,
@@ -463,6 +464,15 @@ def oracle_sql() -> dict[str, str]:
             FROM walk
             GROUP BY node
             ORDER BY s_suppkey
+        """,
+        "supplier_name_typos": """
+            SELECT CAST(a.s_suppkey AS BIGINT) AS key_a,
+                   CAST(b.s_suppkey AS BIGINT) AS key_b,
+                   CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
+            ORDER BY key_a, key_b
         """,
         "similar_supplier_names": """
             WITH g AS (

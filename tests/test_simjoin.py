@@ -113,3 +113,108 @@ def test_char_grams_raw_batch_edges():
     for arr in out:
         assert arr.dtype == np.uint64
         assert (np.sort(arr) == arr).all()
+
+# ---------------------------------------------------------------------------
+# edit-distance self-join (symmetric-delete candidates + banded-DP verify)
+# ---------------------------------------------------------------------------
+
+from webscrape_neko_jirushi_ray.stages.simjoin import (  # noqa: E402
+    _deletion_variants,
+    _levenshtein_banded,
+    edit_distance_selfjoin,
+)
+
+
+def _lev_full(a, b):
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j - 1] + (0 if a[i - 1] == b[j - 1] else 1),
+                prev[j] + 1,
+                cur[j - 1] + 1,
+            )
+        prev = cur
+    return prev[lb]
+
+
+def test_levenshtein_banded_vs_full_random():
+    rng = np.random.default_rng(7)
+    alpha = list("abc")
+    for _ in range(400):
+        la, lb = rng.integers(0, 9, size=2)
+        a = "".join(rng.choice(alpha, la))
+        b = "".join(rng.choice(alpha, lb))
+        true = _lev_full(a, b)
+        for k in (0, 1, 2, 3):
+            got = _levenshtein_banded(a, b, k)
+            if true <= k:
+                assert got == true, (a, b, k)
+            else:
+                assert got > k, (a, b, k)
+
+
+def test_deletion_variants_counts():
+    assert _deletion_variants("abc", 0) == {"abc"}
+    assert _deletion_variants("abc", 1) == {"abc", "ab", "ac", "bc"}
+    assert "" in _deletion_variants("ab", 2)
+    # repeated chars collapse duplicates
+    assert _deletion_variants("aaa", 1) == {"aaa", "aa"}
+
+
+def _brute_edit(texts, k):
+    out = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _lev_full(texts[i] or "", texts[j] or "")
+            if d <= k:
+                out.append((i, j, d))
+    return sorted(out)
+
+
+def _run_edit(texts, k):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "txt": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = edit_distance_selfjoin(ds, id_col="rid", text_col="txt", k=k).to_pandas()
+    return sorted(
+        zip(got["a"].astype(int), got["b"].astype(int), got["edit_dist"].astype(int))
+    )
+
+
+def test_edit_join_matches_bruteforce_random(ray_session):
+    rng = np.random.default_rng(23)
+    alpha = list("ab")  # tiny alphabet -> dense near-matches
+    texts = [
+        "".join(rng.choice(alpha, rng.integers(0, 7))) for _ in range(90)
+    ]
+    texts += ["", "", "a", "b", "ab", "ba"]
+    for k in (0, 1, 2):
+        assert _run_edit(texts, k) == _brute_edit(texts, k), k
+
+
+def test_edit_join_zero_pad_names(ray_session):
+    texts = [f"Supplier#{i:09d}" for i in range(40)]
+    assert _run_edit(texts, 1) == _brute_edit(texts, 1)
+
+
+def test_edit_join_unicode(ray_session):
+    texts = ["ねこ", "ねこじるし", "ねこじるしA", "ねここ", "いぬ"]
+    for k in (1, 2):
+        assert _run_edit(texts, k) == _brute_edit(texts, k), k
+
+
+def test_edit_join_empty_input(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"rid": pa.array([], pa.int64()), "txt": pa.array([], pa.string())})
+    )
+    res = edit_distance_selfjoin(ds, id_col="rid", text_col="txt", k=1)
+    assert res.count() == 0
+    assert [f.name for f in res.schema().base_schema] == ["a", "b", "edit_dist"]

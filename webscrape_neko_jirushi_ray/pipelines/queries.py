@@ -176,6 +176,35 @@ def similar_supplier_names(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
 
+def supplier_name_typos(sf_dir: str) -> pd.DataFrame:
+    """EXACT edit-distance self-join (the typo/fat-finger linkage shape):
+    every supplier pair whose names are within Levenshtein distance 1,
+    with the exact distance — symmetric-delete candidate generation +
+    banded-DP verify (:func:`..stages.simjoin.edit_distance_selfjoin`),
+    zero driver state, no recall loss, so the O(n^2) SQL ``levenshtein``
+    cross join reproduces it verbatim. On zero-padded id-style names
+    distance 1 means "one digit differs" — the classic record-linkage
+    candidate set."""
+    from ..stages.simjoin import edit_distance_selfjoin
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_name": pc.cast(t["s_name"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = edit_distance_selfjoin(
+        ds, id_col="s_suppkey", text_col="s_name", k=1
+    ).to_pandas()
+    out = out.rename(columns={"a": "key_a", "b": "key_b"})
+    for c in ("key_a", "key_b", "edit_dist"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
 def supplier_name_components(sf_dir: str) -> pd.DataFrame:
     """END-TO-END ENTITY RESOLUTION: group suppliers whose names are
     near-identical (char-3-gram Jaccard >= 0.8) into canonical
