@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 additions (newest first) ----------------------------
         "supplier_name_typos": q.supplier_name_typos,
+        "concurrent_activity_spans": q.concurrent_activity_spans,
+        "order_price_equiwidth_hist": q.order_price_equiwidth_hist,
+        "weighted_sample_docs": q.weighted_sample_docs,
+        "event_type_trigrams": q.event_type_trigrams,
         "fuzzy_decontaminate_docs": q.fuzzy_decontaminate_docs,
         "incremental_dedup_docs": q.incremental_dedup_docs,
         "events_rolling_anomaly": q.events_rolling_anomaly,
@@ -464,6 +468,67 @@ def oracle_sql() -> dict[str, str]:
             FROM walk
             GROUP BY node
             ORDER BY s_suppkey
+        """,
+        "order_price_equiwidth_hist": """
+            WITH c AS (
+                SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), mm AS (
+                SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+                       MAX(cents) - MIN(cents) + 1 AS span
+                FROM c
+            )
+            SELECT CAST((cents - lo) * 32 // span AS BIGINT) AS bin,
+                   CAST(lo + ((cents - lo) * 32 // span) * span // 32
+                        AS BIGINT) AS bin_lo_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM c, mm
+            GROUP BY 1, 2
+            ORDER BY 1
+        """,
+        "weighted_sample_docs": """
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(GREATEST(length(text), 1) AS BIGINT) AS n_chars,
+                       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 12
+                            AS DOUBLE)
+                           / CAST(GREATEST(length(text), 1) AS DOUBLE) AS w_key
+                FROM documents
+            )
+            SELECT doc_id, n_chars, w_key
+            FROM k ORDER BY w_key, doc_id LIMIT 50
+        """,
+        "event_type_trigrams": """
+            WITH w AS (
+                SELECT event_type AS t3,
+                       LAG(event_type, 1) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS t2,
+                       LAG(event_type, 2) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS t1
+                FROM events
+            )
+            SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM w WHERE t1 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "concurrent_activity_spans": """
+            WITH spans AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS day,
+                       MIN(ts) AS s, MAX(ts) AS e
+                FROM events GROUP BY 1, 2
+            )
+            SELECT a.user_id, a.day,
+                   CAST(COUNT(b.user_id) AS BIGINT) AS n_overlap
+            FROM spans a LEFT JOIN spans b
+              ON a.s <= b.e AND b.s <= a.e
+             AND (a.user_id <> b.user_id OR a.day <> b.day)
+            GROUP BY a.user_id, a.day
+            ORDER BY a.user_id, a.day
         """,
         "supplier_name_typos": """
             SELECT CAST(a.s_suppkey AS BIGINT) AS key_a,

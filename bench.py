@@ -363,6 +363,12 @@ def run_bench() -> dict:
          lambda: q.hapax_ratio_per_lang(SF_DIR)),
         ("similar_supplier_names",
          lambda: q.similar_supplier_names(SF_DIR)),
+        ("supplier_name_typos",
+         lambda: q.supplier_name_typos(SF_DIR)),
+        ("concurrent_activity_spans",
+         lambda: q.concurrent_activity_spans(SF_DIR)),
+        ("event_type_trigrams",
+         lambda: q.event_type_trigrams(SF_DIR)),
         ("supplier_name_components",
          lambda: q.supplier_name_components(SF_DIR)),
         ("events_rolling_anomaly",

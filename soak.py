@@ -465,8 +465,112 @@ def soak_fuzzy_decon(tmp: str) -> dict:
     }
 
 
+def soak_edit_join(tmp: str) -> dict:
+    """Exact edit-distance self-join (k=1) over 200k 20-char entity
+    strings with 5% planted single-char typos — symmetric-delete
+    signatures mean 21 variant rows per string (4.2M-row bucket
+    shuffle), zero driver state. Random 62-alphabet strings essentially
+    never collide, so found pairs ≈ planted typos (+ mutation
+    coincidences)."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.simjoin import edit_distance_selfjoin
+
+    rng = np.random.default_rng(37)
+    n, slen = 200_000, 20
+    alpha = np.array(
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+    )
+    chars = alpha[rng.integers(0, len(alpha), (n, slen))]
+    n_dup = n // 20
+    src = rng.integers(0, n - n_dup, n_dup)
+    chars[n - n_dup :] = chars[src]
+    pos = rng.integers(0, slen, n_dup)
+    chars[np.arange(n - n_dup, n), pos] = alpha[rng.integers(0, len(alpha), n_dup)]
+    texts = np.array(["".join(row) for row in chars], dtype=object)
+    tbl = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "txt": pa.array(texts, pa.string()),
+        }
+    )
+    shard = (n + 15) // 16
+    for i in range(16):
+        _write(
+            tmp,
+            f"ej/rows.parquet/part-{i:02d}.parquet",
+            tbl.slice(i * shard, shard),
+            row_group_size=10_000,
+        )
+    ds = ray.data.read_parquet(os.path.join(tmp, "ej"))
+    t0 = time.perf_counter()
+    out = edit_distance_selfjoin(ds, id_col="rid", text_col="txt", k=1).to_pandas()
+    return {
+        "sec": round(time.perf_counter() - t0, 2),
+        "pairs": len(out),
+        "planted": int(n_dup),
+    }
+
+
+def soak_interval_overlap(tmp: str) -> dict:
+    """interval_overlap_counts over 5M intervals (~1000 mean overlap
+    degree: the pair set is ~2.5G — counts stay linear). Runs the
+    DISTRIBUTED bucket-rank route (route-forced) and cross-checks it
+    against the driver-lexsort route on the identical input: totals and
+    a 1,000-row sample must match exactly."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import interval_overlap_counts
+
+    rng = np.random.default_rng(41)
+    n = 5_000_000
+    s = rng.integers(0, 1_000_000_000, n).astype(np.int64)
+    e = s + rng.integers(0, 200_000, n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array(s),
+            "e": pa.array(e),
+        }
+    )
+    shard = (n + 15) // 16
+    for i in range(16):
+        _write(
+            tmp,
+            f"iv/spans.parquet/part-{i:02d}.parquet",
+            tbl.slice(i * shard, shard),
+            row_group_size=200_000,
+        )
+    ds = ray.data.read_parquet(os.path.join(tmp, "iv"))
+    t0 = time.perf_counter()
+    dist = interval_overlap_counts(
+        ds, id_cols=["rid"], start_col="s", end_col="e",
+        small_max_rows=0, num_buckets=4096,
+    ).to_pandas()
+    dist_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    drv = interval_overlap_counts(
+        ds, id_cols=["rid"], start_col="s", end_col="e",
+    ).to_pandas()
+    drv_sec = round(time.perf_counter() - t0, 2)
+    a = dist.sort_values("rid").reset_index(drop=True)
+    b = drv.sort_values("rid").reset_index(drop=True)
+    assert int(a["n_overlap"].sum()) == int(b["n_overlap"].sum())
+    idx = rng.integers(0, n, 1000)
+    assert (
+        a["n_overlap"].to_numpy()[idx] == b["n_overlap"].to_numpy()[idx]
+    ).all()
+    return {
+        "dist_sec": dist_sec,
+        "driver_sec": drv_sec,
+        "mean_overlap": round(float(a["n_overlap"].mean()), 1),
+    }
+
+
 SOAKS = {
     "sessionize": soak_sessionize,
+    "edit_join": soak_edit_join,
+    "interval_overlap": soak_interval_overlap,
     "token_shuffle": soak_token_shuffle,
     "simjoin": soak_simjoin,
     "fuzzy_decon": soak_fuzzy_decon,

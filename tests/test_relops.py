@@ -799,3 +799,85 @@ def test_grouped_rolling_max_matches_pandas(ray_session):
         .reset_index(level=0, drop=True)
     )
     pd.testing.assert_series_equal(got["rm"], want["rm"], check_names=False)
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_counts: both routes vs the O(n^2) brute force
+# ---------------------------------------------------------------------------
+
+
+def _overlap_brute(ids, s, e):
+    n = len(s)
+    out = []
+    for i in range(n):
+        c = sum(
+            1
+            for j in range(n)
+            if j != i and s[i] <= e[j] and s[j] <= e[i]
+        )
+        out.append((ids[i], c))
+    return sorted(out)
+
+
+def _overlap_run(ray_session, ids, s, e, **kw):
+    import pyarrow as pa
+
+    import ray.data
+    from webscrape_neko_jirushi_ray.stages.relops import interval_overlap_counts
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array(np.asarray(ids, dtype=np.int64)),
+                "s": pa.array(np.asarray(s, dtype=np.int64)),
+                "e": pa.array(np.asarray(e, dtype=np.int64)),
+            }
+        )
+    )
+    res = interval_overlap_counts(
+        ds, id_cols=["rid"], start_col="s", end_col="e", **kw
+    )
+    # Ray's to_pandas drops the schema of an all-empty dataset; pin the
+    # Arrow schema instead and return no rows
+    if res.count() == 0:
+        assert [f.name for f in res.schema().base_schema] == ["rid", "n_overlap"]
+        return []
+    got = res.to_pandas()
+    return sorted(zip(got["rid"].astype(int), got["n_overlap"].astype(int)))
+
+
+def test_interval_overlap_both_routes_match_brute(ray_session):
+    rng = np.random.default_rng(31)
+    n = 300
+    s = rng.integers(0, 5000, n)
+    e = s + rng.integers(0, 400, n)
+    ids = np.arange(n)
+    want = _overlap_brute(ids, s, e)
+    assert _overlap_run(None, ids, s, e) == want  # driver route
+    # distributed route (route-forced), incl. tiny bucket count for
+    # multi-interval buckets and the clamped edge buckets
+    assert _overlap_run(None, ids, s, e, small_max_rows=0, num_buckets=7) == want
+    assert _overlap_run(None, ids, s, e, small_max_rows=0, num_buckets=2048) == want
+
+
+def test_interval_overlap_edge_semantics(ray_session):
+    # closed intervals: touching endpoints DO overlap; identical rows
+    # count each other; disjoint rows report 0
+    ids = [1, 2, 3, 4, 5]
+    s = [0, 10, 10, 50, 0]
+    e = [10, 20, 20, 60, 10]
+    want = _overlap_brute(ids, s, e)
+    assert _overlap_run(None, ids, s, e) == want
+    assert _overlap_run(None, ids, s, e, small_max_rows=0, num_buckets=3) == want
+    assert dict(want)[4] == 0
+
+
+def test_interval_overlap_rejects_malformed(ray_session):
+    import pytest
+
+    with pytest.raises(Exception, match="s > e|malformed|row"):
+        _overlap_run(None, [1], [5], [4])
+
+
+def test_interval_overlap_empty(ray_session):
+    assert _overlap_run(None, [], [], []) == []

@@ -4239,6 +4239,195 @@ def large_volume_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def concurrent_activity_spans(sf_dir: str) -> pd.DataFrame:
+    """Per user-day activity span (first..last event, closed interval),
+    the COUNT of other user-day spans that overlap it in time — the
+    interval self-join collapsed to linear output
+    (:func:`..stages.relops.interval_overlap_counts`: the rank identity
+    ``|starts <= e| - |ends < s| - 1`` answered by two searchsorteds, no
+    pair ever materialized; size-routed driver lexsort vs bucketed rank
+    shuffle). The spans themselves are a per-batch Arrow group_by partial
+    + one combiner-reduced Min/Max groupby.
+
+    Oracle: the O(n^2) inequality join (DuckDB IEJoin) aggregated to
+    counts — LEFT join so zero-overlap spans keep n_overlap = 0."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.relops import interval_overlap_counts
+
+    _US_DAY = 86_400_000_000
+
+    def _partials(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "day": pc.divide(ts, pa.scalar(_US_DAY, pa.int64())),
+                    "s": ts,
+                    "e": ts,
+                }
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([("s", "min"), ("e", "max")])
+        )
+        return g.rename_columns(["user_id", "day", "s", "e"])
+
+    spans = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+    )
+    out = interval_overlap_counts(
+        spans, id_cols=["user_id", "day"], start_col="s", end_col="e"
+    ).to_pandas()
+    for c in ("user_id", "day", "n_overlap"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def order_price_equiwidth_hist(sf_dir: str) -> pd.DataFrame:
+    """Equal-WIDTH histogram of order value (32 bins spanning the exact
+    observed [min, max] cents range) — the data-profiling complement of
+    the group-by-value histogram (part_size_histogram) and the
+    quantile (equal-depth) family: two passes, a Min/Max aggregate then
+    a per-batch bin partial + one combiner-reduced groupby. All bin
+    math is integer (``(cents - lo) * 32 // (hi - lo + 1)``), so the
+    SQL oracle reproduces every boundary bit-for-bit."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    NB = 32
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda t: pa.table({"cents": _to_scaled_int(t["o_totalprice"], 100)}),
+        batch_format="pyarrow",
+    ).materialize()
+    mm = ds.aggregate(Min("cents", alias_name="lo"), Max("cents", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+
+    def _bins(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b, n = np.unique((c - lo) * NB // span, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(b.astype(np.int64)), "n": pa.array(n.astype(np.int64))}
+        )
+
+    out = (
+        ds.map_batches(_bins, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["bin_lo_cents"] = lo + out["bin"].astype("int64") * span // NB
+    for c in ("bin", "n_orders", "bin_lo_cents"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["bin", "bin_lo_cents", "n_orders"]]
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+
+
+def weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic WEIGHTED sample (Efraimidis–Spirakis style, RNG-free):
+    top-50 docs by the key ``md5_52bit(doc_id) / weight`` with weight =
+    char length — long docs proportionally likelier, yet the selection is
+    reproducible on every node/rerun like the repo's other hash samples.
+    Exactness: the 52-bit hash and the weight are both exactly
+    representable doubles, so the single IEEE division is bit-identical
+    in numpy and DuckDB; ties are impossible across distinct doc_ids at
+    equal keys only if hashes collide, and (key, doc_id) ordering pins
+    the limit deterministically anyway. One streaming pass with a
+    per-batch top-50 prune; the driver merges O(50 × blocks) rows."""
+    from ..functions import textkit
+
+    K = 50
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _keys(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        texts = t["text"].to_pylist()
+        w = np.asarray([max(len(s or ""), 1) for s in texts], dtype=np.int64)
+        h52 = textkit._md5_low64([str(int(i)) for i in ids]) >> np.uint64(12)
+        key = h52.astype(np.float64) / w.astype(np.float64)
+        order = np.lexsort((ids, key))[:K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "n_chars": pa.array(w[order]),
+                "w_key": pa.array(key[order]),
+            }
+        )
+
+    cand = ds.map_batches(_keys, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["w_key", "doc_id"]).head(K).reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out
+
+
+def event_type_trigrams(sf_dir: str) -> pd.DataFrame:
+    """Second-order Markov transition counts: every consecutive
+    (t1, t2, t3) event-type triple inside a user's (ts, event_id)-ordered
+    stream — the sequence-mining extension of event_type_transitions.
+    ONE user-hash bucket shuffle; per bucket one lexsort + two
+    segment-masked shifts produce all triples vectorized, pre-reduced to
+    (t1, t2, t3, partial n) inside the task, then one combiner-reduced
+    groupby — no per-user Python, no driver state beyond the O(types^3)
+    result grain."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import _WB, _group_codes, _int64_nonull, _route_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    _EMPTY_TRI = pa.table(
+        {
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "t3": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def _tri(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        if g.num_rows < 3:
+            return _EMPTY_TRI
+        codes = _group_codes(g, "user_id")
+        ts = _int64_nonull(pc.cast(g["ts"], pa.timestamp("us")).cast(pa.int64()), "ts")
+        eid = _int64_nonull(g["event_id"], "event_id")
+        order = np.lexsort((eid, ts, codes))
+        c = codes[order]
+        et = np.asarray(g["event_type"].to_numpy(zero_copy_only=False), dtype=object)[
+            order
+        ]
+        same = c[2:] == c[:-2]  # codes sorted: endpoints equal => run equal
+        if not same.any():
+            return _EMPTY_TRI
+        tbl = pa.table(
+            {
+                "t1": pa.array(et[:-2][same], pa.string()),
+                "t2": pa.array(et[1:-1][same], pa.string()),
+                "t3": pa.array(et[2:][same], pa.string()),
+            }
+        )
+        part = tbl.group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+        return part.rename_columns(["t1", "t2", "t3", "n"])
+
+    out = (
+        _route_by_group(ds, "user_id", 64)
+        .groupby(_WB)
+        .map_groups(_tri, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
 def event_type_transitions(sf_dir: str) -> pd.DataFrame:
     """First-order Markov transition counts (LAG window + rollup): for
     each user's event stream ordered by (ts, event_id), count every
