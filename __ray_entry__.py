@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tax_charge_summary": q.tax_charge_summary,
         "local_clustering_customers": q.local_clustering_customers,
         "edge_jaccard_customers": q.edge_jaccard_customers,
+        "degree_assortativity_customers": q.degree_assortativity_customers,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
+        "events_rolling_median5": q.events_rolling_median5,
         "event_value_anomalies": q.event_value_anomalies,
         "order_price_p90cont_by_priority": q.order_price_p90cont_by_priority,
         "user_time_to_first_purchase": q.user_time_to_first_purchase,
@@ -1025,6 +1027,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY event_id
         """,
+        "events_rolling_median5": """
+            SELECT event_id, user_id, value,
+                   MEDIAN(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ) AS rmedian5
+            FROM events
+            ORDER BY event_id
+        """,
         "event_value_anomalies": """
             WITH m AS (
                 SELECT event_type,
@@ -1386,6 +1397,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_hapax AS DOUBLE) / CAST(n_distinct AS DOUBLE)
                        AS hapax_ratio
             FROM s ORDER BY lang
+        """,
+        "degree_assortativity_customers": """
+            WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT DISTINCT
+                       LEAST(CAST(o_custkey AS BIGINT),
+                             CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS a,
+                       GREATEST(CAST(o_custkey AS BIGINT),
+                                CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS b
+                FROM orders
+                WHERE o_custkey <> (o_orderkey % (SELECT m FROM maxc)) + 1
+            ),
+            deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+                GROUP BY node
+            ),
+            marg AS (
+                SELECT CAST(SUM(deg) AS BIGINT) AS n_i,
+                       CAST(SUM(deg) AS DOUBLE) AS n,
+                       CAST(SUM(deg * deg) AS DOUBLE) AS sx,
+                       CAST(SUM(deg * deg * deg) AS DOUBLE) AS sxx
+                FROM deg
+            ),
+            cross_m AS (
+                SELECT CAST(2 * SUM(da.deg * db.deg) AS DOUBLE) AS sxy
+                FROM e
+                JOIN deg da ON da.node = e.a
+                JOIN deg db ON db.node = e.b
+            )
+            SELECT marg.n_i AS n_pairs,
+                   (n * sxy - sx * sx)
+                   / SQRT((n * sxx - sx * sx) * (n * sxx - sx * sx))
+                       AS assortativity
+            FROM marg, cross_m
         """,
         "edge_jaccard_customers": """
             WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),

@@ -128,6 +128,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "doc_bigram_novelty",
         "nation_revenue_share_in_region",
         "avg_neighbor_degree_customers",
+        "degree_assortativity_customers",
         "customer_rfm_scores",
         "customer_quartile_migration",
         "training_mix_order",

@@ -801,6 +801,83 @@ def test_grouped_rolling_max_matches_pandas(ray_session):
     pd.testing.assert_series_equal(got["rm"], want["rm"], check_names=False)
 
 
+def test_grouped_rolling_median_matches_pandas(ray_session):
+    """grouped_rolling_median == pandas groupby.rolling(min_periods=1)
+    .median on a randomized frame, including window > group size, ties,
+    and even-length frames (the interpolated case)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_rolling_median
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 50, n),
+            "o1": rng.integers(0, 30, n),
+            "rid": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        grouped_rolling_median(
+            ds, group_col="g", order_cols=["o1", "rid"], value_col="v",
+            window=5, out_col="rm",
+        )
+        .to_pandas()
+        .sort_values(["g", "o1", "rid"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["g", "o1", "rid"]).reset_index(drop=True)
+    want["rm"] = (
+        want.groupby("g")["v"].rolling(5, min_periods=1).median()
+        .reset_index(level=0, drop=True)
+    )
+    pd.testing.assert_series_equal(got["rm"], want["rm"], check_names=False)
+
+
+def test_grouped_rolling_median_rejects_bad_input(ray_session):
+    """NaN / null values and over-wide windows are refused loudly —
+    a NaN would silently poison every frame it enters."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_rolling_median
+
+    base = pa.table(
+        {
+            "g": pa.array([1, 1, 2], pa.int64()),
+            "o": pa.array([1, 2, 1], pa.int64()),
+            "v": pa.array([1.0, np.nan, 3.0], pa.float64()),
+        }
+    )
+    with pytest.raises(Exception, match="NaN"):
+        grouped_rolling_median(
+            ray.data.from_arrow(base), group_col="g", order_cols=["o"],
+            value_col="v", window=3,
+        ).to_pandas()
+    nulled = base.set_column(2, "v", pa.array([1.0, None, 3.0], pa.float64()))
+    with pytest.raises(Exception, match="null"):
+        grouped_rolling_median(
+            ray.data.from_arrow(nulled), group_col="g", order_cols=["o"],
+            value_col="v", window=3,
+        ).to_pandas()
+    with pytest.raises(ValueError, match="order-statistic"):
+        grouped_rolling_median(
+            ray.data.from_arrow(base), group_col="g", order_cols=["o"],
+            value_col="v", window=65,
+        )
+
+
 # ---------------------------------------------------------------------------
 # interval_overlap_counts: both routes vs the O(n^2) brute force
 # ---------------------------------------------------------------------------

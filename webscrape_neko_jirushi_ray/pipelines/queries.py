@@ -8162,6 +8162,143 @@ def avg_neighbor_degree_customers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def degree_assortativity_customers(sf_dir: str) -> pd.DataFrame:
+    """DEGREE ASSORTATIVITY of the order-derived customer graph: the
+    Pearson correlation of (deg(v), deg(u)) over all directed neighbor
+    pairs of the canonical undirected edge set (Newman 2002) — does the
+    graph wire hubs to hubs (r > 0, social-network shape) or hubs to
+    leaves (r < 0, web/crawl-host shape)?
+
+    Exactness + scale plan: over directed pairs the marginal moments
+    are node-local — n = Σdeg, sx = sy = Σdeg², sxx = syy = Σdeg³ —
+    so they come straight off the O(nodes) degree table (batch partials
+    + one tiny Sum); only the cross moment sxy = 2·Σ_edges deg(a)·deg(b)
+    touches the edge list, with the degree table attached size-routed
+    (broadcast searchsorted ≤ _BROADCAST_SIDE_ROUTE_ROWS, hash_join ×2
+    above) and reduced per batch. All moments are exact int64 (safe to
+    deg ≤ ~2·10⁵ at 10⁸ nodes: Σdeg³ ≤ ~10¹⁸ — beyond that bucket the
+    degree tail first); the final r is ONE identically-parenthesized
+    double formula on both sides. Below the _order_edges_driver bound
+    the whole query is one numpy pass (distributed plan route-forced by
+    the graph-route test)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    def _finish(n_i: int, sx_i: int, sxx_i: int, sxy_i: int) -> pd.DataFrame:
+        n = np.float64(n_i)
+        sx = np.float64(sx_i)
+        sy = np.float64(sx_i)
+        sxx = np.float64(sxx_i)
+        syy = np.float64(sxx_i)
+        sxy = np.float64(sxy_i)
+        r = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return pd.DataFrame(
+            {
+                "n_pairs": pd.Series([n_i], dtype="int64"),
+                "assortativity": pd.Series([r], dtype="float64"),
+            }
+        )
+
+    drv = _order_edges_driver(sf_dir)
+    if drv is not None:
+        a, b, _maxc = drv
+        nodes, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        d = cnt.astype(np.int64)
+        da = d[np.searchsorted(nodes, a)]
+        db = d[np.searchsorted(nodes, b)]
+        return _finish(
+            int(d.sum()),
+            int((d * d).sum()),
+            int((d * d * d).sum()),
+            2 * int((da * db).sum()),
+        )
+
+    edges, _maxc = _canonical_order_edges(sf_dir)
+    deg = _edge_degrees(edges).materialize()  # O(nodes); consumed twice
+
+    def _marginals(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["deg"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([int(d.sum())], pa.int64()),
+                "s2": pa.array([int((d * d).sum())], pa.int64()),
+                "s3": pa.array([int((d * d * d).sum())], pa.int64()),
+            }
+        )
+
+    marg = deg.map_batches(_marginals, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("s2", alias_name="s2"),
+        Sum("s3", alias_name="s3"),
+    )
+
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        dp = deg.to_pandas()
+        nodes = dp["node"].to_numpy(dtype="int64")
+        dv = dp["deg"].to_numpy(dtype="int64")
+        order = np.argsort(nodes)
+        nodes, dv = nodes[order], dv[order]
+        node_ref = ray.put(nodes)
+        deg_ref = ray.put(dv)
+
+        def _xy(t: pa.Table) -> pa.Table:
+            nd, dd = ray.get(node_ref), ray.get(deg_ref)
+            a = np.asarray(t["a"].to_numpy(zero_copy_only=False))
+            b = np.asarray(t["b"].to_numpy(zero_copy_only=False))
+            da = dd[np.searchsorted(nd, a)]
+            db = dd[np.searchsorted(nd, b)]
+            return pa.table(
+                {"xy": pa.array([2 * int((da * db).sum())], pa.int64())}
+            )
+
+        sxy = int(
+            edges.map_batches(_xy, batch_format="pyarrow").aggregate(
+                Sum("xy", alias_name="xy")
+            )["xy"]
+        )
+    else:
+        da_t = deg.map_batches(
+            lambda t: pa.table(
+                {"node_a": t["node"], "dega": pc.cast(t["deg"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        db_t = deg.map_batches(
+            lambda t: pa.table(
+                {"node_b": t["node"], "degb": pc.cast(t["deg"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        j = hash_join(edges, da_t, key="a", right_key="node_a")
+        j = hash_join(j, db_t, key="b", right_key="node_b")
+
+        def _xy2(t: pa.Table) -> pa.Table:
+            da = np.asarray(
+                t["dega"].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            db = np.asarray(
+                t["degb"].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            return pa.table(
+                {"xy": pa.array([2 * int((da * db).sum())], pa.int64())}
+            )
+
+        sxy = int(
+            j.map_batches(_xy2, batch_format="pyarrow").aggregate(
+                Sum("xy", alias_name="xy")
+            )["xy"]
+        )
+
+    return _finish(int(marg["n"]), int(marg["s2"]), int(marg["s3"]), sxy)
+
+
 def events_value_forward_fill(sf_dir: str) -> pd.DataFrame:
     """Per-user FORWARD FILL (LAST_VALUE ... IGNORE NULLS): click events
     carry no usable value in this scenario, so each click inherits the
@@ -8599,6 +8736,38 @@ def events_rolling_max3(sf_dir: str) -> pd.DataFrame:
         window=3,
         out_col="rmax3",
     ).select_columns(["event_id", "user_id", "value", "rmax3"]).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_rolling_median5(sf_dir: str) -> pd.DataFrame:
+    """Per-user ROLLING MEDIAN over the last 5 events (ROWS 4 PRECEDING
+    — robust smoothing that shrugs off the spikes the z-score gate
+    flags): relops.grouped_rolling_median — one bucket shuffle, lexsort
+    + a masked rows x 5 sliding matrix + np.nanmedian per bucket.
+    Even-length frames interpolate as lo*0.5+hi*0.5, bit-identical to
+    DuckDB's quantile_cont(0.5) (one rounding of (lo+hi)/2 either way);
+    ordering ties pinned by event_id."""
+    from ..stages.relops import grouped_rolling_median
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_rolling_median(
+        ev,
+        group_col="user_id",
+        order_cols=["us", "event_id"],
+        value_col="value",
+        window=5,
+        out_col="rmedian5",
+    ).select_columns(["event_id", "user_id", "value", "rmedian5"]).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 

@@ -1492,6 +1492,88 @@ def grouped_rolling_max(
     )
 
 
+def grouped_rolling_median(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rmedian",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """``MEDIAN(value) OVER (PARTITION BY group ORDER BY order_cols ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — per-group rolling
+    median (robust smoothing; unlike the rolling mean it shrugs off the
+    spikes :func:`grouped_rolling_sum`'s z-score gate is hunting).
+
+    Exactness: values stay float64 end-to-end; even-length frames
+    interpolate as ``lo*0.5 + hi*0.5``, which is bit-identical to
+    DuckDB's ``quantile_cont(0.5)`` (``lo*(1-f)+hi*f`` at f=0.5 — both
+    reduce to one rounding of ``(lo+hi)/2`` since scaling by 0.5 is
+    exact). NaNs/nulls are refused loudly (same contract as the int64
+    window kernels): a NaN would silently poison every frame it enters.
+
+    Scale design: ONE hash-bucket shuffle, then per bucket one lexsort
+    plus a vectorized ``rows x window`` sliding matrix masked at segment
+    boundaries and reduced with ``np.nanmedian`` — O(window log window x
+    rows), no per-key Python. Memory is ``window x rows x 8B`` per
+    bucket task, so the small-fixed-window contract is enforced
+    (raises > 64; wide frames want a two-heap/indexable-skiplist kernel
+    instead)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if window > 64:
+        raise ValueError(
+            "grouped_rolling_median materializes a rows x window matrix "
+            "per bucket; frames this wide want an order-statistic kernel"
+        )
+
+    def _rmed(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.nulls(0, pa.float64()))
+        codes = _group_codes(g, group_col)
+        keys = order_key_arrays(g, order_cols)
+        order = np.lexsort(tuple(reversed(keys)) + (codes,))
+        g = g.take(pa.array(order, pa.int64()))
+        vc = g[value_col]
+        if isinstance(vc, (pa.ChunkedArray, pa.Array)) and vc.null_count:
+            raise ValueError(
+                f"rolling-median input column {value_col!r} has "
+                f"{vc.null_count} null(s); fill or drop nulls upstream"
+            )
+        v = np.asarray(
+            vc.to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        if np.isnan(v).any():
+            raise ValueError(
+                f"rolling-median input column {value_col!r} contains NaN; "
+                "a NaN would silently poison every frame it enters"
+            )
+        n = len(v)
+        _, _, seg_start, _ = _segment_bounds(codes[order])
+        pos = np.arange(n, dtype=np.int64)
+        lo = np.maximum(pos + 1 - window, seg_start)
+        padded = np.concatenate(
+            [np.full(window - 1, np.nan), v]
+        ) if window > 1 else v
+        m = np.lib.stride_tricks.sliding_window_view(padded, window)
+        # column k of row i holds v[i - window + 1 + k]; mask entries
+        # before the frame's lower bound (segment starts / short frames)
+        valid = np.arange(window)[None, :] >= (
+            lo - pos + window - 1
+        )[:, None]
+        res = np.nanmedian(np.where(valid, m, np.nan), axis=1)
+        return g.append_column(out_col, pa.array(res, pa.float64()))
+
+    return (
+        _route_by_group(ds, group_col, num_partitions)
+        .groupby(_WB)
+        .map_groups(_rmed, batch_format="pyarrow")
+    )
+
+
 def interval_overlap_counts(
     spans: "ray.data.Dataset",
     *,
