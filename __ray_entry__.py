@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
+        "lang_vocab_overlap": q.lang_vocab_overlap,
+        "token_shift_report": q.token_shift_report,
         "profit_by_nation_year": q.profit_by_nation_year,
         "supplier_abc_classes": q.supplier_abc_classes,
         "user_active_week_mask": q.user_active_week_mask,
@@ -1397,6 +1399,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_hapax AS DOUBLE) / CAST(n_distinct AS DOUBLE)
                        AS hapax_ratio
             FROM s ORDER BY lang
+        """,
+        "token_shift_report": """
+            WITH tok AS (
+                SELECT CAST(SUBSTR(source, 4) AS BIGINT) % 2 AS grp,
+                       UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS token
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (
+                SELECT token,
+                       CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ca,
+                       CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cb
+                FROM tok GROUP BY token
+            ),
+            t AS (
+                SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+                       CAST(SUM(cb) AS BIGINT) AS tb
+                FROM c
+            )
+            SELECT token, ca, cb,
+                   CAST(ca * tb - cb * ta AS BIGINT) AS shift_score
+            FROM c, t
+            ORDER BY shift_score DESC, token ASC
+            LIMIT 20
+        """,
+        "lang_vocab_overlap": """
+            WITH tok AS (
+                SELECT lang,
+                       UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS token
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            v AS (SELECT DISTINCT lang, token FROM tok),
+            vs AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab
+                FROM v GROUP BY lang
+            ),
+            i AS (
+                SELECT a.lang AS lang_a, b.lang AS lang_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter_size
+                FROM v a JOIN v b ON a.token = b.token AND a.lang < b.lang
+                GROUP BY a.lang, b.lang
+            )
+            SELECT lang_a, lang_b, inter_size,
+                   va.vocab AS vocab_a, vb.vocab AS vocab_b,
+                   CAST(va.vocab + vb.vocab - inter_size AS BIGINT)
+                       AS union_size,
+                   CAST(inter_size AS DOUBLE)
+                   / CAST(va.vocab + vb.vocab - inter_size AS DOUBLE)
+                       AS jaccard
+            FROM i
+            JOIN vs va ON va.lang = i.lang_a
+            JOIN vs vb ON vb.lang = i.lang_b
+            ORDER BY lang_a, lang_b
         """,
         "degree_assortativity_customers": """
             WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),

@@ -7321,6 +7321,270 @@ def hapax_ratio_per_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise VOCABULARY OVERLAP between languages: exact Jaccard of
+    the distinct whitespace-token sets of every language pair sharing at
+    least one token — the cross-lingual contamination / code-switching
+    audit (a high en↔fr vocabulary Jaccard in a "clean" split means
+    mislabeled or mixed documents).
+
+    Scale plan: the hapax machinery's distinct-(lang, token) shape —
+    vectorized batch partials (flat whitespace split, two-siphash token
+    identity, composite-code np.unique), ONE token-hash bucket shuffle
+    of (lang, h1, h2) presence rows. Each bucket owns its tokens
+    EXCLUSIVELY (bucket = h1 % B), so per-token language SETS are
+    bucket-local: tokens sort once, `bitwise_or.reduceat` collapses each
+    token's languages to ONE int64 bitmask (languages ≤ 63 — the
+    documented bound; a corpus beyond that wants a two-level lang
+    grouping), and the bucket emits O(distinct masks) rows, each
+    expanded to its language pairs + per-language vocab partials. The
+    final groupby moves O(buckets × lang²) rows; raw tokens never leave
+    their bucket, and nothing pair-shaped ever touches the token list.
+    Union/Jaccard are derived from exact int64 sizes (|A∪B| =
+    |A|+|B|−|A∩B|) with one double division, identically parenthesized
+    in the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import textkit
+    from ..stages.relops import _WB
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    num_buckets = 64
+
+    _EMPTY = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+            _WB: pa.array([], pa.int64()),
+        }
+    )
+
+    def _presence(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        if len(flat) == 0:
+            return _EMPTY
+        langs = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq_langs, lang_codes = np.unique(langs, return_inverse=True)
+        tok_lang = np.repeat(lang_codes.astype(np.int64), np.diff(ptr))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+        tok_code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = np.unique(tok_lang * np.int64(len(vocab)) + tok_code)
+        k_lang = (comp // len(vocab)).astype(np.int64)
+        k_tok = (comp % len(vocab)).astype(np.int64)
+        h1, h2 = textkit.hash2_strings(vocab, salt="hx")
+        b = (h1.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(uniq_langs[k_lang], pa.string()),
+                "h1": pa.array(h1[k_tok]),
+                "h2": pa.array(h2[k_tok]),
+                _WB: pa.array(b[k_tok]),
+            }
+        )
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"lang": g["lang"], "h1": g["h1"], "h2": g["h2"]})
+            .group_by(["lang", "h1", "h2"])
+            .aggregate([])
+        )
+        lv = distinct["lang"]
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        enc = lv.dictionary_encode()
+        lang_names = enc.dictionary.to_pylist()
+        if len(lang_names) > 63:
+            raise ValueError(
+                "lang_vocab_overlap's bitmask kernel supports <= 63 "
+                "languages; a wider corpus wants a two-level grouping"
+            )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = np.asarray(distinct["h1"].to_numpy(zero_copy_only=False))
+        h2 = np.asarray(distinct["h2"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((h2, h1))
+        h1s, h2s, cs = h1[order], h2[order], codes[order]
+        newtok = np.concatenate(
+            [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        )
+        starts = np.nonzero(newtok)[0]
+        masks = np.bitwise_or.reduceat(
+            np.int64(1) << cs, starts
+        )
+        um, uc = np.unique(masks, return_counts=True)
+        la, lb, n = [], [], []
+        for m, c in zip(um, uc):
+            bits = [i for i in range(len(lang_names)) if m >> i & 1]
+            for i, bi in enumerate(bits):
+                la.append(lang_names[bi])
+                lb.append("")  # per-lang vocab-size partial
+                n.append(int(c))
+                for bj in bits[i + 1:]:
+                    x, y = sorted((lang_names[bi], lang_names[bj]))
+                    la.append(x)
+                    lb.append(y)
+                    n.append(int(c))
+        return pa.table(
+            {
+                "lang_a": pa.array(la, pa.string()),
+                "lang_b": pa.array(lb, pa.string()),
+                "n": pa.array(np.asarray(n, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_presence, batch_format="pyarrow", batch_size=4096)
+        .groupby(_WB)
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby(["lang_a", "lang_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    vocab = (
+        agg[agg["lang_b"] == ""]
+        .set_index("lang_a")["n"]
+        .astype("int64")
+    )
+    pairs = agg[agg["lang_b"] != ""].copy()
+    pairs["inter_size"] = pairs["n"].astype("int64")
+    pairs["vocab_a"] = pairs["lang_a"].map(vocab).astype("int64")
+    pairs["vocab_b"] = pairs["lang_b"].map(vocab).astype("int64")
+    pairs["union_size"] = (
+        pairs["vocab_a"] + pairs["vocab_b"] - pairs["inter_size"]
+    ).astype("int64")
+    pairs["jaccard"] = pairs["inter_size"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / pairs["union_size"].to_numpy(dtype="int64").astype(np.float64)
+    out = pairs[
+        ["lang_a", "lang_b", "inter_size", "vocab_a", "vocab_b",
+         "union_size", "jaccard"]
+    ]
+    return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+
+
+def token_shift_report(sf_dir: str) -> pd.DataFrame:
+    """TOKEN SHIFT report: the 20 tokens most over-represented in the
+    even-numbered sources versus the odd-numbered ones — the domain
+    -shift / split-leakage audit a training-data pipeline runs before
+    mixing corpora (a token whose rate differs wildly between "halves"
+    of the same crawl flags templating or source skew).
+
+    Exactness: ranking by the rate difference ca/ta − cb/tb is float
+    -unpinnable, so the sort key is the CROSS-MULTIPLIED integer
+    ``shift_score = ca·tb − cb·ta`` (same sign and order as the rate
+    difference; exact int64 to ~3·10⁹ tokens per side — beyond that,
+    downscale totals by a common factor first). Ties break on the token
+    string, so the LIMIT boundary is deterministic on both sides.
+
+    Scale plan: one tiny totals pass (2 ints per batch), then the
+    wordcount shape — vectorized batch-distinct (token, grp, n)
+    partials, ONE token-hash bucket shuffle (strings ship once per
+    distinct (batch, token): this op must surface the token STRING, so
+    unlike the hapax/vocab-growth families it cannot hash-only), a
+    per-bucket pivot + exact-score top-20 prune, and a driver top-20
+    over ≤ buckets×20 candidates."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import textkit
+    from ..stages.relops import _WB
+
+    num_buckets = 64
+
+    def _grp_codes(t: pa.Table) -> np.ndarray:
+        g = pc.cast(
+            pc.utf8_slice_codeunits(t["source"], 3, 32), pa.int64()
+        )
+        return (
+            np.asarray(g.to_numpy(zero_copy_only=False), dtype=np.int64) % 2
+        )
+
+    def _totals(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        grp = np.repeat(_grp_codes(t), np.diff(ptr))
+        return pa.table(
+            {
+                "ta": pa.array([int((grp == 0).sum())], pa.int64()),
+                "tb": pa.array([int((grp == 1).sum())], pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    tot = docs.map_batches(_totals, batch_format="pyarrow").aggregate(
+        Sum("ta", alias_name="ta"), Sum("tb", alias_name="tb")
+    )
+    ta, tb = int(tot["ta"]), int(tot["tb"])
+
+    _EMPTY = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "ca": pa.array([], pa.int64()),
+            "cb": pa.array([], pa.int64()),
+            _WB: pa.array([], pa.int64()),
+        }
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        if len(flat) == 0:
+            return _EMPTY
+        grp = np.repeat(_grp_codes(t), np.diff(ptr))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        comp, cnt = np.unique(code * 2 + grp, return_counts=True)
+        k_tok = (comp // 2).astype(np.int64)
+        k_grp = (comp % 2).astype(np.int64)
+        n = cnt.astype(np.int64)
+        h1, _h2 = textkit.hash2_strings(
+            vocab.to_numpy(zero_copy_only=False), salt="hx"
+        )
+        return pa.table(
+            {
+                "token": vocab.take(pa.array(k_tok)),
+                "ca": pa.array(np.where(k_grp == 0, n, 0)),
+                "cb": pa.array(np.where(k_grp == 1, n, 0)),
+                _WB: pa.array(
+                    (h1[k_tok].astype(np.uint64) % np.uint64(num_buckets))
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    def _bucket_top(g: pa.Table) -> pa.Table:
+        s = g.group_by("token").aggregate([("ca", "sum"), ("cb", "sum")])
+        ca = np.asarray(s["ca_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cb = np.asarray(s["cb_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        score = ca * np.int64(tb) - cb * np.int64(ta)
+        toks = np.asarray(s["token"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((toks, -score))[:20]
+        return pa.table(
+            {
+                "token": pa.array(toks[order], pa.string()),
+                "ca": pa.array(ca[order]),
+                "cb": pa.array(cb[order]),
+                "shift_score": pa.array(score[order]),
+            }
+        )
+
+    cand = (
+        docs.map_batches(_partials, batch_format="pyarrow", batch_size=4096)
+        .groupby(_WB)
+        .map_groups(_bucket_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["shift_score", "token"], ascending=[False, True]
+    ).head(20)
+    for c in ("ca", "cb", "shift_score"):
+        cand[c] = cand[c].astype("int64")
+    return cand[["token", "ca", "cb", "shift_score"]].reset_index(drop=True)
+
+
 def profit_by_nation_year(sf_dir: str) -> pd.DataFrame:
     """Four-dimension star join (TPC-H Q9 shape, adapted to the columns
     this corpus has): per (supplier nation, order year) profit =
