@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
         "lang_vocab_overlap": q.lang_vocab_overlap,
         "token_shift_report": q.token_shift_report,
+        "event_value_autocorr": q.event_value_autocorr,
+        "fk_coverage_audit": q.fk_coverage_audit,
         "profit_by_nation_year": q.profit_by_nation_year,
         "supplier_abc_classes": q.supplier_abc_classes,
         "user_active_week_mask": q.user_active_week_mask,
@@ -1399,6 +1401,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_hapax AS DOUBLE) / CAST(n_distinct AS DOUBLE)
                        AS hapax_ratio
             FROM s ORDER BY lang
+        """,
+        "fk_coverage_audit": """
+            WITH a AS (
+                SELECT 'lineitem.l_orderkey->orders' AS relation,
+                       CAST(COUNT(*) AS BIGINT) AS child_rows,
+                       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                           AS distinct_child_keys,
+                       CAST(COUNT(DISTINCT CASE WHEN o_orderkey IS NOT NULL
+                                THEN l_orderkey END) AS BIGINT) AS matched_keys,
+                       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS orphan_rows
+                FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+                UNION ALL
+                SELECT 'lineitem.l_partkey->part',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+                       CAST(COUNT(DISTINCT CASE WHEN p_partkey IS NOT NULL
+                                THEN l_partkey END) AS BIGINT),
+                       CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT)
+                FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+                UNION ALL
+                SELECT 'lineitem.l_suppkey->supplier',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+                       CAST(COUNT(DISTINCT CASE WHEN s_suppkey IS NOT NULL
+                                THEN l_suppkey END) AS BIGINT),
+                       CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT)
+                FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+                UNION ALL
+                SELECT 'orders.o_custkey->customer',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                       CAST(COUNT(DISTINCT CASE WHEN c_custkey IS NOT NULL
+                                THEN o_custkey END) AS BIGINT),
+                       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT)
+                FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+                UNION ALL
+                SELECT 'customer.c_nationkey->nation',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+                       CAST(COUNT(DISTINCT CASE WHEN n_nationkey IS NOT NULL
+                                THEN c_nationkey END) AS BIGINT),
+                       CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT)
+                FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT 'supplier.s_nationkey->nation',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(DISTINCT s_nationkey) AS BIGINT),
+                       CAST(COUNT(DISTINCT CASE WHEN n_nationkey IS NOT NULL
+                                THEN s_nationkey END) AS BIGINT),
+                       CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT)
+                FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+            )
+            SELECT * FROM a ORDER BY relation
+        """,
+        "event_value_autocorr": """
+            WITH s AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v,
+                       LEAD(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS w
+                FROM events
+            ),
+            p AS (SELECT event_type, v, w FROM s WHERE w IS NOT NULL),
+            m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n,
+                       CAST(SUM(v) AS DOUBLE) AS sx,
+                       CAST(SUM(w) AS DOUBLE) AS sy,
+                       CAST(SUM(v * w) AS DOUBLE) AS sxy,
+                       CAST(SUM(v * v) AS DOUBLE) AS sxx,
+                       CAST(SUM(w * w) AS DOUBLE) AS syy
+                FROM p GROUP BY event_type
+            )
+            SELECT event_type, n_pairs,
+                   (n * sxy - sx * sy)
+                   / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+                       AS autocorr
+            FROM m ORDER BY event_type
         """,
         "token_shift_report": """
             WITH tok AS (

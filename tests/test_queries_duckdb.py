@@ -129,6 +129,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "nation_revenue_share_in_region",
         "avg_neighbor_degree_customers",
         "degree_assortativity_customers",
+        "fk_coverage_audit",
         "customer_rfm_scores",
         "customer_quartile_migration",
         "training_mix_order",

@@ -2779,6 +2779,135 @@ def user_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
+def fk_coverage_audit(sf_dir: str) -> pd.DataFrame:
+    """REFERENTIAL-INTEGRITY audit across every foreign-key relation in
+    the corpus: per relation the child row count, distinct child keys,
+    how many of those keys resolve in the parent, and the orphan row
+    count — the cross-table consistency report a pipeline runs before
+    trusting any join (the validate_orders_rules companion, one level
+    up: across tables instead of within one).
+
+    Scale plan, per relation: the child streams ONCE into per-batch
+    (key, n) partials and ONE groupby(key) shuffle collapses it to the
+    O(distinct keys) rollup — row totals, distinct counts and orphan
+    sums all come off that table, never the raw child. The parent side
+    attaches size-routed: ≤ _BROADCAST_SIDE_ROUTE_ROWS its (unique —
+    primary keys by construction) key column broadcasts once as a
+    sorted array and membership is a per-batch searchsorted reduced to
+    four int64 partials; above, a left_semi hash_join on the rollup
+    yields the matched subset and two tiny aggregates finish. Orphan
+    rows = Σn − Σn(matched), so no outer join and nothing row-shaped
+    crosses the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import hash_join
+
+    relations = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+
+    rows = []
+    for rel, child, ckey, parent, pkey in relations:
+        dk = (
+            _read(sf_dir, child, [ckey])
+            .map_batches(
+                lambda t, ckey=ckey: pa.table(
+                    {
+                        "k": pc.cast(t[ckey], pa.int64()),
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                ).group_by("k").aggregate([("n", "sum")]).rename_columns(
+                    ["k", "n"]
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("k")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        try:
+            n_parent = pq.read_metadata(f"{sf_dir}/{parent}.parquet").num_rows
+        except Exception:
+            n_parent = _BROADCAST_SIDE_ROUTE_ROWS + 1
+        if n_parent <= _BROADCAST_SIDE_ROUTE_ROWS:
+            pk = np.unique(
+                pq.read_table(f"{sf_dir}/{parent}.parquet", columns=[pkey])[
+                    pkey
+                ].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            pk_ref = ray.put(pk)
+
+            def _audit(t: pa.Table, pk_ref=pk_ref) -> pa.Table:
+                p = ray.get(pk_ref)
+                k = np.asarray(
+                    t["k"].to_numpy(zero_copy_only=False), dtype=np.int64
+                )
+                n = np.asarray(
+                    t["n"].to_numpy(zero_copy_only=False), dtype=np.int64
+                )
+                pos = np.searchsorted(p, k)
+                hit = (pos < len(p)) & (p[np.minimum(pos, len(p) - 1)] == k)
+                return pa.table(
+                    {
+                        "cr": pa.array([int(n.sum())], pa.int64()),
+                        "dk": pa.array([len(k)], pa.int64()),
+                        "mk": pa.array([int(hit.sum())], pa.int64()),
+                        "mr": pa.array([int(n[hit].sum())], pa.int64()),
+                    }
+                )
+
+            agg = dk.map_batches(_audit, batch_format="pyarrow").aggregate(
+                Sum("cr", alias_name="cr"),
+                Sum("dk", alias_name="dk"),
+                Sum("mk", alias_name="mk"),
+                Sum("mr", alias_name="mr"),
+            )
+            cr, dcount, mk, mr = (
+                int(agg["cr"]), int(agg["dk"]), int(agg["mk"]), int(agg["mr"])
+            )
+        else:
+            dk = dk.materialize()  # consumed twice (totals + semi join)
+            tot = dk.aggregate(
+                Sum("n", alias_name="cr"), Count(alias_name="dk")
+            )
+            cr, dcount = int(tot["cr"]), int(tot["dk"])
+            pks = _read(sf_dir, parent, [pkey]).map_batches(
+                lambda t, pkey=pkey: pa.table(
+                    {"pk": pc.cast(t[pkey], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            matched = hash_join(dk, pks, key="k", right_key="pk", how="left_semi")
+            magg = matched.aggregate(
+                Sum("n", alias_name="mr"), Count(alias_name="mk")
+            )
+            mr = int(magg["mr"]) if magg["mr"] is not None else 0
+            mk = int(magg["mk"])
+        rows.append(
+            {
+                "relation": rel,
+                "child_rows": cr,
+                "distinct_child_keys": dcount,
+                "matched_keys": mk,
+                "orphan_rows": cr - mr,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("child_rows", "distinct_child_keys", "matched_keys", "orphan_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("relation").reset_index(drop=True)
+
+
 def validate_orders_rules(sf_dir: str) -> pd.DataFrame:
     """Data-quality gate (expectation suite over orders): per rule, the
     violation count, row count, and rate — ONE streaming pass emitting
@@ -8561,6 +8690,114 @@ def degree_assortativity_customers(sf_dir: str) -> pd.DataFrame:
         )
 
     return _finish(int(marg["n"]), int(marg["s2"]), int(marg["s3"]), sxy)
+
+
+def event_value_autocorr(sf_dir: str) -> pd.DataFrame:
+    """LAG-1 AUTOCORRELATION of the value series per event type (ordered
+    by ts with event_id tie-break): Pearson correlation of consecutive
+    (vᵢ, vᵢ₊₁) pairs — the temporal-structure audit (near zero for
+    memoryless streams, high for drifting meters; the sequential cousin
+    of nation_price_qty_corr's exact-integer-moments family).
+
+    Scale plan: values go to exact integer cents per batch, ONE
+    type-hash bucket shuffle co-locates each type's full series, and
+    every bucket lexsorts once and reduces its consecutive same-segment
+    pairs to SIX int64 moment partials per type — the final groupby
+    sees O(types × buckets) rows and the corpus never shuffles twice.
+    Moments are int64-exact to ~9·10⁸ rows per type at |value| ≤ 10³
+    (Σv² ≤ 10¹⁰·rows — drop to whole units beyond); the correlation is
+    ONE identically-parenthesized double formula over the exact sums on
+    both sides."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import _WB, _group_codes, _route_by_group, _segment_bounds
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+                "v": _to_scaled_int(t["value"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _pair_moments(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+                    },
+                }
+            )
+        codes = _group_codes(g, "event_type")
+        us = np.asarray(g["us"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        eid = np.asarray(
+            g["event_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        order = np.lexsort((eid, us, codes))
+        cs = codes[order]
+        v = np.asarray(g["v"].to_numpy(zero_copy_only=False), dtype=np.int64)[
+            order
+        ]
+        same = cs[1:] == cs[:-1]
+        x, y = v[:-1][same], v[1:][same]
+        types = g["event_type"].combine_chunks() if isinstance(
+            g["event_type"], pa.ChunkedArray
+        ) else g["event_type"]
+        pair_type = types.take(
+            pa.array(order[:-1][same], pa.int64())
+        )
+        pairs = pa.table(
+            {
+                "event_type": pair_type,
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+            }
+        )
+        s = pairs.group_by("event_type").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+        )
+        return s.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxy", "sxx", "syy"]
+        )
+
+    agg = (
+        _route_by_group(ev, "event_type", 64)
+        .groupby(_WB)
+        .map_groups(_pair_moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[
+            Sum(c, alias_name=c)
+            for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+        ])
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(dtype="int64").astype(np.float64)
+    sx = agg["sx"].to_numpy(dtype="int64").astype(np.float64)
+    sy = agg["sy"].to_numpy(dtype="int64").astype(np.float64)
+    sxy = agg["sxy"].to_numpy(dtype="int64").astype(np.float64)
+    sxx = agg["sxx"].to_numpy(dtype="int64").astype(np.float64)
+    syy = agg["syy"].to_numpy(dtype="int64").astype(np.float64)
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n_pairs": agg["n"].astype("int64"),
+            "autocorr": (n * sxy - sx * sy)
+            / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 def events_value_forward_fill(sf_dir: str) -> pd.DataFrame:
