@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_clustering_customers": q.local_clustering_customers,
         "edge_jaccard_customers": q.edge_jaccard_customers,
         "degree_assortativity_customers": q.degree_assortativity_customers,
+        "degree_gini_customers": q.degree_gini_customers,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1541,6 +1542,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "degree_gini_customers": """
+            WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),
+            e AS (
+                SELECT DISTINCT
+                       LEAST(CAST(o_custkey AS BIGINT),
+                             CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS a,
+                       GREATEST(CAST(o_custkey AS BIGINT),
+                                CAST((o_orderkey % (SELECT m FROM maxc)) + 1 AS BIGINT)) AS b
+                FROM orders
+                WHERE o_custkey <> (o_orderkey % (SELECT m FROM maxc)) + 1
+            ),
+            deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+                GROUP BY node
+            ),
+            r AS (
+                SELECT deg, ROW_NUMBER() OVER (ORDER BY deg) AS i FROM deg
+            ),
+            m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(deg) AS BIGINT) AS sd,
+                       CAST(SUM(i * deg) AS BIGINT) AS sixd
+                FROM r
+            )
+            SELECT n AS n_nodes,
+                   CAST(2 * sixd - (n + 1) * sd AS DOUBLE)
+                   / CAST(n * sd AS DOUBLE) AS gini
+            FROM m
         """,
         "degree_assortativity_customers": """
             WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),

@@ -130,6 +130,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "avg_neighbor_degree_customers",
         "degree_assortativity_customers",
         "fk_coverage_audit",
+        "degree_gini_customers",
         "customer_rfm_scores",
         "customer_quartile_migration",
         "training_mix_order",

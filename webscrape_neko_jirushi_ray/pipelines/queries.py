@@ -8800,6 +8800,79 @@ def event_value_autocorr(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def degree_gini_customers(sf_dir: str) -> pd.DataFrame:
+    """GINI COEFFICIENT of the canonical customer-graph degree
+    distribution — the hub-concentration scalar (0 = regular graph,
+    →1 = one hub owns every edge; the inequality companion to
+    degree_assortativity_customers over the same edge set).
+
+    Exactness + scale plan: gini = (2·Σi·d₍ᵢ₎ − (n+1)·Σd) / (n·Σd) over
+    ascending ordinals i — tied degrees commute in Σi·d, so the whole
+    statistic is a pure function of the DEGREE HISTOGRAM: degrees come
+    off the shared canonical-edge machinery (one dedup shuffle + one
+    groupby), collapse to (degree, n_nodes) partials batch-locally, and
+    the driver finishes from O(distinct degrees) rows — run-sum
+    identity Σi·v over a tie run of length c starting after a rows is
+    v·(c·a + c(c+1)/2). Numerator and denominator are exact integers
+    (int64-safe to Σi·d < 2⁶³ ≈ n²·d̄/2 — beyond ~10⁹ nodes bucket the
+    histogram tail first); ONE double division on both sides."""
+    from ray.data.aggregate import Sum
+
+    def _finish(vals: np.ndarray, cnts: np.ndarray) -> pd.DataFrame:
+        order = np.argsort(vals)
+        v = vals[order].astype(object)  # python ints: overflow-loud path
+        c = cnts[order].astype(object)
+        a = np.concatenate(([0], np.cumsum(c)[:-1]))
+        n = int(sum(c))
+        sd = int(sum(v * c))
+        sixd = int(sum(v * (c * a + c * (c + 1) // 2)))
+        num = 2 * sixd - (n + 1) * sd
+        den = n * sd
+        if abs(num) >= 2**63 or den >= 2**63:
+            raise ValueError(
+                "degree_gini moment exceeds int64 — bucket the degree "
+                "histogram tail before the rollup"
+            )
+        return pd.DataFrame(
+            {
+                "n_nodes": pd.Series([n], dtype="int64"),
+                "gini": pd.Series(
+                    [np.float64(num) / np.float64(den)], dtype="float64"
+                ),
+            }
+        )
+
+    drv = _order_edges_driver(sf_dir)
+    if drv is not None:
+        a, b, _maxc = drv
+        _nodes, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        vals, cnts = np.unique(cnt.astype(np.int64), return_counts=True)
+        return _finish(vals, cnts.astype(np.int64))
+
+    edges, _maxc = _canonical_order_edges(sf_dir)
+    deg = _edge_degrees(edges)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["deg"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        vals, cnts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "degree": pa.array(vals),
+                "n": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        deg.map_batches(_hist, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return _finish(
+        hist["degree"].to_numpy(dtype="int64"), hist["n"].to_numpy(dtype="int64")
+    )
+
+
 def events_value_forward_fill(sf_dir: str) -> pd.DataFrame:
     """Per-user FORWARD FILL (LAST_VALUE ... IGNORE NULLS): click events
     carry no usable value in this scenario, so each click inherits the
