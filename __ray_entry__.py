@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard_customers": q.edge_jaccard_customers,
         "degree_assortativity_customers": q.degree_assortativity_customers,
         "degree_gini_customers": q.degree_gini_customers,
+        "order_price_sketch_quantiles": q.order_price_sketch_quantiles,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,

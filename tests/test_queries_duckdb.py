@@ -253,3 +253,24 @@ def test_bfs_distributed_kernel_parity(ray_session):
     ).repartition(4)
     got = bfs_levels(edges, 0, max_hops=4, num_partitions=4)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_order_price_sketch_quantiles_near_exact(ray_session, con):
+    """The rows-only sketch query stays within the documented rank-error
+    bound of the EXACT quantiles on this corpus (its correctness pin,
+    since approximate ops carry no value-hash oracle)."""
+    got = entrymod.queries()["order_price_sketch_quantiles"](SF_DIR)
+    exact = con.sql(
+        "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c "
+        "FROM orders ORDER BY c"
+    ).df()["c"].to_numpy()
+    n = len(exact)
+    assert list(got["n_rows"]) == [n] * len(got)
+    for q, e in zip(got["q"], got["price_cents_est"]):
+        lo = exact.searchsorted(e, side="left")
+        hi = exact.searchsorted(e, side="right")
+        target = q * n
+        err = 0.0 if lo <= target <= hi else min(
+            abs(lo - target), abs(hi - target)
+        )
+        assert err <= max(2.0, 3 * n / 512), (q, err)

@@ -148,3 +148,74 @@ def test_cms_block_split_invariant_and_strings(ray_session):
     est = cms_estimate(one, ["tok0", "tok96"], width_log2=12)
     true0 = sum(1 for x in toks if x == "tok0")
     assert est[0] >= true0
+
+
+def test_quantile_sketch_rank_error_bound(ray_session):
+    """Rank error <= 3n/k on uniform, zipf-ish, and pre-sorted
+    (adversarial for strided samplers) inputs; total weight exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import (
+        quantile_sketch, quantile_sketch_query,
+    )
+
+    rng = np.random.default_rng(7)
+    n, k = 200_000, 512
+    cases = {
+        "uniform": rng.integers(0, 10**9, n),
+        "zipf": (10_000 / (1 + rng.pareto(1.2, n))).astype(np.int64),
+        "sorted": np.arange(n, dtype=np.int64),
+    }
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    for name, data in cases.items():
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(data, pa.int64())})
+        ).repartition(20)
+        v, w = quantile_sketch(ds, "x", k=k)
+        assert int(w.sum()) == n, name
+        assert (np.diff(v) >= 0).all()
+        est = quantile_sketch_query(v, w, qs)
+        s = np.sort(data)
+        for q, e in zip(qs, est):
+            lo = np.searchsorted(s, e, side="left")
+            hi = np.searchsorted(s, e, side="right")
+            target = q * n
+            err = 0.0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target)
+            )
+            assert err <= 3 * n / k, (name, q, err, 3 * n / k)
+
+
+def test_quantile_sketch_small_input_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import (
+        quantile_sketch, quantile_sketch_query,
+    )
+
+    data = np.array([5, 1, 9, 3, 7], dtype=np.int64)
+    v, w = quantile_sketch(
+        ray.data.from_arrow(pa.table({"x": pa.array(data)})), "x", k=64
+    )
+    assert list(v) == [1, 3, 5, 7, 9]
+    assert list(w) == [1] * 5
+    assert list(quantile_sketch_query(v, w, [0.5, 1.0])) == [5, 9]
+
+
+def test_quantile_sketch_rejects_nulls(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import quantile_sketch
+
+    t = pa.table({"x": pa.array([1, None, 3], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        quantile_sketch(ray.data.from_arrow(t), "x", k=8)

@@ -8800,6 +8800,32 @@ def event_value_autocorr(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def order_price_sketch_quantiles(sf_dir: str) -> pd.DataFrame:
+    """APPROXIMATE order-price quantiles via the mergeable stratified
+    quantile sketch (stages/sketch.quantile_sketch) — the O(k) driver
+    -state alternative to order_price_percentiles' exact histogram when
+    the value domain is wide. Approximate by construction, so rows-only
+    for the driver (like HLL/k-means); semantics pinned by
+    test_sketch's rank-error bound and test_queries_duckdb's
+    exact-vs-sketch tolerance check on this corpus."""
+    from ..stages.sketch import quantile_sketch, quantile_sketch_query
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda t: pa.table({"cents": _to_scaled_int(t["o_totalprice"], 100)}),
+        batch_format="pyarrow",
+    )
+    v, w = quantile_sketch(ds, "cents", k=512)
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = quantile_sketch_query(v, w, qs)
+    return pd.DataFrame(
+        {
+            "q": pd.Series(qs, dtype="float64"),
+            "price_cents_est": pd.Series(est, dtype="int64"),
+            "n_rows": pd.Series([int(w.sum())] * len(qs), dtype="int64"),
+        }
+    )
+
+
 def degree_gini_customers(sf_dir: str) -> pd.DataFrame:
     """GINI COEFFICIENT of the canonical customer-graph degree
     distribution — the hub-concentration scalar (0 = regular graph,

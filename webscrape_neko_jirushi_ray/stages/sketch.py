@@ -329,3 +329,98 @@ def cms_estimate(
     for d, pos in enumerate(_cms_rows(u, width_log2, depth)):
         est = np.minimum(est, sketch[d][pos.astype(np.int64)])
     return est
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (stratified weighted summary)
+# ---------------------------------------------------------------------------
+
+def _qs_compact(values: np.ndarray, weights: np.ndarray, k: int):
+    """Compact a VALUE-SORTED weighted summary to <= k items, preserving
+    total weight EXACTLY: the weight axis [0, W) is cut into k integer
+    strata (boundaries floor(W*i/k) — telescoping, so stratum weights
+    sum back to W) and each stratum is represented by the input item
+    covering its midpoint. Per-compaction rank error <= W/k, and the
+    representative choice is a pure function of the (value, weight)
+    multiset — order-insensitive, deterministic, no RNG."""
+    if len(values) <= k:
+        return values, weights
+    W = int(weights.sum())
+    bounds = (W * np.arange(k + 1, dtype=np.int64)) // k
+    mids = (bounds[:-1] + bounds[1:]) // 2
+    cw = np.cumsum(weights)
+    idx = np.searchsorted(cw, mids, side="right")
+    out_w = np.diff(bounds)
+    keep = out_w > 0
+    return values[idx[keep]], out_w[keep]
+
+
+def quantile_sketch(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    *,
+    k: int = 512,
+    combine_partitions: int = 16,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mergeable APPROXIMATE-QUANTILE summary of an int64/float64 column
+    — the streaming alternative to textstats' exact histogram quantiles
+    when the value domain is wide (floats, monotonically-growing ids)
+    and O(distinct values) driver state is not acceptable.
+
+    Returns ``(values, weights)`` sorted by value with
+    ``weights.sum() == n`` exactly. Three-level merge tree, every level
+    order-insensitive: (1) each batch sorts and compacts itself to k
+    weighted items; (2) ONE hash-free repartition groups partials into
+    ``combine_partitions`` blocks, each re-sorted and re-compacted;
+    (3) the driver merges <= combine_partitions * k items once. Driver
+    and worker state are O(k) regardless of corpus size. Rank error is
+    bounded by W/k per compaction (3 levels => <= 3n/k, measured far
+    tighter in test_sketch); nulls are refused loudly (a null would
+    silently shrink every stratum)."""
+    import pyarrow as pa
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        if isinstance(col, (pa.ChunkedArray, pa.Array)) and col.null_count:
+            raise ValueError(
+                f"quantile_sketch input {value_col!r} has nulls; "
+                "fill or drop them upstream"
+            )
+        v = np.sort(np.asarray(col.to_numpy(zero_copy_only=False)))
+        w = np.ones(len(v), dtype=np.int64)
+        v, w = _qs_compact(v, w, k)
+        return pa.table({"v": pa.array(v), "w": pa.array(w)})
+
+    def _combine(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False))
+        w = np.asarray(t["w"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((w, v))
+        v, w = _qs_compact(v[order], w[order], k)
+        return pa.table({"v": pa.array(v), "w": pa.array(w)})
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .repartition(combine_partitions)
+        .map_batches(_combine, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    v = merged["v"].to_numpy()
+    w = merged["w"].to_numpy(dtype="int64")
+    order = np.lexsort((w, v))
+    return _qs_compact(v[order], w[order], k)
+
+
+def quantile_sketch_query(
+    values: np.ndarray, weights: np.ndarray, qs
+) -> np.ndarray:
+    """Lower weighted quantiles from a (value-sorted) summary: the value
+    whose cumulative weight first reaches ceil(q * W)."""
+    cw = np.cumsum(weights)
+    W = int(cw[-1]) if len(cw) else 0
+    if W == 0:
+        return np.full(len(list(qs)), np.nan)
+    targets = np.maximum(
+        1, np.ceil(np.asarray(list(qs), dtype=np.float64) * W).astype(np.int64)
+    )
+    idx = np.searchsorted(cw, targets, side="left")
+    return values[np.minimum(idx, len(values) - 1)]
