@@ -316,3 +316,58 @@ def test_fetch_fn_serializable_with_http_fetcher_cached(ray_session):
         cloudpickle.dumps(fn)  # raises if the cache contents ride along
     finally:
         crawl_mod._FETCHER_CACHE.pop(key, None)
+
+
+def test_retry_after_defers_host_bucket():
+    """A 429 with Retry-After: n makes the fetcher (a) wait >= n before
+    the retry and (b) push the HOST bucket into an n-second debt so every
+    later request to that host backs off too."""
+    import threading as _t
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from webscrape_neko_jirushi_ray.sources.http import HttpPageStore
+
+    state = {"fails": 1}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/throttled" and state["fails"] > 0:
+                state["fails"] -= 1
+                self.send_response(429)
+                self.send_header("Retry-After", "7")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(b"<html><body>ok</body></html>")
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    _t.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        clock = {"t": 0.0}
+        sleeps = []
+
+        def fake_sleep(s):
+            sleeps.append(s)
+            clock["t"] += s
+
+        store = HttpPageStore(
+            rate_per_host=1000.0, backoff_s=0.5, timeout_s=5.0,
+            sleep=fake_sleep, clock=lambda: clock["t"],
+        )
+        f = store.make_fetcher()
+        out = f.fetch([base + "/throttled"])
+        assert out["fetch_status"][0].as_py() == "ok"
+        assert any(s >= 7.0 for s in sleeps), sleeps  # server-directed pause
+        # the defer landed on the HOST bucket: freeze the clock mid-debt
+        # and a fresh claim must queue behind the remaining window
+        host = f"127.0.0.1:{srv.server_port}"
+        f.limiter.defer(host, 7.0, clock["t"])
+        assert f.limiter.wait_time(host, clock["t"]) >= 7.0
+    finally:
+        srv.shutdown()

@@ -35,3 +35,21 @@ def test_host_rate_limiter_per_host_independent():
     assert rl.wait_time("a.com", now=0.0) == 0.0
     assert rl.wait_time("b.com", now=0.0) == 0.0   # separate bucket
     assert rl.wait_time("a.com", now=0.0) == 1.0   # a.com exhausted
+
+
+def test_defer_pushes_host_into_debt():
+    from webscrape_neko_jirushi_ray.state.ratelimit import HostRateLimiter
+
+    lim = HostRateLimiter(rate=1.0, burst=2.0)
+    assert lim.wait_time("a.example", now=0.0) == 0.0
+    lim.defer("a.example", 10.0, now=0.0)
+    # next claim must wait >= the deferred window (plus its own token)
+    assert lim.wait_time("a.example", now=0.0) >= 10.0
+    # other hosts unaffected
+    assert lim.wait_time("b.example", now=0.0) == 0.0
+    # a shallower defer never shrinks a deeper debt
+    lim.defer("a.example", 1.0, now=0.0)
+    assert lim.wait_time("a.example", now=0.0) >= 10.0
+    # an unseen host gets a bucket lazily
+    lim.defer("c.example", 5.0, now=0.0)
+    assert lim.wait_time("c.example", now=0.0) >= 5.0

@@ -97,40 +97,67 @@ class HttpFetcher:
 
             self._pool = ThreadPoolExecutor(max_workers=store.concurrency)
 
-    def _get_once(self, url: str) -> tuple[str, bytes | None, str]:
-        """(status, body, final_url). urllib follows redirects implicitly
-        (the reference's requests does too, comprehensive_scraper.py:153);
-        ``resp.geturl()`` surfaces the POST-redirect URL so the crawl can
-        learn the page's canonical identity."""
+    # server-directed backoff is honored but bounded: a hostile or broken
+    # Retry-After must not park a worker for hours
+    RETRY_AFTER_CAP_S = 900.0
+
+    def _get_once(
+        self, url: str
+    ) -> tuple[str, bytes | None, str, float | None]:
+        """(status, body, final_url, retry_after). urllib follows
+        redirects implicitly (the reference's requests does too,
+        comprehensive_scraper.py:153); ``resp.geturl()`` surfaces the
+        POST-redirect URL so the crawl can learn the page's canonical
+        identity. ``retry_after`` is the parsed integer-seconds
+        Retry-After of a 429/503 (the HTTP-date form is ignored —
+        parsing wall-clock dates against an injected test clock would
+        be meaningless)."""
         try:
             with self.opener.open(url, timeout=self.store.timeout_s) as resp:
-                return "ok", resp.read(), resp.geturl()
+                return "ok", resp.read(), resp.geturl(), None
         except urllib.error.HTTPError as e:
             if e.code == 404:
-                return "notfound", None, url
-            return f"error:{e.code}", None, url
+                return "notfound", None, url, None
+            ra = None
+            if e.code in (429, 503):
+                raw = (e.headers or {}).get("Retry-After")
+                try:
+                    ra = float(int(raw)) if raw is not None else None
+                except (TypeError, ValueError):
+                    ra = None
+            return f"error:{e.code}", None, url, ra
         except urllib.error.URLError as e:
             if isinstance(getattr(e, "reason", None), TimeoutError):
-                return "timeout", None, url
-            return "error", None, url
+                return "timeout", None, url, None
+            return "error", None, url, None
         except TimeoutError:
-            return "timeout", None, url
+            return "timeout", None, url, None
 
     def _get(self, url: str, host: str) -> tuple[str, bytes | None, str]:
         """Rate-limited GET with the reference's retry-with-backoff shape
         (comprehensive_scraper.py:126-137: retry transient failures up to
-        max_retries with a pause; 404 is terminal)."""
+        max_retries with a pause; 404 is terminal). A 429/503 carrying
+        Retry-After: n is SERVER-DIRECTED backpressure — the host's
+        token bucket is pushed into an n-second debt (ST4: every thread
+        of this worker backs off that host, not just the failing
+        request) and the retry itself waits max(backoff, n), capped."""
         status, body, final = "error", None, url
         for attempt in range(self.store.max_retries):
             with self._claim_lock:
                 wait = self.limiter.wait_time(host, self._clock())
             if wait > 0:
                 self._sleep(wait)
-            status, body, final = self._get_once(url)
+            status, body, final, retry_after = self._get_once(url)
             if status == "ok" or status == "notfound":
                 break
             if attempt + 1 < self.store.max_retries:
-                self._sleep(self.store.backoff_s)
+                pause = self.store.backoff_s
+                if retry_after is not None:
+                    ra = min(retry_after, self.RETRY_AFTER_CAP_S)
+                    with self._claim_lock:
+                        self.limiter.defer(host, ra, self._clock())
+                    pause = max(pause, ra)
+                self._sleep(pause)
         return status, body, final
 
     def _fetch_one(self, u: str):

@@ -72,3 +72,16 @@ class HostRateLimiter:
             self.buckets[host] = TokenBucket(rate, self.burst)
         else:
             b.rate = rate
+
+    def defer(self, host: str, seconds: float, now: float) -> None:
+        """Push one host's bucket into debt so its NEXT claim waits at
+        least ``seconds`` from ``now`` (server-directed backpressure:
+        HTTP 429/503 Retry-After). Monotone — an already-deeper debt is
+        kept; other hosts are unaffected."""
+        b = self.buckets.get(host)
+        if b is None:
+            b = self.buckets[host] = TokenBucket(self.rate, self.burst)
+        elapsed = max(0.0, now - b.last_ts)
+        b.tokens = min(b.burst, b.tokens + elapsed * b.rate)
+        b.last_ts = now
+        b.tokens = min(b.tokens, -seconds * b.rate)
