@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity_customers": q.degree_assortativity_customers,
         "degree_gini_customers": q.degree_gini_customers,
         "order_price_sketch_quantiles": q.order_price_sketch_quantiles,
+        "webtext_pipeline_v4": q.webtext_pipeline_v4,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1543,6 +1544,129 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "webtext_pipeline_v4": """
+            WITH ftok AS (
+                SELECT doc_id,
+                       string_split(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ),
+            fsh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, len(toks)-2),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+                FROM ftok WHERE len(toks) >= 3
+            ),
+            fbench AS (SELECT * FROM fsh WHERE doc_id % 7 = 0),
+            fcorpus AS (SELECT * FROM fsh WHERE doc_id % 7 <> 0),
+            fhits AS (
+                SELECT DISTINCT c.doc_id
+                FROM fcorpus c JOIN fbench b
+                  ON len(list_intersect(c.g, b.g)) * 2 >=
+                     (len(c.g) + len(b.g) - len(list_intersect(c.g, b.g)))
+            ),
+            clean AS (
+                SELECT d.doc_id, d.text
+                FROM documents d
+                JOIN fcorpus c ON c.doc_id = d.doc_id
+                WHERE d.doc_id NOT IN (SELECT doc_id FROM fhits)
+            ),
+            nov_ex AS (
+                SELECT doc_id, toks, unnest(generate_series(1, nt - 1)) AS i
+                FROM (
+                    SELECT doc_id, string_split(text, ' ') AS toks,
+                           len(string_split(text, ' ')) AS nt
+                    FROM clean
+                )
+            ),
+            nov_pairs AS (
+                SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+                FROM nov_ex
+            ),
+            nov_den AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb
+                FROM nov_pairs GROUP BY doc_id
+            ),
+            nov_first AS (
+                SELECT bigram, MIN(doc_id) AS fd FROM nov_pairs GROUP BY bigram
+            ),
+            nov_num AS (
+                SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nn
+                FROM nov_first GROUP BY fd
+            ),
+            clean2 AS (
+                SELECT c.doc_id, c.text
+                FROM clean c
+                JOIN nov_den d ON c.doc_id = d.doc_id
+                LEFT JOIN nov_num n ON c.doc_id = n.doc_id
+                WHERE CAST(COALESCE(n.nn, 0) AS DOUBLE)
+                          / CAST(d.nb AS DOUBLE) <= 0.2
+            ),
+            cw AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM clean2
+            ), cc AS (
+                SELECT doc_id, (pos-1)//8 AS cid,
+                       string_agg(w, ' ' ORDER BY pos) AS line,
+                       COUNT(*) AS nw
+                FROM cw GROUP BY doc_id, (pos-1)//8
+            ), ck AS (
+                SELECT doc_id, cid, line FROM cc
+                WHERE nw >= 8
+                  AND NOT contains(line, 'spark')
+                  AND NOT contains(line, 'vector')
+            ), c4 AS (
+                SELECT doc_id, string_agg(line, ' ' ORDER BY cid) AS text
+                FROM ck GROUP BY doc_id HAVING COUNT(*) >= 3
+            ),
+            w1 AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM c4
+            ), c1 AS (
+                SELECT doc_id, (pos-1)//8 AS cid,
+                       string_agg(w, ' ' ORDER BY pos) AS line
+                FROM w1 GROUP BY doc_id, (pos-1)//8
+            ), r1 AS (
+                SELECT doc_id, cid, line,
+                       ROW_NUMBER() OVER (PARTITION BY line
+                           ORDER BY doc_id, cid) AS rn
+                FROM c1
+            ), ld AS (
+                SELECT doc_id, string_agg(line, ' ' ORDER BY cid) AS text
+                FROM r1 WHERE rn = 1 GROUP BY doc_id
+            ),
+            w2 AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM ld
+            ), c2 AS (
+                SELECT doc_id, (pos-1)//8 AS cid,
+                       string_agg(w, ' ' ORDER BY pos) AS line
+                FROM w2 GROUP BY doc_id, (pos-1)//8
+            ), ws AS (
+                SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+                       CAST(MAX(cnt) AS BIGINT) AS top_word_count
+                FROM (SELECT doc_id, w, COUNT(*) AS cnt
+                      FROM w2 GROUP BY doc_id, w)
+                GROUP BY doc_id
+            ), cs AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                       CAST(COUNT(*) - COUNT(DISTINCT line) AS BIGINT)
+                           AS n_dup_chunks
+                FROM c2 GROUP BY doc_id
+            ), gop AS (
+                SELECT ld.doc_id, ld.text, ws.n_words AS n_tokens
+                FROM ld JOIN ws USING (doc_id) JOIN cs USING (doc_id)
+                WHERE ws.n_words BETWEEN 20 AND 100000
+                  AND ws.top_word_count * 8 <= ws.n_words
+                  AND cs.n_dup_chunks * 10 <= cs.n_chunks
+            )
+            SELECT doc_id, text, n_tokens,
+                   CAST((CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+                         - n_tokens) // 2000 AS BIGINT) AS shard_id
+            FROM gop ORDER BY doc_id
         """,
         "degree_gini_customers": """
             WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),

@@ -283,6 +283,7 @@ def run_bench() -> dict:
         ("webtext_pipeline", lambda: q.webtext_pipeline(SF_DIR)),
         ("webtext_pipeline_v2", lambda: q.webtext_pipeline_v2(SF_DIR)),
         ("webtext_pipeline_v3", lambda: q.webtext_pipeline_v3(SF_DIR)),
+        ("webtext_pipeline_v4", lambda: q.webtext_pipeline_v4(SF_DIR)),
         ("pii_redact_docs", lambda: q.pii_redact_docs(SF_DIR)),
         ("gopher_quality_filter", lambda: q.gopher_quality_filter(SF_DIR)),
         ("c4_line_filter_docs", lambda: q.c4_line_filter_docs(SF_DIR)),
@@ -379,6 +380,22 @@ def run_bench() -> dict:
          lambda: q.fuzzy_decontaminate_docs(SF_DIR)),
         ("tax_charge_summary",
          lambda: q.tax_charge_summary(SF_DIR)),
+        ("events_rolling_median5",
+         lambda: q.events_rolling_median5(SF_DIR)),
+        ("degree_assortativity_customers",
+         lambda: q.degree_assortativity_customers(SF_DIR)),
+        ("degree_gini_customers",
+         lambda: q.degree_gini_customers(SF_DIR)),
+        ("lang_vocab_overlap",
+         lambda: q.lang_vocab_overlap(SF_DIR)),
+        ("token_shift_report",
+         lambda: q.token_shift_report(SF_DIR)),
+        ("event_value_autocorr",
+         lambda: q.event_value_autocorr(SF_DIR)),
+        ("fk_coverage_audit",
+         lambda: q.fk_coverage_audit(SF_DIR)),
+        ("order_price_sketch_quantiles",
+         lambda: q.order_price_sketch_quantiles(SF_DIR)),
         ("profit_by_nation_year",
          lambda: q.profit_by_nation_year(SF_DIR)),
         ("supplier_abc_classes",

@@ -9618,6 +9618,40 @@ def webtext_pipeline_v3(sf_dir: str) -> pd.DataFrame:
     return _webtext_tail(gated)
 
 
+def webtext_pipeline_v4(sf_dir: str) -> pd.DataFrame:
+    """The flagship chain with FUZZY decontamination at the head: word-3
+    -gram Jaccard >= 0.5 vs the benchmark split (paraphrase leakage the
+    exact window matcher misses) → bigram-novelty gibberish screen → C4
+    line gate → line dedup → Gopher gate → shard packing — six stages
+    hash-checked by ONE nested SQL oracle. Versus v3 the head swaps the
+    exact 4-gram window decontaminate for the broadcast-inverted-index
+    fuzzy kernel (zero corpus shuffle) and uses its %7 benchmark split;
+    sub-3-token docs drop at the head by the fuzzy contract (no shingle
+    set to clear them)."""
+    from ..stages.spandedup import fuzzy_decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(want_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            is_b = ids % 7 == 0
+            return t.filter(pa.array(is_b if want_bench else ~is_b))
+
+        return _f
+
+    bench = ds.map_batches(_split(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_split(False), batch_format="pyarrow")
+    clean = fuzzy_decontaminate(corpus, bench, k=3, threshold=0.5)
+    screened = _novelty_gate(clean, 0.2)
+    gated = linededup.c4_line_filter(
+        screened, width=8, line_blacklist=("spark", "vector"), min_lines=3
+    )
+    return _webtext_tail(gated)
+
+
 def events_daily_ohlc(sf_dir: str) -> pd.DataFrame:
     """OHLC BARS per (user, day): open/close = first/last value in
     (ts, event_id) order, high/low = extremes, plus the tick count —
