@@ -567,8 +567,65 @@ def soak_interval_overlap(tmp: str) -> dict:
     }
 
 
+def soak_rolling_median(tmp: str) -> dict:
+    """grouped_rolling_median window=5 over 10M rows / 500k groups —
+    one bucket shuffle, masked sliding-matrix nanmedian per bucket."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.relops import grouped_rolling_median
+
+    rng = np.random.default_rng(23)
+    n = 10_000_000
+    _write(
+        tmp,
+        "rmed/rows.parquet",
+        pa.table(
+            {
+                "g": rng.integers(0, 500_000, n).astype(np.int64),
+                "o": rng.integers(0, 10**9, n).astype(np.int64),
+                "rid": np.arange(n, dtype=np.int64),
+                "v": rng.normal(size=n),
+            }
+        ),
+    )
+    ds = ray.data.read_parquet(os.path.join(tmp, "rmed"))
+    t0 = time.perf_counter()
+    n_out = grouped_rolling_median(
+        ds, group_col="g", order_cols=["o", "rid"], value_col="v", window=5
+    ).count()
+    return {"sec": round(time.perf_counter() - t0, 2), "rows": n_out}
+
+
+def soak_quantile_sketch(tmp: str) -> dict:
+    """quantile_sketch k=512 over 20M wide-domain values — O(k) driver
+    state; checks the three-level merge tree and the rank-error bound
+    at soak scale."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import (
+        quantile_sketch, quantile_sketch_query,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 20_000_000
+    data = rng.integers(0, 2**62, n)
+    _write(tmp, "qs/rows.parquet", pa.table({"x": data.astype(np.int64)}))
+    ds = ray.data.read_parquet(os.path.join(tmp, "qs"))
+    t0 = time.perf_counter()
+    v, w = quantile_sketch(ds, "x", k=512)
+    sec = round(time.perf_counter() - t0, 2)
+    assert int(w.sum()) == n
+    est = quantile_sketch_query(v, w, [0.5])[0]
+    s = np.sort(data)
+    rank = float(np.searchsorted(s, est, side="left"))
+    err = abs(rank - 0.5 * n) / n
+    return {"sec": sec, "rows": n, "p50_rank_err": round(err, 5)}
+
+
 SOAKS = {
     "sessionize": soak_sessionize,
+    "rolling_median": soak_rolling_median,
+    "quantile_sketch": soak_quantile_sketch,
     "edit_join": soak_edit_join,
     "interval_overlap": soak_interval_overlap,
     "token_shuffle": soak_token_shuffle,
