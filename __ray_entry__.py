@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_gini_customers": q.degree_gini_customers,
         "order_price_sketch_quantiles": q.order_price_sketch_quantiles,
         "webtext_pipeline_v4": q.webtext_pipeline_v4,
+        "region_revenue_hhi": q.region_revenue_hhi,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1544,6 +1545,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "region_revenue_hhi": """
+            WITH nr AS (
+                SELECT n_name, n_regionkey,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS r
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name, n_regionkey
+            )
+            SELECT r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_nations,
+                   CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE)
+                   / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+                       AS hhi
+            FROM nr JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name
         """,
         "webtext_pipeline_v4": """
             WITH ftok AS (

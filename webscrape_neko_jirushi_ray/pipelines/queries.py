@@ -9618,6 +9618,48 @@ def webtext_pipeline_v3(sf_dir: str) -> pd.DataFrame:
     return _webtext_tail(gated)
 
 
+def region_revenue_hhi(sf_dir: str) -> pd.DataFrame:
+    """HERFINDAHL–HIRSCHMAN market-concentration index per region:
+    Σ(nation revenue)² / (Σ nation revenue)² over the region's nations —
+    the antitrust-style concentration scalar (1/n = evenly split, →1 =
+    one nation owns the region; the regional companion to
+    order_price_gini_by_nation's inequality view).
+
+    Scale plan: the entire heavy lift IS :func:`nation_revenue` (size
+    -routed, its distributed plan separately oracled); this rollup
+    post-processes the 25-row per-nation table against the 5-row region
+    dim on the driver. Revenue moments are exact arbitrary-precision
+    ints (Σr² exceeds int64 from sf0.01 up — the SQL side carries them
+    as HUGEINT) collapsed in ONE identically-parenthesized double
+    expression: double(Σr²) / (double(Σr) · double(Σr))."""
+    nr = nation_revenue(sf_dir)
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_name", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    m = nr.merge(nation, on="n_name").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    rows = []
+    for r_name, g in m.groupby("r_name"):
+        r = [int(x) for x in g["revenue_c"]]
+        num = sum(x * x for x in r)
+        sd = sum(r)
+        rows.append(
+            {
+                "r_name": r_name,
+                "n_nations": len(r),
+                "hhi": np.float64(num)
+                / (np.float64(sd) * np.float64(sd)),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["n_nations"] = out["n_nations"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
 def webtext_pipeline_v4(sf_dir: str) -> pd.DataFrame:
     """The flagship chain with FUZZY decontamination at the head: word-3
     -gram Jaccard >= 0.5 vs the benchmark split (paraphrase leakage the
