@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_sketch_quantiles": q.order_price_sketch_quantiles,
         "webtext_pipeline_v4": q.webtext_pipeline_v4,
         "region_revenue_hhi": q.region_revenue_hhi,
+        "cohort_revenue_matrix": q.cohort_revenue_matrix,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1545,6 +1546,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "cohort_revenue_matrix": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(year(o_orderdate) * 12
+                            + month(o_orderdate) - 1 AS BIGINT) AS m,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+            ),
+            f AS (
+                SELECT o_custkey, CAST(MIN(m) AS BIGINT) AS fm
+                FROM o GROUP BY o_custkey
+            )
+            SELECT CAST(fm // 12 AS BIGINT) AS cohort_year,
+                   CAST(fm % 12 + 1 AS BIGINT) AS cohort_month,
+                   CAST(m - fm AS BIGINT) AS months_since,
+                   CAST(SUM(c) AS BIGINT) AS revenue_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM o JOIN f USING (o_custkey)
+            GROUP BY fm, m - fm
+            ORDER BY cohort_year, cohort_month, months_since
         """,
         "region_revenue_hhi": """
             WITH nr AS (

@@ -131,6 +131,7 @@ def test_nation_revenue_routes_directory_parquet(ray_session, tmp_path):
         "degree_assortativity_customers",
         "fk_coverage_audit",
         "degree_gini_customers",
+        "cohort_revenue_matrix",
         "customer_rfm_scores",
         "customer_quartile_migration",
         "training_mix_order",

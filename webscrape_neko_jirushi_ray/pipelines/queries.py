@@ -9618,6 +9618,99 @@ def webtext_pipeline_v3(sf_dir: str) -> pd.DataFrame:
     return _webtext_tail(gated)
 
 
+def cohort_revenue_matrix(sf_dir: str) -> pd.DataFrame:
+    """REVENUE COHORT matrix: customers bucketed by their FIRST order
+    month, revenue and order counts rolled up by months-since-first —
+    the LTV-decay view (the revenue companion to user_retention_matrix,
+    which counts event users). All cents exact int64.
+
+    Scale plan: one combiner-reduced groupby(custkey) Min pass computes
+    each customer's first month (the output is O(customers), the
+    exchange O(custkeys per block)); it attaches back to the order
+    stream size-routed (broadcast searchsorted ≤
+    _BROADCAST_SIDE_ROUTE_ROWS, hash_join above) and every batch
+    pre-aggregates (cohort, months_since, cents, n) partials, so the
+    final groupby sees O(months² × blocks) rows."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.joins import broadcast_join, hash_join
+
+    def _mkey(t: pa.Table) -> pa.Table:
+        m = pc.add(
+            pc.multiply(pc.year(t["o_orderdate"]), pa.scalar(12)),
+            pc.subtract(pc.month(t["o_orderdate"]), pa.scalar(1)),
+        )
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "m": pc.cast(m, pa.int64()),
+                "c": _to_scaled_int(t["o_totalprice"], 100),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(_mkey, batch_format="pyarrow").materialize()
+    first = orders.groupby("o_custkey").aggregate(Min("m", alias_name="fm"))
+
+    try:
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    except Exception:
+        n_cust = _BROADCAST_SIDE_ROUTE_ROWS + 1
+    if n_cust <= _BROADCAST_SIDE_ROUTE_ROWS:
+        fp = first.to_pandas()
+        ft = pa.table(
+            {
+                "k": pa.array(fp["o_custkey"].to_numpy(dtype="int64")),
+                "fm": pa.array(fp["fm"].to_numpy(dtype="int64")),
+            }
+        )
+        tagged = broadcast_join(orders, ft, key="o_custkey", right_key="k")
+    else:
+        fds = first.map_batches(
+            lambda t: pa.table(
+                {"k": t["o_custkey"], "fm": pc.cast(t["fm"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = hash_join(orders, fds, key="o_custkey", right_key="k")
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "fm": t["fm"],
+                    "ms": pc.subtract(t["m"], t["fm"]),
+                    "c": t["c"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["fm", "ms"])
+            .aggregate([("c", "sum"), ("one", "sum")])
+        )
+        return g.rename_columns(["fm", "ms", "c", "n"])
+
+    agg = (
+        tagged.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["fm", "ms"])
+        .aggregate(Sum("c", alias_name="revenue_c"), Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    fm = agg["fm"].to_numpy(dtype="int64")
+    out = pd.DataFrame(
+        {
+            "cohort_year": (fm // 12).astype("int64"),
+            "cohort_month": (fm % 12 + 1).astype("int64"),
+            "months_since": agg["ms"].astype("int64"),
+            "revenue_c": agg["revenue_c"].astype("int64"),
+            "n_orders": agg["n_orders"].astype("int64"),
+        }
+    )
+    return out.sort_values(
+        ["cohort_year", "cohort_month", "months_since"]
+    ).reset_index(drop=True)
+
+
 def region_revenue_hhi(sf_dir: str) -> pd.DataFrame:
     """HERFINDAHL–HIRSCHMAN market-concentration index per region:
     Σ(nation revenue)² / (Σ nation revenue)² over the region's nations —
