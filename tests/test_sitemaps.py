@@ -168,3 +168,40 @@ def test_sitemap_frontier_feeds_fetch_list(ray_session, tmp_path):
     assert [g["url"] for g in got] == [w["url"] for w in want]
     assert [g["round"] for g in got] == [w["round"] for w in want]
     assert [g["fetch_status"] for g in got] == [w["fetch_status"] for w in want]
+
+
+def test_parse_sitemap_roundtrip_property():
+    """Any escaped URL list round-trips through a generated urlset /
+    sitemapindex document, plain and gzipped."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    url_st = st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            exclude_characters="<>&\x00\r\n\t ",
+            exclude_categories=("Cs", "Zs", "Zl", "Zp", "Cc"),
+        ),
+        min_size=1,
+        max_size=40,
+    ).map(lambda s: "http://h.example/" + s)
+
+    import html as _h
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(url_st, min_size=0, max_size=8), st.booleans(),
+           st.booleans())
+    def _case(urls, as_index, gz):
+        tag = "sitemap" if as_index else "url"
+        root = "sitemapindex" if as_index else "urlset"
+        body = "".join(
+            f"<{tag}><loc>{_h.escape(u)}</loc></{tag}>" for u in urls
+        )
+        doc = f"<?xml version='1.0'?><{root}>{body}</{root}>".encode()
+        if gz:
+            doc = gzip.compress(doc)
+        is_idx, locs = parse_sitemap(doc)
+        assert is_idx == as_index
+        assert locs == urls
+
+    _case()
