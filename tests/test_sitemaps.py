@@ -205,3 +205,38 @@ def test_parse_sitemap_roundtrip_property():
         assert locs == urls
 
     _case()
+
+
+def test_sitemap_tree_partitioned_store(ray_session, tmp_path):
+    """The expansion fetches through a PartitionedPageStore (the sha1
+    lookup path) identically to the broadcast store."""
+    from webscrape_neko_jirushi_ray.functions.urlkit import add_url_key_columns
+    from webscrape_neko_jirushi_ray.sources.pages import PartitionedPageStore
+    from webscrape_neko_jirushi_ray.sources.sitemaps import sitemaps_to_frontier
+
+    root = canonicalize_url("http://a.example/sitemap.xml")
+    bodies = {
+        root: _index(["http://a.example/s1.xml"]),
+        canonicalize_url("http://a.example/s1.xml"): _urlset(
+            ["http://a.example/p1", "http://a.example/p2"]
+        ),
+    }
+    urls = sorted(bodies)
+    ts = dt.datetime(2020, 1, 1)
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([ts] * len(urls), pa.timestamp("us")),
+            "html": pa.array([bodies[u] for u in urls], pa.binary()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    )
+    store = PartitionedPageStore.build(
+        add_url_key_columns(pages), str(tmp_path / "ps"), num_buckets=4
+    )
+    fr = sitemaps_to_frontier(store, [root]).to_pandas()
+    fr = fr.sort_values("discovery_seq")
+    assert list(fr["url"]) == [
+        canonicalize_url("http://a.example/p1"),
+        canonicalize_url("http://a.example/p2"),
+    ]
