@@ -2787,17 +2787,20 @@ def fk_coverage_audit(sf_dir: str) -> pd.DataFrame:
     trusting any join (the validate_orders_rules companion, one level
     up: across tables instead of within one).
 
-    Scale plan, per relation: the child streams ONCE into per-batch
-    (key, n) partials and ONE groupby(key) shuffle collapses it to the
+    Scale plan: each child table is READ ONCE and emits relation-tagged
+    (rel, key, n) partials for ALL of its foreign keys in one batch
+    pass (lineitem carries three relations in a single scan); the four
+    streams union into ONE groupby((rel, key)) shuffle producing the
     O(distinct keys) rollup — row totals, distinct counts and orphan
-    sums all come off that table, never the raw child. The parent side
-    attaches size-routed: ≤ _BROADCAST_SIDE_ROUTE_ROWS its (unique —
-    primary keys by construction) key column broadcasts once as a
-    sorted array and membership is a per-batch searchsorted reduced to
-    four int64 partials; above, a left_semi hash_join on the rollup
-    yields the matched subset and two tiny aggregates finish. Orphan
-    rows = Σn − Σn(matched), so no outer join and nothing row-shaped
-    crosses the driver."""
+    sums all come off that table, never the raw children. Parent keys
+    (unique — primary keys by construction) attach size-routed: when
+    every parent fits ≤ _BROADCAST_SIDE_ROUTE_ROWS they broadcast once
+    as one dict of sorted arrays and a single searchsorted pass reduces
+    each batch to four int64 partials per relation (whole audit = ONE
+    union shuffle + one tiny groupby); any oversized parent takes a
+    per-relation left_semi hash_join on its rollup slice instead.
+    Orphan rows = Σn − Σn(matched), so no outer join and nothing
+    row-shaped crosses the driver."""
     from ray.data.aggregate import Count, Sum
 
     from ..stages.joins import hash_join
@@ -2816,83 +2819,183 @@ def fk_coverage_audit(sf_dir: str) -> pd.DataFrame:
         ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
          "nation", "n_nationkey"),
     ]
+    by_child: dict[str, list[tuple[int, str]]] = {}
+    for rid, (rel, child, ckey, _p, _pk) in enumerate(relations):
+        by_child.setdefault(child, []).append((rid, ckey))
 
-    rows = []
-    for rel, child, ckey, parent, pkey in relations:
-        dk = (
-            _read(sf_dir, child, [ckey])
-            .map_batches(
-                lambda t, ckey=ckey: pa.table(
-                    {
-                        "k": pc.cast(t[ckey], pa.int64()),
-                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                    }
-                ).group_by("k").aggregate([("n", "sum")]).rename_columns(
-                    ["k", "n"]
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("k")
-            .aggregate(Sum("n", alias_name="n"))
+    def _tagged(rid_keys):
+        def _f(t: pa.Table) -> pa.Table:
+            parts = []
+            for rid, ckey in rid_keys:
+                g = (
+                    pa.table(
+                        {
+                            "k": pc.cast(t[ckey], pa.int64()),
+                            "n": pa.array(
+                                np.ones(t.num_rows, dtype=np.int64)
+                            ),
+                        }
+                    )
+                    .group_by("k")
+                    .aggregate([("n", "sum")])
+                )
+                parts.append(
+                    pa.table(
+                        {
+                            "rel": pa.array(
+                                np.full(g.num_rows, rid, dtype=np.int64)
+                            ),
+                            "k": g["k"],
+                            "n": pc.cast(g["n_sum"], pa.int64()),
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+        return _f
+
+    streams = [
+        _read(sf_dir, child, sorted({ck for _r, ck in rks})).map_batches(
+            _tagged(rks), batch_format="pyarrow"
         )
+        for child, rks in by_child.items()
+    ]
+    union = streams[0]
+    for s in streams[1:]:
+        union = union.union(s)
+
+    parent_sizes = {}
+    for _rel, _c, _ck, parent, _pk in relations:
+        if parent in parent_sizes:
+            continue
         try:
-            n_parent = pq.read_metadata(f"{sf_dir}/{parent}.parquet").num_rows
+            parent_sizes[parent] = pq.read_metadata(
+                f"{sf_dir}/{parent}.parquet"
+            ).num_rows
         except Exception:
-            n_parent = _BROADCAST_SIDE_ROUTE_ROWS + 1
-        if n_parent <= _BROADCAST_SIDE_ROUTE_ROWS:
-            pk = np.unique(
+            parent_sizes[parent] = _BROADCAST_SIDE_ROUTE_ROWS + 1
+
+    stats: dict[int, tuple[int, int, int, int]] = {}
+    if all(v <= _BROADCAST_SIDE_ROUTE_ROWS for v in parent_sizes.values()):
+        pk_arrays = {}
+        for rid, (_rel, _c, _ck, parent, pkey) in enumerate(relations):
+            pk_arrays[rid] = np.unique(
                 pq.read_table(f"{sf_dir}/{parent}.parquet", columns=[pkey])[
                     pkey
                 ].to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            pk_ref = ray.put(pk)
+        pk_ref = ray.put(pk_arrays)
+        from ..stages.relops import _WB
 
-            def _audit(t: pa.Table, pk_ref=pk_ref) -> pa.Table:
-                p = ray.get(pk_ref)
-                k = np.asarray(
-                    t["k"].to_numpy(zero_copy_only=False), dtype=np.int64
+        def _route(t: pa.Table) -> pa.Table:
+            # single composite int64 sort key (rel << 48 | key — table
+            # PKs bounded << 2^48, guarded) + a key-hash bucket: the
+            # global dedup AND the membership audit collapse into one
+            # bucket task, so the whole audit is ONE shuffle whose sort
+            # key is one int64 (the _WB lesson: multi-column sort
+            # groupbys cost ~4x at this shape)
+            rel = np.asarray(
+                t["rel"].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            k = np.asarray(
+                t["k"].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            if k.size and (k.max() >= 1 << 48 or k.min() < 0):
+                raise ValueError(
+                    "fk_coverage_audit composite key needs 0 <= key < 2^48"
                 )
-                n = np.asarray(
-                    t["n"].to_numpy(zero_copy_only=False), dtype=np.int64
-                )
-                pos = np.searchsorted(p, k)
-                hit = (pos < len(p)) & (p[np.minimum(pos, len(p) - 1)] == k)
-                return pa.table(
-                    {
-                        "cr": pa.array([int(n.sum())], pa.int64()),
-                        "dk": pa.array([len(k)], pa.int64()),
-                        "mk": pa.array([int(hit.sum())], pa.int64()),
-                        "mr": pa.array([int(n[hit].sum())], pa.int64()),
-                    }
-                )
+            comp = (rel << np.int64(48)) | k
+            h = (
+                comp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(33)
+            return pa.table(
+                {
+                    "comp": pa.array(comp),
+                    "n": t["n"],
+                    _WB: pa.array((h % np.uint64(64)).astype(np.int64)),
+                }
+            )
 
-            agg = dk.map_batches(_audit, batch_format="pyarrow").aggregate(
+        def _audit(g: pa.Table) -> pa.Table:
+            pks = ray.get(pk_ref)
+            s = (
+                pa.table({"comp": g["comp"], "n": g["n"]})
+                .group_by("comp")
+                .aggregate([("n", "sum")])
+            )
+            comp = np.asarray(
+                s["comp"].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            n = np.asarray(
+                s["n_sum"].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            rel = comp >> np.int64(48)
+            k = comp & np.int64((1 << 48) - 1)
+            out = {c: [] for c in ("rel", "cr", "dk", "mk", "mr")}
+            for rid in np.unique(rel):
+                m = rel == rid
+                p = pks[int(rid)]
+                km, nm = k[m], n[m]
+                pos = np.searchsorted(p, km)
+                hit = (pos < len(p)) & (
+                    p[np.minimum(pos, len(p) - 1)] == km
+                )
+                out["rel"].append(int(rid))
+                out["cr"].append(int(nm.sum()))
+                out["dk"].append(int(m.sum()))
+                out["mk"].append(int(hit.sum()))
+                out["mr"].append(int(nm[hit].sum()))
+            return pa.table(
+                {c: pa.array(np.asarray(v, dtype=np.int64))
+                 for c, v in out.items()}
+            )
+
+        agg = (
+            union.map_batches(_route, batch_format="pyarrow")
+            .groupby(_WB)
+            .map_groups(_audit, batch_format="pyarrow")
+            .groupby("rel")
+            .aggregate(
                 Sum("cr", alias_name="cr"),
                 Sum("dk", alias_name="dk"),
                 Sum("mk", alias_name="mk"),
                 Sum("mr", alias_name="mr"),
             )
-            cr, dcount, mk, mr = (
-                int(agg["cr"]), int(agg["dk"]), int(agg["mk"]), int(agg["mr"])
+            .to_pandas()
+        )
+        for _i, r in agg.iterrows():
+            stats[int(r["rel"])] = (
+                int(r["cr"]), int(r["dk"]), int(r["mk"]), int(r["mr"])
             )
-        else:
-            dk = dk.materialize()  # consumed twice (totals + semi join)
+    else:
+        rollup = (
+            union.groupby(["rel", "k"]).aggregate(Sum("n", alias_name="n"))
+            .materialize()  # sliced per relation below
+        )
+        for rid, (_rel, _c, _ck, parent, pkey) in enumerate(relations):
+            dk = rollup.filter(expr=f"rel == {rid}")
             tot = dk.aggregate(
                 Sum("n", alias_name="cr"), Count(alias_name="dk")
             )
-            cr, dcount = int(tot["cr"]), int(tot["dk"])
+            cr, dcount = int(tot["cr"] or 0), int(tot["dk"])
             pks = _read(sf_dir, parent, [pkey]).map_batches(
                 lambda t, pkey=pkey: pa.table(
                     {"pk": pc.cast(t[pkey], pa.int64())}
                 ),
                 batch_format="pyarrow",
             )
-            matched = hash_join(dk, pks, key="k", right_key="pk", how="left_semi")
+            matched = hash_join(
+                dk, pks, key="k", right_key="pk", how="left_semi"
+            )
             magg = matched.aggregate(
                 Sum("n", alias_name="mr"), Count(alias_name="mk")
             )
             mr = int(magg["mr"]) if magg["mr"] is not None else 0
-            mk = int(magg["mk"])
+            stats[rid] = (cr, dcount, int(magg["mk"]), mr)
+
+    rows = []
+    for rid, (rel, _c, _ck, _p, _pk) in enumerate(relations):
+        cr, dcount, mk, mr = stats[rid]
         rows.append(
             {
                 "relation": rel,
@@ -2903,7 +3006,8 @@ def fk_coverage_audit(sf_dir: str) -> pd.DataFrame:
             }
         )
     out = pd.DataFrame(rows)
-    for c in ("child_rows", "distinct_child_keys", "matched_keys", "orphan_rows"):
+    for c in ("child_rows", "distinct_child_keys", "matched_keys",
+              "orphan_rows"):
         out[c] = out[c].astype("int64")
     return out.sort_values("relation").reset_index(drop=True)
 
