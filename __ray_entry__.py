@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webtext_pipeline_v4": q.webtext_pipeline_v4,
         "region_revenue_hhi": q.region_revenue_hhi,
         "cohort_revenue_matrix": q.cohort_revenue_matrix,
+        "char_class_profile_per_lang": q.char_class_profile_per_lang,
+        "doc_compression_ratio": q.doc_compression_ratio,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1546,6 +1548,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "char_class_profile_per_lang": """
+            WITH c AS (
+                SELECT lang,
+                       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                       CAST(SUM(length(text) - length(
+                           REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')
+                       )) AS BIGINT) AS n_letters,
+                       CAST(SUM(length(text) - length(
+                           REGEXP_REPLACE(text, '[0-9]', '', 'g')
+                       )) AS BIGINT) AS n_digits,
+                       CAST(SUM(length(text) - length(
+                           REPLACE(text, ' ', '')
+                       )) AS BIGINT) AS n_spaces
+                FROM documents
+                GROUP BY lang
+            )
+            SELECT lang, n_chars, n_letters, n_digits, n_spaces,
+                   CAST(n_chars - n_letters - n_digits - n_spaces
+                       AS BIGINT) AS n_other,
+                   CAST(n_chars - n_letters - n_digits - n_spaces
+                       AS DOUBLE) / CAST(n_chars AS DOUBLE) AS other_share
+            FROM c ORDER BY lang
         """,
         "cohort_revenue_matrix": """
             WITH o AS (

@@ -545,3 +545,28 @@ def test_bucketed_exact_quantiles_property(
         }
     )
     assert out.astype("int64").equals(want.astype("int64"))
+
+
+def test_doc_compression_ratio_rowwise_parity(ray_session):
+    """The rows-only compression-ratio query equals the direct row-wise
+    computation (its correctness pin — no SQL oracle can DEFLATE)."""
+    import zlib
+
+    import pandas as pd
+
+    from webscrape_neko_jirushi_ray.pipelines.queries import (
+        doc_compression_ratio,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_compression_ratio(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]).sort_values("doc_id")
+    assert list(got["doc_id"]) == list(docs["doc_id"])
+    for _i, (txt, raw, comp) in enumerate(
+        zip(docs["text"], got["raw_bytes"], got["compressed_bytes"])
+    ):
+        b = (txt or "").encode("utf-8")
+        assert raw == len(b)
+        assert comp == len(zlib.compress(b, 6))
+    assert (got["ratio"] > 0).all()

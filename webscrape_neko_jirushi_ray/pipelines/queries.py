@@ -529,6 +529,109 @@ def doc_token_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def char_class_profile_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Character-class PROFILE per language: exact corpus-wide counts of
+    ASCII letters, digits, spaces, and everything else — the encoding /
+    mojibake drift audit (a lang whose "other" share jumps between dumps
+    grew a codec problem). Ratios of EXACT INT SUMS, not averages of
+    per-doc ratios (the stopword-density lesson).
+
+    Scale plan: shuffle-free — each batch reduces to O(langs) partial
+    rows via three RE2 strip-and-measure kernels (utf8_length before /
+    after `replace_substring_regex`), one tiny groupby finishes."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t["text"], "")
+        total = pc.utf8_length(s)
+
+        def _count(pattern: str):
+            stripped = pc.replace_substring_regex(s, pattern, "")
+            return pc.subtract(total, pc.utf8_length(stripped))
+
+        g = pa.table(
+            {
+                "lang": t["lang"],
+                "n_chars": pc.cast(total, pa.int64()),
+                "n_letters": pc.cast(_count("[A-Za-z]"), pa.int64()),
+                "n_digits": pc.cast(_count("[0-9]"), pa.int64()),
+                "n_spaces": pc.cast(_count(" "), pa.int64()),
+            }
+        ).group_by("lang").aggregate(
+            [(c, "sum") for c in ("n_chars", "n_letters", "n_digits", "n_spaces")]
+        )
+        return g.rename_columns(
+            ["lang", "n_chars", "n_letters", "n_digits", "n_spaces"]
+        )
+
+    agg = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(*[
+            Sum(c, alias_name=c)
+            for c in ("n_chars", "n_letters", "n_digits", "n_spaces")
+        ])
+        .to_pandas()
+    )
+    for c in ("n_chars", "n_letters", "n_digits", "n_spaces"):
+        agg[c] = agg[c].astype("int64")
+    agg["n_other"] = (
+        agg["n_chars"] - agg["n_letters"] - agg["n_digits"] - agg["n_spaces"]
+    ).astype("int64")
+    agg["other_share"] = agg["n_other"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["n_chars"].to_numpy(dtype="int64").astype(np.float64)
+    out = agg[
+        ["lang", "n_chars", "n_letters", "n_digits", "n_spaces",
+         "n_other", "other_share"]
+    ]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def doc_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-document zlib COMPRESSION RATIO — the redundancy quality
+    signal real curation stacks gate on (template/boilerplate text
+    compresses far below natural prose; the practical complement to
+    doc_repetition's n-gram view). Not SQL-expressible (no DEFLATE in
+    DuckDB), so rows-only for the driver; semantics pinned by
+    test_textops' row-wise parity check.
+
+    Scale plan: embarrassingly parallel map_batches; zlib.compress is
+    per-row by nature (the codec boundary, like multimodal decode) but
+    C-speed and allocation-free per call; output is O(docs) small
+    columns. Level 6 fixed — zlib output is deterministic for a given
+    (input, level, strategy) across CPython builds (it vendors zlib)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _ratio(t: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = t["text"].to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            b = (txt or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, 6))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "raw_bytes": pa.array(raw),
+                "compressed_bytes": pa.array(comp),
+                "ratio": pa.array(
+                    comp.astype(np.float64)
+                    / np.maximum(raw, 1).astype(np.float64)
+                ),
+            }
+        )
+
+    out = ds.map_batches(_ratio, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_quality(sf_dir: str) -> pd.DataFrame:
     """Quality features (SQL-expressible subset; per-row arithmetic →
     bit-identical, no rounding)."""
