@@ -622,10 +622,63 @@ def soak_quantile_sketch(tmp: str) -> dict:
     return {"sec": sec, "rows": n, "p50_rank_err": round(err, 5)}
 
 
+def soak_sitemaps(tmp: str) -> dict:
+    """sitemaps_to_frontier over an index of 40 leaves x 10k URLs
+    (400k locs, 5% cross-leaf duplicates) — driver state O(41 sitemap
+    files); the keep-first shuffle and dense-index enumeration carry
+    the URL volume."""
+    import datetime as dt
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.sources.pages import BroadcastPageStore
+    from webscrape_neko_jirushi_ray.sources.sitemaps import sitemaps_to_frontier
+
+    n_leaves, per_leaf = 40, 10_000
+    leaves = [f"http://big.example/sm{i}.xml" for i in range(n_leaves)]
+    bodies = {
+        "http://big.example/sitemap.xml": (
+            "<sitemapindex>"
+            + "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in leaves)
+            + "</sitemapindex>"
+        ).encode()
+    }
+    for i, leaf in enumerate(leaves):
+        start = i * per_leaf * 95 // 100  # 5% overlap with prior leaf
+        urls = "".join(
+            f"<url><loc>http://big.example/p{start + j}</loc></url>"
+            for j in range(per_leaf)
+        )
+        bodies[leaf] = f"<urlset>{urls}</urlset>".encode()
+    store = BroadcastPageStore(
+        pa.table(
+            {
+                "url": pa.array(sorted(bodies), pa.string()),
+                "warc_ts": pa.array(
+                    [dt.datetime(2020, 1, 1)] * len(bodies),
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array(
+                    [bodies[u] for u in sorted(bodies)], pa.binary()
+                ),
+                "lang": pa.array(["en"] * len(bodies), pa.string()),
+            }
+        )
+    )
+    t0 = time.perf_counter()
+    fr = sitemaps_to_frontier(store, ["http://big.example/sitemap.xml"])
+    n_out = fr.count()
+    sec = round(time.perf_counter() - t0, 2)
+    expected = (n_leaves - 1) * per_leaf * 95 // 100 + per_leaf
+    assert n_out == expected, (n_out, expected)
+    return {"sec": sec, "urls_in": n_leaves * per_leaf, "frontier": n_out}
+
+
 SOAKS = {
     "sessionize": soak_sessionize,
     "rolling_median": soak_rolling_median,
     "quantile_sketch": soak_quantile_sketch,
+    "sitemaps": soak_sitemaps,
     "edit_join": soak_edit_join,
     "interval_overlap": soak_interval_overlap,
     "token_shuffle": soak_token_shuffle,
