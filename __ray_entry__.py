@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_revenue_matrix": q.cohort_revenue_matrix,
         "char_class_profile_per_lang": q.char_class_profile_per_lang,
         "doc_compression_ratio": q.doc_compression_ratio,
+        "events_rolling_median5": q.events_rolling_median5,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -120,7 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_mad_by_priority": q.order_mad_by_priority,
         "top_event_types_with_other": q.top_event_types_with_other,
         "events_rolling_max3": q.events_rolling_max3,
-        "events_rolling_median5": q.events_rolling_median5,
         "event_value_anomalies": q.event_value_anomalies,
         "order_price_p90cont_by_priority": q.order_price_p90cont_by_priority,
         "user_time_to_first_purchase": q.user_time_to_first_purchase,
