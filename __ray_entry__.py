@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_class_profile_per_lang": q.char_class_profile_per_lang,
         "doc_compression_ratio": q.doc_compression_ratio,
         "events_rolling_median5": q.events_rolling_median5,
+        "funnel_conversion_rates": q.funnel_conversion_rates,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1548,6 +1549,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "funnel_conversion_rates": """
+            WITH f AS (
+                SELECT user_id, event_type, ts FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            t1 AS (
+                SELECT user_id, MIN(ts) AS ts1 FROM f
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+                SELECT f.user_id, MIN(f.ts) AS ts2 FROM f
+                JOIN t1 ON f.user_id = t1.user_id AND f.ts > t1.ts1
+                WHERE f.event_type = 'click' GROUP BY f.user_id
+            ),
+            t3 AS (
+                SELECT f.user_id, MIN(f.ts) AS ts3 FROM f
+                JOIN t2 ON f.user_id = t2.user_id AND f.ts > t2.ts2
+                WHERE f.event_type = 'purchase' GROUP BY f.user_id
+            ),
+            u AS (
+                SELECT du.user_id,
+                       CASE WHEN t3.user_id IS NOT NULL THEN 3
+                            WHEN t2.user_id IS NOT NULL THEN 2
+                            WHEN t1.user_id IS NOT NULL THEN 1
+                            ELSE 0 END AS fs
+                FROM (SELECT DISTINCT user_id FROM f) du
+                LEFT JOIN t1 ON du.user_id = t1.user_id
+                LEFT JOIN t2 ON du.user_id = t2.user_id
+                LEFT JOIN t3 ON du.user_id = t3.user_id
+            ),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM u),
+            reach AS (
+                SELECT CAST(s.stage AS BIGINT) AS stage, s.stage_name,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM u
+                        WHERE fs >= s.stage) AS n_reached
+                FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+                     AS s(stage, stage_name)
+            )
+            SELECT stage, stage_name, n_reached,
+                   CAST(n_reached AS DOUBLE)
+                   / CAST(LAG(n_reached, 1, (SELECT n0 FROM tot))
+                          OVER (ORDER BY stage) AS DOUBLE)
+                       AS conv_from_prev
+            FROM reach ORDER BY stage
         """,
         "char_class_profile_per_lang": """
             WITH c AS (

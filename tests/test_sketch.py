@@ -219,3 +219,40 @@ def test_quantile_sketch_rejects_nulls(ray_session):
     t = pa.table({"x": pa.array([1, None, 3], pa.int64())})
     with pytest.raises(Exception, match="null"):
         quantile_sketch(ray.data.from_arrow(t), "x", k=8)
+
+
+def test_quantile_sketch_merge_matches_whole(ray_session):
+    """Sketching two halves and merging stays within the documented rank
+    bound of the full-data quantiles, and total weight is exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import (
+        quantile_sketch, quantile_sketch_merge, quantile_sketch_query,
+    )
+
+    rng = np.random.default_rng(41)
+    n, k = 100_000, 512
+    data = rng.integers(0, 10**12, 2 * n)
+    s1 = quantile_sketch(
+        ray.data.from_arrow(pa.table({"x": pa.array(data[:n], pa.int64())})),
+        "x", k=k,
+    )
+    s2 = quantile_sketch(
+        ray.data.from_arrow(pa.table({"x": pa.array(data[n:], pa.int64())})),
+        "x", k=k,
+    )
+    v, w = quantile_sketch_merge(s1, s2, k=k)
+    assert int(w.sum()) == 2 * n
+    s = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        e = quantile_sketch_query(v, w, [q])[0]
+        lo = np.searchsorted(s, e, "left")
+        hi = np.searchsorted(s, e, "right")
+        target = q * 2 * n
+        err = 0.0 if lo <= target <= hi else min(
+            abs(lo - target), abs(hi - target)
+        )
+        assert err <= 4 * 2 * n / k, (q, err)

@@ -2461,6 +2461,80 @@ def user_funnel_stages(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def funnel_conversion_rates(sf_dir: str) -> pd.DataFrame:
+    """FUNNEL CONVERSION report: per stage of view → click → purchase,
+    how many users' strictly-increasing chains reach it and the
+    step-conversion rate from the previous stage — the product-analytics
+    rollup over user_funnel_stages' per-user table.
+
+    Scale plan: the same grouped_funnel_stage shuffle, but the per-user
+    stage table NEVER reaches the driver — each batch collapses to an
+    O(stages) histogram partial and one tiny groupby finishes; reach is
+    the suffix sum Σ(stage ≥ s), conversion ONE double division of
+    exact int64 counts per row."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import grouped_funnel_stage
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    staged = grouped_funnel_stage(
+        ds.map_batches(_us, batch_format="pyarrow"),
+        group_col="user_id",
+        type_col="event_type",
+        ts_col="ts_us",
+        stages=["view", "click", "purchase"],
+    )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        s = np.asarray(
+            t["funnel_stage"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        vals, cnts = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "stage": pa.array(vals),
+                "n": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        staged.map_batches(_hist, batch_format="pyarrow")
+        .groupby("stage")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = {int(r["stage"]): int(r["n"]) for _i, r in hist.iterrows()}
+    total = sum(counts.values())
+    stage_names = ["view", "click", "purchase"]
+    rows = []
+    prev_reach = total
+    for s, name in enumerate(stage_names, start=1):
+        reach = sum(n for st, n in counts.items() if st >= s)
+        rows.append(
+            {
+                "stage": s,
+                "stage_name": name,
+                "n_reached": reach,
+                "conv_from_prev": np.float64(reach) / np.float64(prev_reach),
+            }
+        )
+        prev_reach = reach
+    out = pd.DataFrame(rows)
+    out["stage"] = out["stage"].astype("int64")
+    out["n_reached"] = out["n_reached"].astype("int64")
+    return out
+
+
 def triangle_count_customers(sf_dir: str) -> pd.DataFrame:
     """Multi-way distributed self-join: triangle count of the undirected
     order-derived customer graph (same derivation as pagerank_customers).

@@ -424,3 +424,19 @@ def quantile_sketch_query(
     )
     idx = np.searchsorted(cw, targets, side="left")
     return values[np.minimum(idx, len(values) - 1)]
+
+
+def quantile_sketch_merge(
+    a: tuple[np.ndarray, np.ndarray],
+    b: tuple[np.ndarray, np.ndarray],
+    *,
+    k: int = 512,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two quantile summaries (the incremental-dump path: yesterday's
+    persisted sketch + today's new data, without re-reading the corpus).
+    Total weight stays exact; one further compaction adds <= W/k rank
+    error on top of each input's own bound."""
+    v = np.concatenate([a[0], b[0]])
+    w = np.concatenate([a[1], b[1]]).astype(np.int64)
+    order = np.lexsort((w, v))
+    return _qs_compact(v[order], w[order], k)
