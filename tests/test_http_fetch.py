@@ -371,3 +371,67 @@ def test_retry_after_defers_host_bucket():
         assert f.limiter.wait_time(host, clock["t"]) >= 7.0
     finally:
         srv.shutdown()
+
+
+def test_circuit_breaker_short_circuits_failing_host():
+    """After `circuit_threshold` consecutive hard failures on a host, its
+    remaining URLs return 'skipped_circuit' WITHOUT hitting the server;
+    a success resets the streak; 404s never count."""
+    import threading as _t
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from webscrape_neko_jirushi_ray.sources.http import HttpPageStore
+
+    hits = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            if self.path.startswith("/bad"):
+                self.send_response(500)
+                self.end_headers()
+                return
+            if self.path.startswith("/gone"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(b"<html><body>ok</body></html>")
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    _t.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        store = HttpPageStore(
+            rate_per_host=1000.0, backoff_s=0.0, timeout_s=5.0,
+            max_retries=1, circuit_threshold=2, sleep=lambda s: None,
+            clock=lambda: 0.0,
+        )
+        f = store.make_fetcher()
+        # a 404 then a success: neither counts toward the circuit
+        out = f.fetch([base + "/gone1", base + "/ok1"])
+        assert out["fetch_status"].to_pylist() == ["notfound", "ok"]
+        out = f.fetch(
+            [base + "/bad1", base + "/bad2", base + "/bad3", base + "/bad4"]
+        )
+        assert out["fetch_status"].to_pylist() == [
+            "error:500", "error:500", "skipped_circuit", "skipped_circuit"
+        ]
+        n_hits = len(hits)
+        # circuit stays open: no further server traffic for this host
+        out = f.fetch([base + "/bad5", base + "/ok2"])
+        assert out["fetch_status"].to_pylist() == [
+            "skipped_circuit", "skipped_circuit"
+        ]
+        assert len(hits) == n_hits
+        # a fresh fetcher (new worker / recrawl) starts closed again
+        f2 = store.make_fetcher()
+        out = f2.fetch([base + "/ok2"])
+        assert out["fetch_status"].to_pylist() == ["ok"]
+    finally:
+        srv.shutdown()

@@ -49,6 +49,7 @@ class HttpPageStore:
         backoff_s: float = 2.0,
         headers: dict | None = None,
         concurrency: int = 1,
+        circuit_threshold: int = 0,
         sleep=time.sleep,
         clock=time.monotonic,
     ):
@@ -59,11 +60,21 @@ class HttpPageStore:
         self.backoff_s = backoff_s
         self.headers = dict(headers or DEFAULT_HEADERS)
         self.concurrency = max(1, int(concurrency))
+        # > 0 enables the per-host error CIRCUIT BREAKER: after this many
+        # CONSECUTIVE hard failures (transport errors / 5xx — not 404s)
+        # on one host, its remaining URLs short-circuit to
+        # fetch_status='skipped_circuit' instead of burning retry budget
+        # against a down host (host→worker affinity makes the per-worker
+        # streak the host's global streak). 0 = off (golden-fixture mode).
+        self.circuit_threshold = int(circuit_threshold)
         self._sleep = sleep
         self._clock = clock
 
     def cache_key(self) -> str:
-        return f"http:{self.rate_per_host}:{self.timeout_s}:{self.concurrency}"
+        return (
+            f"http:{self.rate_per_host}:{self.timeout_s}:"
+            f"{self.concurrency}:{self.circuit_threshold}"
+        )
 
     def make_fetcher(self) -> "HttpFetcher":
         return HttpFetcher(self)
@@ -91,6 +102,7 @@ class HttpFetcher:
         self._sleep = store._sleep
         self._clock = store._clock
         self._claim_lock = threading.Lock()
+        self._host_fail_streak: dict[str, int] = {}
         self._pool = None
         if store.concurrency > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -164,7 +176,26 @@ class HttpFetcher:
         import datetime as _dt
 
         host = u.split("/", 3)[2] if "//" in u else ""
+        thr = self.store.circuit_threshold
+        if thr > 0:
+            with self._claim_lock:
+                tripped = self._host_fail_streak.get(host, 0) >= thr
+            if tripped:
+                # circuit OPEN: the host returned `thr` consecutive hard
+                # failures — stop hammering it this worker/job; the rows
+                # come back 'skipped_circuit' and a recrawl retries them
+                return "skipped_circuit", None, u, _dt.datetime.utcnow()
         s, body, final = self._get(u, host)
+        if thr > 0:
+            with self._claim_lock:
+                if s == "ok" or s == "notfound":
+                    # 404 is a healthy server answering; only transport /
+                    # 5xx-class failures count toward the circuit
+                    self._host_fail_streak[host] = 0
+                else:
+                    self._host_fail_streak[host] = (
+                        self._host_fail_streak.get(host, 0) + 1
+                    )
         # live fetches do get a wall-clock capture time (this path is
         # inherently nondeterministic; golden fixtures use the stores)
         return s, body, final, _dt.datetime.utcnow()
