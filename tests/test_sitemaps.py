@@ -240,3 +240,56 @@ def test_sitemap_tree_partitioned_store(ray_session, tmp_path):
         canonicalize_url("http://a.example/p1"),
         canonicalize_url("http://a.example/p2"),
     ]
+
+
+def test_parse_robots_sitemaps():
+    from webscrape_neko_jirushi_ray.functions.robotskit import (
+        parse_robots_sitemaps,
+    )
+
+    text = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: http://a.example/sm1.xml\n"
+        "User-agent: other\n"
+        "sitemap:   http://a.example/sm2.xml  # trailing comment\n"
+        "Sitemap:\n"  # empty value ignored
+    )
+    assert parse_robots_sitemaps(text) == [
+        "http://a.example/sm1.xml",
+        "http://a.example/sm2.xml",
+    ]
+
+
+def test_discover_frontier_from_robots(ray_session):
+    """robots.txt → Sitemap: directives → expanded frontier, multi-host;
+    hosts without robots or sitemap lines contribute nothing."""
+    from webscrape_neko_jirushi_ray.sources.sitemaps import (
+        discover_frontier_from_robots,
+    )
+
+    bodies = {
+        canonicalize_url("http://a.example/robots.txt"): (
+            b"User-agent: *\nDisallow: /x\n"
+            b"Sitemap: http://a.example/sm.xml\n"
+        ),
+        canonicalize_url("http://a.example/sm.xml"): _urlset(
+            ["http://a.example/p1", "http://a.example/p2"]
+        ),
+        canonicalize_url("http://b.example/robots.txt"): (
+            b"Sitemap: http://b.example/sm.xml\n"
+        ),
+        canonicalize_url("http://b.example/sm.xml"): _urlset(
+            ["http://b.example/q1"]
+        ),
+        # c.example robots has no Sitemap line
+        canonicalize_url("http://c.example/robots.txt"): b"User-agent: *\n",
+    }
+    fr = discover_frontier_from_robots(
+        _store(bodies), ["a.example", "b.example", "c.example", "d.example"]
+    ).to_pandas().sort_values("discovery_seq")
+    assert list(fr["url"]) == [
+        canonicalize_url(u)
+        for u in ["http://a.example/p1", "http://a.example/p2",
+                  "http://b.example/q1"]
+    ]
+    assert list(fr["discovery_seq"]) == [0, 1, 2]

@@ -125,3 +125,21 @@ def is_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
 def path_of(canon_url: str) -> str:
     parts = canon_url.split("/", 3)
     return "/" + parts[3] if len(parts) > 3 else "/"
+
+
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives of a robots.txt body, in file order.
+    Per RFC 9309 §2.3 / sitemaps.org these are GLOBAL records — they
+    apply regardless of any user-agent group — so no group state is
+    involved; the value is an absolute URL."""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            value = value.strip()
+            if value:
+                out.append(value)
+    return out

@@ -210,3 +210,39 @@ def sitemaps_to_frontier(
         )
 
     return ranked.map_batches(_finish, batch_format="pyarrow")
+
+
+def discover_frontier_from_robots(
+    store,
+    hosts: list[str],
+    *,
+    scheme: str = "http",
+    max_depth: int = 3,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """The full self-seeding discovery loop: each host's ``robots.txt``
+    is fetched through the store, its global ``Sitemap:`` directives
+    (RFC 9309 §2.3) collected in host order, and the combined sitemap
+    tree expanded via :func:`sitemaps_to_frontier`. Hosts without a
+    robots.txt or without Sitemap lines contribute nothing. Driver
+    state is O(hosts + sitemap files) — the spec-bounded tree, never
+    page URLs."""
+    from ..functions.robotskit import parse_robots_sitemaps
+    from ..functions.urlkit import canonicalize_url
+
+    robots_urls = [
+        canonicalize_url(f"{scheme}://{h}/robots.txt") for h in hosts
+    ]
+    fetcher = store.make_fetcher()
+    bodies = _fetch_bodies(fetcher, robots_urls)
+    sitemap_urls: list[str] = []
+    for body in bodies:
+        if body:
+            try:
+                text = body.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            sitemap_urls.extend(parse_robots_sitemaps(text))
+    return sitemaps_to_frontier(
+        store, sitemap_urls, max_depth=max_depth, num_buckets=num_buckets
+    )
