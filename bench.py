@@ -396,6 +396,16 @@ def run_bench() -> dict:
          lambda: q.fk_coverage_audit(SF_DIR)),
         ("order_price_sketch_quantiles",
          lambda: q.order_price_sketch_quantiles(SF_DIR)),
+        ("region_revenue_hhi",
+         lambda: q.region_revenue_hhi(SF_DIR)),
+        ("cohort_revenue_matrix",
+         lambda: q.cohort_revenue_matrix(SF_DIR)),
+        ("char_class_profile_per_lang",
+         lambda: q.char_class_profile_per_lang(SF_DIR)),
+        ("doc_compression_ratio",
+         lambda: q.doc_compression_ratio(SF_DIR)),
+        ("funnel_conversion_rates",
+         lambda: q.funnel_conversion_rates(SF_DIR)),
         ("profit_by_nation_year",
          lambda: q.profit_by_nation_year(SF_DIR)),
         ("supplier_abc_classes",
