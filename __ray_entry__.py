@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression_ratio": q.doc_compression_ratio,
         "events_rolling_median5": q.events_rolling_median5,
         "funnel_conversion_rates": q.funnel_conversion_rates,
+        "doc_length_sketch_by_lang": q.doc_length_sketch_by_lang,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,

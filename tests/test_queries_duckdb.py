@@ -275,3 +275,25 @@ def test_order_price_sketch_quantiles_near_exact(ray_session, con):
             abs(lo - target), abs(hi - target)
         )
         assert err <= max(2.0, 3 * n / 512), (q, err)
+
+
+def test_doc_length_sketch_within_bound_of_exact(ray_session, con):
+    """The grouped-sketch rows-only query stays within its rank bound of
+    the exact per-lang quantiles (its correctness pin)."""
+    got = entrymod.queries()["doc_length_sketch_by_lang"](SF_DIR)
+    for _i, r in got.iterrows():
+        exact = con.sql(
+            "SELECT n_chars FROM documents WHERE lang = ? ORDER BY n_chars",
+            params=[r["lang"]],
+        ).df()["n_chars"].to_numpy()
+        n = len(exact)
+        assert r["n_docs"] == n
+        for q, e in ((0.25, r["p25_est"]), (0.5, r["p50_est"]),
+                     (0.75, r["p75_est"])):
+            lo = exact.searchsorted(e, "left")
+            hi = exact.searchsorted(e, "right")
+            target = q * n
+            err = 0.0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target)
+            )
+            assert err <= max(2.0, 4 * n / 256), (r["lang"], q, err)

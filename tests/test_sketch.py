@@ -256,3 +256,41 @@ def test_quantile_sketch_merge_matches_whole(ray_session):
             abs(lo - target), abs(hi - target)
         )
         assert err <= 4 * 2 * n / k, (q, err)
+
+
+def test_grouped_quantile_sketch_bounds(ray_session):
+    """Per-group summaries: exact group weights, per-group rank error
+    within 4n_g/k (three compaction levels) on a skewed-group frame."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import (
+        grouped_quantile_sketch, quantile_sketch_query,
+    )
+
+    rng = np.random.default_rng(53)
+    sizes = {"big": 80_000, "mid": 9_000, "tiny": 40}
+    g = np.concatenate([np.full(n, name, dtype=object)
+                        for name, n in sizes.items()])
+    v = rng.integers(0, 10**12, len(g))
+    perm = rng.permutation(len(g))
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(g[perm]), "x": pa.array(v[perm], pa.int64())})
+    ).repartition(12)
+    sk = grouped_quantile_sketch(ds, "g", "x", k=256)
+    assert set(sk) == set(sizes)
+    for name, n in sizes.items():
+        vals, w = sk[name]
+        assert int(w.sum()) == n, name
+        data = np.sort(v[g == name])
+        for q in (0.1, 0.5, 0.9):
+            e = quantile_sketch_query(vals, w, [q])[0]
+            lo = data.searchsorted(e, "left")
+            hi = data.searchsorted(e, "right")
+            target = q * n
+            err = 0.0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target)
+            )
+            assert err <= max(2.0, 4 * n / 256), (name, q, err)

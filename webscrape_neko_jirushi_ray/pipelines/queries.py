@@ -9081,6 +9081,37 @@ def event_value_autocorr(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def doc_length_sketch_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language document-length quantiles via the GROUPED mergeable
+    quantile sketch — the O(groups × k)-state path that replaces
+    lang_length_quantiles' exact histogram when the value domain is
+    wide. Approximate by construction → rows-only; pinned by the sketch
+    bound tests plus the exact-vs-sketch tolerance check in
+    test_queries_duckdb."""
+    from ..stages.sketch import grouped_quantile_sketch, quantile_sketch_query
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    sk = grouped_quantile_sketch(ds, "lang", "n_chars", k=256)
+    qs = [0.25, 0.5, 0.75]
+    rows = []
+    for lang in sorted(sk):
+        v, w = sk[lang]
+        est = quantile_sketch_query(v, w, qs)
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": int(w.sum()),
+                "p25_est": int(est[0]),
+                "p50_est": int(est[1]),
+                "p75_est": int(est[2]),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_docs", "p25_est", "p50_est", "p75_est"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def order_price_sketch_quantiles(sf_dir: str) -> pd.DataFrame:
     """APPROXIMATE order-price quantiles via the mergeable stratified
     quantile sketch (stages/sketch.quantile_sketch) — the O(k) driver

@@ -440,3 +440,77 @@ def quantile_sketch_merge(
     w = np.concatenate([a[1], b[1]]).astype(np.int64)
     order = np.lexsort((w, v))
     return _qs_compact(v[order], w[order], k)
+
+
+def grouped_quantile_sketch(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    *,
+    k: int = 256,
+) -> dict:
+    """Per-GROUP mergeable quantile summaries: ``{group: (values,
+    weights)}`` with each group's ``weights.sum()`` exact — the grouped
+    companion of :func:`quantile_sketch` for per-language / per-host
+    distribution audits over wide value domains.
+
+    Scale plan: each batch compacts every group it contains to ≤ k
+    weighted items (one lexsort + segment reduceat pass — no per-group
+    Python beyond the O(groups-in-batch) emit loop), ONE group-hash
+    bucket shuffle co-locates partials, each bucket re-compacts its
+    groups, and the driver merges ≤ groups × k rows. Driver state is
+    O(groups × k) — the contract caps this at audit-style group counts
+    (languages, hosts, shards), not per-user cardinalities."""
+    import pyarrow as pa
+
+    from .relops import _WB, _route_by_group
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if _WB in t.column_names:
+            t = t.drop_columns([_WB])
+        col = t[value_col]
+        if isinstance(col, (pa.ChunkedArray, pa.Array)) and col.null_count:
+            raise ValueError(
+                f"grouped_quantile_sketch input {value_col!r} has nulls"
+            )
+        g = np.asarray(t[group_col].to_numpy(zero_copy_only=False))
+        v = np.asarray(col.to_numpy(zero_copy_only=False))
+        w = (
+            np.asarray(t["w"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            if "w" in t.column_names
+            else np.ones(len(v), dtype=np.int64)
+        )
+        order = np.lexsort((w, v, g))
+        g, v, w = g[order], v[order], w[order]
+        new = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.nonzero(new)[0]
+        ends = np.concatenate([starts[1:], [len(g)]])
+        go, vo, wo = [], [], []
+        for s, e in zip(starts, ends):
+            cv, cw = _qs_compact(v[s:e], w[s:e], k)
+            go.append(np.full(len(cv), g[s], dtype=object))
+            vo.append(cv)
+            wo.append(cw)
+        return pa.table(
+            {
+                group_col: pa.array(np.concatenate(go)),
+                value_col: pa.array(np.concatenate(vo)),
+                "w": pa.array(np.concatenate(wo).astype(np.int64)),
+            }
+        )
+
+    merged = (
+        _route_by_group(
+            ds.map_batches(_partial, batch_format="pyarrow"), group_col, 16
+        )
+        .groupby(_WB)
+        .map_groups(_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = {}
+    for grp, sub in merged.groupby(group_col):
+        v = sub[value_col].to_numpy()
+        w = sub["w"].to_numpy(dtype="int64")
+        order = np.lexsort((w, v))
+        out[grp] = _qs_compact(v[order], w[order], k)
+    return out
