@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_median5": q.events_rolling_median5,
         "funnel_conversion_rates": q.funnel_conversion_rates,
         "doc_length_sketch_by_lang": q.doc_length_sketch_by_lang,
+        "lang_script_mismatch_docs": q.lang_script_mismatch_docs,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1550,6 +1551,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "lang_script_mismatch_docs": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE lang IN ('zh', 'ja', 'ko', 'ru', 'ar')
+              AND length(text)
+                  - length(REGEXP_REPLACE(text, '[^\\x00-\\x7F]', '', 'g'))
+                  = 0
+              AND n_chars >= 20
+            ORDER BY doc_id
         """,
         "funnel_conversion_rates": """
             WITH f AS (

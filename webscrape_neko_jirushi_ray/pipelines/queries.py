@@ -9081,6 +9081,55 @@ def event_value_autocorr(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def lang_script_mismatch_docs(sf_dir: str) -> pd.DataFrame:
+    """SCRIPT-MISMATCH audit: documents whose language tag demands a
+    non-Latin script (zh/ja/ko/ru/ar) but whose text contains ZERO
+    non-ASCII characters — the classic mislabeled-document detector
+    (char_class_profile_per_lang's per-document companion; this corpus'
+    synthetic zh docs are all-ASCII, so the audit fires by design).
+
+    Scale plan: shuffle-free single pass — one RE2 strip-and-measure
+    per batch (non-ASCII count = len − len(ascii-only)), a 20-char
+    noise floor, output O(flagged docs)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+    cjk = ("zh", "ja", "ko", "ru", "ar")
+
+    def _flag(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t["text"], "")
+        non_ascii = pc.subtract(
+            pc.utf8_length(s),
+            pc.utf8_length(
+                pc.replace_substring_regex(s, r"[^\x00-\x7F]", "")
+            ),
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.is_in(t["lang"], value_set=pa.array(list(cjk))),
+                pc.equal(non_ascii, pa.scalar(0)),
+            ),
+            pc.greater_equal(t["n_chars"], pa.scalar(20)),
+        )
+        out = t.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "lang": out["lang"],
+                "n_chars": pc.cast(out["n_chars"], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_flag, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype="object"),
+                "n_chars": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_length_sketch_by_lang(sf_dir: str) -> pd.DataFrame:
     """Per-language document-length quantiles via the GROUPED mergeable
     quantile sketch — the O(groups × k)-state path that replaces
