@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion_rates": q.funnel_conversion_rates,
         "doc_length_sketch_by_lang": q.doc_length_sketch_by_lang,
         "lang_script_mismatch_docs": q.lang_script_mismatch_docs,
+        "url_token_density_per_source": q.url_token_density_per_source,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1551,6 +1552,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "url_token_density_per_source": """
+            WITH tok AS (
+                SELECT source,
+                       UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS token
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                       CAST(SUM(CASE WHEN regexp_matches(
+                           token, '(://|@|^www\\.)') THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_urlish
+                FROM tok GROUP BY source
+            )
+            SELECT source, n_tokens, n_urlish,
+                   CAST(n_urlish AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS urlish_share
+            FROM c ORDER BY source
         """,
         "lang_script_mismatch_docs": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

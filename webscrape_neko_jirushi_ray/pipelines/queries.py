@@ -9081,6 +9081,72 @@ def event_value_autocorr(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def url_token_density_per_source(sf_dir: str) -> pd.DataFrame:
+    """URL/EMAIL token density per source: the share of whitespace
+    tokens that look like links or addresses — the C4-family
+    boilerplate/navigation-chrome audit at the SOURCE grain (a source
+    whose density spikes is shipping menus, not prose). Ratio of EXACT
+    INT SUMS (the stopword-density lesson), flagged tokens defined by
+    one RE2 class: containing '://' or '@' or starting 'www.'.
+
+    Scale plan: shuffle-free — flat whitespace split per batch, one
+    vectorized match, O(sources) partials, tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import textkit
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    pat = r"(://|@|^www\.)"
+
+    def _partials(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_urlish": pa.array([], pa.int64()),
+                }
+            )
+        src = np.repeat(
+            np.asarray(t["source"].to_numpy(zero_copy_only=False), dtype=object),
+            np.diff(ptr),
+        )
+        hit = np.asarray(
+            pc.match_substring_regex(flat, pat).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "source": pa.array(src, pa.string()),
+                    "n_tokens": pa.array(np.ones(len(src), dtype=np.int64)),
+                    "n_urlish": pa.array(hit),
+                }
+            )
+            .group_by("source")
+            .aggregate([("n_tokens", "sum"), ("n_urlish", "sum")])
+        )
+        return g.rename_columns(["source", "n_tokens", "n_urlish"])
+
+    agg = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_urlish", alias_name="n_urlish"),
+        )
+        .to_pandas()
+    )
+    agg["n_tokens"] = agg["n_tokens"].astype("int64")
+    agg["n_urlish"] = agg["n_urlish"].astype("int64")
+    agg["urlish_share"] = agg["n_urlish"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["n_tokens"].to_numpy(dtype="int64").astype(np.float64)
+    return agg[["source", "n_tokens", "n_urlish", "urlish_share"]].sort_values(
+        "source"
+    ).reset_index(drop=True)
+
+
 def lang_script_mismatch_docs(sf_dir: str) -> pd.DataFrame:
     """SCRIPT-MISMATCH audit: documents whose language tag demands a
     non-Latin script (zh/ja/ko/ru/ar) but whose text contains ZERO
