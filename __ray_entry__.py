@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_sketch_by_lang": q.doc_length_sketch_by_lang,
         "lang_script_mismatch_docs": q.lang_script_mismatch_docs,
         "url_token_density_per_source": q.url_token_density_per_source,
+        "embedding_top_component": q.embedding_top_component,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,

@@ -9081,6 +9081,34 @@ def event_value_autocorr(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def embedding_top_component(sf_dir: str) -> pd.DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding cloud via distributed
+    power iteration (stages/pca.py — the kmeans-class full-corpus
+    iterative map-reduce: O(dim) driver state, one dim-vector partial
+    per block per iteration, no dim×dim matrix anywhere). Iterative +
+    float-converged → rows-only; pinned by test_pca's exact-eigh
+    parity (cos > 0.9999) and partition invariance."""
+    from ..stages.pca import power_iteration_top_component
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dim = len(first["embedding"][0])
+    out = power_iteration_top_component(ds, "embedding", dim)
+    return pd.DataFrame(
+        {
+            "dim_idx": pd.Series(np.arange(dim), dtype="int64"),
+            "loading": pd.Series(out["component"], dtype="float64"),
+            "eigenvalue": pd.Series([out["eigenvalue"]] * dim, dtype="float64"),
+            "explained_share": pd.Series(
+                [out["explained_share"]] * dim, dtype="float64"
+            ),
+            "n_vectors": pd.Series([out["n_vectors"]] * dim, dtype="int64"),
+        }
+    )
+
+
 def url_token_density_per_source(sf_dir: str) -> pd.DataFrame:
     """URL/EMAIL token density per source: the share of whitespace
     tokens that look like links or addresses — the C4-family

@@ -1,0 +1,108 @@
+"""Distributed PCA power iteration over an embedding column — the
+second member of the full-corpus iterative map-reduce class
+(stages/kmeans.py is the first; same broadcast-and-partial shape a
+100-TB embedding table needs).
+
+Scale design, per iteration:
+- the current direction ``v`` (dim floats) broadcasts ONCE via
+  ``ray.put`` and is read inside every task — never re-shipped per
+  batch;
+- each batch collapses to ONE dim-vector partial of the covariance
+  matvec, ``Mc.T @ (Mc @ v)`` with ``Mc`` the mean-centered batch —
+  two GEMVs, no dim×dim matrix is ever formed anywhere;
+- the driver reduces O(blocks) dim-vectors and renormalizes: driver
+  state is O(dim) at any corpus size.
+The mean/variance pre-pass is one combiner-reduced aggregate (count,
+Σx, Σ‖x‖²). Initialization is the deterministic normalized all-ones
+vector; the returned component's sign is fixed (first
+largest-magnitude loading positive), so reruns agree up to
+floating-point reduce order. Convergence of power iteration needs
+|λ1| > |λ2|; a tie (isotropic data) stops at ``n_iter`` with whatever
+direction survived — the standard caveat, documented not hidden.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .kmeans import _batch_matrix
+
+
+def power_iteration_top_component(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    dim: int,
+    *,
+    n_iter: int = 100,
+    tol: float = 1e-12,
+) -> dict:
+    """Top principal component of the (mean-centered) embedding cloud.
+
+    Returns ``{"component": (dim,) unit float64, "eigenvalue": λ1,
+    "explained_share": λ1 / Σλ, "n_vectors": n, "iterations": it}``
+    with sample-covariance normalization (n−1)."""
+    from ray.data.aggregate import Sum
+
+    def _moment_partials(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, vec_col, dim)
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+                "ss": pa.array([float((m * m).sum())], pa.float64()),
+            }
+        )
+
+    mom = ds.map_batches(
+        _moment_partials, batch_format="pyarrow"
+    ).to_pandas()
+    n = int(mom["n"].sum())
+    if n < 2:
+        raise ValueError("power_iteration_top_component needs >= 2 vectors")
+    s = np.zeros(dim, dtype=np.float64)
+    for blob in mom["s"]:
+        s += np.frombuffer(blob, dtype=np.float64)
+    mu = s / n
+    total_var = (float(mom["ss"].sum()) - n * float(mu @ mu)) / (n - 1)
+
+    mu_ref = ray.put(mu)
+    v = np.full(dim, 1.0 / np.sqrt(dim), dtype=np.float64)
+    lam = 0.0
+    it = 0
+    for it in range(1, n_iter + 1):
+        v_ref = ray.put(v)
+
+        def _matvec(t: pa.Table, v_ref=v_ref) -> pa.Table:
+            vv = ray.get(v_ref)
+            m = _batch_matrix(t, vec_col, dim) - ray.get(mu_ref)[None, :]
+            w = m.T @ (m @ vv)
+            return pa.table({"w": pa.array([w.tobytes()], pa.binary())})
+
+        parts = ds.map_batches(_matvec, batch_format="pyarrow").to_pandas()
+        w = np.zeros(dim, dtype=np.float64)
+        for blob in parts["w"]:
+            w += np.frombuffer(blob, dtype=np.float64)
+        norm = float(np.linalg.norm(w))
+        if norm == 0.0:
+            break  # degenerate cloud (all points at the mean)
+        new_lam = float(v @ w) / (n - 1)
+        v_new = w / norm
+        if abs(abs(float(v @ v_new)) - 1.0) < tol and it > 1:
+            v, lam = v_new, new_lam
+            break
+        v, lam = v_new, new_lam
+    # deterministic sign: the largest-|loading| coordinate is positive
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    return {
+        "component": v,
+        "eigenvalue": lam,
+        "explained_share": lam / total_var if total_var > 0 else float("nan"),
+        "n_vectors": n,
+        "iterations": it,
+    }
