@@ -406,6 +406,14 @@ def run_bench() -> dict:
          lambda: q.doc_compression_ratio(SF_DIR)),
         ("funnel_conversion_rates",
          lambda: q.funnel_conversion_rates(SF_DIR)),
+        ("doc_length_sketch_by_lang",
+         lambda: q.doc_length_sketch_by_lang(SF_DIR)),
+        ("lang_script_mismatch_docs",
+         lambda: q.lang_script_mismatch_docs(SF_DIR)),
+        ("url_token_density_per_source",
+         lambda: q.url_token_density_per_source(SF_DIR)),
+        ("embedding_top_component",
+         lambda: q.embedding_top_component(SF_DIR)),
         ("profit_by_nation_year",
          lambda: q.profit_by_nation_year(SF_DIR)),
         ("supplier_abc_classes",
