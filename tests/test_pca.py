@@ -78,3 +78,41 @@ def test_power_iteration_rejects_tiny(ray_session):
         power_iteration_top_component(
             _ds_from(np.ones((1, 4))), "embedding", 4
         )
+
+
+def test_covariance_route_matches_power_iteration(ray_session):
+    """Both PCA plans agree on an anisotropic cloud; the covariance
+    route equals numpy eigh exactly up to float reduce order."""
+    from webscrape_neko_jirushi_ray.stages.pca import (
+        covariance_top_component,
+        power_iteration_top_component,
+    )
+
+    rng = np.random.default_rng(71)
+    dim = 12
+    mat = rng.normal(size=(2000, dim)) * np.linspace(4, 0.5, dim)[None, :]
+    a = covariance_top_component(_ds_from(mat).repartition(7), "embedding", dim)
+    b = power_iteration_top_component(
+        _ds_from(mat).repartition(7), "embedding", dim
+    )
+    assert abs(float(a["component"] @ b["component"])) > 0.9999
+    assert a["eigenvalue"] == pytest.approx(b["eigenvalue"], rel=1e-6)
+    assert a["explained_share"] == pytest.approx(b["explained_share"], rel=1e-6)
+    assert a["n_vectors"] == b["n_vectors"] == 2000
+
+
+def test_query_dim_route_forced_both_ways(ray_session, monkeypatch):
+    """The embedding_top_component query produces the same component on
+    BOTH routes (the size-route parity contract)."""
+    import numpy as np
+
+    from webscrape_neko_jirushi_ray.pipelines import queries as qmod
+
+    sf = "/root/testdata/sf0.001"
+    cov = qmod.embedding_top_component(sf)
+    monkeypatch.setattr(qmod, "_PCA_COVARIANCE_ROUTE_DIM", 0)
+    pi = qmod.embedding_top_component(sf)
+    va = cov["loading"].to_numpy()
+    vb = pi["loading"].to_numpy()
+    assert abs(float(va @ vb)) > 0.999
+    assert cov["n_vectors"][0] == pi["n_vectors"][0]

@@ -319,6 +319,11 @@ _COMPONENTS_DRIVER_ROUTE_EDGES = 1_000_000
 # pruned shuffle payload wins once the big side is shuffle-bound
 _BLOOM_PREFILTER_ROUTE_ROWS = 10_000_000
 
+# PCA route: below this embedding dimension the one-pass dim^2
+# Gram-partial plan (exact driver eigh) beats power iteration outright;
+# above it dim^2 driver state stops being metadata-sized
+_PCA_COVARIANCE_ROUTE_DIM = 1024
+
 
 def _fact_rows(sf_dir: str, table: str) -> int:
     """Parquet-metadata row count; multi-file/directory datasets route
@@ -9082,20 +9087,28 @@ def event_value_autocorr(sf_dir: str) -> pd.DataFrame:
 
 
 def embedding_top_component(sf_dir: str) -> pd.DataFrame:
-    """TOP PRINCIPAL COMPONENT of the embedding cloud via distributed
-    power iteration (stages/pca.py — the kmeans-class full-corpus
-    iterative map-reduce: O(dim) driver state, one dim-vector partial
-    per block per iteration, no dim×dim matrix anywhere). Iterative +
+    """TOP PRINCIPAL COMPONENT of the embedding cloud, dim-routed
+    (stages/pca.py): dim ≤ _PCA_COVARIANCE_ROUTE_DIM takes the ONE-PASS
+    Gram-partial plan (dim² driver state is a few KB — exact eigh, no
+    iteration; 30 s → sub-second at sf0.1), larger dims take the
+    kmeans-class power iteration (O(dim) state, one dim-vector partial
+    per block per iteration, no dim×dim matrix anywhere). Iterative /
     float-converged → rows-only; pinned by test_pca's exact-eigh
-    parity (cos > 0.9999) and partition invariance."""
-    from ..stages.pca import power_iteration_top_component
+    parity, partition invariance, and cross-route agreement."""
+    from ..stages.pca import (
+        covariance_top_component,
+        power_iteration_top_component,
+    )
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     first = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
     ).slice(0, 1)
     dim = len(first["embedding"][0])
-    out = power_iteration_top_component(ds, "embedding", dim)
+    if dim <= _PCA_COVARIANCE_ROUTE_DIM:
+        out = covariance_top_component(ds, "embedding", dim)
+    else:
+        out = power_iteration_top_component(ds, "embedding", dim)
     return pd.DataFrame(
         {
             "dim_idx": pd.Series(np.arange(dim), dtype="int64"),

@@ -106,3 +106,56 @@ def power_iteration_top_component(
         "n_vectors": n,
         "iterations": it,
     }
+
+
+def covariance_top_component(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    dim: int,
+) -> dict:
+    """Top principal component via ONE distributed pass: each batch
+    emits (n, Σx, XᵀX) — the dim² Gram partial is a few KB for any
+    dim ≤ ~1024 — and the driver assembles the sample covariance and
+    takes `eigh`'s top eigenpair EXACTLY. This is the right plan
+    whenever the dim×dim matrix is metadata-sized; the power-iteration
+    path exists for the huge-dim regime where dim² state is not
+    (a 100-iteration power loop on small data is pure fixed Ray-job
+    latency — measured 30 s vs 0.4 s at sf0.1). Same output dict and
+    sign convention as :func:`power_iteration_top_component`."""
+
+    def _partials(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, vec_col, dim)
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+                "g": pa.array([(m.T @ m).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError("covariance_top_component needs >= 2 vectors")
+    s = np.zeros(dim, dtype=np.float64)
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for blob in parts["s"]:
+        s += np.frombuffer(blob, dtype=np.float64)
+    for blob in parts["g"]:
+        g += np.frombuffer(blob, dtype=np.float64).reshape(dim, dim)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    total_var = float(np.trace(cov))
+    lam = float(vals[-1])
+    return {
+        "component": v,
+        "eigenvalue": lam,
+        "explained_share": lam / total_var if total_var > 0 else float("nan"),
+        "n_vectors": n,
+        "iterations": 0,
+    }
