@@ -148,3 +148,29 @@ def test_resume_sweeps_incomplete_round_dir(ray_session, tmp_path):
     )
     assert not os.path.exists(stale_file)
     assert res.rounds >= 2
+
+
+def test_metrics_summary_reads_round_manifests(ray_session, tmp_path):
+    """metrics_summary assembles the per-round manifests into the
+    monitoring table; empty out_dir yields the empty-schema table."""
+    from webscrape_neko_jirushi_ray.config import CrawlConfig
+    from webscrape_neko_jirushi_ray.pipelines.crawl import crawl
+    from webscrape_neko_jirushi_ray.sources.pages import BroadcastPageStore
+    from webscrape_neko_jirushi_ray.state.checkpoint import metrics_summary
+    from webscrape_neko_jirushi_ray.synth import synth_pages
+
+    pages, seeds = synth_pages(num_listing_pages=2, seed=5)
+    cfg = CrawlConfig(host_budget_per_round=8, max_rounds=6, seen_shards=2,
+                      seen_mode="exact")
+    out = str(tmp_path / "m")
+    res = crawl(BroadcastPageStore(pages), seeds, out, cfg)
+    t = metrics_summary(out)
+    assert t.num_rows == res.rounds
+    assert sum(t["visited"].to_pylist()) == res.visits_count
+    ok = sum(t["fetch_ok"].to_pylist())
+    failed = sum(t["fetch_failed"].to_pylist())
+    assert ok + failed == res.visits_count
+    assert all(w >= 0 for w in t["wall_sec"].to_pylist())
+    empty = metrics_summary(str(tmp_path / "nothing"))
+    assert empty.num_rows == 0
+    assert "urls_per_sec" in empty.column_names

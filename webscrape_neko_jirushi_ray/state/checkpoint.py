@@ -95,3 +95,59 @@ def resume_compat_hash(cfg) -> str:
         if f.name not in _RESUME_IRRELEVANT
     )
     return hashlib.sha1(repr(items).encode("utf-8")).hexdigest()[:12]
+
+
+def metrics_summary(out_dir: str) -> "pa.Table":
+    """Per-round crawl METRICS as one Arrow table (the monitoring
+    artifact the north_star's 'lineage + fetch/extract metrics' clause
+    names): round, visited, fetch_ok/failed, hosts, pending, seen size,
+    wall seconds and derived URLs/sec, straight from the per-round
+    manifests a (possibly crashed) run left behind. Driver state is
+    O(rounds) — rounds are dozens, never corpus-sized."""
+    rows = []
+    rnd = 0
+    while True:
+        m = read_manifest(out_dir, rnd)
+        if m is None:
+            break
+        wall = float(m.get("round_wall_sec", 0.0)) or 0.0
+        visited = int(m.get("visited_round", 0))
+        rows.append(
+            {
+                "round": rnd,
+                "visited": visited,
+                "fetch_ok": int(m.get("fetch_ok", 0)),
+                "fetch_failed": int(m.get("fetch_failed", 0)),
+                "hosts_visited": int(m.get("hosts_visited", 0)),
+                "pending_rows": int(m.get("pending_rows", 0)),
+                "seen_size": int(m.get("seen_size", 0)),
+                "wall_sec": wall,
+                "urls_per_sec": (visited / wall) if wall > 0 else 0.0,
+            }
+        )
+        rnd += 1
+    if not rows:
+        return pa.table(
+            {
+                "round": pa.array([], pa.int64()),
+                "visited": pa.array([], pa.int64()),
+                "fetch_ok": pa.array([], pa.int64()),
+                "fetch_failed": pa.array([], pa.int64()),
+                "hosts_visited": pa.array([], pa.int64()),
+                "pending_rows": pa.array([], pa.int64()),
+                "seen_size": pa.array([], pa.int64()),
+                "wall_sec": pa.array([], pa.float64()),
+                "urls_per_sec": pa.array([], pa.float64()),
+            }
+        )
+    cols = list(rows[0])
+    return pa.table(
+        {
+            c: pa.array(
+                [r[c] for r in rows],
+                pa.float64() if c in ("wall_sec", "urls_per_sec")
+                else pa.int64(),
+            )
+            for c in cols
+        }
+    )
