@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_script_mismatch_docs": q.lang_script_mismatch_docs,
         "url_token_density_per_source": q.url_token_density_per_source,
         "embedding_top_component": q.embedding_top_component,
+        "event_type_burstiness": q.event_type_burstiness,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1553,6 +1554,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "event_type_burstiness": """
+            WITH hc AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY event_type, hour
+            ),
+            m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_hours,
+                       CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n,
+                       CAST(SUM(c) AS BIGINT) AS n_events,
+                       CAST(SUM(c) AS DOUBLE) AS sc,
+                       CAST(SUM(c * c) AS DOUBLE) AS scc
+                FROM hc GROUP BY event_type
+            )
+            SELECT event_type, n_hours, n_events,
+                   ((n * scc - sc * sc) / (n * (n - 1))) / (sc / n) AS fano
+            FROM m ORDER BY event_type
         """,
         "url_token_density_per_source": """
             WITH tok AS (

@@ -9086,6 +9086,86 @@ def event_value_autocorr(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def event_type_burstiness(sf_dir: str) -> pd.DataFrame:
+    """BURSTINESS (Fano factor) of each event type's hourly arrival
+    counts: sample variance / mean over the type's OBSERVED hours
+    (zero-event hours excluded by definition, mirrored in the oracle) —
+    ≈1 for Poisson arrivals, ≫1 for bursty traffic (the crawl-side
+    hotspot detector applied to the events table).
+
+    Scale plan: batch partials pre-aggregate (type, hour) counts, ONE
+    small groupby collapses to the O(types × hours) count table, a
+    second batch-partial pass reduces it to exact int64 moments
+    (n, Σc, Σc²) per type, and the driver applies ONE identically
+    -parenthesized double formula: ((n·Σc² − Σc·Σc) / (n·(n−1))) /
+    (Σc / n)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _hour_partials(t: pa.Table) -> pa.Table:
+        us = np.asarray(
+            pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "hour": pa.array(us // 3_600_000_000),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["event_type", "hour"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    counts = (
+        ev.map_batches(_hour_partials, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="c"))
+    )
+
+    def _moments(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["c"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n": pa.array(np.ones(len(c), dtype=np.int64)),
+                    "sc": pa.array(c),
+                    "scc": pa.array(c * c),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("n", "sum"), ("sc", "sum"), ("scc", "sum")])
+        )
+        return g.rename_columns(["event_type", "n", "sc", "scc"])
+
+    agg = (
+        counts.map_batches(_moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sc", alias_name="sc"),
+            Sum("scc", alias_name="scc"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(dtype="int64").astype(np.float64)
+    sc = agg["sc"].to_numpy(dtype="int64").astype(np.float64)
+    scc = agg["scc"].to_numpy(dtype="int64").astype(np.float64)
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n_hours": agg["n"].astype("int64"),
+            "n_events": agg["sc"].astype("int64"),
+            "fano": ((n * scc - sc * sc) / (n * (n - 1))) / (sc / n),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def embedding_top_component(sf_dir: str) -> pd.DataFrame:
     """TOP PRINCIPAL COMPONENT of the embedding cloud, dim-routed
     (stages/pca.py): dim ≤ _PCA_COVARIANCE_ROUTE_DIM takes the ONE-PASS
