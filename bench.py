@@ -414,6 +414,8 @@ def run_bench() -> dict:
          lambda: q.url_token_density_per_source(SF_DIR)),
         ("embedding_top_component",
          lambda: q.embedding_top_component(SF_DIR)),
+        ("event_type_burstiness",
+         lambda: q.event_type_burstiness(SF_DIR)),
         ("profit_by_nation_year",
          lambda: q.profit_by_nation_year(SF_DIR)),
         ("supplier_abc_classes",
