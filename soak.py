@@ -674,11 +674,64 @@ def soak_sitemaps(tmp: str) -> dict:
     return {"sec": sec, "urls_in": n_leaves * per_leaf, "frontier": n_out}
 
 
+def soak_fk_audit(tmp: str) -> dict:
+    """fk_coverage_audit over a 20M-row lineitem / 2M-key orders corpus
+    (plus the smaller dims) with 0.1% planted orphans — the fused
+    single-shuffle plan at soak scale; asserts exact orphan counts."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(83)
+    root = os.path.join(tmp, "fk")
+    os.makedirs(root, exist_ok=True)
+    n_li, n_ord, n_part, n_supp, n_cust = (
+        20_000_000, 2_000_000, 200_000, 10_000, 200_000
+    )
+    ok = rng.integers(1, n_ord + 1, n_li)
+    orphan_mask = rng.random(n_li) < 0.001
+    ok[orphan_mask] = rng.integers(n_ord + 1, n_ord * 2, orphan_mask.sum())
+    _write(
+        tmp, "fk/lineitem.parquet",
+        pa.table(
+            {
+                "l_orderkey": ok.astype(np.int64),
+                "l_partkey": rng.integers(1, n_part + 1, n_li).astype(np.int64),
+                "l_suppkey": rng.integers(1, n_supp + 1, n_li).astype(np.int64),
+            }
+        ),
+    )
+    _write(tmp, "fk/orders.parquet", pa.table(
+        {"o_orderkey": np.arange(1, n_ord + 1, dtype=np.int64),
+         "o_custkey": rng.integers(1, n_cust + 1, n_ord).astype(np.int64)}))
+    _write(tmp, "fk/part.parquet", pa.table(
+        {"p_partkey": np.arange(1, n_part + 1, dtype=np.int64)}))
+    _write(tmp, "fk/supplier.parquet", pa.table(
+        {"s_suppkey": np.arange(1, n_supp + 1, dtype=np.int64),
+         "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int64)}))
+    _write(tmp, "fk/customer.parquet", pa.table(
+        {"c_custkey": np.arange(1, n_cust + 1, dtype=np.int64),
+         "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int64)}))
+    _write(tmp, "fk/nation.parquet", pa.table(
+        {"n_nationkey": np.arange(25, dtype=np.int64)}))
+    t0 = time.perf_counter()
+    out = q.fk_coverage_audit(root)
+    sec = round(time.perf_counter() - t0, 2)
+    row = out[out["relation"] == "lineitem.l_orderkey->orders"].iloc[0]
+    assert int(row["orphan_rows"]) == int(orphan_mask.sum()), (
+        row["orphan_rows"], orphan_mask.sum()
+    )
+    assert int(row["child_rows"]) == n_li
+    return {"sec": sec, "child_rows": n_li,
+            "orphans": int(row["orphan_rows"])}
+
+
 SOAKS = {
     "sessionize": soak_sessionize,
     "rolling_median": soak_rolling_median,
     "quantile_sketch": soak_quantile_sketch,
     "sitemaps": soak_sitemaps,
+    "fk_audit": soak_fk_audit,
     "edit_join": soak_edit_join,
     "interval_overlap": soak_interval_overlap,
     "token_shuffle": soak_token_shuffle,
