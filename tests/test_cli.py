@@ -162,3 +162,68 @@ def test_cli_query_subcommand(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 2
+
+
+def test_cli_fetchlist_sitemap_seeding(tmp_path):
+    """fetchlist --sitemaps expands the tree into the frontier; passing
+    two frontier sources (or none) is rejected."""
+    script = textwrap.dedent(
+        f"""
+        import datetime as dt, gzip, json, os, sys
+        os.chdir("/root/repo")
+        import pyarrow as pa
+
+        from webscrape_neko_jirushi_ray.__main__ import main
+        from webscrape_neko_jirushi_ray.functions.urlkit import (
+            add_url_key_columns, canonicalize_url,
+        )
+        from webscrape_neko_jirushi_ray.sources.pages import PartitionedPageStore
+
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+
+        out = {repr(str(tmp_path))}
+        page_urls = [f"http://a.example/p{{i}}" for i in range(5)]
+        sm = canonicalize_url("http://a.example/sitemap.xml")
+        bodies = {{
+            canonicalize_url(u):
+                f"<html><body>doc {{u}}</body></html>".encode()
+            for u in page_urls
+        }}
+        bodies[sm] = (
+            "<urlset>"
+            + "".join(f"<url><loc>{{u}}</loc></url>" for u in page_urls)
+            + "</urlset>"
+        ).encode()
+        urls = sorted(bodies)
+        pages = pa.table({{
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([dt.datetime(2020, 1, 1)] * len(urls),
+                                pa.timestamp("us")),
+            "html": pa.array([bodies[u] for u in urls], pa.binary()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }})
+        store_dir = os.path.join(out, "store")
+        PartitionedPageStore.build(add_url_key_columns(pages), store_dir,
+                                   num_buckets=4)
+        rc = main(["fetchlist", "--store", store_dir, "--sitemaps", sm,
+                   "--out", os.path.join(out, "sm")])
+        assert rc == 0
+        rc = main(["fetchlist", "--store", store_dir,
+                   "--out", os.path.join(out, "none")])
+        assert rc == 2
+        print("CLI_SM_OK")
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines[-1] == "CLI_SM_OK"
+    payloads = [json.loads(ln) for ln in lines if ln.startswith("{")]
+    assert payloads[0]["visited"] == 5

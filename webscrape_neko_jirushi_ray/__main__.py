@@ -105,11 +105,31 @@ def cmd_fetchlist(args) -> int:
         store = HttpPageStore(rate_per_host=args.rate)
     else:
         store = PartitionedPageStore(args.store)
+    sources = [
+        s for s in (args.frontier, args.sitemaps, args.discover_hosts) if s
+    ]
+    if len(sources) != 1:
+        print(
+            "fetchlist needs exactly one of --frontier / --sitemaps / "
+            "--discover-hosts",
+            file=sys.stderr,
+        )
+        return 2
+    if args.sitemaps:
+        from .sources.sitemaps import sitemaps_to_frontier
+
+        frontier = sitemaps_to_frontier(store, args.sitemaps)
+    elif args.discover_hosts:
+        from .sources.sitemaps import discover_frontier_from_robots
+
+        frontier = discover_frontier_from_robots(store, args.discover_hosts)
+    else:
+        frontier = args.frontier
     cfg = _load_cfg(args.config)
     if cfg.expand_links:
         cfg = dataclasses.replace(cfg, expand_links=False)
     res = crawl_fetch_list(
-        store, args.frontier, args.out, cfg, resume=args.resume
+        store, frontier, args.out, cfg, resume=args.resume
     )
     print(
         json.dumps(
@@ -361,7 +381,16 @@ def main(argv=None) -> int:
     fl = sub.add_parser(
         "fetchlist", help="streamed fetch-list crawl over a frontier parquet"
     )
-    fl.add_argument("--frontier", required=True, help="frontier parquet path/dir")
+    fl.add_argument("--frontier", help="frontier parquet path/dir")
+    fl.add_argument(
+        "--sitemaps", nargs="+",
+        help="seed the frontier from these sitemap URLs (tree-expanded)",
+    )
+    fl.add_argument(
+        "--discover-hosts", nargs="+",
+        help="seed the frontier from robots.txt Sitemap: directives of "
+             "these hosts",
+    )
     fl.add_argument("--out", required=True)
     fl.add_argument("--store", help="partitioned page-store root")
     fl.add_argument("--http", action="store_true", help="live HTTP fetch")
