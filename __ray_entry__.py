@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_token_density_per_source": q.url_token_density_per_source,
         "embedding_top_component": q.embedding_top_component,
         "event_type_burstiness": q.event_type_burstiness,
+        "session_length_histogram": q.session_length_histogram,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1554,6 +1555,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "session_length_histogram": """
+            WITH e AS (
+                SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS us
+                FROM events
+            ), marked AS (
+                SELECT user_id, us,
+                       CASE WHEN LAG(us) OVER w IS NULL
+                              OR us - LAG(us) OVER w > 3600000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ), sess AS (
+                SELECT user_id, us,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+                FROM marked
+            ), per AS (
+                SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT n_events AS session_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM per GROUP BY n_events
+            ORDER BY session_events
         """,
         "event_type_burstiness": """
             WITH hc AS (

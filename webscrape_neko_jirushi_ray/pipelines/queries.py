@@ -2961,6 +2961,53 @@ def user_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
+def session_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """COUNT-OF-COUNTS over sessionization: how many sessions contain
+    each event count — the engagement-shape histogram (one-hit bounces
+    vs long sessions), composing the sessionize kernel with the
+    dup-cluster histogram pattern.
+
+    Scale plan: the grouped_sessionize shuffle emits O(sessions) rows;
+    each batch collapses to (n_events, count) partials and one tiny
+    groupby finishes — the session table itself never reaches the
+    driver."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relops import grouped_sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "us": pc.cast(t["ts"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    sess = grouped_sessionize(
+        ds, group_col="user_id", ts_col="us", gap=3_600_000_000
+    )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        n = np.asarray(
+            t["n_events"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        vals, cnts = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "session_events": pa.array(vals),
+                "n_sessions": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    out = (
+        sess.map_batches(_hist, batch_format="pyarrow")
+        .groupby("session_events")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+        .to_pandas()
+    )
+    out["session_events"] = out["session_events"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values("session_events").reset_index(drop=True)
+
+
 def fk_coverage_audit(sf_dir: str) -> pd.DataFrame:
     """REFERENTIAL-INTEGRITY audit across every foreign-key relation in
     the corpus: per relation the child row count, distinct child keys,
