@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_top_component": q.embedding_top_component,
         "event_type_burstiness": q.event_type_burstiness,
         "session_length_histogram": q.session_length_histogram,
+        "supplier_golden_records": q.supplier_golden_records,
         "order_price_gini_by_nation": q.order_price_gini_by_nation,
         "event_user_diversity": q.event_user_diversity,
         "hapax_ratio_per_lang": q.hapax_ratio_per_lang,
@@ -1555,6 +1556,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs va ON va.lang = i.lang_a
             JOIN vs vb ON vb.lang = i.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "supplier_golden_records": """
+            WITH RECURSIVE
+            g AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS k,
+                     list_distinct(list_transform(generate_series(1, length(s_name)-2),
+                                                  i -> substr(s_name, i, 3))) AS grams
+              FROM supplier WHERE length(s_name) >= 3
+            ),
+            e AS (
+              SELECT a.k AS src, b.k AS dst
+              FROM g a JOIN g b
+                ON a.k < b.k
+               AND len(a.grams) * 5 >= len(b.grams) * 4
+               AND len(b.grams) * 5 >= len(a.grams) * 4
+              WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
+                    4 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            ),
+            sym AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT dst, src FROM e
+            ),
+            walk AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS node,
+                     CAST(s_suppkey AS BIGINT) AS reach
+              FROM supplier
+              UNION
+              SELECT w.node, s.dst
+              FROM walk w JOIN sym s ON s.src = w.reach
+            ),
+            comp AS (
+              SELECT node AS s_suppkey, MIN(reach) AS component
+              FROM walk GROUP BY node
+            )
+            SELECT c.component,
+                   (SELECT s2.s_name FROM supplier s2
+                    WHERE CAST(s2.s_suppkey AS BIGINT) = c.component)
+                       AS rep_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(MAX(CAST(ROUND(s.s_acctbal * 100) AS BIGINT))
+                       AS BIGINT) AS max_acctbal_cents,
+                   CAST(COUNT(DISTINCT s.s_nationkey) AS BIGINT) AS n_nations
+            FROM comp c
+            JOIN supplier s ON CAST(s.s_suppkey AS BIGINT) = c.s_suppkey
+            GROUP BY c.component
+            ORDER BY c.component
         """,
         "session_length_histogram": """
             WITH e AS (

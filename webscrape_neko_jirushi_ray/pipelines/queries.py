@@ -2961,6 +2961,46 @@ def user_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
+def supplier_golden_records(sf_dir: str) -> pd.DataFrame:
+    """SURVIVORSHIP / golden-record election over the fuzzy-name entity
+    components: one row per resolved entity with the representative
+    (lowest-key) member's name, the member count, and merged attributes
+    (max balance in exact cents, distinct nations) — the step after
+    entity resolution that every MDM/dedup pipeline ships.
+
+    Scale plan: the heavy lift IS supplier_name_components (simjoin
+    candidates → size-routed closure, its own oracle); this rollup
+    post-processes that query's O(entities) contract output against
+    the supplier dim driver-side — nothing new crosses the driver that
+    the components contract didn't already."""
+    comp = supplier_name_components(sf_dir)
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).to_pandas()
+    sup["s_suppkey"] = sup["s_suppkey"].astype("int64")
+    sup["bal_c"] = (
+        (sup["s_acctbal"] * 100).round().astype("int64")
+    )
+    m = comp.merge(sup, on="s_suppkey")
+    rows = []
+    for cid, g in m.groupby("component"):
+        rep = g.loc[g["s_suppkey"].idxmin()]
+        rows.append(
+            {
+                "component": int(cid),
+                "rep_name": rep["s_name"],
+                "n_members": len(g),
+                "max_acctbal_cents": int(g["bal_c"].max()),
+                "n_nations": int(g["s_nationkey"].nunique()),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("component", "n_members", "max_acctbal_cents", "n_nations"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("component").reset_index(drop=True)
+
+
 def session_length_histogram(sf_dir: str) -> pd.DataFrame:
     """COUNT-OF-COUNTS over sessionization: how many sessions contain
     each event count — the engagement-shape histogram (one-hit bounces
