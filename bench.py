@@ -416,6 +416,10 @@ def run_bench() -> dict:
          lambda: q.embedding_top_component(SF_DIR)),
         ("event_type_burstiness",
          lambda: q.event_type_burstiness(SF_DIR)),
+        ("session_length_histogram",
+         lambda: q.session_length_histogram(SF_DIR)),
+        ("supplier_golden_records",
+         lambda: q.supplier_golden_records(SF_DIR)),
         ("profit_by_nation_year",
          lambda: q.profit_by_nation_year(SF_DIR)),
         ("supplier_abc_classes",
