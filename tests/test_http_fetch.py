@@ -435,3 +435,48 @@ def test_circuit_breaker_short_circuits_failing_host():
         assert out["fetch_status"].to_pylist() == ["ok"]
     finally:
         srv.shutdown()
+
+
+def test_retry_after_defer_on_final_attempt():
+    """ADVICE r4: a 429 + Retry-After on the LAST retry attempt must
+    still push the host bucket into debt (ST4: every thread of the
+    worker backs off the backpressuring host), even though no local
+    retry follows."""
+    import threading as _t
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from webscrape_neko_jirushi_ray.sources.http import HttpPageStore
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            # ALWAYS throttled — the fetch exhausts its retries
+            self.send_response(429)
+            self.send_header("Retry-After", "9")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    _t.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        clock = {"t": 0.0}
+
+        def fake_sleep(s):
+            clock["t"] += s
+
+        store = HttpPageStore(
+            rate_per_host=1000.0, backoff_s=0.1, timeout_s=5.0,
+            max_retries=1,  # the one attempt IS the final attempt
+            sleep=fake_sleep, clock=lambda: clock["t"],
+        )
+        f = store.make_fetcher()
+        out = f.fetch([base + "/x"])
+        assert out["fetch_status"][0].as_py() == "error:429"
+        host = f"127.0.0.1:{srv.server_port}"
+        # the host bucket carries the server-directed debt: a fresh
+        # claim at the post-fetch clock must wait out the window
+        assert f.limiter.wait_time(host, clock["t"]) >= 8.0
+    finally:
+        srv.shutdown()

@@ -293,3 +293,29 @@ def test_discover_frontier_from_robots(ray_session):
                   "http://b.example/q1"]
     ]
     assert list(fr["discovery_seq"]) == [0, 1, 2]
+
+
+def test_discover_frontier_zero_sitemaps(ray_session):
+    """ADVICE r4: when NO host yields a Sitemap directive the BFS never
+    runs and sitemaps_to_frontier must return an empty FRONTIER_SCHEMA
+    dataset, not IndexError (the docstring promises such hosts
+    'contribute nothing')."""
+    from webscrape_neko_jirushi_ray.pipelines.crawl import FRONTIER_SCHEMA
+    from webscrape_neko_jirushi_ray.sources.sitemaps import (
+        discover_frontier_from_robots,
+        sitemaps_to_frontier,
+    )
+
+    bodies = {
+        # robots exists but has no Sitemap line; second host has none
+        canonicalize_url("http://c.example/robots.txt"): b"User-agent: *\n",
+    }
+    fr = discover_frontier_from_robots(
+        _store(bodies), ["c.example", "d.example"]
+    )
+    assert fr.count() == 0
+    assert fr.schema().names == FRONTIER_SCHEMA.names
+    # the direct empty-list path too
+    fr2 = sitemaps_to_frontier(_store({}), [])
+    assert fr2.count() == 0
+    assert fr2.schema().names == FRONTIER_SCHEMA.names

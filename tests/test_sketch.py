@@ -294,3 +294,36 @@ def test_grouped_quantile_sketch_bounds(ray_session):
                 abs(lo - target), abs(hi - target)
             )
             assert err <= max(2.0, 4 * n / 256), (name, q, err)
+
+
+def test_grouped_quantile_sketch_empty_blocks(ray_session):
+    """ADVICE r4: an upstream filter can hand _partial a 0-row block;
+    the partial must emit a typed empty table instead of raising from
+    np.concatenate([])."""
+    import numpy as np
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.sketch import (
+        grouped_quantile_sketch,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    ds = (
+        ray.data.from_items(
+            [
+                {"g": ("a" if i % 2 else "b"), "x": float(rng.integers(0, 100))}
+                for i in range(n)
+            ]
+        )
+        .repartition(8)
+        .filter(lambda r: r["x"] < 50.0)
+    )
+    # force at least one fully-empty block: union with a filtered-to-zero
+    # dataset
+    empty = ray.data.from_items(
+        [{"g": "a", "x": 1.0}]
+    ).filter(lambda r: False)
+    sk = grouped_quantile_sketch(ds.union(empty), "g", "x", k=64)
+    total = sum(int(w.sum()) for _, (_, w) in sorted(sk.items()))
+    assert total == ds.count()

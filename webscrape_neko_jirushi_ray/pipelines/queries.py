@@ -9247,7 +9247,12 @@ def event_type_burstiness(sf_dir: str) -> pd.DataFrame:
             "event_type": agg["event_type"],
             "n_hours": agg["n"].astype("int64"),
             "n_events": agg["sc"].astype("int64"),
-            "fano": ((n * scc - sc * sc) / (n * (n - 1))) / (sc / n),
+            "fano": np.where(
+                n > 1,
+                ((n * scc - sc * sc) / np.where(n > 1, n * (n - 1), 1.0))
+                / (sc / n),
+                np.nan,
+            ),
         }
     )
     return out.sort_values("event_type").reset_index(drop=True)

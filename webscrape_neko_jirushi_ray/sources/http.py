@@ -162,13 +162,18 @@ class HttpFetcher:
             status, body, final, retry_after = self._get_once(url)
             if status == "ok" or status == "notfound":
                 break
+            if retry_after is not None:
+                # server-directed backpressure debits the host bucket
+                # UNCONDITIONALLY — even on the final attempt, the
+                # worker's other threads must back off this host (ST4);
+                # only the local sleep+retry needs attempts remaining
+                ra = min(retry_after, self.RETRY_AFTER_CAP_S)
+                with self._claim_lock:
+                    self.limiter.defer(host, ra, self._clock())
             if attempt + 1 < self.store.max_retries:
                 pause = self.store.backoff_s
                 if retry_after is not None:
-                    ra = min(retry_after, self.RETRY_AFTER_CAP_S)
-                    with self._claim_lock:
-                        self.limiter.defer(host, ra, self._clock())
-                    pause = max(pause, ra)
+                    pause = max(pause, min(retry_after, self.RETRY_AFTER_CAP_S))
                 self._sleep(pause)
         return status, body, final
 

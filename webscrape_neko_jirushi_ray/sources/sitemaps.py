@@ -143,6 +143,11 @@ def sitemaps_to_frontier(
                 next_seq += 1
         depth += 1
 
+    if not url_levels:
+        # no sitemap URLs at all (e.g. discover_frontier_from_robots
+        # found zero Sitemap: directives) — an empty frontier, not a
+        # crash; such hosts "contribute nothing" per the docstring
+        return ray.data.from_arrow(FRONTIER_SCHEMA.empty_table())
     urls = url_levels[0]
     for extra in url_levels[1:]:
         urls = urls.union(extra)

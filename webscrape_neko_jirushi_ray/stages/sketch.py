@@ -468,6 +468,17 @@ def grouped_quantile_sketch(
     def _partial(t: pa.Table) -> pa.Table:
         if _WB in t.column_names:
             t = t.drop_columns([_WB])
+        if t.num_rows == 0:
+            # upstream filters can yield 0-row blocks; np.concatenate of
+            # zero partials would throw — emit the typed empty partial
+            # (mirrors quantile_sketch._partial's empty tolerance)
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    value_col: pa.array([], t.schema.field(value_col).type),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
         col = t[value_col]
         if isinstance(col, (pa.ChunkedArray, pa.Array)) and col.null_count:
             raise ValueError(
