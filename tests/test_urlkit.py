@@ -81,3 +81,71 @@ def test_salt_host_spreads_dominant_host():
     salted = salt_host(hosts, keys, 8)
     assert len(set(salted)) == 8
     assert all(s.startswith("www.neko-jirushi.com#") for s in salted)
+
+
+# --- vectorized canonicalization parity (VERDICT r4 top item) -----------
+
+_URLISH = st.builds(
+    lambda sch, h, port, p, q, f, pad: (
+        f"{sch}://{h}{port}{p}{q}{f}{pad}"
+    ),
+    st.sampled_from(["http", "https", "HTTP", "Http", "ftp"]),
+    st.from_regex(r"[a-zA-Z0-9.\-]{1,12}(\.(com|jp|org))?", fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.from_regex(
+        r"(/[a-zA-Z0-9/._~%!$&'()*+,;=:@\- é]{0,24})?", fullmatch=True
+    ),
+    st.from_regex(
+        r"(\?[a-zA-Z0-9_.~\-]{1,5}=[a-zA-Z0-9_.~\-]{0,5}"
+        r"(&[a-zA-Z0-9_.~\-]{1,5}=[a-zA-Z0-9_.~%+\-]{0,5}){0,3})?",
+        fullmatch=True,
+    ),
+    st.sampled_from(["", "#frag", "#"]),
+    st.sampled_from(["", " ", "\t", " "]),
+)
+
+
+@settings(max_examples=400, deadline=None, derandomize=True)
+@given(st.lists(st.one_of(_URLISH, st.text(max_size=30)), max_size=20))
+def test_canonicalize_column_rowwise_parity(urls):
+    """canonicalize_column must agree with the row-wise kernel element
+    by element on EVERY input — canonical, exotic, junk — or raise
+    exactly when it raises (the fast/fallback fence is invisible)."""
+    from webscrape_neko_jirushi_ray.functions.urlkit import (
+        canonicalize_column,
+    )
+
+    want, raises = [], False
+    try:
+        want = [canonicalize_url(u) for u in urls]
+    except Exception:
+        raises = True
+    if raises:
+        with pytest.raises(Exception):
+            canonicalize_column(urls).to_pylist()
+    else:
+        assert canonicalize_column(urls).to_pylist() == want
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.lists(_URLISH, min_size=1, max_size=12))
+def test_add_url_key_columns_rowwise_parity(urls):
+    """The full keying stage (canon + sha1 + host) matches the row-wise
+    oracles on arbitrary url-ish input."""
+    import pyarrow as pa
+
+    from webscrape_neko_jirushi_ray.functions.urlkit import (
+        add_url_key_columns,
+        host_of,
+    )
+
+    try:
+        want = [canonicalize_url(u) for u in urls]
+    except Exception:
+        return  # raising inputs covered by the column parity test
+    out = add_url_key_columns(pa.table({"url": urls}))
+    assert out["canon_url"].to_pylist() == want
+    assert out["url_sha1"].to_pylist() == [
+        hashlib.sha1(w.encode()).digest() for w in want
+    ]
+    assert out["host"].to_pylist() == [host_of(w) for w in want]
