@@ -621,15 +621,17 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline: LSH candidates → DISTRIBUTED exact-Jaccard
     verify at ``threshold`` → connected components → keep min doc_id.
     Shingles are computed ONCE (materialized blob dataset reused by both
-    the banding and the verify joins)."""
+    the banding and the verify joins). The candidate stream feeds the
+    verify co-group WITHOUT an intermediate materialize (VERDICT r4 #6):
+    band partials, the bucket groupby, and the verify shuffles pipeline
+    under the streaming executor — the only barriers left are the
+    inherent all-to-alls plus the bounded O(verified pairs) materialize
+    inside ``_dedup_by_pairs`` (which also handles the zero-candidate
+    case, so no driver count() round-trip gates the chain)."""
     sh_ds = docs.select_columns(["doc_id", "text"]).map_batches(
         _shingle_blob_fn(shingle_k), batch_format="pyarrow", batch_size=1024
     ).materialize()
-    cands = minhash_candidate_pairs(
-        sh_ds, num_perm=num_perm, bands=bands
-    ).materialize()
-    if cands.count() == 0:
-        return docs
+    cands = minhash_candidate_pairs(sh_ds, num_perm=num_perm, bands=bands)
     dup_pairs = _verify_pairs_jaccard(
         cands, sh_ds, threshold, num_partitions=num_partitions
     )
