@@ -726,7 +726,221 @@ def soak_fk_audit(tmp: str) -> dict:
             "orphans": int(row["orphan_rows"])}
 
 
+
+
+def _kill_resume_build(root: str, rep: int):
+    """Synthesize the replicated refetch corpus (bench.py's incremental
+    REP pattern): a partitioned page store + a pre-keyed seed frontier,
+    ~21k URLs per rep. Returns (store, frontier_table)."""
+    from webscrape_neko_jirushi_ray.functions.urlkit import (
+        add_url_key_columns,
+    )
+    from webscrape_neko_jirushi_ray.pipelines.crawl import seeds_to_frontier
+    from webscrape_neko_jirushi_ray.sources.pages import PartitionedPageStore
+    from webscrape_neko_jirushi_ray.synth import synth_pages
+
+    pages, _seeds = synth_pages(
+        num_listing_pages=1400, seed=42, minor_host_pages=20
+    )
+    store_root = os.path.join(root, "pstore")
+    chunks = []
+    base_urls = pages["url"].to_pylist()
+    n_total = 0
+    for k in range(rep):
+        if k == 0:
+            rep_tbl, urls_k = pages, base_urls
+        else:
+            urls_k = [f"{u}?rep={k}" for u in base_urls]
+            rep_tbl = pages.set_column(0, "url", pa.array(urls_k))
+        PartitionedPageStore.build(
+            add_url_key_columns(rep_tbl), store_root, num_buckets=64,
+            part_name=f"part{k}",
+        )
+        chunk = seeds_to_frontier(urls_k)
+        chunk = chunk.set_column(
+            chunk.schema.get_field_index("discovery_seq"),
+            "discovery_seq",
+            pa.array(
+                [n_total + i for i in range(chunk.num_rows)], type=pa.int64()
+            ),
+        )
+        chunks.append(chunk)
+        n_total += chunk.num_rows
+    return PartitionedPageStore(store_root, 64), pa.concat_tables(chunks)
+
+
+def _kill_resume_cfg(budget: int):
+    from webscrape_neko_jirushi_ray.config import CrawlConfig
+
+    return CrawlConfig(
+        # dominant host carries most URLs: the budget slices the corpus
+        # into ~8 BFS rounds so the kill lands mid-crawl with completed
+        # checkpoints behind it
+        host_budget_per_round=budget,
+        max_rounds=50,
+        seen_shards=8,
+        # EXACT seen mode: the byte-equality assertion needs a fully
+        # deterministic baseline. Cuckoo mode is ~1e-6/lookup false
+        # positive BY DESIGN (state/seen.py) and the drops are
+        # insertion-order-dependent — measured live at this soak's
+        # scale: two identical 983,872-URL cuckoo runs differed by
+        # exactly one dropped URL (the design rate), so cuckoo-mode
+        # byte-equality is not a meaningful contract
+        seen_mode="exact",
+        host_salt_buckets=32,
+        fetch_concurrency=max(4, NUM_CPUS - 2),
+        fetch_batch_size=64,
+        small_round_threshold=256,
+        expand_links=False,
+    )
+
+
+def _kill_resume_child(job_file: str) -> None:
+    """Child entry (run as `soak.py _kill_resume_child <job.json>`): own
+    Ray instance, runs the crawl until the parent SIGKILLs the process
+    group mid-round."""
+    import ray
+
+    from webscrape_neko_jirushi_ray.pipelines.crawl import crawl
+    from webscrape_neko_jirushi_ray.sources.pages import PartitionedPageStore
+
+    with open(job_file, encoding="utf-8") as f:
+        job = json.load(f)
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    store = PartitionedPageStore(job["store_root"], 64)
+    frontier = pq.read_table(job["frontier"])
+    crawl(
+        store, [], job["out_dir"], _kill_resume_cfg(int(job["budget"])),
+        seed_frontier=frontier,
+    )
+    ray.shutdown()
+
+
+def _result_digest(res) -> tuple[str, int, str, int]:
+    """(visits-md5, visits-rows, docs-md5, docs-rows): the byte-equality
+    fingerprint of a crawl's outputs — the full visit log in visit order
+    and every extracted doc row sorted by url."""
+    import hashlib
+
+    def _tbl_md5(t: pa.Table) -> str:
+        # IPC bytes of a single-chunk, column-sorted table are a pure
+        # function of its contents — a vectorized whole-table hash
+        t = t.select(sorted(t.column_names)).combine_chunks()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        return hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()
+
+    v = res.visits_table()
+    v = v.sort_by([("visit_idx", "ascending")]).select(
+        ["visit_idx", "url", "round", "fetch_status", "url_sha1"]
+    )
+    docs_files = res.nonempty_docs_paths()
+    d_rows, d_md5 = 0, ""
+    if docs_files:
+        d = pq.read_table(docs_files).sort_by([("url", "ascending")])
+        d_rows = d.num_rows
+        d_md5 = _tbl_md5(d)
+    return _tbl_md5(v), v.num_rows, d_md5, d_rows
+
+
+def soak_kill_resume(tmp: str) -> dict:
+    """KILL/RESUME AT SCALE (VERDICT r4 #7): a ~1M-URL multi-round
+    refetch crawl is run (a) uninterrupted in this process and (b) in a
+    SUBPROCESS whose whole process group is SIGKILLed mid-round (a real
+    kill -9 — partial docs shards, missing manifest, dead actors), then
+    resumed here with resume=True. The visit log, extracted docs, and
+    ok-set sha1s must be BYTE-EQUAL between the two runs (exact seen
+    mode — see _kill_resume_cfg for why cuckoo cannot promise this)."""
+    import signal
+    import subprocess
+
+    from webscrape_neko_jirushi_ray.pipelines.crawl import crawl
+    from webscrape_neko_jirushi_ray.state import checkpoint as ckpt
+
+    root = os.path.join(tmp, "kill_resume")
+    os.makedirs(root, exist_ok=True)
+    # ~31k URLs per rep; 32 reps ≈ the 1M-URL target
+    rep = int(os.environ.get("GRAFT_SOAK_KR_REP", "32"))
+    store, frontier = _kill_resume_build(root, rep)
+    n_urls = frontier.num_rows
+    frontier_path = os.path.join(root, "frontier.parquet")
+    pq.write_table(frontier, frontier_path)
+    # ~8 BFS rounds at any rep: rounds = ceil(busiest-host URLs / budget)
+    import pyarrow.compute as _pc
+
+    max_host = int(
+        _pc.max(
+            _pc.value_counts(frontier["host"]).field("counts")
+        ).as_py()
+    )
+    budget = max(500, max_host // 8)
+    cfg = _kill_resume_cfg(budget)
+
+    # --- uninterrupted reference run ------------------------------------
+    t0 = time.time()
+    full = crawl(store, [], os.path.join(root, "full"), cfg,
+                 seed_frontier=frontier)
+    t_full = round(time.time() - t0, 2)
+    full_digest = _result_digest(full)
+    full_sha = full.visited_sha1s()
+
+    # --- killed run (subprocess, own Ray instance, own process group) ---
+    out_killed = os.path.join(root, "killed")
+    job_file = os.path.join(root, "job.json")
+    with open(job_file, "w", encoding="utf-8") as f:
+        json.dump(
+            {"store_root": store.root, "frontier": frontier_path,
+             "out_dir": out_killed, "budget": budget}, f,
+        )
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "_kill_resume_child", job_file],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        start_new_session=True,  # killpg reaps its raylet + workers too
+    )
+    # kill MID-ROUND: wait for round 2's manifest (checkpoints exist),
+    # then give round 3 a head start and SIGKILL the process group
+    deadline = time.time() + max(120.0, 4 * t_full)
+    while time.time() < deadline:
+        if ckpt.last_complete_round(out_killed) >= 2:
+            break
+        if child.poll() is not None:
+            raise AssertionError("child crawl exited before the kill")
+        time.sleep(0.2)
+    time.sleep(max(0.5, t_full / full.rounds / 2))
+    os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+    child.wait()
+    killed_rounds = ckpt.last_complete_round(out_killed) + 1
+    assert killed_rounds < full.rounds, (
+        f"kill landed after completion ({killed_rounds} rounds) — "
+        "vacuous soak"
+    )
+
+    # --- resume to completion in THIS process ---------------------------
+    t0 = time.time()
+    res = crawl(store, [], out_killed, cfg, seed_frontier=frontier,
+                resume=True)
+    t_resume = round(time.time() - t0, 2)
+    res_digest = _result_digest(res)
+    assert res_digest == full_digest, (res_digest, full_digest)
+    assert res.visited_sha1s() == full_sha
+    return {
+        "sec_full": t_full, "sec_resume": t_resume, "urls": n_urls,
+        "rounds_full": full.rounds, "rounds_at_kill": killed_rounds,
+        "visits": full_digest[1], "docs_rows": full_digest[3],
+        "byte_equal": True,
+    }
+
+
 SOAKS = {
+    "kill_resume": soak_kill_resume,
     "sessionize": soak_sessionize,
     "rolling_median": soak_rolling_median,
     "quantile_sketch": soak_quantile_sketch,
@@ -770,4 +984,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "_kill_resume_child":
+        _kill_resume_child(sys.argv[2])
+        sys.exit(0)
     main()
