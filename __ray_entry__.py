@@ -5,7 +5,7 @@ frontier crawl → extraction → docs) plus a pass over the sf0.001 documents
 table. ``queries()``/``oracle_sql()`` expose one entry per implemented
 operator family from SURVEY.md §2; SQL-expressible ones carry a DuckDB
 oracle with IDENTICAL column names and float-rounding policy (see
-webscrape_neko_jirushi_ray/pipelines/queries.py docstring).
+webscrape_neko_jirushi_ray/pipelines/queries package docstring).
 
 Ray is initialised by the driver before import — nothing here calls
 ray.init()/ray.shutdown().

@@ -66,7 +66,11 @@ def test_broadcast_route_engages_on_sharded_input(
             "distributed route engaged on a small sharded input"
         )
 
-    monkeypatch.setattr(q, "nation_revenue_distributed", _boom)
+    import sys
+    monkeypatch.setattr(
+        sys.modules[q.nation_revenue.__module__],
+        "nation_revenue_distributed", _boom,
+    )
     got = q.nation_revenue(sharded_sf)
     pd.testing.assert_frame_equal(got, want)
 

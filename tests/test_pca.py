@@ -110,7 +110,7 @@ def test_query_dim_route_forced_both_ways(ray_session, monkeypatch):
 
     sf = "/root/testdata/sf0.001"
     cov = qmod.embedding_top_component(sf)
-    monkeypatch.setattr(qmod, "_PCA_COVARIANCE_ROUTE_DIM", 0)
+    monkeypatch.setattr(qmod._base, "_PCA_COVARIANCE_ROUTE_DIM", 0)
     pi = qmod.embedding_top_component(sf)
     va = cov["loading"].to_numpy()
     vb = pi["loading"].to_numpy()

@@ -144,7 +144,7 @@ def test_broadcast_routed_queries_hash_path(ray_session, con, name, monkeypatch)
     identical results (the nation_revenue_distributed pattern)."""
     from webscrape_neko_jirushi_ray.pipelines import queries as qmod
 
-    monkeypatch.setattr(qmod, "_BROADCAST_SIDE_ROUTE_ROWS", 0)
+    monkeypatch.setattr(qmod._base, "_BROADCAST_SIDE_ROUTE_ROWS", 0)
     got = _canon(_to_df(entrymod.queries()[name](SF_DIR)))
     want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns)
@@ -158,7 +158,7 @@ def test_components_distributed_route(ray_session, con, monkeypatch):
     pointer-jumping kernel) and re-check the recursive-closure oracle."""
     from webscrape_neko_jirushi_ray.pipelines import queries as qmod
 
-    monkeypatch.setattr(qmod, "_COMPONENTS_DRIVER_ROUTE_EDGES", 0)
+    monkeypatch.setattr(qmod._base, "_COMPONENTS_DRIVER_ROUTE_EDGES", 0)
     for name in ("connected_components_customers", "supplier_name_components"):
         got = _canon(_to_df(entrymod.queries()[name](SF_DIR)))
         want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
@@ -177,7 +177,7 @@ def test_bloom_routed_queries_bloom_path(ray_session, con, name, monkeypatch):
     survive)."""
     from webscrape_neko_jirushi_ray.pipelines import queries as qmod
 
-    monkeypatch.setattr(qmod, "_BLOOM_PREFILTER_ROUTE_ROWS", 0)
+    monkeypatch.setattr(qmod._base, "_BLOOM_PREFILTER_ROUTE_ROWS", 0)
     got = _canon(_to_df(entrymod.queries()[name](SF_DIR)))
     want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns)

@@ -316,7 +316,7 @@ def cmd_corpus(args) -> int:
 
 
 def cmd_query(args) -> int:
-    """Run any registered analytics pipeline (pipelines/queries.py) over a
+    """Run any registered analytics pipeline (pipelines/queries) over a
     testdata-shaped parquet dir; write the result as parquet or print it.
     ``--list`` enumerates the available names."""
     from .pipelines import queries as q
@@ -325,7 +325,8 @@ def cmd_query(args) -> int:
         n
         for n in dir(q)
         if not n.startswith("_") and callable(getattr(q, n))
-        and getattr(getattr(q, n), "__module__", "") == q.__name__
+        # defined anywhere in the queries package (per-family modules)
+        and getattr(getattr(q, n), "__module__", "").startswith(q.__name__)
     )
     if args.list:
         print("\n".join(names))

@@ -143,7 +143,7 @@ def tokens_bpeish(text: str) -> list[str]:
 def quality_stats(text: str) -> dict:
     """Per-doc quality features (length / punctuation / stopword ratios) —
     the heuristic quality-scoring slot. All fields reproducible in ANSI SQL
-    (see pipelines/queries.py) except stopword_ratio which uses DuckDB list
+    (see pipelines/queries) except stopword_ratio which uses DuckDB list
     lambdas in the oracle."""
     toks = tokens_ws(text)
     n_words = len(toks)

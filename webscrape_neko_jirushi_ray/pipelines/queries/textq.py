@@ -1,0 +1,1845 @@
+"""Document/text corpus queries: quality, language, tokens, sampling, webtext pipelines.
+
+Split from the former single-file queries module (VERDICT r4 #8);
+names resolve cross-family via the package cross-link in __init__.
+"""
+
+from . import _base
+from ._base import *  # noqa: F401,F403 — np/pa/pc/pd/ray + stage imports
+
+
+def doc_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Token counting (whitespace tokenizer, SQL parity)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_token_counts(ds).select_columns(["doc_id", "n_tokens"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def char_class_profile_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Character-class PROFILE per language: exact corpus-wide counts of
+    ASCII letters, digits, spaces, and everything else — the encoding /
+    mojibake drift audit (a lang whose "other" share jumps between dumps
+    grew a codec problem). Ratios of EXACT INT SUMS, not averages of
+    per-doc ratios (the stopword-density lesson).
+
+    Scale plan: shuffle-free — each batch reduces to O(langs) partial
+    rows via three RE2 strip-and-measure kernels (utf8_length before /
+    after `replace_substring_regex`), one tiny groupby finishes."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t["text"], "")
+        total = pc.utf8_length(s)
+
+        def _count(pattern: str):
+            stripped = pc.replace_substring_regex(s, pattern, "")
+            return pc.subtract(total, pc.utf8_length(stripped))
+
+        g = pa.table(
+            {
+                "lang": t["lang"],
+                "n_chars": pc.cast(total, pa.int64()),
+                "n_letters": pc.cast(_count("[A-Za-z]"), pa.int64()),
+                "n_digits": pc.cast(_count("[0-9]"), pa.int64()),
+                "n_spaces": pc.cast(_count(" "), pa.int64()),
+            }
+        ).group_by("lang").aggregate(
+            [(c, "sum") for c in ("n_chars", "n_letters", "n_digits", "n_spaces")]
+        )
+        return g.rename_columns(
+            ["lang", "n_chars", "n_letters", "n_digits", "n_spaces"]
+        )
+
+    agg = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(*[
+            Sum(c, alias_name=c)
+            for c in ("n_chars", "n_letters", "n_digits", "n_spaces")
+        ])
+        .to_pandas()
+    )
+    for c in ("n_chars", "n_letters", "n_digits", "n_spaces"):
+        agg[c] = agg[c].astype("int64")
+    agg["n_other"] = (
+        agg["n_chars"] - agg["n_letters"] - agg["n_digits"] - agg["n_spaces"]
+    ).astype("int64")
+    agg["other_share"] = agg["n_other"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["n_chars"].to_numpy(dtype="int64").astype(np.float64)
+    out = agg[
+        ["lang", "n_chars", "n_letters", "n_digits", "n_spaces",
+         "n_other", "other_share"]
+    ]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def doc_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-document zlib COMPRESSION RATIO — the redundancy quality
+    signal real curation stacks gate on (template/boilerplate text
+    compresses far below natural prose; the practical complement to
+    doc_repetition's n-gram view). Not SQL-expressible (no DEFLATE in
+    DuckDB), so rows-only for the driver; semantics pinned by
+    test_textops' row-wise parity check.
+
+    Scale plan: embarrassingly parallel map_batches; zlib.compress is
+    per-row by nature (the codec boundary, like multimodal decode) but
+    C-speed and allocation-free per call; output is O(docs) small
+    columns. Level 6 fixed — zlib output is deterministic for a given
+    (input, level, strategy) across CPython builds (it vendors zlib)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _ratio(t: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = t["text"].to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            b = (txt or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, 6))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "raw_bytes": pa.array(raw),
+                "compressed_bytes": pa.array(comp),
+                "ratio": pa.array(
+                    comp.astype(np.float64)
+                    / np.maximum(raw, 1).astype(np.float64)
+                ),
+            }
+        )
+
+    out = ds.map_batches(_ratio, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality features (SQL-expressible subset; per-row arithmetic →
+    bit-identical, no rounding)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_quality(ds).select_columns(
+        ["doc_id", "n_words", "n_chars_nospace", "mean_word_len"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_by_lang(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style within-doc repetition signals (all-int64, shuffle-free
+    single pass): words, distinct words, top-word multiplicity, 8-word
+    chunk count, within-doc duplicate chunks."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linededup.add_repetition_stats(ds, width=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pii_redact_docs(sf_dir: str) -> pd.DataFrame:
+    """PII scrub over documents. The synthetic corpus carries no natural
+    PII, so each doc first gets a deterministic doc_id-derived suffix
+    (email + IPv4 + phone) — injected IDENTICALLY by the SQL oracle via
+    string concat — then the RE2 redaction runs on both sides and the
+    full redacted text plus per-kind match counts hash-compare exactly."""
+    from ...stages.redact import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        dnp = did.to_numpy(zero_copy_only=False)
+        dstr = pc.cast(did, pa.string())
+        ip3 = pc.cast(pa.array(dnp % 256), pa.string())
+        ip4 = pc.cast(pa.array(dnp % 100), pa.string())
+        tel = pc.utf8_lpad(pc.cast(pa.array(dnp % 10000), pa.string()), 4, "0")
+        text = pc.binary_join_element_wise(
+            pc.cast(batch["text"], pa.string()),
+            " user", dstr, "@mail.example.org ip 10.0.", ip3, ".", ip4,
+            " tel 555-010-", tel,
+            "",
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", text
+        )
+
+    out = redact_pii(
+        ds.map_batches(_inject, batch_format="pyarrow"), counts=True
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def gopher_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition gate over documents (all-int thresholds:
+    20 <= words, top-word multiplicity <= words/8, dup chunks <=
+    chunks/10). Returns survivors with their signal columns."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linededup.gopher_filter(ds, width=8, min_words=20).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def c4_line_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """C4-style line-quality gate (8-word chunks as the line unit):
+    partial trailing chunks drop (the >=3-words rule analog), chunks
+    containing the boilerplate tokens 'spark' or 'vector' drop (the
+    javascript/cookie blacklist, instantiated with in-vocab tokens so
+    the gate actually fires on this corpus), and docs keeping fewer
+    than 3 chunks drop entirely. Shuffle-free single pass; SQL-oracled
+    (list-split + contains + count + string_agg reassembly)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = linededup.c4_line_filter(
+        ds, width=8, line_blacklist=("spark", "vector"), min_lines=3
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus length percentiles (p25/50/75/95/99 of per-doc word
+    counts) via distributed histogram combine — only the merged
+    (length → count) histogram reaches the driver, never O(corpus).
+    Nearest-rank convention floor((n-1)*q) so the SQL oracle reproduces
+    it with integer math."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.length_quantiles(ds)
+
+
+def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-language deterministic stratified sampling (the multilingual
+    temperature-resampling idiom, XLM-R style): keep 50% of 'en' docs and
+    10% of every other language, selected by md5-low64(doc_id) % 100 —
+    cluster-stable, no RNG state, the same doc survives on every node
+    and rerun. SQL-parity via DuckDB md5_number_upper."""
+    from ...functions import textkit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = textkit._md5_low64([str(int(i)) for i in ids]) % np.uint64(100)
+        rate = np.where(
+            pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False),
+            50,
+            10,
+        ).astype(np.uint64)
+        return batch.filter(pa.array(h < rate))
+
+    out = ds.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language p50/p90 of doc word counts via the grouped
+    histogram combine — driver sees only the merged (lang, length)
+    histogram. Same integer nearest-rank convention as
+    doc_length_quantiles, reproduced per-group by the SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = textstats.grouped_length_quantiles(ds, group_col="lang")
+    return out.sort_values(["lang", "q_pct"]).reset_index(drop=True)
+
+
+def per_lang_head_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 20-docs-per-language sample: top-20 per lang ordered
+    by (md5-low64(doc_id), doc_id) — the group-wise reservoir idiom with
+    a cluster-stable hash in place of RNG. Batch-local top-k prune before
+    the single group merge, so the shuffle moves <= k x groups x blocks
+    rows. SQL-parity via md5_number_upper ROW_NUMBER."""
+    from ...functions import textkit
+    from ...stages.relops import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = textkit._md5_low64([str(int(i)) for i in ids])
+        return batch.append_column("_h", pa.array(h, type=pa.uint64()))
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow")
+    out = grouped_topk(
+        hashed, group_col="lang", order_cols=["_h", "doc_id"], k=20
+    ).drop_columns(["_h"]).to_pandas()
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-3 most distinctive terms per doc by the all-integer tf-idf
+    surrogate tf*1e9//df (term-ascending tie-break). Size-routed: small
+    vocabularies broadcast the (term, df) table and score doc-side with
+    ZERO pair shuffles; giant vocabularies take the exact two-shuffle
+    plan (term route + coarse doc-bucket route, both payload-bounded).
+    SQL-oracled by identical integer math."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textstats.tfidf_top_terms(ds, k=3).to_pandas()
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def normalize_docs(sf_dir: str) -> pd.DataFrame:
+    """Unicode-light text normalization (lowercase + whitespace collapse
+    + trim) — the canonicalization step ahead of hashing/dedup. The
+    corpus is already clean, so a deterministic doc_id-derived mixed-case
+    + ragged-whitespace suffix is injected IDENTICALLY by the SQL oracle
+    (the pii_redact pattern), then both engines run the same RE2
+    normalization and hash-compare the result."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        dstr = pc.cast(batch["doc_id"], pa.string())
+        injected = pc.binary_join_element_wise(
+            pc.cast(batch["text"], pa.string()),
+            "  MiXeD", dstr, "  TaIl ",
+            "",
+        )
+        t = pc.utf8_lower(injected)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    out = ds.map_batches(_norm, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_commonness_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-doc all-integer unigram 'commonness' (sum over token
+    occurrences of the token's document frequency) — the perplexity-style
+    quality-scoring surrogate, computed with a two-level pre-aggregated
+    reduction (term-hash co-location for df, per-partition per-doc
+    partials) and NO vocabulary broadcast."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textstats.doc_commonness(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def distinct_token_estimate(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog (p=12) estimate of COUNT(DISTINCT token) over the
+    documents corpus — per-batch register partials merged by one tiny
+    groupby-max; driver state O(2^p). Approximate by construction, so
+    rows-only for the driver; tests pin relative error <= 5% vs exact
+    and bit-for-bit determinism."""
+    from ...stages.sketch import hll_distinct_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    est = hll_distinct_tokens(ds, p=12)
+    return pd.DataFrame({"estimate_tokens": pd.array([est], dtype="int64")})
+
+
+def inverted_index_terms(sf_dir: str) -> pd.DataFrame:
+    """Distributed inverted-index build: term → document frequency +
+    comma-joined ascending posting list. Batch-local (doc, term) dedup,
+    one term-hash shuffle, per-partition vectorized assembly. SQL-oracled
+    against DISTINCT + string_agg ORDER BY."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textstats.inverted_index(ds, min_df=1).to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def webtext_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Flagship END-TO-END training-data pipeline, hash-checked through
+    all four stages by ONE nested SQL oracle: benchmark decontamination
+    (4-gram overlap vs the doc_id%50==0 eval set) → corpus-wide line
+    dedup (8-word chunks keep-first) → Gopher repetition gate → token-
+    budget shard packing (2000-token shards, distributed prefix scan).
+    Returns (doc_id, text, n_tokens, shard_id) of the packed corpus."""
+    from ...stages.spandedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    bench, train = _bench_train_split(ds)
+    clean = decontaminate(train, bench, n=4)
+    return _webtext_tail(clean)
+
+
+def webtext_pipeline_v2(sf_dir: str) -> pd.DataFrame:
+    """The flagship chain with the C4 line-quality gate inserted after
+    decontamination (decontaminate → C4 gate → line dedup → Gopher gate →
+    shard packing) — five stages hash-checked by ONE nested SQL oracle.
+    The C4 gate runs BEFORE the shuffling dedup so the shuffle sees only
+    surviving lines."""
+    from ...stages.spandedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    bench, train = _bench_train_split(ds)
+    clean = decontaminate(train, bench, n=4)
+    gated = linededup.c4_line_filter(
+        clean, width=8, line_blacklist=("spark", "vector"), min_lines=3
+    )
+    return _webtext_tail(gated)
+
+
+def pack_training_shards(sf_dir: str) -> pd.DataFrame:
+    """Token-budget shard packing (training-data sharding): docs in doc_id
+    order are streamed into ~2000-token shards; a doc's shard is its
+    EXCLUSIVE running token count // budget (shards straddle budgets, no
+    doc is split). The running sum is the distributed range-partitioned
+    prefix scan (functions/enumerate.attach_running_sum) — O(ranges)
+    driver state, never O(docs)."""
+    from ...functions.enumerate import attach_running_sum
+
+    budget = 2000
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.list_value_length(
+                pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
+            ),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    counts = ds.map_batches(_count, batch_format="pyarrow")
+    scanned = attach_running_sum(
+        counts, ["doc_id"], "n_tokens", sum_col="_cum", num_ranges=8
+    )
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        excl = pc.subtract(batch["_cum"], batch["n_tokens"])
+        # int64 trunc-division == floor here (excl >= 0)
+        shard = pc.divide(excl, pa.scalar(budget, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "shard_id": shard,
+            }
+        )
+
+    out = scanned.map_batches(_shard, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def hash_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ~10% corpus downsample: keep docs whose
+    md5-low64(str(doc_id)) % 10 == 0 — the reproducible, cluster-stable
+    sampling idiom (no RNG state to coordinate; the same doc survives on
+    every node / every rerun). SQL-parity via DuckDB md5_number_upper."""
+    from ...functions import textkit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = textkit._md5_low64([str(int(i)) for i in ids])
+        return batch.filter(pa.array(h % np.uint64(10) == 0))
+
+    out = ds.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def langid_docs(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic per doc. SQL-oracled: the oracle re-derives
+    every branch of ``textkit.detect_lang`` (kana/hangul presence, CJK /
+    cyrillic / ascii character-class ratios over the first 2000 chars,
+    stopword fraction of the [A-Za-z']+ tokens) with the same float
+    arithmetic, so equality pins the classifier exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_lang_pred(ds).select_columns(["doc_id", "lang_pred"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """md5 fingerprint of normalized text (SQL parity)."""
+    from ...stages.textstats import add_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_fingerprints(ds).select_columns(["doc_id", "fp_md5"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def head_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """O6: deterministic head-n sample (sort then limit 10)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort("o_orderkey").limit(10).to_pandas()
+    return out[["o_orderkey"]].reset_index(drop=True)
+
+
+def textprep_corpus(sf_dir: str) -> pd.DataFrame:
+    """Composed training-data prep pipeline (langid -> quality -> exact
+    dedup -> minhash near-dedup -> token counts); returns kept doc_ids +
+    per-doc token counts. SQL-oracled END-TO-END: quality gate in exact
+    integer arithmetic, md5 keep-first, then the exact near-dup closure
+    over the surviving corpus."""
+    from ..textprep import prepare_text_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept, report = prepare_text_corpus(
+        ds, min_words=5, min_quality=0.5, collect_report=False
+    )
+    out = kept.select_columns(["doc_id", "n_tokens"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Global token top-20 with PARTIAL PRE-AGGREGATION: per-batch Counter
+    partials (vocab-of-batch rows) -> groupby(token).sum -> distributed
+    sort + limit. The full corpus never shuffles raw tokens — only
+    per-batch (token, n) partials — the wordcount shape a 100 TB corpus
+    needs."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ...functions import textkit
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(textkit.tokens_ws(txt or ""))
+        items = sorted(c.items())
+        return pa.table(
+            {
+                "token": pa.array([k for k, _ in items], type=pa.string()),
+                "n": pa.array([v for _, v in items], type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def heavy_hitter_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact phi=1/50 frequent tokens by two-pass sketch-prune + verify
+    (stages/heavyhitters): per-batch locally-heavy candidates (pigeonhole
+    superset guarantee), broadcast, exact recount. Output is exact, so
+    SQL-checkable — unlike a raw SpaceSaving sketch."""
+    from ...stages.heavyhitters import heavy_hitter_tokens as _hh
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return _hh(ds, text_col="text", k=50).to_pandas()
+
+
+def distinct_tokens_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-group HLL cardinality sketch (stages/sketch
+    hll_distinct_tokens_by): approximate distinct-token count per
+    language; driver sees O(langs x 4096) register rows. Rows-only by
+    necessity (approximate); tests pin the error band vs exact."""
+    from ...stages.sketch import hll_distinct_tokens_by
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = hll_distinct_tokens_by(ds, group_col="lang", p=12).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def chunk_docs_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window chunking (window=16 tokens, stride=12) — one row per
+    chunk with its text and token count. Shuffle-free vectorized explode;
+    SQL-oracled via list slicing + generate_series."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = textstats.chunk_documents(ds, window=16, stride=12).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def top_bigrams_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-20 adjacent-token bigrams by global count (bigram-ascending
+    tie-break) — combiner-first partial counts, one small groupby."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.top_bigrams(ds, k=20)
+
+
+def length_outlier_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """IQR outlier gate (winsorize-style corpus audit, composed from the
+    exact-quantile machinery): keep docs whose word count lies in
+    [q25 - IQR//4, q75 + IQR//4] (a deliberately tight band so the
+    gate is non-trivial on the synthetic corpus), quartiles by the
+    repo's nearest-rank
+    floor((n-1)*q) convention — all integer math, so the SQL oracle is
+    exact. Two streaming passes: the histogram-combine quantile pass
+    (O(distinct lengths) driver) picks the bounds, then a vectorized
+    filter pass re-streams the corpus; nothing O(corpus) materializes."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    qdf = textstats.length_quantiles(ds, q_pcts=(25, 75))
+    q25, q75 = (int(v) for v in qdf.sort_values("q_pct")["n_words"])
+    iqr = q75 - q25
+    lo, hi = q25 - iqr // 4, q75 + iqr // 4
+
+    def _keep(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        n = pc.list_value_length(words)
+        n = pc.cast(n, pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(n, pa.scalar(lo, pa.int64())),
+            pc.less_equal(n, pa.scalar(hi, pa.int64())),
+        )
+        out = pa.table({"doc_id": t["doc_id"], "n_words": n})
+        return out.filter(keep)
+
+    out = ds.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic WEIGHTED sample (Efraimidis–Spirakis style, RNG-free):
+    top-50 docs by the key ``md5_52bit(doc_id) / weight`` with weight =
+    char length — long docs proportionally likelier, yet the selection is
+    reproducible on every node/rerun like the repo's other hash samples.
+    Exactness: the 52-bit hash and the weight are both exactly
+    representable doubles, so the single IEEE division is bit-identical
+    in numpy and DuckDB; ties are impossible across distinct doc_ids at
+    equal keys only if hashes collide, and (key, doc_id) ordering pins
+    the limit deterministically anyway. One streaming pass with a
+    per-batch top-50 prune; the driver merges O(50 × blocks) rows."""
+    from ...functions import textkit
+
+    K = 50
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _keys(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        texts = t["text"].to_pylist()
+        w = np.asarray([max(len(s or ""), 1) for s in texts], dtype=np.int64)
+        h52 = textkit._md5_low64([str(int(i)) for i in ids]) >> np.uint64(12)
+        key = h52.astype(np.float64) / w.astype(np.float64)
+        order = np.lexsort((ids, key))[:K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "n_chars": pa.array(w[order]),
+                "w_key": pa.array(key[order]),
+            }
+        )
+
+    cand = ds.map_batches(_keys, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["w_key", "doc_id"]).head(K).reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out
+
+
+def lang_confusion_matrix(sf_dir: str) -> pd.DataFrame:
+    """Label-vs-prediction confusion matrix (the model-eval rollup over
+    the n-gram language detector): declared lang x predicted lang
+    counts. One streaming langid pass (the langid_docs kernel), one
+    combiner-reduced groupby at the O(langs^2) grain."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = (
+        add_lang_pred(ds)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def token_count_estimates(sf_dir: str) -> pd.DataFrame:
+    """Count-min-sketch point frequencies (the fixed-memory complement
+    of the exact heavy-hitter pass): estimate the corpus counts of the
+    exact phi=1/50 frequent tokens from a (4 x 2^16) CMS built in one
+    streaming pass (per-batch matrix partials, driver sums O(blocks)
+    matrices — never O(vocabulary)).
+
+    Rows-only (the sketch is approximate by construction, like the HLL
+    entries) — but self-guarded: the CMS one-sided contract
+    (estimate >= exact, always) is ASSERTED in-query against the exact
+    recount, so a broken sketch fails loudly rather than hiding behind
+    the driver's rows-only check."""
+    from ...stages.heavyhitters import heavy_hitter_tokens as _hh
+    from ...stages.sketch import cms_build, cms_estimate
+
+    ds = _read(sf_dir, "documents", ["text"])
+    exact = _hh(ds, text_col="text", k=50).to_pandas()
+
+    def _tokens(t: pa.Table) -> pa.Table:
+        # exactly heavyhitters._batch_tokens' stream (tokens_ws parity)
+        trimmed = pc.utf8_trim_whitespace(pc.cast(t["text"], pa.string()))
+        toks = pc.list_flatten(pc.split_pattern_regex(trimmed, pattern=r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pa.table({"tok": toks})
+
+    tok_ds = ds.map_batches(_tokens, batch_format="pyarrow")
+    sk = cms_build(tok_ds, "tok", width_log2=16, depth=4)
+    est = cms_estimate(sk, list(exact["token"]), width_log2=16)
+    out = exact.copy()
+    out["cms_estimate"] = est.astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    assert (out["cms_estimate"] >= out["cnt"]).all(), (
+        "CMS one-sided contract violated"
+    )
+    out = out[["token", "cnt", "cms_estimate"]]
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def doc_sentence_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document sentence statistics: terminator-run count ([.!?]+
+    matches — the sentence-count proxy) and question-mark count, both
+    via RE2 Arrow kernels (pc.count_substring_regex), shuffle-free and
+    zero-copy over the corpus — the shallow readability-audit member of
+    the text-analysis family."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_sentences": pc.cast(
+                    pc.count_substring_regex(t["text"], r"[.!?]+"), pa.int64()
+                ),
+                "n_questions": pc.cast(
+                    pc.count_substring_regex(t["text"], r"\?"), pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(_stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_type_token_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-document type-token ratio (distinct tokens / tokens, the
+    lexical-diversity member of the quality family), sharing
+    doc_token_counts' whitespace tokenization exactly.
+
+    Vectorized distinct counting without per-doc Python: one
+    split_pattern_regex per batch, the flattened token stream gets
+    int codes from np.unique(return_inverse) (the string-lexsort
+    trick), and distinct-per-doc falls out of one (doc, code) lexsort
+    + run mask. Shuffle-free; the ratio is one guarded double division
+    on both engines."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ttr(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = np.asarray(pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        empty = np.asarray(
+            pc.equal(trimmed, pa.scalar("")).to_numpy(zero_copy_only=False)
+        )
+        n_tok = np.where(empty, 0, lens)
+        flat = toks.flatten()
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(doc_idx):
+            codes = np.unique(
+                np.asarray(flat.to_pandas(), dtype=object), return_inverse=True
+            )[1]
+            order = np.lexsort((codes, doc_idx))
+            d_s, c_s = doc_idx[order], codes[order]
+            new = np.concatenate(
+                [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+            )
+            n_dist = np.bincount(d_s[new], minlength=len(lens)).astype(np.int64)
+        else:
+            n_dist = np.zeros(len(lens), dtype=np.int64)
+        n_dist = np.where(empty, 0, n_dist)
+        # identical parse tree to the SQL oracle — bit-identical doubles
+        ttr = np.where(
+            n_tok > 0, n_dist.astype(np.float64) / n_tok.astype(np.float64), 0.0
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": pa.array(n_dist, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(_ttr, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def hapax_ratio_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language HAPAX LEGOMENA ratio: the share of the language's
+    distinct vocabulary that occurs exactly once — the classic corpus
+    -quality / contamination signal (synthetic or template text craters
+    it; diverse natural text keeps it near half).
+
+    Scale plan: the wordcount shape — fully vectorized per-batch
+    (lang, token) partials (flat whitespace split + dictionary-encode +
+    composite-code np.unique; no Python row loop), where token identity
+    is the 128-bit two-siphash pair (h1, h2)
+    (:func:`textkit.hash2_strings` — the bigram-novelty trust model: a
+    miscount needs two distinct tokens colliding on BOTH 64-bit hashes,
+    ~2^-128 per pair). The global merge is ONE pair-hash bucket shuffle
+    (the hourly_active_users pattern — single int64 sort key, NOT a
+    3-column sort groupby: measured 155 s → 8 s over 18M token
+    instances at 32 CPUs): each bucket finishes its vocabulary's sums
+    with one Arrow group_by and emits per-(lang) hapax/distinct
+    partials, so the final groupby moves O(langs x buckets) rows. Raw
+    tokens never shuffle; the exchange is three int64s + lang per
+    batch-vocab entry."""
+    from ray.data.aggregate import Sum
+
+    from ...functions import textkit
+    from ...stages.relops import _WB
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    num_buckets = 64
+
+    _EMPTY_PARTIAL = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            _WB: pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        if len(flat) == 0:
+            return _EMPTY_PARTIAL
+        langs = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq_langs, lang_codes = np.unique(langs, return_inverse=True)
+        tok_lang = np.repeat(lang_codes.astype(np.int64), np.diff(ptr))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+        tok_code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # batch-local distinct (lang, token) counts via one composite code
+        comp = tok_lang * np.int64(len(vocab)) + tok_code
+        keys, counts_ = np.unique(comp, return_counts=True)
+        k_lang = (keys // len(vocab)).astype(np.int64)
+        k_tok = (keys % len(vocab)).astype(np.int64)
+        h1, h2 = textkit.hash2_strings(vocab, salt="hx")
+        b = (h1.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(uniq_langs[k_lang], pa.string()),
+                "h1": pa.array(h1[k_tok]),
+                "h2": pa.array(h2[k_tok]),
+                "n": pa.array(counts_.astype(np.int64)),
+                _WB: pa.array(b[k_tok]),
+            }
+        )
+
+    def _bucket_partials(g: pa.Table) -> pa.Table:
+        sums = g.group_by(["lang", "h1", "h2"]).aggregate([("n", "sum")])
+        n = np.asarray(
+            sums["n_sum"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        tl = pa.table(
+            {
+                "lang": sums["lang"],
+                "hap": pa.array((n == 1).astype(np.int64)),
+                "one": pa.array(np.ones(len(n), dtype=np.int64)),
+            }
+        )
+        s = tl.group_by("lang").aggregate([("hap", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                "lang": s["lang"],
+                "h": pc.cast(s["hap_sum"], pa.int64()),
+                "d": pc.cast(s["one_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(_WB)
+        .map_groups(_bucket_partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("h", alias_name="n_hapax"), Sum("d", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    agg["n_hapax"] = agg["n_hapax"].astype("int64")
+    agg["n_distinct"] = agg["n_distinct"].astype("int64")
+    agg["hapax_ratio"] = agg["n_hapax"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["n_distinct"].to_numpy(dtype="int64").astype(np.float64)
+    out = agg[["lang", "n_distinct", "n_hapax", "hapax_ratio"]]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise VOCABULARY OVERLAP between languages: exact Jaccard of
+    the distinct whitespace-token sets of every language pair sharing at
+    least one token — the cross-lingual contamination / code-switching
+    audit (a high en↔fr vocabulary Jaccard in a "clean" split means
+    mislabeled or mixed documents).
+
+    Scale plan: the hapax machinery's distinct-(lang, token) shape —
+    vectorized batch partials (flat whitespace split, two-siphash token
+    identity, composite-code np.unique), ONE token-hash bucket shuffle
+    of (lang, h1, h2) presence rows. Each bucket owns its tokens
+    EXCLUSIVELY (bucket = h1 % B), so per-token language SETS are
+    bucket-local: tokens sort once, `bitwise_or.reduceat` collapses each
+    token's languages to ONE int64 bitmask (languages ≤ 63 — the
+    documented bound; a corpus beyond that wants a two-level lang
+    grouping), and the bucket emits O(distinct masks) rows, each
+    expanded to its language pairs + per-language vocab partials. The
+    final groupby moves O(buckets × lang²) rows; raw tokens never leave
+    their bucket, and nothing pair-shaped ever touches the token list.
+    Union/Jaccard are derived from exact int64 sizes (|A∪B| =
+    |A|+|B|−|A∩B|) with one double division, identically parenthesized
+    in the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from ...functions import textkit
+    from ...stages.relops import _WB
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    num_buckets = 64
+
+    _EMPTY = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+            _WB: pa.array([], pa.int64()),
+        }
+    )
+
+    def _presence(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        if len(flat) == 0:
+            return _EMPTY
+        langs = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq_langs, lang_codes = np.unique(langs, return_inverse=True)
+        tok_lang = np.repeat(lang_codes.astype(np.int64), np.diff(ptr))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+        tok_code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = np.unique(tok_lang * np.int64(len(vocab)) + tok_code)
+        k_lang = (comp // len(vocab)).astype(np.int64)
+        k_tok = (comp % len(vocab)).astype(np.int64)
+        h1, h2 = textkit.hash2_strings(vocab, salt="hx")
+        b = (h1.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(uniq_langs[k_lang], pa.string()),
+                "h1": pa.array(h1[k_tok]),
+                "h2": pa.array(h2[k_tok]),
+                _WB: pa.array(b[k_tok]),
+            }
+        )
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        distinct = (
+            pa.table({"lang": g["lang"], "h1": g["h1"], "h2": g["h2"]})
+            .group_by(["lang", "h1", "h2"])
+            .aggregate([])
+        )
+        lv = distinct["lang"]
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        enc = lv.dictionary_encode()
+        lang_names = enc.dictionary.to_pylist()
+        if len(lang_names) > 63:
+            raise ValueError(
+                "lang_vocab_overlap's bitmask kernel supports <= 63 "
+                "languages; a wider corpus wants a two-level grouping"
+            )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = np.asarray(distinct["h1"].to_numpy(zero_copy_only=False))
+        h2 = np.asarray(distinct["h2"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((h2, h1))
+        h1s, h2s, cs = h1[order], h2[order], codes[order]
+        newtok = np.concatenate(
+            [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        )
+        starts = np.nonzero(newtok)[0]
+        masks = np.bitwise_or.reduceat(
+            np.int64(1) << cs, starts
+        )
+        um, uc = np.unique(masks, return_counts=True)
+        la, lb, n = [], [], []
+        for m, c in zip(um, uc):
+            bits = [i for i in range(len(lang_names)) if m >> i & 1]
+            for i, bi in enumerate(bits):
+                la.append(lang_names[bi])
+                lb.append("")  # per-lang vocab-size partial
+                n.append(int(c))
+                for bj in bits[i + 1:]:
+                    x, y = sorted((lang_names[bi], lang_names[bj]))
+                    la.append(x)
+                    lb.append(y)
+                    n.append(int(c))
+        return pa.table(
+            {
+                "lang_a": pa.array(la, pa.string()),
+                "lang_b": pa.array(lb, pa.string()),
+                "n": pa.array(np.asarray(n, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_presence, batch_format="pyarrow", batch_size=4096)
+        .groupby(_WB)
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby(["lang_a", "lang_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    vocab = (
+        agg[agg["lang_b"] == ""]
+        .set_index("lang_a")["n"]
+        .astype("int64")
+    )
+    pairs = agg[agg["lang_b"] != ""].copy()
+    pairs["inter_size"] = pairs["n"].astype("int64")
+    pairs["vocab_a"] = pairs["lang_a"].map(vocab).astype("int64")
+    pairs["vocab_b"] = pairs["lang_b"].map(vocab).astype("int64")
+    pairs["union_size"] = (
+        pairs["vocab_a"] + pairs["vocab_b"] - pairs["inter_size"]
+    ).astype("int64")
+    pairs["jaccard"] = pairs["inter_size"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / pairs["union_size"].to_numpy(dtype="int64").astype(np.float64)
+    out = pairs[
+        ["lang_a", "lang_b", "inter_size", "vocab_a", "vocab_b",
+         "union_size", "jaccard"]
+    ]
+    return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+
+
+def token_shift_report(sf_dir: str) -> pd.DataFrame:
+    """TOKEN SHIFT report: the 20 tokens most over-represented in the
+    even-numbered sources versus the odd-numbered ones — the domain
+    -shift / split-leakage audit a training-data pipeline runs before
+    mixing corpora (a token whose rate differs wildly between "halves"
+    of the same crawl flags templating or source skew).
+
+    Exactness: ranking by the rate difference ca/ta − cb/tb is float
+    -unpinnable, so the sort key is the CROSS-MULTIPLIED integer
+    ``shift_score = ca·tb − cb·ta`` (same sign and order as the rate
+    difference; exact int64 to ~3·10⁹ tokens per side — beyond that,
+    downscale totals by a common factor first). Ties break on the token
+    string, so the LIMIT boundary is deterministic on both sides.
+
+    Scale plan: one tiny totals pass (2 ints per batch), then the
+    wordcount shape — vectorized batch-distinct (token, grp, n)
+    partials, ONE token-hash bucket shuffle (strings ship once per
+    distinct (batch, token): this op must surface the token STRING, so
+    unlike the hapax/vocab-growth families it cannot hash-only), a
+    per-bucket pivot + exact-score top-20 prune, and a driver top-20
+    over ≤ buckets×20 candidates."""
+    from ray.data.aggregate import Sum
+
+    from ...functions import textkit
+    from ...stages.relops import _WB
+
+    num_buckets = 64
+
+    def _grp_codes(t: pa.Table) -> np.ndarray:
+        g = pc.cast(
+            pc.utf8_slice_codeunits(t["source"], 3, 32), pa.int64()
+        )
+        return (
+            np.asarray(g.to_numpy(zero_copy_only=False), dtype=np.int64) % 2
+        )
+
+    def _totals(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        grp = np.repeat(_grp_codes(t), np.diff(ptr))
+        return pa.table(
+            {
+                "ta": pa.array([int((grp == 0).sum())], pa.int64()),
+                "tb": pa.array([int((grp == 1).sum())], pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    tot = docs.map_batches(_totals, batch_format="pyarrow").aggregate(
+        Sum("ta", alias_name="ta"), Sum("tb", alias_name="tb")
+    )
+    ta, tb = int(tot["ta"]), int(tot["tb"])
+
+    _EMPTY = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "ca": pa.array([], pa.int64()),
+            "cb": pa.array([], pa.int64()),
+            _WB: pa.array([], pa.int64()),
+        }
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        if len(flat) == 0:
+            return _EMPTY
+        grp = np.repeat(_grp_codes(t), np.diff(ptr))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        comp, cnt = np.unique(code * 2 + grp, return_counts=True)
+        k_tok = (comp // 2).astype(np.int64)
+        k_grp = (comp % 2).astype(np.int64)
+        n = cnt.astype(np.int64)
+        h1, _h2 = textkit.hash2_strings(
+            vocab.to_numpy(zero_copy_only=False), salt="hx"
+        )
+        return pa.table(
+            {
+                "token": vocab.take(pa.array(k_tok)),
+                "ca": pa.array(np.where(k_grp == 0, n, 0)),
+                "cb": pa.array(np.where(k_grp == 1, n, 0)),
+                _WB: pa.array(
+                    (h1[k_tok].astype(np.uint64) % np.uint64(num_buckets))
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    def _bucket_top(g: pa.Table) -> pa.Table:
+        s = g.group_by("token").aggregate([("ca", "sum"), ("cb", "sum")])
+        ca = np.asarray(s["ca_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cb = np.asarray(s["cb_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        score = ca * np.int64(tb) - cb * np.int64(ta)
+        toks = np.asarray(s["token"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((toks, -score))[:20]
+        return pa.table(
+            {
+                "token": pa.array(toks[order], pa.string()),
+                "ca": pa.array(ca[order]),
+                "cb": pa.array(cb[order]),
+                "shift_score": pa.array(score[order]),
+            }
+        )
+
+    cand = (
+        docs.map_batches(_partials, batch_format="pyarrow", batch_size=4096)
+        .groupby(_WB)
+        .map_groups(_bucket_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["shift_score", "token"], ascending=[False, True]
+    ).head(20)
+    for c in ("ca", "cb", "shift_score"):
+        cand[c] = cand[c].astype("int64")
+    return cand[["token", "ca", "cb", "shift_score"]].reset_index(drop=True)
+
+
+def doc_bigram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-document NOVELTY score — the share of a doc's distinct
+    adjacent-token bigrams whose GLOBAL first occurrence (min doc_id) is
+    this doc: the contribution-attribution statistic a dedup/curation
+    pipeline uses to find template-heavy vs original documents.
+
+    Scale plan: each batch forms its bigrams vectorized (the
+    top_bigrams flat-buffer kernel) and emits batch-local DISTINCT
+    (doc_id, bigram) pairs — a doc lives in exactly one batch row, so
+    batch-distinct IS globally distinct and the per-doc denominator
+    never shuffles at all. The numerator is ONE bigram groupby
+    (Min(doc_id)) followed by per-batch (first_doc, 1) partial counts
+    into a small doc groupby — no join-back of the vocabulary. The two
+    O(docs) tables meet in a size-routed left join."""
+    from ...stages.joins import broadcast_join, hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    den, num = _bigram_novelty_parts(ds)
+
+    n_docs = _fact_rows(sf_dir, "documents")
+    if n_docs <= _base._BROADCAST_SIDE_ROUTE_ROWS:
+        np_ = num.to_pandas()
+        num_tbl = pa.table(
+            {
+                "doc_id": pa.array(np_["doc_id"].to_numpy(dtype="int64")),
+                "n_new": pa.array(np_["n_new"].to_numpy(dtype="int64")),
+            }
+        )
+        j = broadcast_join(den, num_tbl, key="doc_id", how="left_outer")
+    else:
+        j = hash_join(den, num, key="doc_id", how="left_outer")
+
+    def _final(t: pa.Table) -> pa.Table:
+        nb = np.asarray(
+            pc.cast(t["n_bigrams"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        nn = np.asarray(
+            pc.fill_null(pc.cast(t["n_new"], pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(nb),
+                "n_new": pa.array(nn),
+                "novelty": pa.array(
+                    nn.astype(np.float64) / nb.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    out = j.map_batches(_final, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def url_token_density_per_source(sf_dir: str) -> pd.DataFrame:
+    """URL/EMAIL token density per source: the share of whitespace
+    tokens that look like links or addresses — the C4-family
+    boilerplate/navigation-chrome audit at the SOURCE grain (a source
+    whose density spikes is shipping menus, not prose). Ratio of EXACT
+    INT SUMS (the stopword-density lesson), flagged tokens defined by
+    one RE2 class: containing '://' or '@' or starting 'www.'.
+
+    Scale plan: shuffle-free — flat whitespace split per batch, one
+    vectorized match, O(sources) partials, tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from ...functions import textkit
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    pat = r"(://|@|^www\.)"
+
+    def _partials(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_urlish": pa.array([], pa.int64()),
+                }
+            )
+        src = np.repeat(
+            np.asarray(t["source"].to_numpy(zero_copy_only=False), dtype=object),
+            np.diff(ptr),
+        )
+        hit = np.asarray(
+            pc.match_substring_regex(flat, pat).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "source": pa.array(src, pa.string()),
+                    "n_tokens": pa.array(np.ones(len(src), dtype=np.int64)),
+                    "n_urlish": pa.array(hit),
+                }
+            )
+            .group_by("source")
+            .aggregate([("n_tokens", "sum"), ("n_urlish", "sum")])
+        )
+        return g.rename_columns(["source", "n_tokens", "n_urlish"])
+
+    agg = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_urlish", alias_name="n_urlish"),
+        )
+        .to_pandas()
+    )
+    agg["n_tokens"] = agg["n_tokens"].astype("int64")
+    agg["n_urlish"] = agg["n_urlish"].astype("int64")
+    agg["urlish_share"] = agg["n_urlish"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["n_tokens"].to_numpy(dtype="int64").astype(np.float64)
+    return agg[["source", "n_tokens", "n_urlish", "urlish_share"]].sort_values(
+        "source"
+    ).reset_index(drop=True)
+
+
+def lang_script_mismatch_docs(sf_dir: str) -> pd.DataFrame:
+    """SCRIPT-MISMATCH audit: documents whose language tag demands a
+    non-Latin script (zh/ja/ko/ru/ar) but whose text contains ZERO
+    non-ASCII characters — the classic mislabeled-document detector
+    (char_class_profile_per_lang's per-document companion; this corpus'
+    synthetic zh docs are all-ASCII, so the audit fires by design).
+
+    Scale plan: shuffle-free single pass — one RE2 strip-and-measure
+    per batch (non-ASCII count = len − len(ascii-only)), a 20-char
+    noise floor, output O(flagged docs)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+    cjk = ("zh", "ja", "ko", "ru", "ar")
+
+    def _flag(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t["text"], "")
+        non_ascii = pc.subtract(
+            pc.utf8_length(s),
+            pc.utf8_length(
+                pc.replace_substring_regex(s, r"[^\x00-\x7F]", "")
+            ),
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.is_in(t["lang"], value_set=pa.array(list(cjk))),
+                pc.equal(non_ascii, pa.scalar(0)),
+            ),
+            pc.greater_equal(t["n_chars"], pa.scalar(20)),
+        )
+        out = t.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "lang": out["lang"],
+                "n_chars": pc.cast(out["n_chars"], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_flag, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype="object"),
+                "n_chars": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_length_sketch_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language document-length quantiles via the GROUPED mergeable
+    quantile sketch — the O(groups × k)-state path that replaces
+    lang_length_quantiles' exact histogram when the value domain is
+    wide. Approximate by construction → rows-only; pinned by the sketch
+    bound tests plus the exact-vs-sketch tolerance check in
+    test_queries_duckdb."""
+    from ...stages.sketch import grouped_quantile_sketch, quantile_sketch_query
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    sk = grouped_quantile_sketch(ds, "lang", "n_chars", k=256)
+    qs = [0.25, 0.5, 0.75]
+    rows = []
+    for lang in sorted(sk):
+        v, w = sk[lang]
+        est = quantile_sketch_query(v, w, qs)
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": int(w.sum()),
+                "p25_est": int(est[0]),
+                "p50_est": int(est[1]),
+                "p75_est": int(est[2]),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_docs", "p25_est", "p50_est", "p75_est"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lang_source_chi2_cells(sf_dir: str) -> pd.DataFrame:
+    """CHI-SQUARE CONTINGENCY cells over the lang x source grid: observed
+    count, expected count under independence (row_total x col_total / N),
+    and the per-cell chi² contribution (o-e)²/e — the
+    distribution-drift / association test a curation pipeline runs
+    between corpus slices. Per-cell output avoids the cross-cell float
+    sum whose order SQL does not pin; margins are exact int64 and every
+    double op is one identical expression on both sides.
+
+    Scale plan: batch-local (lang, source) count partials, one tiny
+    groupby; margins derive from the O(cells) result on the driver
+    (fixed-cardinality dims, the nation_revenue small-route contract)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"], "source": t["source"]})
+            .group_by(["lang", "source"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "source": g["source"],
+                "o": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()
+    )
+    cells["o"] = cells["o"].astype("int64")
+    rt = cells.groupby("lang")["o"].transform("sum").to_numpy(dtype="int64")
+    ct = cells.groupby("source")["o"].transform("sum").to_numpy(dtype="int64")
+    n = int(cells["o"].sum())
+    o = cells["o"].to_numpy(dtype="int64")
+    e = (rt * ct).astype(np.float64) / np.float64(n)
+    d = o.astype(np.float64) - e
+    cells["expected"] = e
+    cells["chi2_cell"] = d * d / e
+    return cells.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def webtext_pipeline_v3(sf_dir: str) -> pd.DataFrame:
+    """The flagship chain with the bigram-novelty NOISE SCREEN inserted
+    after decontamination (decontaminate → novelty<=0.2 gibberish gate →
+    C4 line gate → line dedup → Gopher gate → shard packing) — SIX
+    stages hash-checked by one nested SQL oracle. The novelty gate drops
+    documents whose distinct bigrams are overwhelmingly first-occurrence
+    (the OCR-garbage tail); its vocabulary Min-groupby runs over the
+    decontaminated corpus BEFORE the chunking stages so the screen sees
+    original text."""
+    from ...stages.spandedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench, train = _bench_train_split(ds)
+    clean = decontaminate(train, bench, n=4)
+    screened = _novelty_gate(clean, 0.2)
+    gated = linededup.c4_line_filter(
+        screened, width=8, line_blacklist=("spark", "vector"), min_lines=3
+    )
+    return _webtext_tail(gated)
+
+
+def webtext_pipeline_v4(sf_dir: str) -> pd.DataFrame:
+    """The flagship chain with FUZZY decontamination at the head: word-3
+    -gram Jaccard >= 0.5 vs the benchmark split (paraphrase leakage the
+    exact window matcher misses) → bigram-novelty gibberish screen → C4
+    line gate → line dedup → Gopher gate → shard packing — six stages
+    hash-checked by ONE nested SQL oracle. Versus v3 the head swaps the
+    exact 4-gram window decontaminate for the broadcast-inverted-index
+    fuzzy kernel (zero corpus shuffle) and uses its %7 benchmark split;
+    sub-3-token docs drop at the head by the fuzzy contract (no shingle
+    set to clear them)."""
+    from ...stages.spandedup import fuzzy_decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(want_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            is_b = ids % 7 == 0
+            return t.filter(pa.array(is_b if want_bench else ~is_b))
+
+        return _f
+
+    bench = ds.map_batches(_split(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_split(False), batch_format="pyarrow")
+    clean = fuzzy_decontaminate(corpus, bench, k=3, threshold=0.5)
+    screened = _novelty_gate(clean, 0.2)
+    gated = linededup.c4_line_filter(
+        screened, width=8, line_blacklist=("spark", "vector"), min_lines=3
+    )
+    return _webtext_tail(gated)
+
+
+def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:
+    """HEAPS'-LAW vocabulary growth curve: after each document (in
+    doc_id order), the cumulative token count and the cumulative
+    DISTINCT-token count — the corpus-diversity diagnostic that shows
+    where a crawl stops contributing new vocabulary.
+
+    Scale plan: per-doc token counts need no shuffle (a doc lives in one
+    batch row; vectorized flat whitespace split, no Python row loop);
+    the distinct curve is first-occurrence attribution — the
+    doc_bigram_novelty machinery on unigrams: each batch pre-Mins its
+    OWN vocabulary (np.minimum.at over dictionary codes) and ships
+    (w1, w2, doc_min) int64 triples, where (w1, w2) is the 128-bit
+    two-siphash token identity (:func:`textkit.hash2_strings`), into
+    ONE pair-hash bucket shuffle (single int64 sort key — the
+    hourly_active_users pattern; a vocabulary lives in exactly one
+    bucket, so the per-bucket Arrow Min is the global Min) that emits
+    (first_doc, count) partials directly — token strings never shuffle
+    and no 2-column sort groupby runs. The two O(docs) tables join
+    size-routed and BOTH cumulative columns come from the distributed
+    range-partitioned prefix scan (attach_running_sum), O(ranges)
+    driver state."""
+    from ray.data.aggregate import Sum
+
+    from ...functions import textkit
+    from ...functions.enumerate import attach_running_sum
+    from ...stages.joins import broadcast_join, hash_join
+    from ...stages.relops import _WB
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _pertok(t: pa.Table) -> pa.Table:
+        _, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        n = np.diff(ptr)
+        keep = n > 0
+        docs = np.asarray(
+            t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "n_tok": pa.array(n[keep].astype(np.int64)),
+            }
+        )
+
+    num_buckets = 64
+
+    _EMPTY_FIRST = pa.table(
+        {
+            "w1": pa.array([], pa.int64()),
+            "w2": pa.array([], pa.int64()),
+            "doc_min": pa.array([], pa.int64()),
+            _WB: pa.array([], pa.int64()),
+        }
+    )
+
+    def _first_partials(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        if len(flat) == 0:
+            return _EMPTY_FIRST
+        docs = np.asarray(
+            t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        tok_doc = np.repeat(docs, np.diff(ptr))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        mind = np.full(len(vocab), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mind, idx, tok_doc)
+        h1, h2 = textkit.hash2_strings(vocab, salt="vg")
+        b = (h1.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "w1": pa.array(h1),
+                "w2": pa.array(h2),
+                "doc_min": pa.array(mind),
+                _WB: pa.array(b),
+            }
+        )
+
+    def _bucket_first_counts(g: pa.Table) -> pa.Table:
+        # whole vocabulary of this bucket is here: Arrow Min IS global
+        first = g.group_by(["w1", "w2"]).aggregate([("doc_min", "min")])
+        cnt = first.group_by("doc_min_min").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": pc.cast(cnt["doc_min_min"], pa.int64()),
+                "k": pc.cast(cnt["count_all"], pa.int64()),
+            }
+        )
+
+    pertok = ds.map_batches(_pertok, batch_format="pyarrow")
+    newk = (
+        ds.map_batches(_first_partials, batch_format="pyarrow", batch_size=4096)
+        .groupby(_WB)
+        .map_groups(_bucket_first_counts, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("k", alias_name="n_new"))
+    )
+
+    n_docs = _fact_rows(sf_dir, "documents")
+    if n_docs <= _base._BROADCAST_SIDE_ROUTE_ROWS:
+        np_ = newk.to_pandas()
+        newk_tbl = pa.table(
+            {
+                "doc_id": pa.array(np_["doc_id"].to_numpy(dtype="int64")),
+                "n_new": pa.array(np_["n_new"].to_numpy(dtype="int64")),
+            }
+        )
+        j = broadcast_join(pertok, newk_tbl, key="doc_id", how="left_outer")
+    else:
+        j = hash_join(pertok, newk, key="doc_id", how="left_outer")
+
+    j = j.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "n_new": pc.fill_null(pc.cast(t["n_new"], pa.int64()), 0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = attach_running_sum(
+        j,
+        ["doc_id"],
+        ["n_tok", "n_new"],
+        sum_col=["cum_tokens", "cum_distinct"],
+    )
+    out = j.select_columns(["doc_id", "cum_tokens", "cum_distinct"]).to_pandas()
+    out["cum_tokens"] = out["cum_tokens"].astype("int64")
+    out["cum_distinct"] = out["cum_distinct"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def training_mix_order(sf_dir: str) -> pd.DataFrame:
+    """TRAINING-MIX INTERLEAVING: a deterministic global sampling order
+    that up-weights English 3:1 over every other language (the data
+    -mixture scheduling step before shard packing) — stride scheduling
+    with EXACT integer keys: doc j of language L gets
+    key = rn_L(j) x (LCM / weight_L), and the mix order sorts by
+    (key, lang, doc_id), so weighted languages surface proportionally
+    often with zero RNG.
+
+    Scale plan: per-language row numbers from ONE lang-bucket shuffle
+    (lexsort + segment positions), then the global mix rank from the
+    distributed range-partitioned dense index — no driver state beyond
+    O(ranges)."""
+    from ...functions.enumerate import attach_dense_index
+    from ...stages.relops import _WB, _route_by_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _rn(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_WB])
+        lang = g["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        codes = lang.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        did = np.asarray(g["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((did, codes))
+        c_s = codes[order]
+        starts = np.nonzero(
+            np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        )[0]
+        lens = np.diff(np.concatenate([starts, [len(c_s)]]))
+        rn = (
+            np.arange(len(c_s), dtype=np.int64)
+            - np.repeat(starts, lens)
+            + 1
+        )
+        g = g.take(pa.array(order, pa.int64()))
+        mult = np.where(
+            np.asarray(g["lang"].to_pylist(), dtype=object) == "en", 1, 3
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "lang": g["lang"],
+                "key": pa.array(rn * mult),
+            }
+        )
+
+    keyed = (
+        _route_by_group(ds, "lang", 8)
+        .groupby(_WB)
+        .map_groups(_rn, batch_format="pyarrow")
+    )
+    n_docs = _fact_rows(sf_dir, "documents")
+    if n_docs <= _base._BROADCAST_SIDE_ROUTE_ROWS:
+        # small route: the keyed table is one driver frame — a numpy
+        # lexsort beats a range-partition pass of pure fixed latency
+        # (the dense-index plan below is the 10^8+-doc path, pinned by
+        # the hash-path route test)
+        p = keyed.to_pandas()
+        key = p["key"].to_numpy(dtype="int64")
+        did = p["doc_id"].to_numpy(dtype="int64")
+        lang = p["lang"].to_numpy(dtype=object)
+        order = np.lexsort((did, lang, key))
+        rank = np.empty(len(p), dtype=np.int64)
+        rank[order] = np.arange(1, len(p) + 1, dtype=np.int64)
+        out = pd.DataFrame(
+            {"doc_id": did, "lang": lang, "mix_rank": rank}
+        )
+        return out.sort_values("doc_id").reset_index(drop=True)
+    ranked = attach_dense_index(
+        keyed, ["key", "lang", "doc_id"], index_col="mix_rank"
+    )
+    out = ranked.select_columns(["doc_id", "lang", "mix_rank"]).to_pandas()
+    out["mix_rank"] = out["mix_rank"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def top_bigram_per_lang(sf_dir: str) -> pd.DataFrame:
+    """GROUPED ARGMAX over a derived vocabulary: each language's most
+    frequent adjacent-token bigram (count desc, bigram asc tie-break) —
+    the per-slice collocation signature. Per-batch vectorized bigram
+    expansion (the top_bigrams flat-buffer kernel with a lang owner
+    map) collapsing to (lang, bigram) partials, ONE vocabulary groupby,
+    batch-local argmax partials per lang, final O(langs) driver pick —
+    the vocabulary never converges anywhere."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(offsets[0])
+        flat = words.values.slice(base, int(offsets[-1]) - base)
+        m = len(flat)
+        if m < 2:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        valid = np.ones(m - 1, dtype=bool)
+        ends = offsets[1:] - base - 1
+        valid[ends[(ends >= 0) & (ends < m - 1)]] = False
+        owner = (
+            np.searchsorted(offsets - base, np.arange(m - 1), side="right") - 1
+        )
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        left = flat.slice(0, m - 1).filter(pa.array(valid))
+        right = flat.slice(1, m - 1).filter(pa.array(valid))
+        big = pc.binary_join_element_wise(left, right, " ")
+        g = (
+            pa.table(
+                {
+                    "lang": pa.array(langs[owner[valid]], pa.string()),
+                    "bigram": big,
+                }
+            )
+            .group_by(["lang", "bigram"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "bigram": g["bigram"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=1024)
+        .groupby(["lang", "bigram"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _local_argmax(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        big = np.asarray(t["bigram"].to_pylist(), dtype=object)
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((big, -n, lang))
+        sl = lang[order]
+        starts = np.nonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))[0]
+        pick = order[starts]
+        return pa.table(
+            {
+                "lang": pa.array(lang[pick], pa.string()),
+                "bigram": pa.array(big[pick], pa.string()),
+                "n": pa.array(n[pick]),
+            }
+        )
+
+    cand = counts.map_batches(_local_argmax, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["lang", "n", "bigram"], ascending=[True, False, True]
+    )
+    out = cand.groupby("lang", as_index=False).first()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def stopword_density_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language STOPWORD DENSITY from exact integer counts
+    (Σ stopword tokens / Σ tokens — NOT an average of per-doc ratios,
+    whose float sum order SQL does not pin): the language-model
+    fluency/quality signal at corpus grain.
+
+    Scale plan: fully vectorized — one Arrow split to the flat token
+    buffer, pc.utf8_lower + pc.is_in against the 22-word broadcast list,
+    np.bincount by batch-local lang codes; the exchange is O(langs x
+    blocks) int64 partials."""
+    from ray.data.aggregate import Sum
+
+    from ...functions.textkit import STOPWORDS
+
+    stop_arr = pa.array(sorted(STOPWORDS), pa.string())
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(offsets[0])
+        flat = words.values.slice(base, int(offsets[-1]) - base)
+        is_stop = np.asarray(
+            pc.is_in(pc.utf8_lower(flat), value_set=stop_arr).to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        codes_arr = lang.dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        owner = codes[
+            np.searchsorted(
+                offsets - base, np.arange(len(flat)), side="right"
+            )
+            - 1
+        ]
+        k = len(codes_arr.dictionary)
+        n_tok = np.bincount(owner, minlength=k).astype(np.int64)
+        n_stop = np.bincount(owner, weights=is_stop, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "lang": codes_arr.dictionary,
+                "t": pa.array(n_tok),
+                "s": pa.array(n_stop),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("t", alias_name="n_tokens"), Sum("s", alias_name="n_stop"))
+        .to_pandas()
+    )
+    agg["n_tokens"] = agg["n_tokens"].astype("int64")
+    agg["n_stop"] = agg["n_stop"].astype("int64")
+    agg["stop_density"] = agg["n_stop"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / agg["n_tokens"].to_numpy(dtype="int64").astype(np.float64)
+    out = agg[["lang", "n_tokens", "n_stop", "stop_density"]]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def benford_first_digit_orders(sf_dir: str) -> pd.DataFrame:
+    """BENFORD'S-LAW first-digit audit of order totals (the forensic
+    -accounting screen for fabricated values): counts and observed
+    shares per leading digit, extracted via STRING slicing of the exact
+    integer cents — no log10 whose last-ulp boundary SQL and numpy could
+    disagree on. One vectorized map + a 9-row combiner-reduced groupby;
+    the share division is the only double op."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def _digits(t: pa.Table) -> pa.Table:
+        cents = _to_scaled_int(t["o_totalprice"], 100)
+        d = pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), start=0, stop=1
+        )
+        g = pa.table({"digit": d}).group_by("digit").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"digit": g["digit"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(_digits, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    total = int(agg["n_orders"].sum())
+    agg["share"] = agg["n_orders"].to_numpy(dtype="int64").astype(
+        np.float64
+    ) / np.float64(total)
+    out = agg[["digit", "n_orders", "share"]]
+    return out.sort_values("digit").reset_index(drop=True)

@@ -770,7 +770,7 @@ def embedding_dedup(
     """Embedding-cosine near-dup, BRUTE-FORCE path: normalize vectors,
     cosine per batch against the broadcast full matrix, keep min vec_id of
     each above-threshold component. Documented to ~10^5 vectors — above
-    that use ``embedding_dedup_lsh`` (the scale path; pipelines/queries.py
+    that use ``embedding_dedup_lsh`` (the scale path; pipelines/queries
     routes on row count)."""
     tbl = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
     ids = tbl["vec_id"].to_numpy()

@@ -2,7 +2,7 @@
 
 Each stage is a vectorized/batched ``map_batches`` transform adding columns;
 row-wise kernels live in ``functions/textkit.py`` (tested directly, and the
-SQL-parity ones oracled through DuckDB in ``pipelines/queries.py``).
+SQL-parity ones oracled through DuckDB in ``pipelines/queries``).
 """
 
 from __future__ import annotations
