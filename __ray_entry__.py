@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # keeps its oracle_sql() pairing where SQL can express it.
     return {
         # --- least-recently-driver-sampled oracled head (50) ------------
+        "events_interarrival_cv": q.events_interarrival_cv,
+        "token_gini_per_lang": q.token_gini_per_lang,
+        "source_dup_overlap": q.source_dup_overlap,
         "customer_quartile_migration": q.customer_quartile_migration,
         "customer_spend_trend": q.customer_spend_trend,
         "party_directory": q.party_directory,
@@ -380,6 +383,76 @@ _LANGID_PRED_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_interarrival_cv": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 100000 AS BIGINT) AS ds
+                FROM events
+            ),
+            g AS (
+                SELECT event_type,
+                       LEAD(ds) OVER (PARTITION BY event_type ORDER BY ds)
+                           - ds AS gap
+                FROM d
+            ),
+            m AS (
+                -- one row of g per EVENT (last event's gap is NULL), so
+                -- COUNT(*)-1 keeps single-event types with n_gaps = 0
+                -- exactly as the engine reports them
+                SELECT event_type,
+                       CAST(COUNT(*) - 1 AS BIGINT) AS n_gaps,
+                       CAST(CAST(COUNT(*) - 1 AS BIGINT) AS DOUBLE) AS n,
+                       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS total_gap_ds,
+                       CAST(COALESCE(SUM(gap), 0) AS DOUBLE) AS sg,
+                       CAST(COALESCE(SUM(gap * gap), 0) AS DOUBLE) AS sgg
+                FROM g GROUP BY event_type
+            )
+            SELECT event_type, n_gaps, total_gap_ds,
+                   CASE WHEN n_gaps > 1 AND total_gap_ds > 0 THEN
+                       SQRT((n * sgg - sg * sg) / (n * (n - 1))) / (sg / n)
+                   ELSE NULL END AS cv
+            FROM m ORDER BY event_type
+        """,
+        "token_gini_per_lang": """
+            WITH tok AS (
+                SELECT lang,
+                       UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS token
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (
+                SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+                FROM tok GROUP BY lang, token
+            ),
+            r AS (
+                SELECT lang, c,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY c ASC, token ASC
+                       ) AS BIGINT) AS i,
+                       CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n,
+                       CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+                FROM c
+            )
+            SELECT lang,
+                   CAST(MAX(n) AS BIGINT) AS vocab,
+                   CAST(MAX(tot) AS BIGINT) AS n_tokens,
+                   CAST(CAST(SUM((2 * i - n - 1) * c) AS BIGINT) AS DOUBLE)
+                       / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE))
+                       AS token_gini
+            FROM r GROUP BY lang ORDER BY lang
+        """,
+        "source_dup_overlap": """
+            WITH fp AS (
+                SELECT DISTINCT source,
+                       MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+                           AS f
+                FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_texts
+            FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+            GROUP BY a.source, b.source
+            ORDER BY source_a, source_b
+        """,
         "fuzzy_decontaminate_docs": """
             WITH tok AS (
               SELECT doc_id,

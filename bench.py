@@ -416,6 +416,12 @@ def run_bench() -> dict:
          lambda: q.embedding_top_component(SF_DIR)),
         ("event_type_burstiness",
          lambda: q.event_type_burstiness(SF_DIR)),
+        ("events_interarrival_cv",
+         lambda: q.events_interarrival_cv(SF_DIR)),
+        ("token_gini_per_lang",
+         lambda: q.token_gini_per_lang(SF_DIR)),
+        ("source_dup_overlap",
+         lambda: q.source_dup_overlap(SF_DIR)),
         ("session_length_histogram",
          lambda: q.session_length_histogram(SF_DIR)),
         ("supplier_golden_records",

@@ -725,3 +725,121 @@ def dup_cluster_size_histogram(sf_dir: str) -> pd.DataFrame:
     out["cluster_size"] = out["cluster_size"].astype("int64")
     out["n_clusters"] = out["n_clusters"].astype("int64")
     return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+def source_dup_overlap(sf_dir: str) -> pd.DataFrame:
+    """CROSS-SOURCE duplication matrix: for every source pair, how many
+    DISTINCT normalized texts appear in both — the contamination map a
+    multi-crawl merge consults before weighting sources (two mirrors of
+    the same site light up here long before near-dup runs).
+
+    Scale plan: per-batch distinct (source, md5-fingerprint) rows (the
+    exact_dedup normalization, so this composes with its oracle), ONE
+    fingerprint-hash bucket shuffle co-locates every holder of a text,
+    and each bucket expands its multi-source fingerprints to pairs
+    VECTORIZED BY SEGMENT SIZE (all k-source segments stack into an
+    (m, k) matrix and emit their k(k−1)/2 pair columns at once — no
+    per-fingerprint Python; k is bounded by the source count). The
+    final groupby moves O(source² × buckets) partial rows."""
+    from ray.data.aggregate import Sum
+
+    from ...functions import textkit
+    from ...stages.relops import _WB
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    num_buckets = 64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(
+            t["source"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        fps = np.asarray(
+            [
+                textkit.fingerprint_md5(x or "")
+                for x in t["text"].to_pylist()
+            ],
+            dtype=object,
+        )
+        both = np.char.add(
+            np.char.add(fps.astype(str), "|"), src.astype(str)
+        )
+        _, first = np.unique(both, return_index=True)
+        src, fps = src[first], fps[first]
+        b = (
+            np.array([int(f[:16], 16) for f in fps], dtype=np.uint64)
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "fp": pa.array(fps, pa.string()),
+                _WB: pa.array(b),
+            }
+        )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        src = np.asarray(
+            g["source"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        fps = np.asarray(
+            g["fp"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        both = np.char.add(
+            np.char.add(fps.astype(str), "|"), src.astype(str)
+        )
+        order = np.argsort(both, kind="stable")
+        keep = np.concatenate([[True], both[order][1:] != both[order][:-1]])
+        idx = order[keep]  # distinct (fp, source), sorted by fp then source
+        src, fps = src[idx], fps[idx]
+        newseg = np.concatenate([[True], fps[1:] != fps[:-1]])
+        starts = np.nonzero(newseg)[0]
+        sizes = np.diff(np.append(starts, len(fps)))
+        a_out, b_out = [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            s_k = starts[sizes == k]
+            mat = src[s_k[:, None] + np.arange(k)[None, :]]  # (m, k) sorted rows
+            iu, ju = np.triu_indices(int(k), 1)
+            a_out.append(mat[:, iu].ravel())
+            b_out.append(mat[:, ju].ravel())
+        if not a_out:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        aa = np.concatenate(a_out)
+        bb = np.concatenate(b_out)
+        t = pa.table(
+            {
+                "source_a": pa.array(aa, pa.string()),
+                "source_b": pa.array(bb, pa.string()),
+                "n": pa.array(np.ones(len(aa), dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["source_a", "source_b"]).aggregate([("n", "sum")])
+        return out.rename_columns(["source_a", "source_b", "n"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=2048)
+        .groupby(_WB)
+        .map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="shared_texts"))
+        .to_pandas()
+    )
+    if agg.empty:
+        # zero cross-source duplicates: typed empty frame (Ray's
+        # to_pandas drops the schema of an all-empty dataset)
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype=object),
+                "source_b": pd.Series([], dtype=object),
+                "shared_texts": pd.Series([], dtype="int64"),
+            }
+        )
+    agg["shared_texts"] = agg["shared_texts"].astype("int64")
+    return agg.sort_values(["source_a", "source_b"]).reset_index(drop=True)

@@ -1996,3 +1996,127 @@ def time_to_next_purchase_by_type(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_interarrival_cv(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type INTER-ARRIVAL coefficient of variation: gaps
+    between consecutive arrivals (deciseconds — floor(us/1e5), the
+    resolution that keeps Σgap² exact in int64 across a multi-year
+    span), CV = sample-stddev(gap) / mean(gap) — the dispersion
+    companion of event_type_burstiness (CV≈1 Poisson, ≫1 bursty) and
+    the crawl politeness tuner's per-host arrival model applied to the
+    events table.
+
+    Scale plan: per-batch partials collapse events to distinct
+    (type, ds, count) rows (ties are pure zero gaps — they never ship),
+    ONE type-hash bucket shuffle co-locates each type, and each bucket
+    reduces its types to exact int64 moments (n_gaps, Σg, Σg²) with a
+    lexsort + one np.diff — consecutive-distinct diffs are invariant
+    under tie order, so engine and SQL agree bit-for-bit. The driver
+    sees O(types) moment rows and applies ONE identically-parenthesized
+    double formula; n<2 or zero-mean types are NULL like the oracle."""
+    from ...stages.relops import _WB, _route_by_group
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        us = np.asarray(
+            pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        ds = us // 100_000
+        types = np.asarray(
+            t["event_type"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        uniq, codes = np.unique(types, return_inverse=True)
+        comp = codes.astype(np.int64) * np.int64(1 << 44) + ds
+        if ds.size and (ds.max() >= 1 << 44 or ds.min() < 0):
+            raise ValueError("events_interarrival_cv: ds out of 2^44 range")
+        keys, cnt = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    uniq[keys // np.int64(1 << 44)], pa.string()
+                ),
+                "ds": pa.array(keys % np.int64(1 << 44)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def _moments(g: pa.Table) -> pa.Table:
+        if _WB in g.column_names:
+            g = g.drop_columns([_WB])
+        types = np.asarray(
+            g["event_type"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        ds = np.asarray(g["ds"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cnt = np.asarray(
+            g["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        uniq, codes = np.unique(types, return_inverse=True)
+        order = np.lexsort((ds, codes))
+        c, d, m = codes[order], ds[order], cnt[order]
+        # cross-batch repeats of the same (type, ds) merge here
+        same = np.concatenate(
+            [[False], (c[1:] == c[:-1]) & (d[1:] == d[:-1])]
+        )
+        if same.any():
+            keep = ~same
+            first = np.nonzero(keep)[0]
+            seg = np.cumsum(keep) - 1
+            m = np.bincount(seg, weights=m).astype(np.int64)
+            c, d = c[first], d[first]
+        newseg = np.concatenate([[True], c[1:] != c[:-1]])
+        gaps = np.diff(d)
+        gaps[newseg[1:]] = 0  # mask cross-type diffs
+        valid = ~newseg[1:]
+        starts = np.nonzero(newseg)[0]
+        seg_id = np.cumsum(newseg) - 1
+        n_events = np.bincount(seg_id, weights=m).astype(np.int64)
+        sg = np.bincount(
+            seg_id[1:][valid], weights=gaps[valid],
+            minlength=len(starts),
+        ).astype(np.int64)
+        sgg = np.bincount(
+            seg_id[1:][valid], weights=(gaps * gaps)[valid],
+            minlength=len(starts),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq[c[starts]], pa.string()),
+                "n_gaps": pa.array(n_events - 1),
+                "sg": pa.array(sg),
+                "sgg": pa.array(sgg),
+            }
+        )
+
+    agg = (
+        _route_by_group(
+            ev.map_batches(_partial, batch_format="pyarrow"),
+            "event_type",
+            16,
+        )
+        .groupby(_WB)
+        .map_groups(_moments, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = agg["n_gaps"].to_numpy(dtype="int64").astype(np.float64)
+    sg = agg["sg"].to_numpy(dtype="int64").astype(np.float64)
+    sgg = agg["sgg"].to_numpy(dtype="int64").astype(np.float64)
+    ok = (n > 1) & (sg > 0)
+    cv = np.where(
+        ok,
+        np.sqrt(
+            (n * sgg - sg * sg) / np.where(ok, n * (n - 1), 1.0)
+        )
+        / (sg / np.where(ok, n, 1.0)),
+        np.nan,
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n_gaps": agg["n_gaps"].astype("int64"),
+            "total_gap_ds": agg["sg"].astype("int64"),
+            "cv": cv,
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -1843,3 +1843,127 @@ def benford_first_digit_orders(sf_dir: str) -> pd.DataFrame:
     ) / np.float64(total)
     out = agg[["digit", "n_orders", "share"]]
     return out.sort_values("digit").reset_index(drop=True)
+
+
+def token_gini_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language GINI COEFFICIENT of the token-frequency
+    distribution — vocabulary concentration in one number (0 = every
+    token equally frequent, →1 = a few tokens dominate): the
+    Zipf-shape / template-contamination audit next to
+    hapax_ratio_per_lang.
+
+    Exactness: gini = Σᵢ (2i−n−1)·cᵢ / (n·Σc) over counts sorted
+    ascending. The numerator is INVARIANT under tie order (equal counts
+    swap positions inside a block whose weight set is fixed), so engine
+    and SQL compute the identical int64 rational and ONE double
+    division — no float-sum order sensitivity (the corr/burstiness
+    moments pattern; overflow-guarded at 2·n·Σc < 2^62).
+
+    Scale plan: the hapax wordcount machinery verbatim — vectorized
+    (lang, token) batch partials, ONE token-hash bucket shuffle — but
+    each bucket emits a per-(lang, count) COUNT-OF-COUNTS histogram, so
+    the driver merges O(langs × distinct counts) rows (counts cluster:
+    thousands of distinct values, not vocab-sized) and evaluates the
+    rank-block formula Σ c·(2·Σi_block − m(n+1)) over the sorted
+    histogram — never a global vocabulary sort."""
+    from ray.data.aggregate import Sum
+
+    from ...functions import textkit
+    from ...stages.relops import _WB
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    num_buckets = 64
+
+    _EMPTY_PARTIAL = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            _WB: pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, ptr = textkit.flat_tokens_ws_arrow(t["text"])
+        if len(flat) == 0:
+            return _EMPTY_PARTIAL
+        langs = np.asarray(
+            t["lang"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        uniq_langs, lang_codes = np.unique(langs, return_inverse=True)
+        tok_lang = np.repeat(lang_codes.astype(np.int64), np.diff(ptr))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+        tok_code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = tok_lang * np.int64(len(vocab)) + tok_code
+        keys, counts_ = np.unique(comp, return_counts=True)
+        k_lang = (keys // len(vocab)).astype(np.int64)
+        k_tok = (keys % len(vocab)).astype(np.int64)
+        h1, h2 = textkit.hash2_strings(vocab, salt="hx")
+        b = (h1.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(uniq_langs[k_lang], pa.string()),
+                "h1": pa.array(h1[k_tok]),
+                "h2": pa.array(h2[k_tok]),
+                "n": pa.array(counts_.astype(np.int64)),
+                _WB: pa.array(b[k_tok]),
+            }
+        )
+
+    def _bucket_hist(g: pa.Table) -> pa.Table:
+        # bucket owns its tokens exclusively (bucket = h1 % B): the
+        # per-token global count finishes here; emit (lang, count, m)
+        sums = g.group_by(["lang", "h1", "h2"]).aggregate([("n", "sum")])
+        tl = pa.table(
+            {
+                "lang": sums["lang"],
+                "c": pc.cast(sums["n_sum"], pa.int64()),
+                "m": pa.array(np.ones(sums.num_rows, dtype=np.int64)),
+            }
+        )
+        out = tl.group_by(["lang", "c"]).aggregate([("m", "sum")])
+        return out.rename_columns(["lang", "c", "m"])
+
+    hist = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(_WB)
+        .map_groups(_bucket_hist, batch_format="pyarrow")
+        .groupby(["lang", "c"])
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, sub in hist.groupby("lang"):
+        c = sub["c"].to_numpy(dtype="int64")
+        m = sub["m"].to_numpy(dtype="int64")
+        order = np.argsort(c, kind="stable")
+        c, m = c[order], m[order]
+        n = int(m.sum())
+        tot = int((c * m).sum())
+        if 2 * n * tot >= 1 << 62:
+            raise ValueError(
+                "token_gini_per_lang: n*Σc too large for exact int64 "
+                "numerator — shard the corpus or scale counts first"
+            )
+        # rank block for count c spans i0..i0+m-1 (1-based): Σ(2i−n−1)c
+        # = c·(2·(m·i0 + m(m−1)/2) − m(n+1))
+        i0 = np.concatenate([[1], 1 + np.cumsum(m)[:-1]])
+        num = int(
+            (c * (2 * (m * i0 + m * (m - 1) // 2) - m * (n + 1))).sum()
+        )
+        rows.append(
+            {
+                "lang": lang,
+                "vocab": n,
+                "n_tokens": tot,
+                "token_gini": float(num) / (float(n) * float(tot)),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["vocab"] = out["vocab"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
