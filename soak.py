@@ -939,8 +939,40 @@ def soak_kill_resume(tmp: str) -> dict:
     }
 
 
+
+
+def soak_minhash(tmp: str) -> dict:
+    """minhash_lsh_dedup over 500k docs with ~10% planted near-dup pairs
+    (one token mutated — Jaccard above the 0.8 threshold) — the VERDICT
+    r4 #6 chain (bands → bucket groupby → co-group verify → components)
+    now pipelines without the candidate materialize barrier."""
+    import ray.data
+
+    from webscrape_neko_jirushi_ray.stages.dedup import minhash_lsh_dedup
+
+    rng = np.random.default_rng(29)
+    n = 500_000
+    base_ids = rng.integers(0, 450_000, n)
+    toks = np.char.add("tok", (base_ids[:, None] * 13 + np.arange(12)[None, :]).astype("U8"))
+    texts = [" ".join(row) for row in toks]
+    # mutate the tail 50k into near-dups of their base (11/13 shingles shared)
+    for i in range(450_000, n):
+        parts = texts[i].split()
+        parts[5] = f"mut{i}"
+        texts[i] = " ".join(parts)
+    _write(
+        tmp, "mh/docs.parquet",
+        pa.table({"doc_id": np.arange(n, dtype=np.int64), "text": texts}),
+    )
+    ds = ray.data.read_parquet(os.path.join(tmp, "mh"))
+    t0 = time.perf_counter()
+    kept = minhash_lsh_dedup(ds, threshold=0.8, shingle_k=5).count()
+    return {"sec": round(time.perf_counter() - t0, 2), "n": n, "kept": kept}
+
+
 SOAKS = {
     "kill_resume": soak_kill_resume,
+    "minhash": soak_minhash,
     "sessionize": soak_sessionize,
     "rolling_median": soak_rolling_median,
     "quantile_sketch": soak_quantile_sketch,

@@ -149,3 +149,35 @@ def test_add_url_key_columns_rowwise_parity(urls):
         hashlib.sha1(w.encode()).digest() for w in want
     ]
     assert out["host"].to_pylist() == [host_of(w) for w in want]
+
+
+_HREFISH = st.one_of(
+    st.from_regex(r"/[A-Za-z0-9_\-./%+=&?]{0,24}", fullmatch=True),
+    st.from_regex(r"//[a-z0-9.]{1,10}/[a-z]{0,8}", fullmatch=True),
+    st.from_regex(r"(\.\./){0,2}[a-z]{1,8}(/[a-z.]{0,8})?", fullmatch=True),
+    st.from_regex(r"/[a-z]{0,6}(/\.\./[a-z]{0,6})?(\?|#frag|;p)?", fullmatch=True),
+    st.sampled_from(["", "/", "/?", "/a?", "/a#", "/./x", "/..", "?q=1", "#f",
+                     "mailto:x@y", "https://abs.example/x", "/a b", "/%2e/x"]),
+    st.text(max_size=20),
+)
+
+
+@settings(max_examples=400, deadline=None, derandomize=True)
+@given(
+    st.from_regex(
+        r"https?://[a-z0-9.\-]{1,12}(:[0-9]{1,4})?(/[a-z0-9./_-]{0,16})?(\?[a-z]=[0-9])?",
+        fullmatch=True,
+    ),
+    st.lists(_HREFISH, max_size=8),
+)
+def test_make_absolutizer_parity(base, hrefs):
+    """make_absolutizer's fast path must agree with absolutize (urljoin)
+    on every href — root-relative, protocol-relative, dotted, junk."""
+    from webscrape_neko_jirushi_ray.functions.urlkit import (
+        absolutize,
+        make_absolutizer,
+    )
+
+    f = make_absolutizer(base)
+    for h in hrefs:
+        assert f(h) == absolutize(base, h), (base, h)

@@ -35,7 +35,7 @@ from ..config import (
     NAME_TAGS,
     RELATED_CLASS_RE,
 )
-from .urlkit import absolutize
+from .urlkit import absolutize, make_absolutizer
 
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
 _ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*)")
@@ -57,7 +57,7 @@ _DETAIL_CLASS = re.compile(DETAIL_CLASS_RE)
 _RELATED_CLASS = re.compile(RELATED_CLASS_RE)
 
 
-@dataclass
+@dataclass(slots=True)
 class Node:
     """One element occurrence in document order."""
 
@@ -184,6 +184,7 @@ def _harvest_from_nodes(
     nodes = [n for n in all_nodes if n.tag == "img"]
     images: list[dict[str, str]] = []
     seen: set[str] = set()
+    _abs = make_absolutizer(page_url)
 
     def matches(node: Node, kind: str, arg: str) -> bool:
         if kind == "src_contains":
@@ -200,7 +201,7 @@ def _harvest_from_nodes(
             if not src:
                 continue
             if not src.startswith("http"):
-                src = absolutize(page_url, src)
+                src = _abs(src)
                 if not src:
                     continue
             low = src.lower()
@@ -218,7 +219,7 @@ def _harvest_from_nodes(
                     }
                 )
     if api_image:
-        main = api_image if api_image.startswith("http") else absolutize(page_url, api_image)
+        main = api_image if api_image.startswith("http") else _abs(api_image)
         if main and main not in seen:
             images.insert(0, {"url": main, "alt": api_caption, "title": api_caption})
     return images
@@ -241,6 +242,7 @@ def extract_links(page_url: str, html: str) -> list[str]:
 def _links_from_nodes(all_nodes: list[Node], page_url: str) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()
+    _abs = make_absolutizer(page_url)
     for n in all_nodes:
         if n.tag != "a":
             continue
@@ -248,7 +250,7 @@ def _links_from_nodes(all_nodes: list[Node], page_url: str) -> list[str]:
         if not href:
             continue
         if _FOSTER_RE.search(href) or _LISTING_RE.search(href):
-            absu = href if href.startswith("http") else absolutize(page_url, href)
+            absu = href if href.startswith("http") else _abs(href)
             if absu and absu not in seen:
                 seen.add(absu)
                 out.append(absu)

@@ -62,6 +62,43 @@ def absolutize(base_url: str, href: str) -> str:
     return absu if absu.startswith("http") else ""
 
 
+# Root-relative href whose urljoin result is PROVABLY scheme://netloc +
+# href: single leading '/' (double = protocol-relative -> netloc), no
+# '#' (fragment), no ';' (params), no whitespace, no '?'-with-empty-
+# query (urlunparse drops a bare '?'), and NO dot segments anywhere
+# ("/." guarded separately — urljoin's remove_dot_segments would fire).
+_ROOTREL_FAST_RE = re.compile(
+    r"^/(?!/)[A-Za-z0-9_\-./%+=&]*(?:\?[A-Za-z0-9_\-./%?=&+]+)?$"
+)
+
+
+def make_absolutizer(base_url: str):
+    """Per-page absolutize closure (the extract hot path calls urljoin
+    once per RELATIVE href — ~15/page): the base splits ONCE, and
+    root-relative hrefs in the provable class resolve by concatenation;
+    everything else falls back to :func:`absolutize` (urljoin).
+    Element-wise parity with ``absolutize(base_url, href)`` is
+    hypothesis-pinned (test_urlkit)."""
+    parts = urlsplit(base_url)
+    prefix = (
+        f"{parts.scheme}://{parts.netloc}"
+        if parts.scheme in ("http", "https") and parts.netloc
+        else None
+    )
+
+    def _abs(href: str) -> str:
+        if (
+            prefix is not None
+            and href.startswith("/")
+            and "/." not in href
+            and _ROOTREL_FAST_RE.match(href)
+        ):
+            return prefix + href
+        return absolutize(base_url, href)
+
+    return _abs
+
+
 def extract_cat_id(url: str) -> str:
     """Regex ``/foster/(\\d+)/`` → id string, '' if absent
     (smart_cat_discovery.py:186-191)."""
