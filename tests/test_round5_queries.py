@@ -119,3 +119,34 @@ def test_source_dup_overlap_fanout(ray_session, tmp_path):
     _check(got, em.oracle_sql()["source_dup_overlap"], con)
     m = {(r.source_a, r.source_b): r.shared_texts for r in got.itertuples()}
     assert m == {("s1", "s2"): 1, ("s1", "s3"): 2, ("s2", "s3"): 1}
+
+
+def test_round5_queries_tolerate_empty_blocks(ray_session, tmp_path):
+    """Upstream filters can hand the partials 0-row blocks; empty inputs
+    must produce empty (or all-typed) results, not crashes."""
+    import __ray_entry__ as em
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    qs = em.queries()
+    assert len(qs["events_interarrival_cv"](str(tmp_path))) == 0
+    assert len(qs["token_gini_per_lang"](str(tmp_path))) == 0
+    assert len(qs["source_dup_overlap"](str(tmp_path))) == 0

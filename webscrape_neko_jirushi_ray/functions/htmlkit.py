@@ -122,7 +122,8 @@ def parse_html(html: str) -> list[Node]:
                     )
                     break
             continue
-        attrs = _parse_attrs(raw_attrs)
+        # ~25% of open tags carry no attributes — skip the finditer pass
+        attrs = _parse_attrs(raw_attrs) if raw_attrs and not raw_attrs.isspace() else {}
         classes = tuple(attrs.get("class", "").split()) if attrs.get("class") else ()
         node = Node(
             tag=tag,

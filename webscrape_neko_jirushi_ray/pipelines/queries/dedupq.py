@@ -749,7 +749,17 @@ def source_dup_overlap(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["source", "text"])
     num_buckets = 64
 
+    _EMPTY_FP = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "fp": pa.array([], pa.string()),
+            _WB: pa.array([], pa.int64()),
+        }
+    )
+
     def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_FP
         src = np.asarray(
             t["source"].to_numpy(zero_copy_only=False), dtype=object
         )
@@ -778,6 +788,14 @@ def source_dup_overlap(sf_dir: str) -> pd.DataFrame:
         )
 
     def _pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         src = np.asarray(
             g["source"].to_numpy(zero_copy_only=False), dtype=object
         )

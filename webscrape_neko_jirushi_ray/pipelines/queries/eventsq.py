@@ -2019,7 +2019,17 @@ def events_interarrival_cv(sf_dir: str) -> pd.DataFrame:
 
     ev = _read(sf_dir, "events", ["event_type", "ts"])
 
+    _EMPTY_CV = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "ds": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
     def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_CV
         us = np.asarray(
             pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         )
@@ -2045,6 +2055,15 @@ def events_interarrival_cv(sf_dir: str) -> pd.DataFrame:
     def _moments(g: pa.Table) -> pa.Table:
         if _WB in g.column_names:
             g = g.drop_columns([_WB])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "sg": pa.array([], pa.int64()),
+                    "sgg": pa.array([], pa.int64()),
+                }
+            )
         types = np.asarray(
             g["event_type"].to_numpy(zero_copy_only=False), dtype=object
         )
@@ -2099,6 +2118,15 @@ def events_interarrival_cv(sf_dir: str) -> pd.DataFrame:
         .map_groups(_moments, batch_format="pyarrow")
         .to_pandas()
     )
+    if agg.empty:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "total_gap_ds": pd.Series([], dtype="int64"),
+                "cv": pd.Series([], dtype="float64"),
+            }
+        )
     n = agg["n_gaps"].to_numpy(dtype="int64").astype(np.float64)
     sg = agg["sg"].to_numpy(dtype="int64").astype(np.float64)
     sgg = agg["sgg"].to_numpy(dtype="int64").astype(np.float64)

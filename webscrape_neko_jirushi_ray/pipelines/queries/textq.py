@@ -1937,6 +1937,8 @@ def token_gini_per_lang(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     rows = []
+    if hist.empty:
+        hist = pd.DataFrame({"lang": [], "c": [], "m": []})
     for lang, sub in hist.groupby("lang"):
         c = sub["c"].to_numpy(dtype="int64")
         m = sub["m"].to_numpy(dtype="int64")
@@ -1961,6 +1963,15 @@ def token_gini_per_lang(sf_dir: str) -> pd.DataFrame:
                 "vocab": n,
                 "n_tokens": tot,
                 "token_gini": float(num) / (float(n) * float(tot)),
+            }
+        )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                "vocab": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "token_gini": pd.Series([], dtype="float64"),
             }
         )
     out = pd.DataFrame(rows)
