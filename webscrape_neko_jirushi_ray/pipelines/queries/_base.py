@@ -89,6 +89,12 @@ def _fact_rows(sf_dir: str, table: str) -> int:
         frag_files = pads.dataset(path, format="parquet").files
         if not frag_files:
             raise ValueError("no parquet fragments")
+        if len(frag_files) > 512:
+            # footer reads are driver-side metadata I/O; a dataset
+            # sharded into hundreds+ of files is past every broadcast
+            # threshold in practice — route large without reading 200k
+            # footers on a 100-TB input
+            return _BLOOM_PREFILTER_ROUTE_ROWS + 1
         return sum(pq.read_metadata(f).num_rows for f in frag_files)
     except Exception:
         return _BLOOM_PREFILTER_ROUTE_ROWS + 1

@@ -2014,7 +2014,15 @@ def events_interarrival_cv(sf_dir: str) -> pd.DataFrame:
     lexsort + one np.diff — consecutive-distinct diffs are invariant
     under tie order, so engine and SQL agree bit-for-bit. The driver
     sees O(types) moment rows and applies ONE identically-parenthesized
-    double formula; n<2 or zero-mean types are NULL like the oracle."""
+    double formula; n<2 or zero-mean types are NULL like the oracle.
+
+    Documented bound (the grouped_quantile_sketch contract): a type's
+    whole distinct-decisecond history lands in ONE bucket task, so
+    per-type volume is capped at min(events, time-span deciseconds) per
+    task — audit-style type counts over year-scale spans fit; a
+    few-type 10^10-event corpus wants the sort-range-partition variant
+    (diffs inside ranges + boundary stitch, the rolling-kernel shape)
+    instead of this bucket plan."""
     from ...stages.relops import _WB, _route_by_group
 
     ev = _read(sf_dir, "events", ["event_type", "ts"])
