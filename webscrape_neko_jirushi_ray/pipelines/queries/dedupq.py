@@ -8,6 +8,16 @@ from . import _base
 from ._base import *  # noqa: F401,F403 — np/pa/pc/pd/ray + stage imports
 
 
+def _simjoin_blocks(sf_dir: str) -> int:
+    """Read-block count for the name similarity-join queries: the
+    default small-file parallelism fragments five-plus downstream
+    shuffles into near-empty sort tasks (the fk_coverage_audit lesson —
+    measured 4.2 -> 1.8 s at sf0.1); ~250k rows per block keeps blob
+    payloads (~100 B/row of gram hashes) inside the worker heap at any
+    scale, with a floor of 4 so the shingle stage still parallelizes."""
+    return max(4, -(-_fact_rows(sf_dir, "supplier") // 250_000))
+
+
 def similar_supplier_names(sf_dir: str) -> pd.DataFrame:
     """EXACT string-similarity self-join (fuzzy join family): every
     supplier pair whose raw char-3-gram Jaccard >= 0.8, with exact
@@ -19,7 +29,10 @@ def similar_supplier_names(sf_dir: str) -> pd.DataFrame:
     shape this operator exists for."""
     from ...stages.simjoin import ngram_similarity_selfjoin
 
-    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+    ds = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name"],
+        override_num_blocks=_simjoin_blocks(sf_dir),
+    ).map_batches(
         lambda t: pa.table(
             {
                 "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
@@ -48,7 +61,10 @@ def supplier_name_typos(sf_dir: str) -> pd.DataFrame:
     candidate set."""
     from ...stages.simjoin import edit_distance_selfjoin
 
-    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+    ds = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name"],
+        override_num_blocks=_simjoin_blocks(sf_dir),
+    ).map_batches(
         lambda t: pa.table(
             {
                 "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
@@ -82,7 +98,10 @@ def supplier_name_components(sf_dir: str) -> pd.DataFrame:
     the oracle agrees; real deployments pick t per the linkage policy."""
     from ...stages.simjoin import ngram_similarity_selfjoin
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+    supp = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name"],
+        override_num_blocks=_simjoin_blocks(sf_dir),
+    ).map_batches(
         lambda t: pa.table(
             {
                 "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
